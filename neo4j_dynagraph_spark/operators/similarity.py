@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale playbook:
+
+- brute_force_topk: exact cosine top-k of query vectors against the
+  corpus. The query side is broadcast (queries are few); the corpus is
+  scanned once; per-partition top-k via a rank window. Dot products run
+  JVM-side (zip_with + aggregate) — no Python in the loop. This is the
+  correctness baseline and is fine whenever |queries| is small.
+
+- lsh_bucketed_topk: random-hyperplane LSH pre-bucketing. Hyperplane
+  sign bits come from the portable hash64 of (plane, dimension) — fully
+  deterministic, no stored model. Candidates = corpus vectors sharing a
+  bucket with the query; exact cosine re-rank within candidates. At
+  100 TB the bucket join replaces the full scan per query batch; recall
+  is tuned by n_planes/n_tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from neo4j_dynagraph_spark import functions as dfn
+
+_DOT = "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+_NORM = "sqrt(aggregate(transform({c}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+
+
+def as_double_vec(df: DataFrame, col: str = "embedding", out: str = "v") -> DataFrame:
+    """Cast array<float> -> array<double> once, up front: all cosine math
+    is then pure double, matching any SQL oracle bit-for-bit."""
+    return df.withColumn(out, F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact cosine top-k: (qid, rank, cid, sim).
+
+    `queries` (qid, qv) is broadcast; sim ties break on candidate id so
+    the cut is deterministic. One wide scan + one rank window shuffled
+    by qid (tiny).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("qid"), F.col("qv"), F.expr(_NORM.format(c="qv")).alias("qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("v"),
+        F.expr(_NORM.format(c=vec_col)).alias("cn"),
+    )
+    sim = (F.expr(_DOT) / (F.col("qn") * F.col("cn"))).alias("sim_raw")
+    pairs = c.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid", "cid", sim
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("qid", "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic random-hyperplane LSH bucket id per vector.
+
+    Plane p's weight for dimension d is (hash64('p{p}d{d}') % 2001 -
+    1000) / 1000.0 — a portable pseudo-random value in [-1, 1]. The
+    bucket id packs the sign bits of the n_planes projections.
+    """
+    proj_terms = []
+    for p in range(n_planes):
+        w = (
+            f"transform(sequence(0, size({vec_col}) - 1), "
+            f"d -> (CAST(conv(substr(md5(concat('p{p}d', d)), 1, 8), 16, 10) AS DOUBLE) % 2001 - 1000) / 1000.0)"
+        )
+        dot = (
+            f"aggregate(zip_with({vec_col}, {w}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        proj_terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(proj_terms)
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.expr(bucket).cast("long").alias("bucket")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Approximate top-k: bucket join then exact re-rank.
+
+    Output schema matches brute_force_topk; recall < 1 by design. The
+    join shuffles on the bucket id — at scale, pre-partition/bucket the
+    corpus table by this key so the probe side co-locates.
+    """
+    from pyspark.sql import Window
+
+    cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col).withColumnRenamed(
+        id_col, "cid"
+    )
+    qb = hyperplane_buckets(
+        queries.select(F.col("qid").alias(id_col), F.col("qv").alias(vec_col)),
+        n_planes,
+        id_col,
+        vec_col,
+    ).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        "bucket",
+        F.expr(_NORM.format(c=vec_col)).alias("qn"),
+    )
+    cand = cb.withColumn("cn", F.expr(_NORM.format(c=vec_col))).join(
+        F.broadcast(qb), "bucket"
+    ).where(F.col("cid") != F.col("qid"))
+    sim = (F.expr(_DOT) / (F.col("qn") * F.col("cn"))).alias("sim_raw")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
+    return (
+        cand.select("qid", "cid", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("qid", "rank")
+    )

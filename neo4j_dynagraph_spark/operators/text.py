@@ -1,0 +1,99 @@
+"""Text analysis operators for document corpora.
+
+Language-ID (stopword heuristic), quality scoring (lexical ratios),
+token counting, and document fingerprinting — each a pure DataFrame
+transform built from JVM array/lambda expressions (no Python UDFs:
+token pipelines at 100 TB live or die on staying inside codegen).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from neo4j_dynagraph_spark import functions as dfn
+from neo4j_dynagraph_spark.operators.dedup import shingles_df, tokens_df
+
+# tiny, deterministic stopword profiles for the heuristic language-ID
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+STOPWORDS_EN = ("the", "a")
+
+
+def _ratio_expr(words: tuple[str, ...]) -> str:
+    """SQL expr: fraction of tokens that are in `words` (0 if empty doc)."""
+    preds = " OR ".join(f"x = '{w}'" for w in words)
+    return f"size(filter(t, x -> {preds})) / CAST(greatest(size(t), 1) AS DOUBLE)"
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc lexical quality stats: token counts, type-token ratio,
+    stopword ratio — the cheap quality signals a pretraining pipeline
+    filters on. One narrow projection, no shuffle."""
+    toks = tokens_df(docs, text_col)
+    return toks.where(F.size("t") > 0).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct("t")) / F.size("t").cast("double"), 6
+        ).alias("ttr"),
+        F.round(F.expr(_ratio_expr(STOPWORDS_EN)), 6).alias("stop_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax of stopword-profile hit ratios,
+    'unk' when no profile scores >= 2%. Deterministic tie-break by
+    profile order (en, es, de)."""
+    toks = tokens_df(docs, text_col)
+    scored = toks.select(
+        "doc_id",
+        *[
+            F.expr(_ratio_expr(words)).alias(f"score_{lang}")
+            for lang, words in LANG_PROFILES.items()
+        ],
+    )
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("unk")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best >= 0.02), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("best_score"),
+    )
+
+
+def token_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Global token frequency table: (token, cnt). The classic explode +
+    count; partial aggregation collapses per-partition duplicates before
+    the shuffle, so the shuffle volume is ~vocabulary, not ~corpus."""
+    return (
+        tokens_df(docs, text_col)
+        .select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Winnowing-style fingerprint: min portable-hash over the doc's
+    3-gram shingles (+ shingle count). Equal fingerprints are strong
+    near-dup hints at a fraction of MinHash's cost."""
+    sh = shingles_df(docs, text_col)
+    return (
+        sh.withColumn("hv", dfn.hash64(F.col("shingle")))
+        .groupBy("doc_id")
+        .agg(
+            F.min("hv").alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )

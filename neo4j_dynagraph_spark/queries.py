@@ -1,0 +1,980 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query.
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL
+oracle string (run by DuckDB on the same parquet) — the engine-level
+generalization of the reference's equivalent-formulation-pair testing
+(cypher_query_timing.py QUERY5/5b, 6/6b, 9/9b, 11a/b/c; SURVEY.md §5).
+
+Conventions that make the cross-engine hash comparison work:
+- every computed column is aliased identically in Spark and SQL;
+- date parts / counts are cast to long (DuckDB's BIGINT);
+- double aggregates accumulate through exact DECIMAL and convert to
+  double at the end, so partial-aggregation order (nondeterministic in
+  both engines) cannot change the result bit pattern;
+- pinned anchors are absolute (epoch-aligned frame grid, actor ids
+  1/2, 2024-01-15 hour 10) so they mean the same thing at every SF —
+  the Spark-native form of the reference's pinned probe parameters
+  (cypher_query_timing.py:33-48).
+
+The temporal-graph queries q1..q11 mirror the reference benchmark
+queries one-to-one (cypher_query_timing.py:53-212); the TPC-H-shaped
+and extension queries cover the rest of the §2 inventory at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from neo4j_dynagraph_spark import functions as dfn
+from neo4j_dynagraph_spark.operators import graph, ingest
+from neo4j_dynagraph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# pinned parameters (meaningful at every SF — verified against testdata)
+DELTA = 3600  # frame width (s) for the events-derived graph star
+YEAR, MONTH, DAY, HOUR = 2024, 1, 15, 10
+ACTOR1, ACTOR2 = 1, 2
+WEIGHT_MIN = 4  # q3 heavy-edge threshold
+FREQ_MIN = 50  # q5 HAVING threshold (median frames/actor is ~63)
+SPELL_LEN = 1800  # synthetic spell length for ingest_spells
+TOPK = 10
+
+# shared DuckDB SQL fragments
+_FID = f"CAST(floor(epoch(ts)/{DELTA}) AS BIGINT)"
+_ES = "CAST(floor(epoch(ts)) AS BIGINT)"
+_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _presence_sql(where: str = "") -> str:
+    return (
+        f"SELECT {_FID} AS frame_id, user_id AS actor, count(*) AS n_events "
+        f"FROM events {where} GROUP BY 1, 2"
+    )
+
+
+_EDGES_FROM_P = (
+    "SELECT p1.frame_id, p1.actor AS actor1, p2.actor AS actor2, "
+    "p1.n_events * p2.n_events AS weight "
+    "FROM p p1 JOIN p p2 ON p1.frame_id = p2.frame_id AND p1.actor < p2.actor"
+)
+
+
+def _neigh_sql(anchor: int, where: str = "") -> str:
+    """Distinct co-activity partners of one actor (symmetrized)."""
+    return (
+        f"SELECT DISTINCT p2.actor AS actor FROM p p1 JOIN p p2 "
+        f"ON p1.frame_id = p2.frame_id AND p1.actor != p2.actor "
+        f"WHERE p1.actor = {anchor} {where}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, bench, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.fn for n, s in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def bench_queries() -> list[str]:
+    return [n for n, s in REGISTRY.items() if s.bench]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side shared builders
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _presence(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:  # noqa: ANN001
+    ev = _events(spark, sf_dir)
+    if where is not None:
+        ev = ev.where(where)
+    return ingest.events_to_presence(ev, DELTA)
+
+
+def _edges(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:  # noqa: ANN001
+    return ingest.presence_to_frame_interactions(_presence(spark, sf_dir, where))
+
+
+def _day_filter():  # noqa: ANN202
+    ts = F.col("ts")
+    return (F.year(ts) == YEAR) & (F.month(ts) == MONTH) & (F.dayofmonth(ts) == DAY)
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", dfn.tokens(F.col("text")).alias("t"))
+
+
+_SHINGLE3 = (
+    "array_distinct(transform(sequence(1, size(t) - 2), "
+    "i -> concat_ws(' ', t[i-1], t[i], t[i+1])))"
+)
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document (0-based Spark indexing
+    producing the identical shingle set as the oracle's 1-based form)."""
+    return (
+        _tokens_df(spark, sf_dir)
+        .where(F.size("t") >= 3)
+        .select("doc_id", "source", F.explode(F.expr(_SHINGLE3)).alias("shingle"))
+    )
+
+
+# ===========================================================================
+# §2.3/§2.4 — the 11 reference benchmark queries (cypher_query_timing.py)
+# ===========================================================================
+
+
+@query(
+    "q1_time_range",
+    oracle=f"""
+SELECT frame_id, frame_id*{DELTA} AS ts_start, frame_id*{DELTA}+{DELTA} AS ts_end,
+       n_events, n_actors
+FROM (SELECT {_FID} AS frame_id, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_actors
+      FROM events
+      WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}
+        AND hour(ts) >= 9 AND hour(ts) < 13
+      GROUP BY 1)
+ORDER BY frame_id
+""",
+    bench=True,
+)
+def q1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY1 (cypher_query_timing.py:53-59): frames in a calendar range
+    (y/m/d equality + hour range), ordered by timestamp. The reference's
+    5-hop timeline-tree descent becomes date-part predicates that prune
+    partitions/row-groups (SURVEY.md §4 X1)."""
+    ts = F.col("ts")
+    fid = F.col("frame_id")
+    return (
+        _events(spark, sf_dir)
+        .where(_day_filter() & (F.hour(ts) >= 9) & (F.hour(ts) < 13))
+        .groupBy(dfn.frame_id(dfn.epoch_seconds(ts), DELTA).alias("frame_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_actors"),
+        )
+        .select(
+            fid,
+            (fid * DELTA).alias("ts_start"),
+            (fid * DELTA + DELTA).alias("ts_end"),
+            "n_events",
+            "n_actors",
+        )
+        .orderBy("frame_id")
+    )
+
+
+@query(
+    "q2_frame_actors",
+    oracle=f"""
+WITH c AS (SELECT {_FID} AS frame_id, count(*) AS n FROM events GROUP BY 1),
+b AS (SELECT frame_id FROM c ORDER BY n DESC, frame_id LIMIT 1)
+SELECT DISTINCT user_id AS actor, printf('ACTOR_%04d', user_id) AS name
+FROM events WHERE {_FID} = (SELECT frame_id FROM b)
+ORDER BY actor
+""",
+    bench=True,
+)
+def q2_frame_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY2 (cypher_query_timing.py:61-66): actors present in one frame.
+    The anchor frame is the busiest frame (deterministic tie-break on
+    frame_id) — a self-contained version of the reference's pinned
+    frame_id=8084. Broadcast of the 1-row anchor replaces Cypher's
+    START-node point lookup (SURVEY.md §4 X3)."""
+    ev = _events(spark, sf_dir)
+    fid = dfn.frame_id(dfn.epoch_seconds(F.col("ts")), DELTA)
+    busiest = (
+        ev.groupBy(fid.alias("frame_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "frame_id")
+        .limit(1)
+        .select("frame_id")
+    )
+    return (
+        ev.select(fid.alias("frame_id"), F.col("user_id").alias("actor"))
+        .join(F.broadcast(busiest), "frame_id")
+        .select("actor", dfn.actor_name(F.col("actor")).alias("name"))
+        .distinct()
+        .orderBy("actor")
+    )
+
+
+@query(
+    "q3_heavy_edges",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")})
+SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
+WHERE weight >= {WEIGHT_MIN}
+ORDER BY weight DESC, frame_id, actor1, actor2
+""",
+    bench=True,
+)
+def q3_heavy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY3 (cypher_query_timing.py:68-74): frame-interaction edges with
+    a weight predicate. The reference's weight is constant 1
+    (load_gexf_to_neo4j.py:248); ours is the real co-occurrence weight
+    (event-pair multiplicity), so the theta predicate is non-trivial."""
+    return (
+        _edges(spark, sf_dir, _day_filter())
+        .where(F.col("weight") >= WEIGHT_MIN)
+        .select("frame_id", "actor1", "actor2", "weight")
+        .orderBy(F.desc("weight"), "frame_id", "actor1", "actor2")
+    )
+
+
+@query(
+    "q4_actor_frame_counts",
+    oracle=f"""
+SELECT user_id AS actor, printf('ACTOR_%04d', user_id) AS name,
+       count(DISTINCT {_FID}) AS n_frames
+FROM events GROUP BY 1, 2
+ORDER BY n_frames DESC, actor
+""",
+    bench=True,
+)
+def q4_actor_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY4 (cypher_query_timing.py:76-80): frames-present count per
+    actor — the flagship groupBy-count over the FRAME_ACTOR fact. Cypher
+    counts relationships (= fact rows), so we count distinct frames per
+    actor from presence. Hash aggregation, partial+final, one shuffle."""
+    return (
+        _presence(spark, sf_dir)
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .select("actor", dfn.actor_name(F.col("actor")).alias("name"), "n_frames")
+        .orderBy(F.desc("n_frames"), "actor")
+    )
+
+
+@query(
+    "q5_active_actors",
+    oracle=f"""
+SELECT user_id AS actor, printf('ACTOR_%04d', user_id) AS name,
+       count(DISTINCT {_FID}) AS freq
+FROM events GROUP BY 1, 2
+HAVING count(DISTINCT {_FID}) > {FREQ_MIN}
+ORDER BY freq DESC, actor
+""",
+    bench=True,
+)
+def q5_active_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY5/5b (cypher_query_timing.py:83-100): group-count + HAVING +
+    ORDER BY DESC. Catalyst plans the post-aggregation filter exactly as
+    SQL HAVING (SURVEY.md §2.2 P7)."""
+    return (
+        _presence(spark, sf_dir)
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > FREQ_MIN)
+        .select("actor", dfn.actor_name(F.col("actor")).alias("name"), "freq")
+        .orderBy(F.desc("freq"), "actor")
+    )
+
+
+@query(
+    "q6_active_days",
+    oracle=f"""
+SELECT DISTINCT day(ts) AS day FROM events
+WHERE user_id = {ACTOR1} AND year(ts) = {YEAR} AND month(ts) = {MONTH}
+ORDER BY day
+""",
+)
+def q6_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY6/6b (cypher_query_timing.py:103-114): distinct days an actor
+    is active. The 6b formulation (denormalized date columns instead of
+    tree traversal) is the one Spark-native shape; columnar day() +
+    distinct."""
+    ts = F.col("ts")
+    return (
+        _events(spark, sf_dir)
+        .where(
+            (F.col("user_id") == ACTOR1) & (F.year(ts) == YEAR) & (F.month(ts) == MONTH)
+        )
+        .select(F.dayofmonth(ts).cast("long").alias("day"))
+        .distinct()
+        .orderBy("day")
+    )
+
+
+@query(
+    "q7_neighbors",
+    oracle=f"""
+WITH p AS ({_presence_sql()})
+SELECT actor, printf('ACTOR_%04d', actor) AS name
+FROM ({_neigh_sql(ACTOR1)})
+ORDER BY name
+""",
+    bench=True,
+)
+def q7_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY7 (cypher_query_timing.py:117-121): neighbor expansion through
+    the reified undirected interaction, ordered by name. Symmetrized
+    projection of the canonical edge set (SURVEY.md §7.3 risk note)."""
+    return (
+        graph.neighbors(_edges(spark, sf_dir), ACTOR1)
+        .select("actor", dfn.actor_name(F.col("actor")).alias("name"))
+        .orderBy("name")
+    )
+
+
+@query(
+    "q8_neighbors_on_day",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")}),
+b AS (SELECT user_id AS a FROM events
+      WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}
+      GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 1)
+SELECT DISTINCT p2.actor AS actor FROM p p1
+JOIN p p2 ON p1.frame_id = p2.frame_id AND p1.actor != p2.actor
+WHERE p1.actor = (SELECT a FROM b)
+ORDER BY actor
+""",
+)
+def q8_neighbors_on_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY8 (cypher_query_timing.py:124-131): neighbors restricted to
+    one day — temporal semi-join + DISTINCT. Anchored on the day's most
+    active actor (deterministic tie-break) so the probe is non-trivial
+    at every SF; the day predicate prunes before the self-join."""
+    ev_day = _events(spark, sf_dir).where(_day_filter())
+    anchor = (
+        ev_day.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(1)
+        .select(F.col("user_id").alias("src"))
+    )
+    sym = graph.symmetrize(
+        _edges(spark, sf_dir, _day_filter()).select("actor1", "actor2")
+    )
+    return (
+        sym.join(F.broadcast(anchor), "src")
+        .select(F.col("dst").alias("actor"))
+        .distinct()
+        .orderBy("actor")
+    )
+
+
+@query(
+    "q9_common_neighbors",
+    oracle=f"""
+WITH p AS ({_presence_sql()})
+SELECT actor FROM (
+  SELECT actor FROM ({_neigh_sql(ACTOR1)})
+  INTERSECT
+  SELECT actor FROM ({_neigh_sql(ACTOR2)})
+)
+ORDER BY actor
+""",
+    bench=True,
+)
+def q9_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY9/9b (cypher_query_timing.py:134-148): common neighbors of two
+    actors. The reference's COLLECT+IN becomes a semi-join of the two
+    neighbor sets (SURVEY.md §2.3 J6) — no array materialization."""
+    edges = _edges(spark, sf_dir)
+    return graph.common_neighbors(edges, ACTOR1, ACTOR2).orderBy("actor")
+
+
+@query(
+    "q10_degree",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+s AS (SELECT actor1 AS actor FROM e UNION ALL SELECT actor2 FROM e)
+SELECT actor, printf('ACTOR_%04d', actor) AS name, count(*) AS degree
+FROM s GROUP BY 1, 2
+ORDER BY degree DESC, actor
+""",
+    bench=True,
+)
+def q10_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY10 (cypher_query_timing.py:151-155): degree per actor over the
+    distinct interaction graph, descending. Union-of-endpoints then
+    count (SURVEY.md §2.4 A7) — no join at all."""
+    return (
+        graph.degree(_edges(spark, sf_dir))
+        .select("actor", dfn.actor_name(F.col("actor")).alias("name"), "degree")
+        .orderBy(F.desc("degree"), "actor")
+    )
+
+
+@query(
+    "q11_triangles_hour",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))
+SELECT e1.actor1 AS a, e1.actor2 AS b, e2.actor2 AS c
+FROM e e1
+JOIN e e2 ON e1.actor2 = e2.actor1
+JOIN e e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2
+ORDER BY a, b, c
+""",
+    bench=True,
+)
+def q11_triangles_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY11a/b/c (cypher_query_timing.py:158-203): time-restricted
+    triangle enumeration. Hour-pruned edge set -> broadcast 3-way
+    self-join with staged distinct (SURVEY.md §4 X5); canonical ordering
+    means each triangle appears exactly once as a<b<c."""
+    ts = F.col("ts")
+    edges = _edges(spark, sf_dir, _day_filter() & (F.hour(ts) == HOUR))
+    return graph.triangles(edges)
+
+
+# ===========================================================================
+# §2.1 — ingest / scan operators
+# ===========================================================================
+
+
+@query(
+    "ingest_spells",
+    oracle=f"""
+WITH sp AS (SELECT event_id, {_ES} AS t1, {_ES} + {SPELL_LEN} AS t2 FROM events),
+ex AS (SELECT event_id,
+              unnest(generate_series(t1 - (t1 % {DELTA}), t2 - 1, {DELTA})) // {DELTA} AS frame_id
+       FROM sp)
+SELECT frame_id, count(*) AS n_spells FROM ex GROUP BY 1 ORDER BY frame_id
+""",
+)
+def ingest_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 (load_gexf_to_neo4j.py:61-98): interval spells discretized to
+    the tumbling frame grid via sequence+explode — the engine's only
+    UDTF-shaped operator, fully JVM-side. Each event becomes a
+    [ts, ts+30min) spell."""
+    es = dfn.epoch_seconds(F.col("ts"))
+    spells = _events(spark, sf_dir).select(
+        "event_id", es.alias("t_start"), (es + SPELL_LEN).alias("t_end")
+    )
+    return (
+        ingest.discretize_spells(spells, DELTA)
+        .groupBy("frame_id")
+        .agg(F.count(F.lit(1)).alias("n_spells"))
+        .orderBy("frame_id")
+    )
+
+
+@query(
+    "q_tumbling_window",
+    oracle=f"""
+SELECT {_FID}*{DELTA} AS window_start, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1 ORDER BY window_start
+""",
+    bench=True,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/T1: tumbling-window aggregation — the reference's frame
+    discretization (load_gexf_to_neo4j.py:69-71) as groupBy(window).
+    Decimal-exact sum so partial-agg order can't perturb the double."""
+    ev = _events(spark, sf_dir)
+    win = F.window("ts", f"{DELTA} seconds")
+    return (
+        ev.groupBy(win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n_events",
+            "n_users",
+            "value_sum",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q_minmax_ts",
+    oracle=f"SELECT min({_ES}) AS min_ts, max({_ES}) AS max_ts, count(*) AS n_events FROM events",
+)
+def q_minmax_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/A8: global min/max timestamp (STOP_TIME computation,
+    load_gexf_to_neo4j.py:95-98; getFirstNode/getLastNode,
+    BaseTimeline.java:138-170). At 100 TB this folds to parquet footer
+    min/max stats."""
+    es = dfn.epoch_seconds(F.col("ts"))
+    return _events(spark, sf_dir).agg(
+        F.min(es).alias("min_ts"),
+        F.max(es).alias("max_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_dedup_edges",
+    oracle=f"""
+WITH p AS ({_presence_sql()})
+SELECT DISTINCT actor1, actor2,
+       printf('INTERACTION_%04d_%04d', actor1, actor2) AS name
+FROM ({_EDGES_FROM_P})
+ORDER BY actor1, actor2
+""",
+)
+def q_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/F6: canonical-pair dedup — the interactions dimension
+    (load_gexf_to_neo4j.py:201-204,220). least/greatest canonicalization
+    happens structurally (actor1 < actor2 in the self-join)."""
+    return (
+        _edges(spark, sf_dir)
+        .select("actor1", "actor2")
+        .distinct()
+        .select(
+            "actor1",
+            "actor2",
+            dfn.interaction_name(F.col("actor1"), F.col("actor2")).alias("name"),
+        )
+        .orderBy("actor1", "actor2")
+    )
+
+
+@query(
+    "q_actor_lookup",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+WHERE c_custkey = 42
+""",
+)
+def q_actor_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/P3/X11: point lookup by key — the fulltext actor index
+    (load_gexf_to_neo4j.py:148,214) degenerates to an equality filter on
+    a columnar table (dictionary-encoded parquet + row-group pruning)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "q_frame_chain",
+    oracle=f"""
+WITH b AS (SELECT CAST(floor(epoch(min(ts))/{DELTA}) AS BIGINT) AS lo,
+                  CAST(floor(epoch(max(ts))/{DELTA}) AS BIGINT) AS hi FROM events),
+g AS (SELECT unnest(generate_series(lo, hi)) AS frame_id FROM b)
+SELECT frame_id, frame_id*{DELTA} AS ts_start, frame_id*{DELTA}+{DELTA} AS ts_end,
+       lead(frame_id) OVER (ORDER BY frame_id) AS next_frame_id
+FROM g ORDER BY frame_id
+""",
+)
+def q_frame_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the FRAME_NEXT successor chain (load_gexf_to_neo4j.py:183-188)
+    as lead() over the enumerated frame grid — linked list becomes a
+    window function over a generated sequence."""
+    frames = ingest.enumerate_frames(_events(spark, sf_dir), DELTA)
+    w = Window.orderBy("frame_id")
+    return (
+        frames.select("frame_id", F.col("timestamp").alias("ts_start"),
+                      F.col("timestamp_end").alias("ts_end"))
+        .withColumn("next_frame_id", F.lead("frame_id").over(w))
+        .orderBy("frame_id")
+    )
+
+
+# ===========================================================================
+# §2.8 — scalar functions
+# ===========================================================================
+
+
+@query(
+    "q_dateparts",
+    oracle=f"""
+SELECT event_id, {_ES} AS es,
+       year(ts) AS year, month(ts) AS month, day(ts) AS day,
+       hour(ts) AS hour, minute(ts) AS minute, second(ts) AS second,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso
+FROM events ORDER BY event_id
+""",
+)
+def q_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3: calendar decomposition (UTC) + formatting + the epoch
+    round-trip — the denormalized FRAME date parts
+    (load_gexf_to_neo4j.py:137-142) and the plugin's date parsing
+    (StructuredTimelinePlugin.java:82)."""
+    ts = F.col("ts")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            dfn.epoch_seconds(ts).alias("es"),
+            F.year(ts).cast("long").alias("year"),
+            F.month(ts).cast("long").alias("month"),
+            F.dayofmonth(ts).cast("long").alias("day"),
+            F.hour(ts).cast("long").alias("hour"),
+            F.minute(ts).cast("long").alias("minute"),
+            F.second(ts).cast("long").alias("second"),
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("iso"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_format",
+    oracle=f"""
+SELECT event_id, printf('ACTOR_%04d', user_id) AS actor_name,
+       printf('FRAME_%05d', {_FID}) AS frame_name
+FROM events ORDER BY event_id
+""",
+)
+def q_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: printf-style entity-name synthesis
+    (load_gexf_to_neo4j.py:179,213,220) via format_string."""
+    fid = dfn.frame_id(dfn.epoch_seconds(F.col("ts")), DELTA)
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            dfn.actor_name(F.col("user_id")).alias("actor_name"),
+            dfn.frame_name(fid).alias("frame_name"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events ORDER BY event_id
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension F: JSON property extraction from the events.props string
+    column (the reference's only JSON is the REST wire format)."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_quantiles",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       quantile_cont(value, 0.05) AS p05,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95
+FROM events GROUP BY 1 ORDER BY event_type
+""",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the harness's median/p5/p95 protocol
+    (cypher_query_timing.py:217-233) as exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`, verified bit-exact)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.05)").alias("p05"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_topk",
+    oracle=f"""
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id LIMIT {TOPK}
+""",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension O: top-k — Spark plans orderBy+limit as
+    TakeOrderedAndProject (no global sort). Deterministic tie-break on
+    event_id."""
+    return (
+        _events(spark, sf_dir)
+        .select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(TOPK)
+    )
+
+
+@query(
+    "q_window_funcs",
+    oracle=f"""
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       {_ES} - lag({_ES}) OVER w AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 extension: per-actor ordered traversal (the sorted
+    linked-list walk, BaseTimeline.java:441-461) as row_number + lag
+    with a deterministic (ts, event_id) ordering."""
+    es = dfn.epoch_seconds(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            (es - F.lag(es).over(w)).alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ===========================================================================
+# TPC-H-shaped join/agg coverage (J1-J3, A1-A2, O3, set ops) at scale
+# ===========================================================================
+
+# Decimal-exact revenue term. The final DECIMAL -> DOUBLE cast can land
+# one ulp apart between engines (DuckDB's int128 scaling vs Spark's), so
+# every exported double is additionally round()ed at its exact decimal
+# precision (2dp x 2dp -> 4dp here) — lossless, and both engines round a
+# <2^53-scaled value identically.
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))"
+
+
+@query(
+    "q_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum({_REV_DEC}) AS DOUBLE), 4) AS sum_disc_price,
+       round(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    bench=True,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide hash aggregation with decimal-exact sums —
+    the scale test for partial+final agg (A1/A2). Filter pushes to the
+    parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty_dec).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.expr(_REV_DEC)).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.round(F.sum(qty_dec).cast("double"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_revenue_by_nation",
+    oracle=f"""
+SELECT r_name, n_name,
+       round(CAST(sum({_REV_DEC}) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY r_name, n_name
+""",
+    bench=True,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the multi-way star join (J1/J3). nation/region are
+    broadcast explicitly (tiny dims); customer<->orders<->lineitem ride
+    AQE (broadcast at test SF, shuffle-hash/sort-merge at 100 TB where
+    the build side no longer fits)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.expr(_REV_DEC)).cast("double"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q_top_orders",
+    oracle=f"""
+WITH rev AS (SELECT l_orderkey, round(CAST(sum({_REV_DEC}) AS DOUBLE), 4) AS revenue
+             FROM lineitem GROUP BY 1)
+SELECT o_orderkey, o_orderstatus, revenue
+FROM rev JOIN orders ON l_orderkey = o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT {TOPK}
+""",
+    bench=True,
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape + top-k: aggregate then join then
+    TakeOrderedAndProject; revenue is decimal-exact so the top-k cut is
+    deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.expr(_REV_DEC)).cast("double"), 4).alias("revenue")
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select("o_orderkey", "o_orderstatus", "revenue")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(TOPK)
+    )
+
+
+@query(
+    "q_rollup_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension A: ROLLUP grouping sets (absent in the reference, free
+    in Spark — SURVEY.md §2.4 'not present' list)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q_cust_no_recent_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+ORDER BY c_custkey
+""",
+)
+def q_cust_no_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension E: anti-join (NOT EXISTS) — customers with no orders in
+    the final window. Spark left_anti against the date-filtered orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_nations_with_rich_customers",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+ORDER BY n_nationkey
+""",
+)
+def q_nations_with_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension E: semi-join (EXISTS) — J6's standalone form."""
+    nation = load_table(spark, sf_dir, "nation")
+    rich = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return (
+        nation.join(rich, nation.n_nationkey == rich.c_nationkey, "semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(  # noqa: E302
+    "q_part_topk_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part) t
+WHERE rk <= 3 ORDER BY p_brand, rk
+""",
+)
+def q_part_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension W: ranking window (rank/top-n per group — absent in the
+    reference, SURVEY.md §2.5 'not present' list)."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .orderBy("p_brand", "rk")
+    )
+
+
+# Extension queries (dedup / similarity / text / multimodal / streaming)
+# register themselves into REGISTRY on import. Import last: queries_ext
+# needs the `query` decorator defined above.
+from neo4j_dynagraph_spark import queries_ext  # noqa: E402,F401

@@ -1,0 +1,334 @@
+"""Extension query registry: dedup / similarity / text / multimodal /
+streaming — the training-data-pipeline surface (SURVEY.md §7.2 M5).
+
+Registered into the same REGISTRY as the reference-parity queries. Every
+oracle replays the engine's portable md5-based hash64 in SQL, so even
+MinHash signatures and SimHash fingerprints are verified bit-for-bit by
+DuckDB. Queries whose semantics cannot be expressed in ANSI SQL
+(LSH-ANN with engine-internal hyperplanes, streaming) either carry an
+equivalent-by-construction oracle (streaming == batch aggregation) or
+none (rows-only check, noted in the docstring).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_dynagraph_spark.operators import dedup, multimodal, similarity, text
+from neo4j_dynagraph_spark.queries import DELTA, query
+from neo4j_dynagraph_spark.sources.tables import load_table
+from neo4j_dynagraph_spark.streaming import streaming_frame_counts_from_parquet
+
+_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_TOK_CTE = f"tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents)"
+_SH_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
+    "FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)"
+)
+_H64 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_id
+""",
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-digest groupBy, deterministic survivor
+    (min doc_id). The canonical first pass of any corpus pipeline."""
+    return dedup.exact_duplicates(_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+WITH {_TOK_CTE}, {_SH_CTE},
+hs AS (SELECT doc_id, seed,
+              min({_H64.format(x="'s' || CAST(seed AS VARCHAR) || ':' || shingle")}) AS mh
+       FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+       GROUP BY 1, 2),
+bands AS (SELECT doc_id, seed // 2 AS band,
+                 max(CASE WHEN seed % 2 = 0 THEN mh END) AS h0,
+                 max(CASE WHEN seed % 2 = 1 THEN mh END) AS h1
+          FROM hs GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+ORDER BY d1, d2
+""",
+    bench=True,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (k=8 hashes, 4 bands x 2 rows) over
+    word-3-gram shingles. Signatures use the portable hash64 family, so
+    the oracle reproduces them exactly in SQL."""
+    sh = dedup.shingles_df(_docs(spark, sf_dir))
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.lsh_candidate_pairs(sigs, rows_per_band=2).orderBy("d1", "d2")
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=(
+        f"WITH {_TOK_CTE}, "
+        "tu AS (SELECT DISTINCT doc_id, token FROM "
+        "(SELECT doc_id, unnest(t) AS token FROM tok) raw), "
+        f"h AS (SELECT doc_id, {_H64.format(x='token')} AS hv FROM tu), "
+        "b AS (SELECT doc_id, "
+        + ", ".join(
+            f"sum(CASE WHEN (hv // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+            for i in range(16)
+        )
+        + " FROM h GROUP BY 1) "
+        "SELECT doc_id, CAST("
+        + " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+        + " AS BIGINT) AS simhash FROM b ORDER BY doc_id"
+    ),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit set-based SimHash fingerprints — constant-width aggregate
+    state per doc, no per-bit explode."""
+    return dedup.simhash(_docs(spark, sf_dir), bits=16).orderBy("doc_id")
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+WITH {_TOK_CTE}, {_SH_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2, round(c / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jac
+FROM inter
+JOIN sz na ON na.doc_id = d1
+JOIN sz nb ON nb.doc_id = d2
+WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.6
+ORDER BY d1, d2
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by source (the
+    verify stage that LSH candidates feed at scale)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.6, block_col="source"
+    ).orderBy("d1", "d2")
+
+
+# ------------------------------------------------------------ similarity
+
+
+@query(
+    "q_embed_topk",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM base WHERE vec_id < 5),
+pairs AS (SELECT qid, vec_id AS cid, qe, embedding AS ce
+          FROM base CROSS JOIN q WHERE vec_id != qid),
+un AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+       FROM pairs),
+dots AS (SELECT qid, cid, sum(x*y) AS d, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM un GROUP BY 1, 2),
+sims AS (SELECT qid, cid, d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, cid, sim_raw,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims)
+SELECT qid, rank, cid, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+    bench=True,
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<5 — the exact
+    ANN baseline. JVM-side zip_with/aggregate dot products; broadcast
+    query side."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.brute_force_topk(emb, queries_df, k=5)
+
+
+@query("q_embed_ann_lsh")
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via deterministic random-hyperplane LSH buckets
+    (8 planes) + exact re-rank within buckets. No SQL oracle — the
+    bucketing is engine-internal (rows-only check); recall vs
+    q_embed_topk is asserted in tests."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.lsh_bucketed_topk(emb, queries_df, k=5, n_planes=8)
+
+
+# ----------------------------------------------------------------- text
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+WITH {_TOK_CTE}
+SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+       round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS ttr,
+       round(len(list_filter(t, x -> x = 'the' OR x = 'a')) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stop_ratio
+FROM tok WHERE len(t) > 0 ORDER BY doc_id
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score stats per doc: token counts, type-token ratio,
+    stopword ratio."""
+    return text.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_lang_stats",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents GROUP BY 1 ORDER BY lang
+""",
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by language tag."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_token_freq",
+    oracle=f"""
+WITH {_TOK_CTE},
+tu AS (SELECT unnest(t) AS token FROM tok)
+SELECT token, count(*) AS cnt FROM tu GROUP BY 1
+ORDER BY cnt DESC, token LIMIT 20
+""",
+    bench=True,
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies (explode + count + top-k)."""
+    return (
+        text.token_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+WITH {_TOK_CTE}, {_SH_CTE}
+SELECT doc_id, min({_H64.format(x="shingle")}) AS fingerprint, count(*) AS n_shingles
+FROM sh GROUP BY 1 ORDER BY doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash fingerprint per document."""
+    return text.doc_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id,
+             len(list_filter(t, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_en,
+             len(list_filter(t, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_es,
+             len(list_filter(t, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_de
+      FROM tok)
+SELECT doc_id,
+       CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'unk'
+            WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+            ELSE 'de' END AS pred_lang,
+       round(greatest(score_en, score_es, score_de), 6) AS best_score
+FROM s ORDER BY doc_id
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language-ID (deterministic tie-break:
+    en before es before de)."""
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ multimodal
+
+
+@query(
+    "q_binary_meta",
+    oracle="""
+SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5
+FROM documents ORDER BY media_id
+""",
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + JVM-side typed metadata
+    (length, digest). The decode stage itself is stubbed
+    (operators/multimodal.py) — this verifies the schema/metadata path."""
+    return (
+        multimodal.docs_as_media(_docs(spark, sf_dir))
+        .select("media_id", "payload_len", "payload_md5")
+        .orderBy("media_id")
+    )
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads with the
+    deterministic fake decoder (media libs unavailable — SURVEY-mandated
+    stub). No SQL oracle (Python decode); rows-only check + unit tests."""
+    media = multimodal.docs_as_media(_docs(spark, sf_dir))
+    return (
+        multimodal.extract_features(media, fake=True)
+        .select("media_id", "kind", "payload_len", F.col("feature"))
+        .orderBy("media_id")
+    )
+
+
+# ------------------------------------------------------------- streaming
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT CAST(floor(epoch(ts)/{DELTA}) AS BIGINT)*{DELTA} AS window_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1 ORDER BY window_start
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity (T1/T2): the tumbling-window count run
+    as a bounded stream (Trigger.AvailableNow, memory sink) must equal
+    the batch aggregation — verified against the batch-SQL oracle."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_frame_counts_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        raw_schema,
+        delta_seconds=DELTA,
+        ts_is_nanos=True,
+    )
+    return result.orderBy("window_start")

@@ -1,0 +1,56 @@
+"""Parquet table loading with timestamp normalization.
+
+The driver testdata (TESTDATA.md) stores ``events.ts`` as parquet
+TIMESTAMP(NANOS,false), which Spark cannot read natively; the session
+sets ``spark.sql.legacy.parquet.nanosAsLong=true`` so it arrives as a
+long of epoch-nanoseconds, and this module converts it to a proper
+``TimestampType`` (microsecond precision, matching what DuckDB's
+reader produces for the oracle comparison).
+
+Scale note: these are plain ``spark.read.parquet`` scans — column
+pruning and predicate pushdown flow through untouched. The nanos
+conversion is a single projected expression and does not block
+pushdown on any other column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# columns stored as TIMESTAMP(NANOS) -> read as long nanos -> normalize
+_NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing nano-timestamp columns."""
+    if name in _NANOS_TS_COLUMNS:
+        # runtime-settable SQL conf: lets driver-provided sessions (built
+        # without our session factory) read TIMESTAMP(NANOS) parquet
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLUMNS.get(name, []):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer nanos -> truncate to micros (same truncation DuckDB
+            # applies when reading TIMESTAMP(NANOS) into its micro TIMESTAMP)
+            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each table as a temp view (mirrors the DuckDB oracle setup)."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,6 @@
+from neo4j_dynagraph_spark.streaming.frames import (
+    stream_tumbling_counts,
+    streaming_frame_counts_from_parquet,
+)
+
+__all__ = ["stream_tumbling_counts", "streaming_frame_counts_from_parquet"]

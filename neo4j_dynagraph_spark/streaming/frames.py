@@ -1,0 +1,99 @@
+"""Structured Streaming parity for the frame pipeline (SURVEY.md §2.9).
+
+The reference is batch-only but latently streaming: tumbling frames
+(T1), micro-batch commits (T2), and an out-of-order insert path in
+BaseTimeline.addNode (T3, BaseTimeline.java:226-271) that is exactly
+Spark's late-data problem. Here:
+
+- frames       -> groupBy(window(ts, delta))
+- late inserts -> withWatermark: Spark updates-or-drops per watermark
+                  instead of splicing a linked list
+- tx batching  -> micro-batch trigger; sinks via foreachBatch
+
+``streaming_frame_counts_from_parquet`` runs the same aggregation a
+batch query would, as a stream with Trigger.AvailableNow, and returns
+the final result — used by the parity query `q_stream_tumbling` to
+prove batch/stream equivalence on identical input.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    delta_seconds: int = 3600,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation (works on batch DFs too).
+
+    Output: window_start (epoch s), n_events, n_users-approx-free
+    sum over value. For a streaming input the watermark bounds state:
+    windows older than (max event time - watermark) finalize and evict,
+    which at 100 TB/day of events is what keeps state size ~O(windows
+    in the watermark horizon), not O(history).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, f"{delta_seconds} seconds")
+    # value_sum goes through an exact decimal accumulator so batch,
+    # stream, and the DuckDB oracle agree bit-for-bit regardless of
+    # partial-aggregation order.
+    return df.groupBy(win).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+    ).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "n_events",
+        "value_sum",
+    )
+
+
+def streaming_frame_counts_from_parquet(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,  # noqa: ANN001 — StructType of the batch-read table
+    delta_seconds: int = 3600,
+    ts_is_nanos: bool = False,
+) -> DataFrame:
+    """Run the tumbling count as a bounded stream and return the result.
+
+    Uses Trigger.AvailableNow so the stream drains all existing files
+    and stops — deterministic, suitable for differential testing
+    against the batch plan (and the DuckDB oracle).
+    """
+    import os
+
+    # FileStreamSource requires a directory basePath; when pointed at a
+    # single parquet file, stage a symlink inside a temp dir (testdata is
+    # read-only — never copied or modified).
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="dynagraph_stream_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        parquet_path = stage
+    reader = spark.readStream.schema(schema)
+    stream = reader.parquet(parquet_path)
+    if ts_is_nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    agg = stream_tumbling_counts(stream, delta_seconds)
+    sink_name = f"stream_frames_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
