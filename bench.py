@@ -1,0 +1,66 @@
+"""Benchmark harness — the reference protocol ported to Spark.
+
+Mirrors cypher_query_timing.py:217-239: each headline query runs N
+times (after one warm-up), wall clock measured around full result
+materialization (collect), median reported per query. Prints ONE JSON
+line:
+
+    {"metric": "...", "value": <sum of per-query medians, sec>,
+     "unit": "sec", "queries": {name: median_sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     BENCH_RUNS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neo4j_dynagraph_spark import get_spark  # noqa: E402
+from neo4j_dynagraph_spark.queries import REGISTRY, bench_queries  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("dynagraph-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in bench_queries():
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).collect()  # warm-up: JVM JIT + page cache
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum of per-query median wall seconds, "
+                f"{len(timings)} headline queries, N={runs} (protocol: "
+                "cypher_query_timing.py:217-239)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

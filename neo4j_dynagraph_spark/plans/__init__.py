@@ -1,0 +1,43 @@
+"""Physical-plan inspection helpers.
+
+The reference had no optimizer to inspect; our engine's physical layer
+is Catalyst's, and these helpers make plan properties assertable in
+tests and tunable in the perf loop: shuffle counts, pushed filters,
+broadcast usage, codegen coverage (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The executed-plan string (post-AQE when already executed)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan —
+    the first number to look at for any operator meant for 100 TB."""
+    return plan_str(df, "simple").count("Exchange hashpartitioning") + plan_str(
+        df, "simple"
+    ).count("Exchange rangepartitioning")
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True when the parquet scan carries PushedFilters (predicate made
+    it to the reader, enabling row-group pruning)."""
+    s = plan_str(df, "formatted")
+    return "PushedFilters: [" in s and "PushedFilters: []" not in s
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return plan_str(df, "simple").count("BroadcastHashJoin")
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen span count; fewer, wider spans = more of the
+    query runs as fused JVM loops."""
+    return plan_str(df, "formatted").count("WholeStageCodegen (")

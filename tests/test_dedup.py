@@ -1,0 +1,59 @@
+"""Dedup operators on synthetic corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_dynagraph_spark.operators import dedup
+
+DOCS = [
+    # (doc_id, text, source): 0/1 exact dups; 2 near-dup of 0; 3 distinct
+    (0, "the quick brown fox jumps over the lazy dog again and again", "s0"),
+    (1, "the quick brown fox jumps over the lazy dog again and again", "s0"),
+    (2, "the quick brown fox jumps over the lazy cat again and again", "s0"),
+    (3, "completely different words appear inside this other document body", "s0"),
+    (4, "tiny", "s0"),  # < 3 tokens: no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_exact_duplicates(docs):
+    out = {r.keep_id: r.n_copies for r in dedup.exact_duplicates(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, survivor is min id
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+    assert 1 not in out
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    sh = dedup.shingles_df(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = {(r.d1, r.d2) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs  # identical -> identical signatures -> candidate
+    assert not any(3 in p for p in pairs)  # distinct doc stays out
+
+
+def test_minhash_bucket_cap(docs):
+    sh = dedup.shingles_df(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    # cap of 1 kills every bucket with >1 doc -> no candidates at all
+    assert dedup.lsh_candidate_pairs(sigs, max_bucket=1).count() == 0
+
+
+def test_simhash_near_dups_close(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
+    assert out[0] == out[1]  # identical text -> identical fingerprint
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    assert 4 in out  # 1-token doc still fingerprints (token set {tiny})
+
+
+def test_ngram_jaccard(docs):
+    out = {(r.d1, r.d2): r.jac for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) in out and 0.5 <= out[(0, 2)] < 1.0
+    assert not any(3 in k for k in out)

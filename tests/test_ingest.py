@@ -1,0 +1,96 @@
+"""Ingestion invariants (SURVEY.md §5.3): property-based spell
+discretization + star-schema structural checks on real testdata."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neo4j_dynagraph_spark.operators import ingest
+from neo4j_dynagraph_spark.sources.tables import load_table
+from tests.conftest import SF_SMALL
+
+DELTA = 60
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    spells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_discretize_spells_invariants(spark, spells):
+    rows = [(i, t1, t1 + dur) for i, (t1, dur) in enumerate(spells)]
+    df = spark.createDataFrame(rows, "id long, t_start long, t_end long")
+    out = ingest.discretize_spells(df, DELTA).collect()
+    by_id = {r[0]: (r[1], r[2]) for r in rows}
+    seen: dict[int, list[int]] = {}
+    for r in out:
+        t1, t2 = by_id[r.id]
+        f_start = r.frame_id * DELTA
+        # every emitted frame overlaps the spell [t1, t2)
+        assert f_start < t2 and f_start + DELTA > t1
+        seen.setdefault(r.id, []).append(r.frame_id)
+    for rid, (t1, t2) in by_id.items():
+        fids = sorted(seen[rid])
+        # frames are exactly the grid cells overlapped, consecutive
+        assert fids[0] == t1 // DELTA
+        assert fids[-1] == (t2 - 1) // DELTA
+        assert fids == list(range(fids[0], fids[-1] + 1))
+
+
+def test_star_schema_invariants(spark):
+    events = load_table(spark, SF_SMALL, "events")
+    star = ingest.build_star(events, delta=3600)
+
+    frames = star.frames.collect()
+    fids = [r.frame_id for r in frames]
+    # frame grid: consecutive, aligned, correct length
+    assert fids == list(range(min(fids), max(fids) + 1))
+    for r in frames[:50]:
+        assert r.timestamp_end - r.timestamp == r.length == 3600
+        assert r.timestamp % 3600 == 0
+
+    # canonical pairs: actor1 < actor2 everywhere
+    bad = star.frame_interactions.where(
+        F.col("actor1") >= F.col("actor2")
+    ).count()
+    assert bad == 0
+
+    # facts subset of dimensions
+    fa_actors = star.frame_actors.select("actor").distinct()
+    assert fa_actors.join(star.actors, "actor", "left_anti").count() == 0
+    fi_pairs = star.frame_interactions.select("actor1", "actor2").distinct()
+    assert (
+        fi_pairs.join(star.interactions, ["actor1", "actor2"], "left_anti").count()
+        == 0
+    )
+
+    # presence frames within the enumerated grid
+    mn, mx = min(fids), max(fids)
+    out_of_grid = star.frame_actors.where(
+        (F.col("frame_id") < mn) | (F.col("frame_id") > mx)
+    ).count()
+    assert out_of_grid == 0
+
+
+def test_write_star_partitioned(spark, tmp_path):
+    events = load_table(spark, SF_SMALL, "events")
+    star = ingest.build_star(events, delta=3600)
+    out = str(tmp_path / "star")
+    ingest.write_star(star, out)
+    frames = spark.read.parquet(f"{out}/frames")
+    # partition columns survive and prune
+    assert set(["year", "month", "day"]) <= set(frames.columns)
+    one_day = frames.where(
+        (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 15)
+    )
+    assert one_day.count() == 24
+    fi = spark.read.parquet(f"{out}/frame_interactions")
+    assert fi.count() == star.frame_interactions.count()

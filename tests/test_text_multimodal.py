@@ -1,0 +1,63 @@
+"""Text analysis + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from neo4j_dynagraph_spark.operators import multimodal, text
+
+DOCS = [
+    (0, "the cat and the dog and the bird", "s0"),
+    (1, "el perro y el gato y la casa de que", "s0"),
+    (2, "zzz qqq www", "s0"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_text_stats(docs):
+    out = {r.doc_id: r for r in text.text_stats(docs).collect()}
+    assert out[0].n_tokens == 8
+    assert out[0].n_distinct == 5  # the, cat, and, dog, bird
+    assert abs(out[0].stop_ratio - 3 / 8) < 1e-9  # three 'the'
+    assert out[2].ttr == 1.0
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "unk"
+
+
+def test_token_frequencies(docs):
+    out = {r.token: r.cnt for r in text.token_frequencies(docs).collect()}
+    assert out["the"] == 3 and out["el"] == 2 and out["zzz"] == 1
+
+
+def test_fingerprint_deterministic(docs):
+    a = {r.doc_id: r.fingerprint for r in text.doc_fingerprints(docs).collect()}
+    b = {r.doc_id: r.fingerprint for r in text.doc_fingerprints(docs).collect()}
+    assert a == b and len(a) == 3
+
+
+def test_multimodal_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x00\x01", "image", fake=False)
+
+
+def test_multimodal_pipeline(docs):
+    media = multimodal.docs_as_media(docs)
+    rows = media.collect()
+    assert all(r.payload_len == len(r.payload) for r in rows)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 3
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic: same payload -> same feature
+    again = multimodal.extract_features(media, fake=True).collect()
+    assert {r.media_id: r.feature for r in feats} == {
+        r.media_id: r.feature for r in again
+    }
