@@ -38,6 +38,12 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """Whole-stage-codegen span count; fewer, wider spans = more of the
-    query runs as fused JVM loops."""
-    return plan_str(df, "formatted").count("WholeStageCodegen (")
+    """Whole-stage-codegen subtree count from EXPLAIN CODEGEN; fewer,
+    wider spans = more of the query runs as fused JVM loops. NOTE:
+    Spark 4.1's explain reports 0 subtrees even for trivially
+    codegen-able plans (upstream reporting change) — treat 0 as
+    'unknown', not 'no codegen'."""
+    import re
+
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan_str(df, "codegen"))
+    return int(m.group(1)) if m else 0

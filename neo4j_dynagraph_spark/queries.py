@@ -127,9 +127,35 @@ def _edges(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:  # noqa: 
     return ingest.presence_to_frame_interactions(_presence(spark, sf_dir, where))
 
 
+def _utc_ns(year: int, month: int, day: int, hour: int = 0) -> int:
+    """Epoch nanoseconds of a UTC wall-clock instant."""
+    import datetime as _dt
+
+    t = _dt.datetime(year, month, day, hour, tzinfo=_dt.timezone.utc)
+    return int(t.timestamp()) * 1_000_000_000
+
+
+def _ns_range(lo_ns: int, hi_ns: int):  # noqa: ANN202
+    """Sargable time-range predicate on the RAW nanos column.
+
+    Calendar equality (year=Y AND month=M AND day=D) is exactly a UTC
+    range on the stored value — expressed on the bare `ts_ns` column it
+    reaches the parquet scan as PushedFilters (row-group min/max
+    pruning), which the same predicate phrased as year(ts)=... cannot
+    (the reference's timeline-tree descent, done by the reader)."""
+    return (F.col("ts_ns") >= lo_ns) & (F.col("ts_ns") < hi_ns)
+
+
 def _day_filter():  # noqa: ANN202
-    ts = F.col("ts")
-    return (F.year(ts) == YEAR) & (F.month(ts) == MONTH) & (F.dayofmonth(ts) == DAY)
+    lo = _utc_ns(YEAR, MONTH, DAY)
+    return _ns_range(lo, lo + 86400 * 1_000_000_000)
+
+
+def _hour_filter(hour_lo: int, hour_hi: int):  # noqa: ANN202
+    """[hour_lo, hour_hi) on the pinned day, as a pushed-down range."""
+    return _ns_range(
+        _utc_ns(YEAR, MONTH, DAY, hour_lo), _utc_ns(YEAR, MONTH, DAY, hour_hi)
+    )
 
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +208,7 @@ def q1_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     fid = F.col("frame_id")
     return (
         _events(spark, sf_dir)
-        .where(_day_filter() & (F.hour(ts) >= 9) & (F.hour(ts) < 13))
+        .where(_hour_filter(9, 13))
         .groupBy(dfn.frame_id(dfn.epoch_seconds(ts), DELTA).alias("frame_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -320,11 +346,13 @@ def q6_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree traversal) is the one Spark-native shape; columnar day() +
     distinct."""
     ts = F.col("ts")
+    month_range = _ns_range(
+        _utc_ns(YEAR, MONTH, 1),
+        _utc_ns(YEAR + (MONTH == 12), MONTH % 12 + 1, 1),
+    )
     return (
         _events(spark, sf_dir)
-        .where(
-            (F.col("user_id") == ACTOR1) & (F.year(ts) == YEAR) & (F.month(ts) == MONTH)
-        )
+        .where((F.col("user_id") == ACTOR1) & month_range)
         .select(F.dayofmonth(ts).cast("long").alias("day"))
         .distinct()
         .orderBy("day")
@@ -451,8 +479,7 @@ def q11_triangles_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle enumeration. Hour-pruned edge set -> broadcast 3-way
     self-join with staged distinct (SURVEY.md §4 X5); canonical ordering
     means each triangle appears exactly once as a<b<c."""
-    ts = F.col("ts")
-    edges = _edges(spark, sf_dir, _day_filter() & (F.hour(ts) == HOUR))
+    edges = _edges(spark, sf_dir, _hour_filter(HOUR, HOUR + 1))
     return graph.triangles(edges)
 
 

@@ -44,6 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLUMNS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # Keep the RAW nanos long as `{col}_ns`: predicates on the
+            # bare stored column push down to the parquet reader
+            # (row-group min/max pruning), which predicates on the
+            # derived timestamp cannot. Time-range queries filter on
+            # `{col}_ns`; everything else uses the derived timestamp.
+            df = df.withColumn(f"{col}_ns", F.col(col))
             # integer nanos -> truncate to micros (same truncation DuckDB
             # applies when reading TIMESTAMP(NANOS) into its micro TIMESTAMP)
             df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
