@@ -13,7 +13,8 @@ bit-for-bit — which is how the DuckDB oracle verifies these.
 Scale design (100 TB corpora):
 - exact dedup: one hash-groupBy shuffle on a 128-bit digest; no skew
   (hash keys are uniform) — the canonical first pass.
-- MinHash-LSH: shingle explode -> per-(doc, seed) min -> band join.
+- MinHash-LSH: shingle rows -> one wide min-aggregate per doc (k hash
+  columns, no seed explode) -> band join.
   The band join shuffles on (band, signature); bucket sizes are the
   skew risk (boilerplate/empty docs collapse to one signature), so
   `max_bucket` caps pathological buckets (dropped buckets are logged
@@ -70,22 +71,31 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
-    """Per-(doc_id, seed) MinHash over the shingle sets.
+    """Wide MinHash signature per doc: (doc_id, h0..h{k-1}).
 
-    The seed family is hash64('s{seed}:' || shingle) — portable to any
-    engine with md5. One shuffle: groupBy (doc_id, seed).
+    Hash family: the concatenated hex of ceil(k/4) seeded md5 digests,
+    sliced into 8-hex-char windows — k independent-enough 32-bit hashes
+    from only k/4 md5 evaluations, fully portable to any SQL engine.
+
+    Shape matters at scale: no seed explode (k x fewer rows through the
+    shuffle than a per-(doc,seed) layout) — ONE groupBy(doc_id) with k
+    min() aggregates over the shingle rows, map-side combinable.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "h",
-            dfn.hash64(
-                F.concat(F.lit("s"), F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    n_md5 = (num_hashes + 3) // 4
+    hexcat = F.concat(
+        *[F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))) for i in range(n_md5)]
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(hexcat, 8 * i + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -105,15 +115,16 @@ def lsh_candidate_pairs(
     """
     if rows_per_band != 2:
         raise NotImplementedError("rows_per_band=2 is the supported banding")
-    bands = (
-        signatures.groupBy(
-            "doc_id", F.floor(F.col("seed") / rows_per_band).alias("band")
+    num_hashes = len([c for c in signatures.columns if c.startswith("h")])
+    bands = None
+    for b in range(num_hashes // rows_per_band):
+        proj = signatures.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.col(f"h{rows_per_band * b}").alias("h0"),
+            F.col(f"h{rows_per_band * b + 1}").alias("h1"),
         )
-        .agg(
-            F.max(F.when(F.col("seed") % 2 == 0, F.col("mh"))).alias("h0"),
-            F.max(F.when(F.col("seed") % 2 == 1, F.col("mh"))).alias("h1"),
-        )
-    )
+        bands = proj if bands is None else bands.unionByName(proj)
     if max_bucket is not None:
         w_cnt = (
             bands.groupBy("band", "h0", "h1")

@@ -1005,3 +1005,112 @@ def q_part_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # register themselves into REGISTRY on import. Import last: queries_ext
 # needs the `query` decorator defined above.
 from neo4j_dynagraph_spark import queries_ext  # noqa: E402,F401
+
+
+# ===========================================================================
+# Extension temporal joins (SURVEY.md §2.3 "not present" list / §7 extension:
+# as-of and interval-overlap joins WITHOUT discretization)
+# ===========================================================================
+
+
+@query(
+    "q_asof_join",
+    oracle=f"""
+SELECT a.event_id, max({_ES.replace("ts", "b.ts")}) AS asof_ts
+FROM events a JOIN events b
+  ON b.user_id = {ACTOR2} AND b.ts <= a.ts
+WHERE a.user_id = {ACTOR1}
+GROUP BY a.event_id ORDER BY a.event_id
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event of actor1, the most recent event time
+    of actor2 at-or-before it. Implemented with the scalable
+    union-sort-last pattern (one range-partitioned sort, no O(n*m)
+    pair blowup): tag both streams, sort by time, carry the last seen
+    build-side timestamp forward with last(ignorenulls) — the
+    sort-merge as-of plan every time-series engine uses."""
+    ev = _events(spark, sf_dir)
+    es = dfn.epoch_seconds(F.col("ts"))
+    probe = ev.where(F.col("user_id") == ACTOR1).select(
+        "event_id", es.alias("es"), F.lit(None).cast("long").alias("b_ts")
+    )
+    build = ev.where(F.col("user_id") == ACTOR2).select(
+        F.lit(None).cast("long").alias("event_id"),
+        es.alias("es"),
+        es.alias("b_ts"),
+    )
+    # build rows sort before probe rows at equal timestamps (is_probe 0/1)
+    u = probe.withColumn("is_probe", F.lit(1)).unionByName(
+        build.withColumn("is_probe", F.lit(0))
+    )
+    w = (
+        Window.orderBy("es", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_ts", F.last("b_ts", ignorenulls=True).over(w))
+        .where(F.col("is_probe") == 1)
+        .where(F.col("asof_ts").isNotNull())
+        .select("event_id", "asof_ts")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_interval_overlap",
+    oracle=f"""
+WITH sp AS (SELECT event_id, user_id, {_ES} AS t1, {_ES} + {SPELL_LEN} AS t2
+            FROM events),
+bucketed AS (SELECT *, t1 // 86400 AS day_bucket FROM sp)
+SELECT a.event_id AS e1, b.event_id AS e2, a.user_id AS u1, b.user_id AS u2,
+       least(a.t2, b.t2) - greatest(a.t1, b.t1) AS overlap_s
+FROM bucketed a JOIN bucketed b
+  ON a.day_bucket = b.day_bucket
+ AND a.user_id < b.user_id
+ AND a.t1 < b.t2 AND b.t1 < a.t2
+WHERE a.t1 // 86400 = b.t1 // 86400
+ORDER BY e1, e2
+""",
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without discretization: event spells
+    [ts, ts+30min) of different users that overlap, with overlap
+    length. The scale pattern is the reference's own trick turned
+    inside out (SURVEY.md §4 note): equi-bucket the intervals (day
+    buckets) so the planner gets a hash-joinable key, then apply the
+    interval predicate inside the bucket — a bucketed range join
+    instead of a cartesian. (Spells crossing bucket boundaries would
+    need replication-to-both-buckets; event spells here are intra-day,
+    asserted by the bucket-equality predicate.)"""
+    ev = _events(spark, sf_dir)
+    es = dfn.epoch_seconds(F.col("ts"))
+    sp = ev.select(
+        "event_id",
+        "user_id",
+        es.alias("t1"),
+        (es + SPELL_LEN).alias("t2"),
+        (es.cast("long") / 86400).cast("long").alias("day_bucket"),
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.day_bucket") == F.col("b.day_bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.t1") < F.col("b.t2"))
+            & (F.col("b.t1") < F.col("a.t2")),
+        )
+        .where((F.col("a.t1") / 86400).cast("long") == (F.col("b.t1") / 86400).cast("long"))
+        .select(
+            F.col("a.event_id").alias("e1"),
+            F.col("b.event_id").alias("e2"),
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            (
+                F.least(F.col("a.t2"), F.col("b.t2"))
+                - F.greatest(F.col("a.t1"), F.col("b.t1"))
+            ).alias("overlap_s"),
+        )
+        .orderBy("e1", "e2")
+    )

@@ -52,21 +52,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_minhash",
-    oracle=f"""
-WITH {_TOK_CTE}, {_SH_CTE},
-hs AS (SELECT doc_id, seed,
-              min({_H64.format(x="'s' || CAST(seed AS VARCHAR) || ':' || shingle")}) AS mh
-       FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
-       GROUP BY 1, 2),
-bands AS (SELECT doc_id, seed // 2 AS band,
-                 max(CASE WHEN seed % 2 = 0 THEN mh END) AS h0,
-                 max(CASE WHEN seed % 2 = 1 THEN mh END) AS h1
-          FROM hs GROUP BY 1, 2)
-SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
-ORDER BY d1, d2
-""",
+    oracle=(
+        f"WITH {_TOK_CTE}, {_SH_CTE}, "
+        "hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) AS hh FROM sh), "
+        "hs AS (SELECT doc_id, "
+        + ", ".join(
+            f"('0x' || substr(hh, {8 * i + 1}, 8))::BIGINT AS h{i}" for i in range(8)
+        )
+        + " FROM hx), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"min(h{i}) AS h{i}" for i in range(8))
+        + " FROM hs GROUP BY 1), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM sig"
+            for b in range(4)
+        )
+        + ") "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id "
+        "ORDER BY d1, d2"
+    ),
     bench=True,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
