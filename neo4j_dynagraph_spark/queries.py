@@ -1114,3 +1114,62 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("e1", "e2")
     )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+WITH o AS (SELECT user_id, event_id, {_ES} AS es, epoch_us(ts) AS eus, ts FROM events),
+g AS (SELECT user_id, event_id, es,
+             CASE WHEN lag(eus) OVER w IS NULL
+                       OR eus - lag(eus) OVER w >= {SPELL_LEN} * 1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, event_id, es,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, session_id, min(es) AS session_start, max(es) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+""",
+    bench=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min gap) — the session-window
+    concept absent in the reference (SURVEY.md §2.9 'no session
+    windows'). Window-function formulation: break flag on gap >= G,
+    running sum -> session ordinal, group. Exact-microsecond gap
+    arithmetic so the DuckDB oracle matches bit-for-bit; the
+    F.session_window equivalence is asserted in tests (equivalent-
+    formulation pair, reference style)."""
+    es = dfn.epoch_seconds(F.col("ts"))
+    eus = F.expr("unix_micros(ts)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        es.alias("es"),
+        F.when(
+            F.lag(eus).over(w).isNull()
+            | ((eus - F.lag(eus).over(w)) >= SPELL_LEN * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("brk").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("es").alias("session_start"),
+            F.max("es").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -94,3 +94,27 @@ def test_frame_enumeration_vs_distinct_presence(spark):
     # every presence frame exists in the enumerated grid
     missing = presence_fids.join(frames.select("frame_id"), "frame_id", "left_anti")
     assert missing.count() == 0
+
+
+def test_sessionize_window_func_vs_session_window(spark):
+    """q_sessionize's window-function formulation vs Spark's native
+    F.session_window — same sessions (start, end, count) per user."""
+    from neo4j_dynagraph_spark.queries import SPELL_LEN, q_sessionize
+
+    mine = (
+        q_sessionize(spark, SF_SMALL)
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    )
+    ev = load_table(spark, SF_SMALL, "events")
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", f"{SPELL_LEN} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, mine)) == sorted(map(tuple, native))

@@ -77,3 +77,57 @@ def test_gexf_many(spark, tmp_path):
         paths.append(str(p))
     out = gexf.read_gexf_many(spark, paths)
     assert out.count() == 12
+
+
+def test_stream_dimension_upsert_idempotent(spark, tmp_path):
+    """T4: foreachBatch merge-on-key == the loader's in-memory actor set
+    (load_gexf_to_neo4j.py:163-164,193) — and replay-safe."""
+    import os
+
+    from neo4j_dynagraph_spark.sources.tables import load_table
+    from neo4j_dynagraph_spark.streaming.upsert import (
+        DimensionStore,
+        stream_actor_dimension,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    os.symlink(f"{SF_SMALL}/events.parquet", src / "events.parquet")
+    raw_schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+
+    store = DimensionStore(spark, str(tmp_path / "actors_dim"), ["actor"])
+    for _ in range(2):  # second run replays the same data -> no-op
+        stream = spark.readStream.schema(raw_schema).parquet(str(src))
+        q = stream_actor_dimension(store, stream)
+        q.awaitTermination()
+
+    dim = {r.actor for r in store.read().collect()}
+    expected = {
+        r.user_id
+        for r in load_table(spark, SF_SMALL, "events").select("user_id").distinct().collect()
+    }
+    assert dim == expected
+
+
+def test_stream_out_of_order_input_equals_batch(spark, tmp_path):
+    """T3: the reference splices out-of-order inserts into its sorted
+    list (BaseTimeline.java:226-271); the streaming agg must be
+    order-independent — a shuffled copy of the events yields identical
+    windows."""
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.sources.tables import load_table
+    from neo4j_dynagraph_spark.streaming import (
+        stream_tumbling_counts,
+        streaming_frame_counts_from_parquet,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    shuffled_dir = str(tmp_path / "shuffled")
+    ev.orderBy(F.rand(seed=7)).coalesce(2).write.parquet(shuffled_dir)
+
+    streamed = streaming_frame_counts_from_parquet(
+        spark, shuffled_dir, spark.read.parquet(shuffled_dir).schema, 3600
+    ).collect()
+    batch = stream_tumbling_counts(ev, 3600).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
