@@ -140,3 +140,53 @@ def lsh_bucketed_topk(
         .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
         .orderBy("qid", "rank")
     )
+
+
+def pandas_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Arrow-vectorized variant of brute_force_topk via mapInPandas.
+
+    The query matrix is tiny and rides into the UDF closure; each Arrow
+    batch of corpus vectors becomes one numpy matmul — the pattern for
+    when the scoring math outgrows SQL expressions (learned ranking,
+    quantized distance). Same output contract as brute_force_topk; the
+    JVM expression path remains the default (equivalence is tested).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select("qid", "qv").collect()  # few rows by contract
+    q_ids = np.array([r.qid for r in q_rows])
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):  # noqa: ANN001
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ q_mat.T  # (batch, n_queries)
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, len(pdf)),
+                    "cid": np.tile(pdf[id_col].to_numpy(), len(q_ids)),
+                    "sim_raw": sims.T.reshape(-1),
+                }
+            )
+            yield out[out.qid != out.cid]
+
+    pairs = corpus.select(id_col, vec_col).mapInPandas(
+        score, "qid long, cid long, sim_raw double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("qid", "rank")
+    )

@@ -339,3 +339,74 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_is_nanos=True,
     )
     return result.orderBy("window_start")
+
+
+@query("q_approx_distinct")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event_type (SURVEY.md §2.4
+    'not present' extension): at 100 TB approx_count_distinct replaces
+    the two-shuffle exact countDistinct with mergeable constant-size
+    state. No SQL oracle (HLL estimates are engine-specific); the exact
+    value sits alongside for the rows-only check and the unit test
+    asserts <5% relative error."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH {_TOK_CTE},
+tu AS (SELECT doc_id, unnest(t) AS token FROM tok),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tu GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tu) d
+       GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, token,
+                  round(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS tfidf
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+ranked AS (SELECT doc_id, token, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rk
+           FROM scored)
+SELECT doc_id, token, tfidf, rk FROM ranked
+WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF without MLlib: tf (per-doc counts) join df (document
+    frequency) with a broadcast 1-row corpus size; top-3 terms per doc
+    for the first 50 docs. Classic two-aggregate + rank-window shape —
+    the whole pipeline stays in JVM expressions."""
+    tu = (
+        dedup.tokens_df(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("t").alias("token"))
+    )
+    tf = tu.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tu.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = _docs(spark, sf_dir).count()  # scalar corpus size (metadata-cheap)
+    from pyspark.sql import Window
+
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )

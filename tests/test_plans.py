@@ -1,0 +1,51 @@
+"""Physical-plan assertions: lock in the plan shapes the engine is
+designed around (pushdown, broadcast, take-ordered) so regressions in
+query construction surface as test failures, not silent slowdowns."""
+
+from __future__ import annotations
+
+from neo4j_dynagraph_spark import plans
+from neo4j_dynagraph_spark.queries import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def test_time_range_pushdown(spark):
+    df = REGISTRY["q1_time_range"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "formatted")
+    assert "GreaterThanOrEqual(ts," in s and "LessThan(ts," in s, (
+        "pinned time range must reach the parquet scan as PushedFilters"
+    )
+
+
+def test_point_lookup_pushdown(spark):
+    df = REGISTRY["q_actor_lookup"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "formatted")
+    assert "EqualTo(c_custkey,42)" in s
+
+
+def test_topk_is_take_ordered(spark):
+    df = REGISTRY["q_topk"].fn(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in plans.plan_str(df, "simple"), (
+        "orderBy+limit must plan as top-k, not a global sort"
+    )
+
+
+def test_revenue_join_broadcasts_dims(spark):
+    df = REGISTRY["q_revenue_by_nation"].fn(spark, SF_SMALL)
+    assert plans.broadcast_join_count(df) >= 2, (
+        "nation/region joins must be broadcast-hash, never shuffled"
+    )
+
+
+def test_triangles_broadcasts_pruned_edges(spark):
+    df = REGISTRY["q11_triangles_hour"].fn(spark, SF_SMALL)
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = REGISTRY["q4_actor_frame_counts"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "formatted")
+    # events has 6 columns + ts_ns; q4 needs only ts + user_id
+    assert "ReadSchema: struct<ts:bigint,user_id:bigint>" in s, (
+        "scan must read only (ts, user_id); projection did not prune"
+    )

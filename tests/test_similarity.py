@@ -58,3 +58,16 @@ def test_bucket_determinism(emb):
     b1 = similarity.hyperplane_buckets(emb.limit(50)).collect()
     b2 = similarity.hyperplane_buckets(emb.limit(50)).collect()
     assert {(r.vec_id, r.bucket) for r in b1} == {(r.vec_id, r.bucket) for r in b2}
+
+
+def test_pandas_path_equals_jvm_path(emb):
+    """The Arrow/mapInPandas scorer must agree with the JVM expression
+    path on membership and ranks (sims to 1e-5: numpy matmul and
+    zip_with/aggregate fold sum in different orders)."""
+    jvm = similarity.brute_force_topk(emb, _queries(emb), k=5).collect()
+    arrow = similarity.pandas_cosine_topk(emb, _queries(emb), k=5).collect()
+    assert [(r.qid, r.rank, r.cid) for r in jvm] == [
+        (r.qid, r.rank, r.cid) for r in arrow
+    ]
+    for a, b in zip(jvm, arrow):
+        assert abs(a.sim - b.sim) < 1e-5
