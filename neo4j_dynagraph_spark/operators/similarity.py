@@ -142,6 +142,142 @@ def lsh_bucketed_topk(
     )
 
 
+_DOT12 = "aggregate(zip_with(v1, v2, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    use_buckets: bool = False,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id1, id2, sim) with
+    id1 < id2 and sim > threshold (exclusive, canonical order as in
+    load_gexf_to_neo4j.py:201-202's pair canonicalization).
+
+    Exact mode is the all-pairs baseline (broadcast nested-loop on the
+    smaller side) — quadratic, only for modest corpora / within-block
+    verification. With use_buckets=True, candidates are restricted to
+    pairs sharing a random-hyperplane LSH bucket (hyperplane_buckets),
+    then exactly verified: the 100 TB path, where the bucket equi-join
+    replaces the cross product and recall is tuned by n_planes (fewer
+    planes -> bigger buckets -> higher recall, more verify work).
+    """
+    c1 = corpus.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        F.expr(_NORM.format(c=vec_col)).alias("n1"),
+    )
+    c2 = corpus.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        F.expr(_NORM.format(c=vec_col)).alias("n2"),
+    )
+    if use_buckets:
+        b = hyperplane_buckets(corpus, n_planes, id_col, vec_col).select(
+            id_col, "bucket"
+        )
+        c1 = c1.join(b.withColumnRenamed(id_col, "id1"), "id1")
+        c2 = c2.join(b.withColumnRenamed(id_col, "id2"), "id2")
+        pairs = c1.join(c2, (F.col("id1") < F.col("id2")) & (c1.bucket == c2.bucket))
+    else:
+        pairs = c1.join(F.broadcast(c2), F.col("id1") < F.col("id2"))
+    sim = F.expr(_DOT12) / (F.col("n1") * F.col("n2"))
+    return (
+        pairs.select("id1", "id2", sim.alias("sim_raw"))
+        .where(F.col("sim_raw") > threshold)
+        .select("id1", "id2", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("id1", "id2")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids by cosine.
+
+    Output: (id_col, vec_col, cell, cell_rank). cell_rank=1 is the home
+    cell; queries probe ranks 1..nprobe. Centroids (cent_id, cv) are
+    broadcast — the coarse codebook is small by construction.
+    """
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        "cent_id", F.col("cv").alias("v2"), F.expr(_NORM.format(c="cv")).alias("n2")
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(vec_col).alias("v1"),
+        F.expr(_NORM.format(c=vec_col)).alias("n1"),
+    )
+    sim = F.expr(_DOT12) / (F.col("n1") * F.col("n2"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), "cell")
+    return (
+        c.join(F.broadcast(cent))
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"), sim.alias("cell_sim"))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= nprobe)
+        .select(id_col, vec_col, "cell", "cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into cells,
+    probe each query's nprobe nearest cells, exact re-rank inside.
+
+    The codebook here is deterministic — the first n_centroids corpus
+    vectors (by id) — so the whole index is reproducible in ANSI SQL;
+    a trained KMeans codebook is a drop-in replacement (same assign /
+    probe plan). Corpus cells are the partition-pruning key at scale:
+    store the corpus bucketed by `cell` and a probe touches nprobe/C of
+    the data. Output schema matches brute_force_topk; with
+    nprobe == n_centroids the result IS the exact answer (tested).
+    """
+    from pyspark.sql import Window
+
+    centroids = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("v2"), "cell"
+    )
+    probes = ivf_assign(
+        queries.select(F.col("qid").alias(id_col), F.col("qv").alias(vec_col)),
+        centroids,
+        id_col,
+        vec_col,
+        nprobe=nprobe,
+    ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v1"), "cell")
+    sim = F.expr(_DOT12) / (
+        F.expr(_NORM.format(c="v1")) * F.expr(_NORM.format(c="v2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
+    return (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", sim.alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("qid", "rank")
+    )
+
+
 def pandas_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -168,6 +168,72 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries_df, k=5)
 
 
+@query(
+    "q_dedup_embed",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ae, b.embedding AS be
+          FROM base a JOIN base b ON a.vec_id < b.vec_id),
+un AS (SELECT id1, id2, CAST(unnest(ae) AS DOUBLE) AS x, CAST(unnest(be) AS DOUBLE) AS y
+       FROM pairs),
+d AS (SELECT id1, id2, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+      FROM un GROUP BY 1, 2),
+s AS (SELECT id1, id2, dot / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM d)
+SELECT id1, id2, round(sim_raw, 6) AS sim FROM s
+WHERE sim_raw > 0.4 ORDER BY id1, id2
+""",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim > 0.4, canonical
+    id1 < id2) — the semantic-dedup complement to MinHash/SimHash.
+    Exact all-pairs here for the oracle; the LSH-bucketed variant of
+    the same operator is the scale path (subset relation tested)."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+@query(
+    "q_embed_ann_ivf",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM base WHERE vec_id < 32),
+-- home cell of every corpus vector (argmax cosine to the codebook)
+ap AS (SELECT b.vec_id, c.cent_id, b.embedding AS be, c.ce
+       FROM base b CROSS JOIN cent c),
+au AS (SELECT vec_id, cent_id, CAST(unnest(be) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+       FROM ap),
+ad AS (SELECT vec_id, cent_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+       FROM au GROUP BY 1, 2),
+ar AS (SELECT vec_id, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+       FROM ad),
+cells AS (SELECT vec_id AS cid, cent_id AS cell FROM ar WHERE rk = 1),
+probes AS (SELECT vec_id AS qid, cent_id AS cell FROM ar WHERE rk <= 4 AND vec_id < 5),
+cand AS (SELECT p.qid, c.cid FROM probes p JOIN cells c USING (cell) WHERE c.cid != p.qid),
+cu AS (SELECT cand.qid, cand.cid,
+              CAST(unnest(q.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+       FROM cand JOIN base q ON q.vec_id = cand.qid JOIN base b ON b.vec_id = cand.cid),
+cs AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim_raw
+       FROM cu GROUP BY 1, 2),
+ranked AS (SELECT qid, cid, sim_raw,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rank
+           FROM cs)
+SELECT qid, rank, cid, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (32 deterministic seed centroids, nprobe=4, k=5): coarse
+    assign -> probe nearest cells -> exact re-rank within cells. The
+    codebook is reproducible in SQL, so unlike the hyperplane-LSH
+    variant this approximate index is fully oracle-checked."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=32, nprobe=4)
+
+
 @query("q_embed_ann_lsh")
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via deterministic random-hyperplane LSH buckets

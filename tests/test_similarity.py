@@ -60,6 +60,47 @@ def test_bucket_determinism(emb):
     assert {(r.vec_id, r.bucket) for r in b1} == {(r.vec_id, r.bucket) for r in b2}
 
 
+def test_ivf_full_probe_is_exact(emb):
+    """With nprobe == n_centroids every cell is probed, so IVF must
+    reproduce the brute-force answer exactly — the strongest possible
+    check that assign/probe/re-rank lose nothing structurally."""
+    exact = similarity.brute_force_topk(emb, _queries(emb), k=5).collect()
+    full = similarity.ivf_topk(
+        emb, _queries(emb), k=5, n_centroids=8, nprobe=8
+    ).collect()
+    assert [(r.qid, r.rank, r.cid, r.sim) for r in exact] == [
+        (r.qid, r.rank, r.cid, r.sim) for r in full
+    ]
+
+
+def test_ivf_partial_probe_subset(emb):
+    """nprobe < n_centroids results are a subset of the probed-cell
+    candidates and carry true (exact) sims: every returned pair must
+    appear in the brute-force ranking with the identical sim."""
+    exact_sims = {
+        (r.qid, r.cid): r.sim
+        for r in similarity.brute_force_topk(emb, _queries(emb), k=500).collect()
+    }
+    approx = similarity.ivf_topk(
+        emb, _queries(emb), k=5, n_centroids=32, nprobe=4
+    ).collect()
+    assert approx, "IVF returned nothing"
+    for r in approx:
+        assert exact_sims[(r.qid, r.cid)] == r.sim
+
+
+def test_near_dup_bucketed_subset_of_exact(emb):
+    exact = similarity.cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    bucketed = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.3, use_buckets=True, n_planes=2
+    ).collect()
+    exact_set = {(r.id1, r.id2) for r in exact}
+    bucket_set = {(r.id1, r.id2) for r in bucketed}
+    assert exact_set, "no near-dup pairs at threshold 0.3"
+    assert bucket_set <= exact_set
+    assert all(r.id1 < r.id2 for r in exact)
+
+
 def test_pandas_path_equals_jvm_path(emb):
     """The Arrow/mapInPandas scorer must agree with the JVM expression
     path on membership and ranks (sims to 1e-5: numpy matmul and
