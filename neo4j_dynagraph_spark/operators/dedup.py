@@ -116,34 +116,41 @@ def lsh_candidate_pairs(
     if rows_per_band != 2:
         raise NotImplementedError("rows_per_band=2 is the supported banding")
     num_hashes = len([c for c in signatures.columns if c.startswith("h")])
-    bands = None
-    for b in range(num_hashes // rows_per_band):
-        proj = signatures.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.col(f"h{rows_per_band * b}").alias("h0"),
-            F.col(f"h{rows_per_band * b + 1}").alias("h1"),
-        )
-        bands = proj if bands is None else bands.unionByName(proj)
+    # Bands come from ONE explode generator (a union of per-band
+    # projections would recompute the signature subtree per branch),
+    # and pairs come from a grouped array expansion instead of a
+    # bucket self-join: a self-join evaluates the expensive
+    # shingle->md5->min pipeline once per side (build, then probe —
+    # sequentially), while collect_list pays it once and turns each
+    # bucket into its pairs with a JVM lambda. The bucket key is the
+    # shuffle key either way; max_bucket caps the quadratic expansion
+    # per bucket (boilerplate-collapse skew guard), now enforceable as
+    # a simple size() predicate on the collected bucket.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"h{rows_per_band * b}").alias("h0"),
+                F.col(f"h{rows_per_band * b + 1}").alias("h1"),
+            )
+            for b in range(num_hashes // rows_per_band)
+        ]
+    )
+    buckets = (
+        signatures.select("doc_id", F.explode(band_structs).alias("bs"))
+        .groupBy("bs.band", "bs.h0", "bs.h1")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     if max_bucket is not None:
-        w_cnt = (
-            bands.groupBy("band", "h0", "h1")
-            .agg(F.count(F.lit(1)).alias("_bucket_n"))
-            .where(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
-        )
-        bands = bands.join(w_cnt, ["band", "h0", "h1"], "semi")
-    a = bands.alias("a")
-    b = bands.alias("b")
+        buckets = buckets.where(F.size("ids") <= max_bucket)
+    pairs = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h0") == F.col("b.h0"))
-            & (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        buckets.select(F.explode(F.expr(pairs)).alias("p"))
+        .select("p.d1", "p.d2")
         .distinct()
     )
 
