@@ -930,6 +930,72 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube_orders",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension A: CUBE grouping sets — all 2^2 grouping combinations in
+    one pass (Expand + single shuffle), vs 4 separate groupBys."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle=f"""
+WITH d1 AS (SELECT DISTINCT day(ts) AS day FROM events
+            WHERE user_id = {ACTOR1} AND year(ts) = {YEAR} AND month(ts) = {MONTH}),
+d2 AS (SELECT DISTINCT day(ts) AS day FROM events
+       WHERE user_id = {ACTOR2} AND year(ts) = {YEAR} AND month(ts) = {MONTH})
+SELECT 'both' AS op, day FROM (SELECT day FROM d1 INTERSECT SELECT day FROM d2)
+UNION ALL
+SELECT 'only_a' AS op, day FROM (SELECT day FROM d1 EXCEPT SELECT day FROM d2)
+UNION ALL
+SELECT 'only_b' AS op, day FROM (SELECT day FROM d2 EXCEPT SELECT day FROM d1)
+ORDER BY op, day
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension E (SURVEY.md §2.7): explicit INTERSECT / EXCEPT / UNION
+    over the two pinned actors' active-day sets. Spark plans intersect
+    and except as left-semi / left-anti aggregates — no new operator
+    machinery, but the API surface is exercised end-to-end."""
+
+    def active_days(actor: int) -> DataFrame:
+        month_range = _ns_range(
+            _utc_ns(YEAR, MONTH, 1),
+            _utc_ns(YEAR + (MONTH == 12), MONTH % 12 + 1, 1),
+        )
+        return (
+            _events(spark, sf_dir)
+            .where((F.col("user_id") == actor) & month_range)
+            .select(F.dayofmonth("ts").cast("long").alias("day"))
+            .distinct()
+        )
+
+    d1, d2 = active_days(ACTOR1), active_days(ACTOR2)
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "day")  # noqa: E731
+    return (
+        tag(d1.intersect(d2), "both")
+        .unionByName(tag(d1.exceptAll(d2), "only_a"))
+        .unionByName(tag(d2.exceptAll(d1), "only_b"))
+        .orderBy("op", "day")
+    )
+
+
+@query(
     "q_cust_no_recent_orders",
     oracle="""
 SELECT c_custkey, c_name FROM customer

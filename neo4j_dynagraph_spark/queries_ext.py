@@ -407,6 +407,34 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("window_start")
 
 
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+WITH w0 AS (SELECT CAST(floor(epoch(ts)/{DELTA}) AS BIGINT)*{DELTA} AS w, value
+            FROM events),
+ex AS (SELECT unnest([w, w - {DELTA}]) AS window_start, value FROM w0)
+SELECT window_start, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM ex GROUP BY 1 ORDER BY window_start
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window as a bounded stream: length 2*DELTA,
+    slide DELTA — each event lands in exactly two windows. Absent from
+    the reference (SURVEY.md §2.9 'no sliding windows'); the oracle
+    replays the window expansion with unnest([w, w-DELTA])."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_frame_counts_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        raw_schema,
+        delta_seconds=2 * DELTA,
+        ts_is_nanos=True,
+        slide_seconds=DELTA,
+    )
+    return result.orderBy("window_start")
+
+
 @query("q_approx_distinct")
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch per event_type (SURVEY.md §2.4

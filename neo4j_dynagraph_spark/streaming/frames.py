@@ -30,8 +30,14 @@ def stream_tumbling_counts(
     delta_seconds: int = 3600,
     watermark: str = "1 hour",
     ts_col: str = "ts",
+    slide_seconds: int | None = None,
 ) -> DataFrame:
-    """Streaming tumbling-window aggregation (works on batch DFs too).
+    """Streaming windowed aggregation (works on batch DFs too).
+
+    Tumbling by default; pass slide_seconds < delta_seconds for a
+    sliding (hopping) window — each event then lands in
+    delta/slide windows (Spark expands via multiple window instances,
+    state grows proportionally).
 
     Output: window_start (epoch s), n_events, n_users-approx-free
     sum over value. For a streaming input the watermark bounds state:
@@ -42,7 +48,11 @@ def stream_tumbling_counts(
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    win = F.window(ts_col, f"{delta_seconds} seconds")
+    win = F.window(
+        ts_col,
+        f"{delta_seconds} seconds",
+        f"{slide_seconds} seconds" if slide_seconds else f"{delta_seconds} seconds",
+    )
     # value_sum goes through an exact decimal accumulator so batch,
     # stream, and the DuckDB oracle agree bit-for-bit regardless of
     # partial-aggregation order.
@@ -62,6 +72,7 @@ def streaming_frame_counts_from_parquet(
     schema,  # noqa: ANN001 — StructType of the batch-read table
     delta_seconds: int = 3600,
     ts_is_nanos: bool = False,
+    slide_seconds: int | None = None,
 ) -> DataFrame:
     """Run the tumbling count as a bounded stream and return the result.
 
@@ -84,7 +95,7 @@ def streaming_frame_counts_from_parquet(
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
         )
-    agg = stream_tumbling_counts(stream, delta_seconds)
+    agg = stream_tumbling_counts(stream, delta_seconds, slide_seconds=slide_seconds)
     sink_name = f"stream_frames_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
     query = (
