@@ -16,9 +16,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from neo4j_dynagraph_spark.operators import dedup, multimodal, similarity, text
-from neo4j_dynagraph_spark.queries import DELTA, query
+from neo4j_dynagraph_spark.queries import DELTA, SPELL_LEN, query
 from neo4j_dynagraph_spark.sources.tables import load_table
-from neo4j_dynagraph_spark.streaming import streaming_frame_counts_from_parquet
+from neo4j_dynagraph_spark.streaming import (
+    stateful_sessions_from_parquet,
+    streaming_frame_counts_from_parquet,
+)
 
 _TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _TOK_CTE = f"tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents)"
@@ -433,6 +436,45 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide_seconds=DELTA,
     )
     return result.orderBy("window_start")
+
+
+@query(
+    "q_stream_sessions",
+    oracle=f"""
+WITH o AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+           FROM events),
+g AS (SELECT user_id, event_id, es,
+             CASE WHEN lag(es) OVER w IS NULL
+                       OR es - lag(es) OVER w >= {SPELL_LEN}
+                  THEN 1 ELSE 0 END AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+s AS (SELECT user_id, es,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, min(es) AS session_start,
+       max(es) AS session_end, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap
+    sessionizer. Mid-stream, only CLOSED sessions are emitted; trailing
+    sessions close via event-time timeout once the bounded stream
+    drains and the watermark passes. A fully-drained stream therefore
+    equals the batch sessionization exactly — the oracle is that batch
+    formulation (gap granularity: whole seconds, matching the state's
+    epoch-second carry)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = stateful_sessions_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        raw_schema,
+        gap_seconds=SPELL_LEN,
+        ts_is_nanos=True,
+    )
+    return result.orderBy("user_id", "session_start")
 
 
 @query("q_approx_distinct")

@@ -131,3 +131,83 @@ def test_stream_out_of_order_input_equals_batch(spark, tmp_path):
     ).collect()
     batch = stream_tumbling_counts(ev, 3600).collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_stateful_sessions_multibatch_equals_batch(spark, tmp_path):
+    """State carry across micro-batches: events split into 3 time-ordered
+    files, 1 file per trigger, so most users' sessions continue across
+    batch boundaries. The drained stream (closed + timeout-closed) must
+    equal the batch sessionization exactly."""
+    from neo4j_dynagraph_spark.streaming import stateful_sessions_from_parquet
+    from neo4j_dynagraph_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    # deterministic cuts: thirds of the January span
+    import datetime as dt
+
+    c1 = dt.datetime(2024, 1, 11, tzinfo=dt.timezone.utc)
+    c2 = dt.datetime(2024, 1, 21, tzinfo=dt.timezone.utc)
+    src = tmp_path / "src"
+    src.mkdir()
+    import time as _time
+
+    parts = [
+        ev.where(F.col("ts") < F.lit(c1)),
+        ev.where((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.where(F.col("ts") >= F.lit(c2)),
+    ]
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    for i, p in enumerate(parts):
+        # persist with the RAW nanos-long schema the runner expects
+        keys = [r.event_id for r in p.select("event_id").collect()]
+        raw.filter(F.col("event_id").isin(keys)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{i}"))
+        _time.sleep(1.1)  # distinct mtimes => deterministic oldest-first order
+
+    # flatten: move each part's parquet file up as fileN.parquet
+    import glob, shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(3):
+        f = glob.glob(str(src / f"part{i}" / "*.parquet"))[0]
+        shutil.copy(f, flat / f"file{i}.parquet")
+        import os
+
+        os.utime(flat / f"file{i}.parquet", (1e9 + i, 1e9 + i))
+
+    raw_schema = raw.schema
+    streamed = stateful_sessions_from_parquet(
+        spark, str(flat), raw_schema, gap_seconds=1800, ts_is_nanos=True,
+        max_files_per_trigger=1,
+    )
+    got = sorted(map(tuple, streamed.collect()))
+
+    # batch truth at second granularity
+    es = F.unix_timestamp("ts")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (
+        ev.select("user_id", "event_id", es.alias("es"))
+        .withColumn(
+            "brk",
+            F.when(
+                F.lag("es").over(w).isNull()
+                | ((F.col("es") - F.lag("es").over(w)) >= 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("brk").over(wr))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("es").alias("session_start"),
+            F.max("es").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    want = sorted(map(tuple, s.collect()))
+    assert got == want
