@@ -84,6 +84,120 @@ def degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Connected components of the undirected interaction graph by
+    min-label propagation: every node starts labeled with its own id;
+    each round takes the min of its own and its neighbors' labels,
+    until a fixpoint (component id = smallest actor id reachable).
+
+    This is the GraphX-analytics shape (BASELINE.json's stated
+    approach) expressed as iterative DataFrame joins. Plain min-label
+    propagation needs O(diameter) rounds — a 1M-hop chain would never
+    finish — so each round adds a pointer-jumping step (label <-
+    label's label, path halving), giving O(log n) rounds like the
+    large-star/small-star algorithm. Two shuffles per round.
+    localCheckpoint() truncates lineage each round — without it the
+    plan doubles per iteration and Catalyst analysis time explodes.
+    At cluster scale use checkpoint() on reliable storage instead, and
+    pre-partition `sym` and `labels` on the join key so rounds reuse
+    the partitioning. Columns: actor, component.
+    """
+    sym = symmetrize(edges.select("actor1", "actor2").distinct()).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("actor"))
+        .distinct()
+        .withColumn("label", F.col("actor"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.actor)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, labels.actor == nbr_min.src, "left").select(
+            "actor",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump (path halving): label <- label(label). Labels are
+        # node ids, so the lookup is a self-join against the label map.
+        lmap = stepped.select(
+            F.col("actor").alias("l_actor"), F.col("label").alias("l_label")
+        )
+        new_labels = (
+            stepped.join(lmap, stepped.label == lmap.l_actor, "left")
+            .select(
+                "actor",
+                F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "actor")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("actor", F.col("label").alias("component")).orderBy("actor")
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over the undirected interaction graph, fixed-iteration
+    power method (deterministic — no convergence test, so two engines
+    running the same formula agree).
+
+    rank_0 = 1/n;  rank_{i+1}(v) = (1-d)/n + d * sum_{u~v} rank_i(u)/deg(u)
+
+    Every node in `edges` has degree >= 1 after symmetrization, so
+    there is no dangling mass. One join + one groupBy shuffle per
+    iteration; the degree-annotated adjacency is checkpointed once and
+    reused, and at cluster scale should be pre-partitioned on src so
+    each round's join is co-located (no re-shuffle of the big side).
+    Columns: actor, rank (rounded 1e-6, desc).
+    """
+    adj = (
+        symmetrize(edges.select("actor1", "actor2").distinct())
+        .join(
+            symmetrize(edges.select("actor1", "actor2").distinct())
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("degree")),
+            "src",
+        )
+        .localCheckpoint()
+    )
+    n = adj.select("src").distinct().count()
+    ranks = (
+        adj.select(F.col("src").alias("actor"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0 / n))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        ranks = (
+            adj.join(ranks, adj.src == ranks.actor)
+            .select("dst", (F.col("rank") / F.col("degree")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+            .select(
+                F.col("dst").alias("actor"),
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("mass")).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("actor", F.round("rank", 6).alias("rank")).orderBy(
+        F.desc("rank"), "actor"
+    )
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Enumerate triangles a < b < c in an (already time-restricted)
     canonical edge set (QUERY11a/b/c, cypher_query_timing.py:158-203).

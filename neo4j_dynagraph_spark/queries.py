@@ -930,6 +930,43 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+)
+SELECT node AS actor, min(label) AS component FROM reach
+GROUP BY 1 ORDER BY actor
+""",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the pinned-day interaction graph —
+    iterative min-label propagation (the GraphX-analytics shape,
+    BASELINE.json north star). The oracle replays reachability as a
+    recursive CTE: component = min reachable actor id."""
+    return graph.connected_components(_edges(spark, sf_dir, _day_filter()))
+
+
+@query("q_pagerank")
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 iterations, d=0.85) over the pinned-day interaction
+    graph. Iterative algorithm — no ANSI-SQL oracle (the driver records
+    the rows-only check); the numpy power-method differential lives in
+    tests/test_graph.py."""
+    return graph.pagerank(_edges(spark, sf_dir, _day_filter()), iterations=10)
+
+
+@query(
     "q_cube_orders",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

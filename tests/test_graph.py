@@ -50,3 +50,48 @@ def test_triangles_dedups_multiedges(spark):
     dup = spark.createDataFrame(EDGES + EDGES, "actor1 long, actor2 long")
     got = [(r.a, r.b, r.c) for r in graph.triangles(dup).collect()]
     assert got == [(1, 2, 3)]
+
+
+def test_connected_components_two_islands(spark):
+    # islands: {1,2,3}, {7,8}, singleton-free (isolated nodes never
+    # appear in an edge table)
+    e = spark.createDataFrame([(2, 3), (1, 2), (7, 8)], "actor1 long, actor2 long")
+    got = {r.actor: r.component for r in graph.connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_chain_converges(spark):
+    # a long path needs multiple propagation rounds; label must reach the end
+    n = 40
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "actor1 long, actor2 long"
+    )
+    got = {r.actor: r.component for r in graph.connected_components(e).collect()}
+    assert set(got.values()) == {1} and len(got) == n
+
+
+def test_pagerank_matches_numpy(edges):
+    import numpy as np
+
+    rows = [(r.actor, r.rank) for r in graph.pagerank(edges, iterations=10).collect()]
+    # replicate: undirected graph on EDGES, same fixed-iteration formula
+    nodes = sorted({a for e in EDGES for a in e})
+    idx = {a: i for i, a in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, b in EDGES:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        nxt = np.full(n, 0.15 / n)
+        for a, b in EDGES:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+            nxt[idx[a]] += 0.85 * r[idx[b]] / deg[idx[b]]
+        r = nxt
+    want = {a: r[idx[a]] for a in nodes}
+    assert len(rows) == n
+    for actor, rank in rows:
+        assert abs(rank - want[actor]) < 1e-6
+    # ranks sum to ~1 (no dangling mass; each rank rounded to 1e-6)
+    assert abs(sum(rk for _, rk in rows) - 1.0) < 1e-6 * len(rows)
