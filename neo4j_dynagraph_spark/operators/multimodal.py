@@ -116,6 +116,98 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("payload_len", LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize decode boundary (images). The fake double is deterministic:
+    it re-chunks the payload to exactly width*height bytes (truncate or
+    cycle), so tests can assert output size without a codec."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library not available here; "
+            "run with fake=True for the deterministic test double"
+        )
+    target = max(1, width * height)
+    if not payload:
+        return bytes(target)
+    reps = (target + len(payload) - 1) // len(payload)
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """mapInPandas image resize: payload -> payload (1:1 rows), metadata
+    recomputed JVM-side afterwards so it can never drift from the new
+    bytes. Same batch-shape discipline as extract_features."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        resize_stub(p, width, height, fake=fake)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    resized = media.mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+    return attach_payload_meta(resized).select(
+        [f.name for f in MEDIA_SCHEMA.fields]
+    )
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_nth: int = 2, fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling (video): each payload expands to 0..N
+    frame rows — the 1-to-many batch shape (generator output rows need
+    not align with input rows). The fake double treats the payload as a
+    concatenation of fixed-size frames and keeps every `every_nth` one;
+    a real implementation would seek keyframes via a codec."""
+    import pandas as pd
+
+    if not fake:
+        raise NotImplementedError(
+            "video frame extraction requires a codec not available here; "
+            "run with fake=True for the deterministic test double"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = len(p) // frame_bytes
+                for i in range(0, n_frames, every_nth):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "payload": frames,
+                    "payload_len": [len(f) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def repartition_by_bytes(
     df: DataFrame, total_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024
 ) -> DataFrame:

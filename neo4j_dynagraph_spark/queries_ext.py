@@ -383,6 +383,51 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_media_frames",
+    oracle="""
+WITH n AS (SELECT doc_id, octet_length(encode(text)) // 64 AS nf FROM documents)
+SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(64 AS BIGINT) AS payload_len
+FROM n, unnest(range(0, nf, 2)) AS u(i)
+ORDER BY media_id, frame_idx
+""",
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video shape): each payload expands to 0..N frame
+    rows via mapInPandas — the 1-to-many Arrow-batch contract. The fake
+    codec slices fixed 64-byte frames, keeping every 2nd; the oracle
+    replays the frame arithmetic (count/stride) in SQL."""
+    media = multimodal.docs_as_media(_docs(spark, sf_dir), kind="video")
+    return (
+        multimodal.sample_frames(media, frame_bytes=64, every_nth=2)
+        .select("media_id", "frame_idx", "payload_len")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@query(
+    "q_media_resize",
+    oracle="""
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(1024 AS BIGINT) AS payload_len
+FROM documents WHERE octet_length(encode(text)) > 0
+ORDER BY media_id
+""",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize (stub codec): payload -> fixed 32x32 byte payload,
+    metadata recomputed from the new bytes. The oracle checks the
+    output-size invariant — the part of the contract that survives any
+    real codec swap."""
+    media = multimodal.docs_as_media(_docs(spark, sf_dir), kind="image")
+    return (
+        multimodal.resize_images(media, width=32, height=32)
+        .select("media_id", "kind", "payload_len")
+        .orderBy("media_id")
+    )
+
+
 # ------------------------------------------------------------- streaming
 
 

@@ -61,3 +61,28 @@ def test_multimodal_pipeline(docs):
     assert {r.media_id: r.feature for r in feats} == {
         r.media_id: r.feature for r in again
     }
+
+
+def test_resize_fixed_output_size(docs):
+    media = multimodal.docs_as_media(docs, kind="image")
+    out = multimodal.resize_images(media, width=8, height=4).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.payload_len == 32 == len(r.payload)
+    # metadata recomputed from the NEW bytes, not carried over
+    import hashlib
+
+    for r in out:
+        assert r.payload_md5 == hashlib.md5(bytes(r.payload)).hexdigest()
+
+
+def test_sample_frames_one_to_many(docs):
+    media = multimodal.docs_as_media(docs, kind="video")
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    out = multimodal.sample_frames(media, frame_bytes=4, every_nth=2).collect()
+    assert len(out) > len(src), "frame sampling must expand rows"
+    for r in out:
+        assert r.frame_idx % 2 == 0
+        assert len(r.payload) == 4 == r.payload_len
+        start = r.frame_idx * 4
+        assert bytes(r.payload) == src[r.media_id][start : start + 4]
