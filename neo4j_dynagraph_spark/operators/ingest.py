@@ -75,8 +75,17 @@ def events_to_presence(
     )
 
 
-def presence_to_frame_interactions(presence: DataFrame) -> DataFrame:
+def presence_to_frame_interactions(
+    presence: DataFrame, max_actors_per_frame: int | None = None
+) -> DataFrame:
     """Self-join presence on frame_id -> co-activity edges per frame.
+
+    ``max_actors_per_frame`` is the skew guard: a frame with k actors
+    contributes k*(k-1)/2 pairs, so one pathological near-clique frame
+    (a stadium event, a bot storm) can dominate the whole shuffle.
+    Frames above the cap are DROPPED from the pair expansion (the
+    filter runs on a cheap pre-count, before any explosion); callers
+    that need them handle those frames out-of-band.
 
     weight = n_events(a1) * n_events(a2): the number of event pairings,
     a true aggregable weight where the reference stored the constant 1
@@ -94,6 +103,14 @@ def presence_to_frame_interactions(presence: DataFrame) -> DataFrame:
     pairs after the fact; the explicit partition count opts out of AQE
     coalescing, which only sees the pre-explosion input size.
     """
+    if max_actors_per_frame is not None:
+        ok = (
+            presence.groupBy("frame_id")
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .where(F.col("_k") <= max_actors_per_frame)
+            .select("frame_id")
+        )
+        presence = presence.join(F.broadcast(ok), "frame_id", "semi")
     n_part = int(presence.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     left = presence.select(
         "frame_id", F.col("actor").alias("actor1"), F.col("n_events").alias("n1")

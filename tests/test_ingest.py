@@ -94,3 +94,17 @@ def test_write_star_partitioned(spark, tmp_path):
     assert one_day.count() == 24
     fi = spark.read.parquet(f"{out}/frame_interactions")
     assert fi.count() == star.frame_interactions.count()
+
+
+def test_max_actors_per_frame_guard(spark):
+    from neo4j_dynagraph_spark.operators import ingest
+
+    # frame 1: 4 actors (6 pairs); frame 2: 2 actors (1 pair)
+    rows = [(1, a, 1) for a in (10, 11, 12, 13)] + [(2, 20, 1), (2, 21, 1)]
+    presence = spark.createDataFrame(rows, "frame_id long, actor long, n_events long")
+    all_pairs = ingest.presence_to_frame_interactions(presence).count()
+    capped = ingest.presence_to_frame_interactions(
+        presence, max_actors_per_frame=3
+    ).collect()
+    assert all_pairs == 7
+    assert len(capped) == 1 and capped[0].frame_id == 2

@@ -49,3 +49,30 @@ def test_column_pruning_reaches_scan(spark):
     assert "ReadSchema: struct<ts:bigint,user_id:bigint>" in s, (
         "scan must read only (ts, user_id); projection did not prune"
     )
+
+
+def test_ivf_broadcasts_codebook_and_probes(spark):
+    df = REGISTRY["q_embed_ann_ivf"].fn(spark, SF_SMALL)
+    # codebook assigns are broadcast NLJs, the probe join a broadcast
+    # hash join — never a corpus-sized shuffle join
+    s = plans.plan_str(df, "simple")
+    n_broadcast = s.count("BroadcastHashJoin") + s.count("BroadcastNestedLoopJoin")
+    assert n_broadcast >= 3
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+
+
+def test_near_dup_pairs_is_broadcast_nlj(spark):
+    df = REGISTRY["q_dedup_embed"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in s, (
+        "exact all-pairs must broadcast one side, not shuffle a cross product"
+    )
+
+
+def test_minhash_pairs_single_aggregation_no_join(spark):
+    df = REGISTRY["q_dedup_minhash"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert "Join" not in s, (
+        "bucket pair expansion is a grouped array lambda — any Join here "
+        "means the self-join crept back"
+    )
