@@ -92,6 +92,13 @@ def test_write_star_partitioned(spark, tmp_path):
         (F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 15)
     )
     assert one_day.count() == 24
+    # the date predicate must become directory-level PartitionFilters —
+    # this is what replaces the reference's y/m/d/h tree descent
+    # (StructuredTimeline.java:61-84; SURVEY.md §4 X1)
+    from neo4j_dynagraph_spark import plans
+
+    s = plans.plan_str(one_day, "formatted")
+    assert "PartitionFilters" in s and "(day" in s.split("PartitionFilters", 1)[1][:200]
     fi = spark.read.parquet(f"{out}/frame_interactions")
     assert fi.count() == star.frame_interactions.count()
 
