@@ -46,6 +46,30 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer (GPT-2 family shape, ASCII simplification):
+# contractions, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. No lookarounds, so Java regex (Spark) and RE2 (DuckDB)
+# agree token-for-token.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token-count metrics a training pipeline budgets by:
+    whitespace tokens, BPE-style pre-tokens, chars, bytes. All counts
+    come from JVM regex — no Python tokenizer in the loop. One narrow
+    projection, no shuffle."""
+    t = F.lower(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(dfn.tokens(F.col(text_col))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language-ID: argmax of stopword-profile hit ratios,
     'unk' when no profile scores >= 2%. Deterministic tie-break by

@@ -270,6 +270,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_token_counts",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9'']+|\\s+'
+            )) AS BIGINT) AS bpe_tokens,
+       CAST(length(lower(text)) AS BIGINT) AS n_chars,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting metrics: whitespace tokens vs BPE-style
+    pre-tokens (GPT-2-shape regex, RE2-safe so both engines tokenize
+    identically), chars, bytes."""
+    return text.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
     "q_lang_stats",
     oracle="""
 SELECT lang, count(*) AS n_docs,
