@@ -56,6 +56,26 @@ def neighbors(edges: DataFrame, actor: int) -> DataFrame:
     )
 
 
+def co_present(presence: DataFrame, actor: int) -> DataFrame:
+    """Neighbors of one actor computed directly from the frame_actors
+    fact — semantically identical to neighbors(edges-from-presence, a)
+    but never materializes the pairwise co-presence explosion: the
+    anchor's frames are a tiny broadcast semi-join probe.
+
+    At 100 TB this is the difference between scanning the fact table
+    once (this) and building the full O(sum k^2) edge set first (the
+    generic path). Equivalence to the edge formulation is a tested
+    invariant. One column: ``actor``.
+    """
+    frames_a = presence.where(F.col("actor") == actor).select("frame_id").distinct()
+    return (
+        presence.join(broadcast(frames_a), "frame_id", "semi")
+        .where(F.col("actor") != actor)
+        .select("actor")
+        .distinct()
+    )
+
+
 def common_neighbors(edges: DataFrame, actor_a: int, actor_b: int) -> DataFrame:
     """Common neighbors of two actors (QUERY9/9b,
     cypher_query_timing.py:134-148) — semi-join form of the reference's

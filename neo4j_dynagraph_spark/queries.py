@@ -371,10 +371,12 @@ ORDER BY name
 )
 def q7_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUERY7 (cypher_query_timing.py:117-121): neighbor expansion through
-    the reified undirected interaction, ordered by name. Symmetrized
-    projection of the canonical edge set (SURVEY.md §7.3 risk note)."""
+    the reified undirected interaction, ordered by name. Computed from
+    the frame_actors fact via a broadcast semi-join on the anchor's
+    frames (graph.co_present) — equivalent to the edge-set formulation
+    (tested pair) without materializing all pairwise edges."""
     return (
-        graph.neighbors(_edges(spark, sf_dir), ACTOR1)
+        graph.co_present(_presence(spark, sf_dir), ACTOR1)
         .select("actor", dfn.actor_name(F.col("actor")).alias("name"))
         .orderBy("name")
     )
@@ -433,9 +435,15 @@ ORDER BY actor
 def q9_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUERY9/9b (cypher_query_timing.py:134-148): common neighbors of two
     actors. The reference's COLLECT+IN becomes a semi-join of the two
-    neighbor sets (SURVEY.md §2.3 J6) — no array materialization."""
-    edges = _edges(spark, sf_dir)
-    return graph.common_neighbors(edges, ACTOR1, ACTOR2).orderBy("actor")
+    neighbor sets (SURVEY.md §2.3 J6) — no array materialization, and
+    each neighbor set comes from the presence fact directly
+    (graph.co_present), skipping the pairwise edge explosion."""
+    p = _presence(spark, sf_dir)
+    return (
+        graph.co_present(p, ACTOR1)
+        .join(graph.co_present(p, ACTOR2), "actor", "semi")
+        .orderBy("actor")
+    )
 
 
 @query(

@@ -118,3 +118,18 @@ def test_sessionize_window_func_vs_session_window(spark):
         .collect()
     )
     assert sorted(map(tuple, mine)) == sorted(map(tuple, native))
+
+
+def test_co_present_equals_edge_neighbors(spark):
+    """Equivalent-formulation pair (reference style, SURVEY.md §5): the
+    presence-fact semi-join path must equal the pairwise-edge path."""
+    from neo4j_dynagraph_spark.operators import graph, ingest
+    from neo4j_dynagraph_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    presence = ingest.events_to_presence(load_table(spark, SF_SMALL, "events"))
+    edges = ingest.presence_to_frame_interactions(presence)
+    for actor in (1, 2, 7):
+        via_fact = sorted(r.actor for r in graph.co_present(presence, actor).collect())
+        via_edges = sorted(r.actor for r in graph.neighbors(edges, actor).collect())
+        assert via_fact == via_edges
