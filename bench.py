@@ -12,7 +12,7 @@ median reported per query. Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     BENCH_RUNS (default 3).
+     BENCH_RUNS (default 5).
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ from neo4j_dynagraph_spark.queries import REGISTRY, bench_queries  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("dynagraph-bench")
     spark.sparkContext.setLogLevel("ERROR")

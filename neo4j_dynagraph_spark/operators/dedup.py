@@ -51,8 +51,16 @@ def shingles_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Docs with fewer than 3 tokens produce no rows (they can only be
     exact dups, which the exact pass catches).
+
+    The input is repartitioned first: a small corpus often arrives as
+    one parquet file = ONE partition (row-group granularity blocks
+    finer splits), which would run all downstream tokenize+hash CPU
+    single-threaded. Shuffling raw text bytes is cheap next to the
+    regex+md5 work it parallelizes; on a big corpus with many input
+    splits the repartition is a near-no-op rebalance.
     """
-    toks = tokens_df(docs, text_col)
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    toks = tokens_df(docs.repartition(n_part, "doc_id"), text_col)
     keep = [c for c in ("doc_id", "source") if c in toks.columns]
     return toks.where(F.size("t") >= 3).select(
         *keep, F.explode(F.expr(SHINGLE3_EXPR)).alias("shingle")
