@@ -1,0 +1,61 @@
+"""Dump the formatted physical plan of every registered query.
+
+Audit tool for plan quality: pushdown (PushedFilters/PartitionFilters),
+join strategies (broadcast vs shuffle), scan schemas (column pruning).
+
+    python tools/explain_all.py [sf_dir] [out_dir]
+
+Defaults: /root/testdata/sf0.01 -> ./plans_audit/ (one .txt per query,
+plus a summary line per query on stdout: joins by type, #exchanges).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neo4j_dynagraph_spark import get_spark  # noqa: E402
+from neo4j_dynagraph_spark import plans  # noqa: E402
+from neo4j_dynagraph_spark.queries import REGISTRY  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "plans_audit"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("explain-all")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            df = spec.fn(spark, sf_dir)
+        except Exception as ex:  # streaming runners etc. may need execution
+            print(f"{name}: SKIP ({type(ex).__name__})")
+            continue
+        s = plans.plan_str(df, "formatted")
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(s)
+        simple = plans.plan_str(df, "simple")
+        counts = {
+            "bhj": simple.count("BroadcastHashJoin"),
+            "bnlj": simple.count("BroadcastNestedLoopJoin"),
+            "smj": simple.count("SortMergeJoin"),
+            "shj": simple.count("ShuffledHashJoin"),
+            "exch": simple.count("Exchange"),
+        }
+        flags = []
+        if "PushedFilters: [" in s and "PushedFilters: []" not in s:
+            flags.append("pushdown")
+        if "PartitionFilters: [" in s and "PartitionFilters: []" not in s:
+            flags.append("partition-prune")
+        print(
+            f"{name}: joins bhj={counts['bhj']} bnlj={counts['bnlj']} "
+            f"smj={counts['smj']} shj={counts['shj']} exch={counts['exch']} "
+            f"{' '.join(flags)}"
+        )
+
+
+if __name__ == "__main__":
+    main()
