@@ -16,7 +16,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from neo4j_dynagraph_spark.operators import dedup, multimodal, similarity, text
-from neo4j_dynagraph_spark.queries import DELTA, SPELL_LEN, query
+from neo4j_dynagraph_spark.queries import (
+    _EDGES_FROM_P,
+    DELTA,
+    SPELL_LEN,
+    _presence_sql,
+    query,
+)
 from neo4j_dynagraph_spark.sources.tables import load_table
 from neo4j_dynagraph_spark.streaming import (
     stateful_sessions_from_parquet,
@@ -502,6 +508,32 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide_seconds=DELTA,
     )
     return result.orderBy("window_start")
+
+
+@query(
+    "q_stream_edges",
+    oracle=f"""
+WITH p AS ({_presence_sql()})
+SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
+ORDER BY frame_id, actor1, actor2
+""",
+)
+def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming co-presence edges: watermarked stream-stream self-join
+    of the events stream on the frame grid, chained into a windowed
+    pair-count aggregation (two stateful operators). Drained, it must
+    equal the batch presence_to_frame_interactions — the oracle IS the
+    batch SQL. This is the incremental form of the engine's core
+    ingest operator (load_gexf_to_neo4j.py:241-249)."""
+    from neo4j_dynagraph_spark.streaming.edges import (
+        streaming_frame_edges_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_frame_edges_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA, ts_is_nanos=True
+    )
+    return result.orderBy("frame_id", "actor1", "actor2")
 
 
 @query(

@@ -211,3 +211,22 @@ def test_stateful_sessions_multibatch_equals_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, s.collect()))
     assert got == want
+
+
+def test_stream_edges_equal_batch(spark):
+    """Watermarked stream-stream self-join edges == batch co-presence
+    operator, including the n1*n2 weights (one joined row per event
+    pair makes count(*) the product)."""
+    from neo4j_dynagraph_spark.streaming.edges import (
+        streaming_frame_edges_from_parquet,
+    )
+    from neo4j_dynagraph_spark.sources.tables import load_table
+
+    raw_schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    got = streaming_frame_edges_from_parquet(
+        spark, f"{SF_SMALL}/events.parquet", raw_schema, 3600, ts_is_nanos=True
+    )
+    batch = ingest.presence_to_frame_interactions(
+        ingest.events_to_presence(load_table(spark, SF_SMALL, "events"))
+    ).select("frame_id", "actor1", "actor2", "weight")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
