@@ -143,6 +143,99 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("d1", "d2")
 
 
+@query(
+    "q_curate",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id, len(t) AS n_tokens,
+             len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS ttr
+      FROM tok WHERE len(t) > 0)
+SELECT s.doc_id, d.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens
+FROM s JOIN documents d USING (doc_id)
+WHERE s.n_tokens >= 30 AND s.ttr >= 0.35
+  AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 < 2
+ORDER BY doc_id
+""",
+)
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: quality gate (length + type-token ratio) then a
+    DETERMINISTIC 40% subsample via hash-mod on doc_id — reproducible
+    under any partitioning (F.rand sampling is not), and exactly
+    replayable in SQL. The composition pattern every training-data
+    pipeline ends with: score -> filter -> stratify."""
+    docs = _docs(spark, sf_dir)
+    stats = text.text_stats(docs)
+    import neo4j_dynagraph_spark.functions as dfn
+
+    return (
+        stats.where((F.col("n_tokens") >= 30) & (F.col("ttr") >= 0.35))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .where(dfn.hash64(F.col("doc_id").cast("string")) % 5 < 2)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+_PIPE_H = ", ".join(
+    f"('0x' || substr(hh, {8 * i + 1}, 8))::BIGINT AS h{i}" for i in range(8)
+)
+_PIPE_SIG = ", ".join(f"min(h{i}) AS h{i}" for i in range(8))
+_PIPE_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM sig"
+    for b in range(4)
+)
+
+
+@query(
+    "q_dedup_pipeline",
+    oracle=f"""
+WITH {_TOK_CTE},
+keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+tok1 AS (SELECT tok.doc_id, tok.t FROM tok JOIN keep1 USING (doc_id)),
+sh1 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM tok1, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) AS hh FROM sh1),
+hs AS (SELECT doc_id, {_PIPE_H} FROM hx),
+sig AS (SELECT doc_id, {_PIPE_SIG} FROM hs GROUP BY 1),
+bands AS ({_PIPE_BANDS}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
+         ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+ver AS (SELECT i.d1, i.d2 FROM inter i
+        JOIN cand USING (d1, d2)
+        JOIN sz na ON na.doc_id = i.d1
+        JOIN sz nb ON nb.doc_id = i.d2
+        WHERE i.c / CAST(na.n + nb.n - i.c AS DOUBLE) >= 0.6)
+SELECT k.doc_id FROM keep1 k
+WHERE k.doc_id NOT IN (SELECT d2 FROM ver)
+ORDER BY doc_id
+""",
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline as one composition: exact survivors
+    (min doc_id per digest) -> MinHash-LSH candidates -> exact 3-gram
+    Jaccard verify (>= 0.6) -> greedy keep (drop the larger id of each
+    verified pair). Demonstrates that the dedup operators chain without
+    materialization boundaries; every stage is the already-tested
+    operator."""
+    docs = _docs(spark, sf_dir)
+    keep1 = dedup.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    docs1 = docs.join(keep1, "doc_id", "semi")
+    cand = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(dedup.shingles_df(docs1), num_hashes=8)
+    )
+    jac = dedup.ngram_jaccard_pairs(docs1, threshold=0.6, block_col=None)
+    drops = jac.join(cand, ["d1", "d2"], "semi").select(F.col("d2").alias("doc_id"))
+    return (
+        docs1.select("doc_id")
+        .join(drops, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------ similarity
 
 
