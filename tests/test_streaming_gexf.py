@@ -149,7 +149,6 @@ def test_stateful_sessions_multibatch_equals_batch(spark, tmp_path):
     c2 = dt.datetime(2024, 1, 21, tzinfo=dt.timezone.utc)
     src = tmp_path / "src"
     src.mkdir()
-    import time as _time
 
     parts = [
         ev.where(F.col("ts") < F.lit(c1)),
@@ -163,7 +162,6 @@ def test_stateful_sessions_multibatch_equals_batch(spark, tmp_path):
         raw.filter(F.col("event_id").isin(keys)).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(src / f"part{i}"))
-        _time.sleep(1.1)  # distinct mtimes => deterministic oldest-first order
 
     # flatten: move each part's parquet file up as fileN.parquet
     import glob, shutil
