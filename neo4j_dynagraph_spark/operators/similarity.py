@@ -278,6 +278,26 @@ def ivf_topk(
     )
 
 
+def write_ivf_corpus(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> None:
+    """Materialize the corpus partitioned by its IVF home cell.
+
+    This is the at-rest layout the probe path assumes at scale: a query
+    that probes nprobe cells reads nprobe directories (partition
+    pruning), i.e. nprobe/C of the data, instead of scanning the full
+    corpus. Pair with ivf_topk by loading the pruned cells as the
+    candidate set.
+    """
+    ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        id_col, vec_col, "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+
+
 def pandas_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -112,3 +112,23 @@ def test_pandas_path_equals_jvm_path(emb):
     ]
     for a, b in zip(jvm, arrow):
         assert abs(a.sim - b.sim) < 1e-5
+
+
+def test_ivf_layout_prunes_partitions(spark, emb, tmp_path):
+    """The materialized cell layout must turn a probe into partition
+    pruning — reading nprobe cells touches only those directories."""
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    out = str(tmp_path / "ivf")
+    similarity.write_ivf_corpus(emb, cents, out)
+    stored = spark.read.parquet(out)
+    probe = stored.where(F.col("cell").isin([0, 3]))
+    from neo4j_dynagraph_spark import plans
+
+    s = plans.plan_str(probe, "formatted")
+    assert "PartitionFilters" in s and "cell" in s.split("PartitionFilters", 1)[1][:200]
+    # membership: probed rows are exactly the vectors homed to cells 0/3
+    assign = similarity.ivf_assign(emb, cents, nprobe=1)
+    want = {r.vec_id for r in assign.where(F.col("cell").isin([0, 3])).collect()}
+    assert {r.vec_id for r in probe.collect()} == want
