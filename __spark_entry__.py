@@ -14,11 +14,16 @@ still works because load_table handles both encodings.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from neo4j_dynagraph_spark import queries as q
+# robust to being exec'd/imported from any cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neo4j_dynagraph_spark import queries as q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -115,3 +115,24 @@ def test_max_actors_per_frame_guard(spark):
     ).collect()
     assert all_pairs == 7
     assert len(capped) == 1 and capped[0].frame_id == 2
+
+
+def test_sessionize_invariants(spark):
+    """Session semantics on real data: counts conserve, bounds ordered,
+    consecutive sessions of a user separated by >= gap."""
+    from neo4j_dynagraph_spark.queries import REGISTRY, SPELL_LEN
+
+    rows = REGISTRY["q_sessionize"].fn(spark, SF_SMALL).collect()
+    ev_count = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r.n_events for r in rows) == ev_count
+    by_user = {}
+    for r in rows:
+        assert r.session_start <= r.session_end
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    gaps_checked = 0
+    for sess in by_user.values():
+        sess.sort()
+        for (s1, e1), (s2, _) in zip(sess, sess[1:]):
+            assert s2 - e1 >= SPELL_LEN
+            gaps_checked += 1
+    assert gaps_checked > 0
