@@ -938,6 +938,64 @@ def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_degree_timeseries",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+v AS (SELECT frame_id, count(*) AS n_actors FROM p GROUP BY 1),
+e AS (SELECT frame_id, count(*) AS n_edges
+      FROM (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})) d
+      GROUP BY 1),
+d AS (SELECT v.frame_id, v.n_actors, coalesce(e.n_edges, 0) AS n_edges,
+             round(2.0 * coalesce(e.n_edges, 0) / v.n_actors, 6) AS avg_degree
+      FROM v LEFT JOIN e ON v.frame_id = e.frame_id)
+SELECT frame_id, n_actors, n_edges, avg_degree,
+       round(avg(avg_degree) OVER (ORDER BY frame_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg_degree_ma3
+FROM d ORDER BY frame_id
+""",
+)
+def q_degree_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-graph analytics the reference's model implies but never
+    queries: mean degree per frame (2|E|/|V|) with a 3-frame moving
+    average — per-frame aggregation composed with an ordered analytic
+    window (rowsBetween), the time-series shape over the star schema.
+
+    The global orderBy window runs single-partition — fine because the
+    series has one row per FRAME (time-range/delta, ~9k rows/year at
+    hour frames), not per event; for second-granularity frames over
+    years, partition the window by a coarse date key and stitch the
+    2-row boundary overlap."""
+    p = _presence(spark, sf_dir)
+    v = p.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_actors"))
+    e = (
+        _edges(spark, sf_dir)
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+        .groupBy("frame_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    d = (
+        v.join(e, "frame_id", "left")
+        .select(
+            "frame_id",
+            "n_actors",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_edges"), F.lit(0))
+                / F.col("n_actors"),
+                6,
+            ).alias("avg_degree"),
+        )
+    )
+    w = Window.orderBy("frame_id").rowsBetween(-2, Window.currentRow)
+    return (
+        d.withColumn("avg_degree_ma3", F.round(F.avg("avg_degree").over(w), 6))
+        .orderBy("frame_id")
+    )
+
+
+@query(
     "q_connected_components",
     oracle=f"""
 WITH RECURSIVE
