@@ -104,6 +104,53 @@ def degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def temporal_reachability(
+    edges: DataFrame, source: int, max_iterations: int = 30
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability from `source`:
+    actor X is reachable iff there is a path whose edge frames are
+    non-decreasing (you cannot ride an interaction that happened before
+    you arrived). Returns (actor, arrival_frame) — the minimum frame at
+    which each reachable actor can first be reached; the source itself
+    carries arrival_frame -1.
+
+    This is THE query class that makes a graph "temporal" (reachability
+    differs from the static graph's, and is asymmetric even on
+    undirected edges: A-B@1, B-C@2 reaches A->C but not C->A). Iterative
+    relaxation: one join + min-agg per round, O(temporal diameter)
+    rounds, lineage truncated per round like connected_components.
+    """
+    sym = symmetrize(
+        edges.select("frame_id", "actor1", "actor2").distinct()
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    arrival = spark.createDataFrame(
+        [(int(source), -1)], "actor long, t long"
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        cand = (
+            sym.join(arrival, sym.src == arrival.actor)
+            .where(F.col("frame_id") >= F.col("t"))
+            .select(F.col("dst").alias("actor"), F.col("frame_id").alias("t"))
+        )
+        new_arrival = (
+            arrival.unionByName(cand)
+            .groupBy("actor")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_arrival.alias("n")
+            .join(arrival.alias("o"), "actor", "left")
+            .where(F.col("o.t").isNull() | (F.col("n.t") != F.col("o.t")))
+            .count()
+        )
+        arrival = new_arrival
+        if changed == 0:
+            break
+    return arrival.select("actor", F.col("t").alias("arrival_frame")).orderBy("actor")
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
     """Connected components of the undirected interaction graph by
     min-label propagation: every node starts labeled with its own id;

@@ -996,6 +996,33 @@ def q_degree_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_temporal_reach",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+r AS (
+  SELECT CAST({ACTOR1} AS BIGINT) AS node, CAST(-1 AS BIGINT) AS t
+  UNION
+  SELECT s.dst AS node, s.frame_id AS t
+  FROM r JOIN sym s ON s.src = r.node AND s.frame_id >= r.t
+)
+SELECT node AS actor, min(t) AS arrival_frame FROM r
+GROUP BY 1 ORDER BY actor
+""",
+)
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability from the pinned
+    actor over the full range — the defining temporal-graph query
+    (reachability is asymmetric: a later edge can't precede an earlier
+    hop). Iterative relaxation in Spark; the oracle replays it as a
+    recursive CTE over (node, arrival) pairs."""
+    return graph.temporal_reachability(_edges(spark, sf_dir), ACTOR1)
+
+
+@query(
     "q_connected_components",
     oracle=f"""
 WITH RECURSIVE

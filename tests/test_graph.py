@@ -95,3 +95,25 @@ def test_pagerank_matches_numpy(edges):
         assert abs(rank - want[actor]) < 1e-6
     # ranks sum to ~1 (no dangling mass; each rank rounded to 1e-6)
     assert abs(sum(rk for _, rk in rows) - 1.0) < 1e-6 * len(rows)
+
+
+def test_temporal_reachability_respects_time(spark):
+    """A-B@1, B-C@2: A reaches C (1 then 2, non-decreasing) but C does
+    NOT reach A (would need B-A at frame >= 2; the edge is at 1) — the
+    asymmetry that distinguishes temporal from static reachability."""
+    e = spark.createDataFrame(
+        [(1, 10, 20), (2, 20, 30)], "frame_id long, actor1 long, actor2 long"
+    )
+    from_a = {r.actor: r.arrival_frame for r in graph.temporal_reachability(e, 10).collect()}
+    assert from_a == {10: -1, 20: 1, 30: 2}
+    from_c = {r.actor: r.arrival_frame for r in graph.temporal_reachability(e, 30).collect()}
+    assert from_c == {30: -1, 20: 2}  # A (10) unreachable backwards in time
+
+
+def test_temporal_reachability_same_frame_chain(spark):
+    # equal frames chain freely (>= not >): A-B@5, B-C@5 reaches C@5
+    e = spark.createDataFrame(
+        [(5, 1, 2), (5, 2, 3)], "frame_id long, actor1 long, actor2 long"
+    )
+    got = {r.actor: r.arrival_frame for r in graph.temporal_reachability(e, 1).collect()}
+    assert got == {1: -1, 2: 5, 3: 5}
