@@ -996,6 +996,59 @@ def q_degree_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_actor_churn",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+pa AS (SELECT DISTINCT frame_id, actor FROM p),
+joined AS (SELECT c.frame_id, count(*) AS n_joined
+           FROM pa c LEFT JOIN pa prev
+             ON prev.frame_id = c.frame_id - 1 AND prev.actor = c.actor
+           WHERE prev.actor IS NULL GROUP BY 1),
+left_ AS (SELECT prev.frame_id + 1 AS frame_id, count(*) AS n_left
+          FROM pa prev LEFT JOIN pa c
+            ON c.frame_id = prev.frame_id + 1 AND c.actor = prev.actor
+          WHERE c.actor IS NULL GROUP BY 1),
+f AS (SELECT DISTINCT frame_id FROM pa
+      UNION SELECT frame_id FROM left_)
+SELECT f.frame_id, coalesce(j.n_joined, 0) AS n_joined,
+       coalesce(l.n_left, 0) AS n_left
+FROM f LEFT JOIN joined j ON j.frame_id = f.frame_id
+LEFT JOIN left_ l ON l.frame_id = f.frame_id
+ORDER BY f.frame_id
+""",
+)
+def q_actor_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dynamics: per frame, how many actors appeared that were
+    absent the previous frame (n_joined) and how many from the previous
+    frame vanished (n_left, attributed to the frame they miss). The
+    frame-over-frame set-diff shape — anti-joins on the shifted frame
+    key, one shuffle each."""
+    pa = _presence(spark, sf_dir).select("frame_id", "actor").distinct()
+    prev = pa.select((F.col("frame_id") + 1).alias("frame_id"), "actor")
+    joined = (
+        pa.join(prev, ["frame_id", "actor"], "left_anti")
+        .groupBy("frame_id")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+    )
+    left_ = (
+        prev.join(pa, ["frame_id", "actor"], "left_anti")
+        .groupBy("frame_id")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    frames = pa.select("frame_id").union(left_.select("frame_id")).distinct()
+    return (
+        frames.join(joined, "frame_id", "left")
+        .join(left_, "frame_id", "left")
+        .select(
+            "frame_id",
+            F.coalesce("n_joined", F.lit(0)).alias("n_joined"),
+            F.coalesce("n_left", F.lit(0)).alias("n_left"),
+        )
+        .orderBy("frame_id")
+    )
+
+
+@query(
     "q_temporal_reach",
     oracle=f"""
 WITH RECURSIVE
