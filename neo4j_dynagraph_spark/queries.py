@@ -996,6 +996,38 @@ def q_degree_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_contact_strength",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS ({_EDGES_FROM_P})
+SELECT actor1, actor2, count(*) AS n_frames,
+       count(*) * {DELTA} AS contact_seconds,
+       CAST(sum(weight) AS BIGINT) AS total_weight
+FROM e GROUP BY 1, 2
+ORDER BY n_frames DESC, actor1, actor2 LIMIT 20
+""",
+)
+def q_contact_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest ties: per canonical pair, co-present frame count,
+    cumulative contact seconds (frames x DELTA — the SocioPatterns
+    contact-duration metric), and summed event-pair weight; top 20.
+    The reference stores weight=1 per frame-edge and never aggregates
+    it (SURVEY.md §2.4 note) — this is that implied aggregation, with
+    a real weight."""
+    return (
+        _edges(spark, sf_dir)
+        .groupBy("actor1", "actor2")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            (F.count(F.lit(1)) * DELTA).alias("contact_seconds"),
+            F.sum("weight").alias("total_weight"),
+        )
+        .orderBy(F.desc("n_frames"), "actor1", "actor2")
+        .limit(20)
+    )
+
+
+@query(
     "q_actor_churn",
     oracle=f"""
 WITH p AS ({_presence_sql()}),

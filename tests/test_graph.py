@@ -117,3 +117,21 @@ def test_temporal_reachability_same_frame_chain(spark):
     )
     got = {r.actor: r.arrival_frame for r in graph.temporal_reachability(e, 1).collect()}
     assert got == {1: -1, 2: 5, 3: 5}
+
+
+def test_temporal_reach_subset_of_component(spark):
+    """Time-respecting reachability can only shrink static reachability:
+    every temporally-reached actor must lie in the source's connected
+    component (and the source's own component always contains it)."""
+    from neo4j_dynagraph_spark.operators import ingest
+    from neo4j_dynagraph_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    edges = ingest.presence_to_frame_interactions(
+        ingest.events_to_presence(load_table(spark, SF_SMALL, "events"))
+    )
+    reach = {r.actor for r in graph.temporal_reachability(edges, 1).collect()}
+    comp = {r.actor: r.component for r in graph.connected_components(edges).collect()}
+    src_comp = comp[1]
+    assert reach, "source must at least reach itself"
+    assert all(comp[a] == src_comp for a in reach)
