@@ -1343,14 +1343,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sp AS (SELECT event_id, user_id, {_ES} AS t1, {_ES} + {SPELL_LEN} AS t2
             FROM events),
-bucketed AS (SELECT *, t1 // 86400 AS day_bucket FROM sp)
-SELECT a.event_id AS e1, b.event_id AS e2, a.user_id AS u1, b.user_id AS u2,
+bucketed AS (SELECT sp.*, u.b AS day_bucket
+             FROM sp, unnest(range(t1 // 86400, (t2 - 1) // 86400 + 1)) AS u(b))
+SELECT DISTINCT a.event_id AS e1, b.event_id AS e2,
+       a.user_id AS u1, b.user_id AS u2,
        least(a.t2, b.t2) - greatest(a.t1, b.t1) AS overlap_s
 FROM bucketed a JOIN bucketed b
   ON a.day_bucket = b.day_bucket
  AND a.user_id < b.user_id
  AND a.t1 < b.t2 AND b.t1 < a.t2
-WHERE a.t1 // 86400 = b.t1 // 86400
 ORDER BY e1, e2
 """,
 )
@@ -1358,12 +1359,12 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join without discretization: event spells
     [ts, ts+30min) of different users that overlap, with overlap
     length. The scale pattern is the reference's own trick turned
-    inside out (SURVEY.md §4 note): equi-bucket the intervals (day
-    buckets) so the planner gets a hash-joinable key, then apply the
-    interval predicate inside the bucket — a bucketed range join
-    instead of a cartesian. (Spells crossing bucket boundaries would
-    need replication-to-both-buckets; event spells here are intra-day,
-    asserted by the bucket-equality predicate.)"""
+    inside out (SURVEY.md §4 note): REPLICATE each interval into every
+    day bucket it touches (explode over the bucket range — <= 2 here),
+    equi-join on the bucket so the planner gets a hash key, apply the
+    interval predicate inside the bucket, and dedupe pairs whose
+    overlap spans a boundary (found in both buckets). A true interval
+    join as a bucketed hash join instead of a cartesian."""
     ev = _events(spark, sf_dir)
     es = dfn.epoch_seconds(F.col("ts"))
     sp = ev.select(
@@ -1371,7 +1372,14 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         es.alias("t1"),
         (es + SPELL_LEN).alias("t2"),
-        (es.cast("long") / 86400).cast("long").alias("day_bucket"),
+    ).withColumn(
+        "day_bucket",
+        F.explode(
+            F.sequence(
+                (F.col("t1") / 86400).cast("long"),
+                ((F.col("t2") - 1) / 86400).cast("long"),
+            )
+        ),
     )
     a, b = sp.alias("a"), sp.alias("b")
     return (
@@ -1382,7 +1390,6 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.t1") < F.col("b.t2"))
             & (F.col("b.t1") < F.col("a.t2")),
         )
-        .where((F.col("a.t1") / 86400).cast("long") == (F.col("b.t1") / 86400).cast("long"))
         .select(
             F.col("a.event_id").alias("e1"),
             F.col("b.event_id").alias("e2"),
@@ -1393,6 +1400,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.greatest(F.col("a.t1"), F.col("b.t1"))
             ).alias("overlap_s"),
         )
+        .distinct()
         .orderBy("e1", "e2")
     )
 
