@@ -751,6 +751,25 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_approx_quantiles")
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles: percentile_approx (Greenwald-Khanna, mergeable
+    constant-size state) next to the exact value. At 100 TB the exact
+    percentile materializes every group's values; the sketch keeps
+    O(1/accuracy) state per group and merges map-side. No SQL oracle
+    (sketch internals are engine-specific; rows-only check) — the unit
+    test bounds the error against the exact path."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query(
     "q_topk",
     oracle=f"""

@@ -51,3 +51,15 @@ def test_entry_contract(spark):
     rows = e.entry(spark).collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_quantiles_error_bound(spark):
+    from neo4j_dynagraph_spark.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["q_approx_quantiles"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # GK with accuracy 1000 on ~hundreds of values per group: the
+        # approx median must be a value near the exact median
+        assert abs(r.p50_approx - r.p50_exact) <= max(0.05 * abs(r.p50_exact), 0.5)
