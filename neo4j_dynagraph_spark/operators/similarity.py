@@ -74,18 +74,22 @@ def hyperplane_buckets(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    table: int = 0,
 ) -> DataFrame:
     """Deterministic random-hyperplane LSH bucket id per vector.
 
-    Plane p's weight for dimension d is (hash64('p{p}d{d}') % 2001 -
-    1000) / 1000.0 — a portable pseudo-random value in [-1, 1]. The
-    bucket id packs the sign bits of the n_planes projections.
+    Plane p's weight for dimension d is (hash64('t{table}p{p}d{d}') %
+    2001 - 1000) / 1000.0 — a portable pseudo-random value in [-1, 1];
+    `table` seeds an independent hash family per LSH table. The bucket
+    id packs the sign bits of the n_planes projections (table 0 keeps
+    the historical 'p{p}d' seeds so existing buckets are stable).
     """
+    seed = f"t{table}p" if table else "p"
     proj_terms = []
     for p in range(n_planes):
         w = (
             f"transform(sequence(0, size({vec_col}) - 1), "
-            f"d -> (CAST(conv(substr(md5(concat('p{p}d', d)), 1, 8), 16, 10) AS DOUBLE) % 2001 - 1000) / 1000.0)"
+            f"d -> (CAST(conv(substr(md5(concat('{seed}{p}d', d)), 1, 8), 16, 10) AS DOUBLE) % 2001 - 1000) / 1000.0)"
         )
         dot = (
             f"aggregate(zip_with({vec_col}, {w}, (x, y) -> x * y), "
@@ -105,36 +109,52 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: bucket join then exact re-rank.
+    """Approximate top-k: bucket join(s) then exact re-rank.
 
-    Output schema matches brute_force_topk; recall < 1 by design. The
-    join shuffles on the bucket id — at scale, pre-partition/bucket the
-    corpus table by this key so the probe side co-locates.
+    Output schema matches brute_force_topk; recall < 1 by design,
+    tuned on two axes: fewer planes -> bigger buckets (higher recall,
+    more verify work per bucket), more tables -> OR-amplification (a
+    candidate only needs to share a bucket in ANY table; recall rises
+    roughly 1-(1-r)^T for per-table recall r). Each table's bucket ids
+    come from an independent seeded hash family; candidates are
+    deduped before the exact re-rank so a pair colliding in several
+    tables is scored once. The join shuffles on (table, bucket) — at
+    scale, pre-partition/bucket the corpus by this key so the probe
+    side co-locates.
     """
     from pyspark.sql import Window
 
-    cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col).withColumnRenamed(
-        id_col, "cid"
+    cand = None
+    for t in range(n_tables):
+        cb = hyperplane_buckets(
+            corpus, n_planes, id_col, vec_col, table=t
+        ).withColumnRenamed(id_col, "cid")
+        qb = hyperplane_buckets(
+            queries.select(F.col("qid").alias(id_col), F.col("qv").alias(vec_col)),
+            n_planes,
+            id_col,
+            vec_col,
+            table=t,
+        ).select(F.col(id_col).alias("qid"), "bucket")
+        pairs = (
+            cb.join(F.broadcast(qb), "bucket")
+            .where(F.col("cid") != F.col("qid"))
+            .select("qid", "cid", F.col(vec_col))
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["qid", "cid"])
+    q_side = queries.select(
+        "qid", F.col("qv"), F.expr(_NORM.format(c="qv")).alias("qn")
     )
-    qb = hyperplane_buckets(
-        queries.select(F.col("qid").alias(id_col), F.col("qv").alias(vec_col)),
-        n_planes,
-        id_col,
-        vec_col,
-    ).select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        "bucket",
-        F.expr(_NORM.format(c=vec_col)).alias("qn"),
+    scored = cand.withColumn("cn", F.expr(_NORM.format(c=vec_col))).join(
+        F.broadcast(q_side), "qid"
     )
-    cand = cb.withColumn("cn", F.expr(_NORM.format(c=vec_col))).join(
-        F.broadcast(qb), "bucket"
-    ).where(F.col("cid") != F.col("qid"))
     sim = (F.expr(_DOT) / (F.col("qn") * F.col("cn"))).alias("sim_raw")
     w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
     return (
-        cand.select("qid", "cid", sim)
+        scored.select("qid", "cid", sim)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))

@@ -339,14 +339,15 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_embed_ann_lsh")
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via deterministic random-hyperplane LSH buckets
-    (8 planes) + exact re-rank within buckets. No SQL oracle — the
-    bucketing is engine-internal (rows-only check); recall vs
-    q_embed_topk is asserted in tests."""
+    (8 planes x 2 tables, OR-amplified) + exact re-rank over deduped
+    candidates. No SQL oracle — the bucketing is engine-internal
+    (rows-only check); recall vs q_embed_topk and the multi-table
+    recall gain are asserted in tests."""
     emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    return similarity.lsh_bucketed_topk(emb, queries_df, k=5, n_planes=8)
+    return similarity.lsh_bucketed_topk(emb, queries_df, k=5, n_planes=8, n_tables=2)
 
 
 # ----------------------------------------------------------------- text

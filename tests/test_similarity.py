@@ -132,3 +132,17 @@ def test_ivf_layout_prunes_partitions(spark, emb, tmp_path):
     assign = similarity.ivf_assign(emb, cents, nprobe=1)
     want = {r.vec_id for r in assign.where(F.col("cell").isin([0, 3])).collect()}
     assert {r.vec_id for r in probe.collect()} == want
+
+
+def test_multi_table_lsh_improves_recall(emb):
+    """OR-amplification: candidates found in ANY table — recall with 3
+    tables must be >= single-table recall on identical planes."""
+    exact = {(r.qid, r.cid) for r in
+             similarity.brute_force_topk(emb, _queries(emb), k=5).collect()}
+    def recall(n_tables):
+        got = {(r.qid, r.cid) for r in similarity.lsh_bucketed_topk(
+            emb, _queries(emb), k=5, n_planes=6, n_tables=n_tables).collect()}
+        return len(exact & got) / len(exact)
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > 0
