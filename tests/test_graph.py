@@ -135,3 +135,23 @@ def test_temporal_reach_subset_of_component(spark):
     src_comp = comp[1]
     assert reach, "source must at least reach itself"
     assert all(comp[a] == src_comp for a in reach)
+
+
+def test_graphframes_backend_gated(edges):
+    """Without the jar, the optional backend must fail with actionable
+    guidance, never a bare ModuleNotFoundError mid-plan."""
+    try:
+        import graphframes  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    if have:
+        got = [(r.a, r.b, r.c) for r in graph.triangles_via_graphframes(edges).collect()]
+        want = [(r.a, r.b, r.c) for r in graph.triangles(edges).collect()]
+        assert got == want
+    else:
+        import pytest
+
+        with pytest.raises(ImportError, match="graph.triangles"):
+            graph.triangles_via_graphframes(edges)
