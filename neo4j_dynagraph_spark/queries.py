@@ -1358,6 +1358,50 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_keyed",
+    oracle="""
+SELECT a.event_id, max(epoch_us(b.ts)) AS asof_us
+FROM events a JOIN events b
+  ON b.user_id = a.user_id AND b.event_type = 'view'
+ AND epoch_us(b.ts) <= epoch_us(a.ts)
+WHERE a.event_type = 'purchase'
+GROUP BY a.event_id ORDER BY a.event_id
+""",
+)
+def q_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join — every purchase matched to the user's most
+    recent view at-or-before it (attribution). Unlike q_asof_join's
+    anchored two-series form, the window partitions by user_id, so the
+    sort-merge as-of runs per key across the cluster: ONE shuffle on
+    the key, no per-key driver loop, no pair blowup. Microsecond-exact
+    ordering (unix_micros) keeps both engines' tie handling aligned."""
+    ev = _events(spark, sf_dir)
+    eus = F.expr("unix_micros(ts)")
+    probe = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", eus.alias("eus"),
+        F.lit(None).cast("long").alias("b_us"),
+    )
+    build = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.lit(None).cast("long").alias("event_id"),
+        eus.alias("eus"), eus.alias("b_us"),
+    )
+    u = probe.withColumn("is_probe", F.lit(1)).unionByName(
+        build.withColumn("is_probe", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("eus", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_us", F.last("b_us", ignorenulls=True).over(w))
+        .where((F.col("is_probe") == 1) & F.col("asof_us").isNotNull())
+        .select("event_id", "asof_us")
+        .orderBy("event_id")
+    )
+
+
+@query(
     "q_interval_overlap",
     oracle=f"""
 WITH sp AS (SELECT event_id, user_id, {_ES} AS t1, {_ES} + {SPELL_LEN} AS t2

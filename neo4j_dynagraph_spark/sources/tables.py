@@ -51,8 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # `{col}_ns`; everything else uses the derived timestamp.
             df = df.withColumn(f"{col}_ns", F.col(col))
             # integer nanos -> truncate to micros (same truncation DuckDB
-            # applies when reading TIMESTAMP(NANOS) into its micro TIMESTAMP)
-            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+            # applies when reading TIMESTAMP(NANOS) into its micro
+            # TIMESTAMP). MUST be integer `div`: `/` promotes to double,
+            # and epoch-nanos (~1.7e18) exceed double's 2^53 exact range,
+            # so floor(ns/1000.0) lands on a 1024 ns grid — observed as
+            # ±1 µs errors against the oracle's exact integer division.
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df
 
 

@@ -140,9 +140,7 @@ def streaming_frame_edges_from_parquet(
     parquet_path = stage
     stream = spark.readStream.schema(schema).parquet(parquet_path)
     if ts_is_nanos:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     edges = stream_frame_edges(stream, delta_seconds)
     sink_name = f"stream_edges_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")

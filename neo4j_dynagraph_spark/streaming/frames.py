@@ -92,9 +92,7 @@ def streaming_frame_counts_from_parquet(
     reader = spark.readStream.schema(schema)
     stream = reader.parquet(parquet_path)
     if ts_is_nanos:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     agg = stream_tumbling_counts(stream, delta_seconds, slide_seconds=slide_seconds)
     sink_name = f"stream_frames_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")

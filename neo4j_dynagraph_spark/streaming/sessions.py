@@ -179,9 +179,7 @@ def stateful_sessions_from_parquet(
         reader = reader.option("latestFirst", "false")
     stream = reader.parquet(parquet_path)
     if ts_is_nanos:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     sessions = stateful_sessionize(stream, gap_seconds)
     sink_name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
