@@ -993,8 +993,11 @@ def q_degree_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("frame_id")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )
+    # both sides are one-row-per-frame aggregates (bounded by time-range
+    # / delta, not by data volume) — broadcast beats the SMJ the static
+    # planner picks for the equal-sized sides
     d = (
-        v.join(e, "frame_id", "left")
+        v.join(F.broadcast(e), "frame_id", "left")
         .select(
             "frame_id",
             "n_actors",
