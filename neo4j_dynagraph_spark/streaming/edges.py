@@ -118,6 +118,8 @@ def streaming_frame_edges_from_parquet(
     batch_df = spark.read.schema(schema).parquet(parquet_path)
     ts_field = "ts"
     mx = batch_df.agg(F_.max(ts_field)).first()[0]
+    if mx is None:
+        raise ValueError(f"no rows under {parquet_path}; nothing to stream")
     horizon_ns = 7 * 24 * 3600
     if ts_is_nanos:
         sentinel_ts = int(mx) + horizon_ns * 1_000_000_000
