@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from neo4j_dynagraph_spark.operators import dedup, multimodal, similarity, text
 from neo4j_dynagraph_spark.queries import (
     _EDGES_FROM_P,
+    _FID,
     DELTA,
     SPELL_LEN,
     _presence_sql,
@@ -602,6 +603,29 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide_seconds=DELTA,
     )
     return result.orderBy("window_start")
+
+
+@query(
+    "q_stream_dedup",
+    oracle=f"""
+SELECT DISTINCT {_FID} AS frame_id, user_id AS actor
+FROM events ORDER BY frame_id, actor
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): first
+    sighting of each (frame, actor) presence pair, state bounded by
+    the watermark horizon. Drained == the batch DISTINCT — which is
+    the oracle."""
+    from neo4j_dynagraph_spark.streaming.frames import (
+        streaming_presence_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_presence_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA, ts_is_nanos=True
+    )
+    return result.orderBy("frame_id", "actor")
 
 
 @query(

@@ -66,6 +66,70 @@ def stream_tumbling_counts(
     )
 
 
+def stream_presence_dedup(
+    events: DataFrame,
+    delta_seconds: int = 3600,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming distinct presence pairs: first sighting of each
+    (frame_id, actor) — SURVEY.md §2.9 T4's 'dropDuplicates with
+    watermark' realized with dropDuplicatesWithinWatermark, the
+    loader's in-memory presence-set semantics
+    (load_gexf_to_neo4j.py:163-164,193) with bounded state: keys evict
+    once the watermark passes their event time, so state is O(pairs in
+    the horizon), not O(all pairs ever). Rows emit on first sight
+    (append mode needs no window finalization)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keyed = df.select(
+        F.col(ts_col),
+        F.floor(F.unix_timestamp(ts_col) / delta_seconds).alias("frame_id"),
+        F.col(user_col).alias("actor"),
+    )
+    dedup = (
+        keyed.dropDuplicatesWithinWatermark(["frame_id", "actor"])
+        if df.isStreaming
+        else keyed.dropDuplicates(["frame_id", "actor"])
+    )
+    return dedup.select("frame_id", "actor")
+
+
+def streaming_presence_from_parquet(
+    spark: SparkSession,
+    parquet_path: str,
+    schema,  # noqa: ANN001
+    delta_seconds: int = 3600,
+    ts_is_nanos: bool = False,
+) -> DataFrame:
+    """Bounded-drain runner for stream_presence_dedup (AvailableNow,
+    memory sink): drained output == batch distinct presence."""
+    import os
+
+    if os.path.isfile(parquet_path):
+        stage = tempfile.mkdtemp(prefix="dynagraph_presence_src_")
+        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+        parquet_path = stage
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    if ts_is_nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    dedup = stream_presence_dedup(stream, delta_seconds)
+    sink_name = f"stream_presence_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
+    query = (
+        dedup.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
 def streaming_frame_counts_from_parquet(
     spark: SparkSession,
     parquet_path: str,
