@@ -104,6 +104,40 @@ def degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def k_core(edges: DataFrame, k: int = 2, max_iterations: int = 50) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree >= k
+    within the subgraph. Iterative peeling — drop nodes below k,
+    recompute degrees on the surviving edges, repeat to the (unique)
+    fixpoint. Columns: actor, core_degree (its degree inside the core).
+
+    One degree aggregation + one semi-join filter per round; rounds
+    bounded by the longest peel cascade. Lineage truncated per round
+    (localCheckpoint; use checkpoint() on a cluster). The fixpoint is
+    unique, so the result is deterministic regardless of peel order —
+    which is what makes the operator testable without an oracle.
+    """
+    e = symmetrize(edges.select("actor1", "actor2").distinct()).localCheckpoint()
+    for _ in range(max_iterations):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("src")
+        new_e = (
+            e.join(F.broadcast(keep), "src", "semi")
+            .join(
+                F.broadcast(keep.withColumnRenamed("src", "dst")), "dst", "semi"
+            )
+            .localCheckpoint()
+        )
+        dropped = e.count() - new_e.count()
+        e = new_e
+        if dropped == 0:
+            break
+    return (
+        e.groupBy(F.col("src").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("actor")
+    )
+
+
 def triangles_via_graphframes(edges: DataFrame) -> DataFrame:
     """Optional GraphFrames motif backend for triangles (SURVEY.md §7.1:
     'if the runtime has the GraphFrames jar, expose it as an optional

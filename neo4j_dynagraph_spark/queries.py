@@ -1157,6 +1157,16 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(_edges(spark, sf_dir, _day_filter()))
 
 
+@query("q_kcore")
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """18-core of the pinned-day interaction graph (iterative peeling to
+    the unique fixpoint; k=18 keeps ~half the day's actors at sf0.01 —
+    a real cascade, not all-or-nothing). Iterative algorithm — no
+    ANSI-SQL oracle (rows-only check); the fixpoint properties are
+    pinned by unit tests on hand graphs (tests/test_graph.py)."""
+    return graph.k_core(_edges(spark, sf_dir, _day_filter()), k=18)
+
+
 @query("q_pagerank")
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 iterations, d=0.85) over the pinned-day interaction

@@ -155,3 +155,19 @@ def test_graphframes_backend_gated(edges):
 
         with pytest.raises(ImportError, match="graph.triangles"):
             graph.triangles_via_graphframes(edges)
+
+
+def test_k_core_peels_cascade(spark):
+    """Clique of 4 (a 3-core) with a pendant path: the path must peel
+    away ENTIRELY under k=3 — including node 5, whose degree only drops
+    below k after its neighbor 6 is removed (the cascade case)."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 5), (5, 6)]
+    e = spark.createDataFrame(clique + path, "actor1 long, actor2 long")
+    core3 = {r.actor: r.core_degree for r in graph.k_core(e, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    core2 = {r.actor: r.core_degree for r in graph.k_core(e, k=2).collect()}
+    # k=2: path nodes 5,6 still peel (degree 1 at the tail cascades)
+    assert set(core2) == {1, 2, 3, 4}
+    core1 = {r.actor for r in graph.k_core(e, k=1).collect()}
+    assert core1 == {1, 2, 3, 4, 5, 6}
