@@ -1338,11 +1338,15 @@ GROUP BY a.event_id ORDER BY a.event_id
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event of actor1, the most recent event time
-    of actor2 at-or-before it. Implemented with the scalable
-    union-sort-last pattern (one range-partitioned sort, no O(n*m)
-    pair blowup): tag both streams, sort by time, carry the last seen
-    build-side timestamp forward with last(ignorenulls) — the
-    sort-merge as-of plan every time-series engine uses."""
+    of actor2 at-or-before it. Implemented with the time-bucketed
+    union-last pattern (no O(n*m) pair blowup AND no global
+    single-partition sort): tag both streams, bucket by day, run the
+    carry-forward last(ignorenulls) window PER BUCKET (the only big
+    shuffle, a hash partition on the bucket key), then resolve rows
+    whose nearest build event lies in an earlier bucket with a
+    broadcast of per-bucket build maxima — carry_in(b) = max over
+    buckets < b, a triangular join on the tiny bucket-aggregate side.
+    Every stage is bounded by events-per-day, never by total history."""
     ev = _events(spark, sf_dir)
     es = dfn.epoch_seconds(F.col("ts"))
     probe = ev.where(F.col("user_id") == ACTOR1).select(
@@ -1354,16 +1358,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.alias("b_ts"),
     )
     # build rows sort before probe rows at equal timestamps (is_probe 0/1)
-    u = probe.withColumn("is_probe", F.lit(1)).unionByName(
-        build.withColumn("is_probe", F.lit(0))
+    u = (
+        probe.withColumn("is_probe", F.lit(1))
+        .unionByName(build.withColumn("is_probe", F.lit(0)))
+        .withColumn("bucket", (F.col("es") / 86400).cast("long"))
     )
     w = (
-        Window.orderBy("es", "is_probe")
+        Window.partitionBy("bucket")
+        .orderBy("es", "is_probe")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry-in per bucket: the max build ts of all STRICTLY EARLIER
+    # buckets. Bucket count is |history|/day — tiny next to the data —
+    # so the triangular self-join and the broadcast are both cheap.
+    bmax = (
+        u.where(F.col("is_probe") == 0)
+        .groupBy("bucket")
+        .agg(F.max("b_ts").alias("bmax"))
+    )
+    # anchor the carry on EVERY bucket seen in the union (a probe-only
+    # bucket still needs the carry-in from earlier build buckets)
+    carry = (
+        u.select("bucket")
+        .distinct()
+        .alias("c")
+        .join(bmax.alias("p"), F.col("p.bucket") < F.col("c.bucket"))
+        .groupBy(F.col("c.bucket").alias("bucket"))
+        .agg(F.max(F.col("p.bmax")).alias("carry_in"))
+    )
     return (
-        u.withColumn("asof_ts", F.last("b_ts", ignorenulls=True).over(w))
+        u.withColumn("wlast", F.last("b_ts", ignorenulls=True).over(w))
         .where(F.col("is_probe") == 1)
+        .join(F.broadcast(carry), "bucket", "left")
+        .withColumn("asof_ts", F.coalesce("wlast", "carry_in"))
         .where(F.col("asof_ts").isNotNull())
         .select("event_id", "asof_ts")
         .orderBy("event_id")

@@ -76,3 +76,15 @@ def test_minhash_pairs_single_aggregation_no_join(spark):
         "bucket pair expansion is a grouped array lambda — any Join here "
         "means the self-join crept back"
     )
+
+
+def test_asof_join_no_global_window(spark):
+    # q_asof_join must run its carry-forward window partitioned by the
+    # day bucket; a global (unpartitioned) window plans an Exchange
+    # SinglePartition — the scale-killer this test locks out.
+    df = REGISTRY["q_asof_join"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert "SinglePartition" not in s, (
+        "as-of window collapsed to a single partition"
+    )
+    assert "BroadcastHashJoin" in s, "carry-in side must be broadcast"
