@@ -107,33 +107,21 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    rows_per_band: int = 2,
-    max_bucket: int | None = None,
-) -> DataFrame:
-    """Band the signatures and emit candidate pairs (d1 < d2).
+def _lsh_buckets(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH buckets with >= 2 members: (band, h0, h1, ids).
 
-    Banding with r=rows_per_band: docs agreeing on ALL rows of any band
-    become candidates. The self-join shuffles on (band, h0..h{r-1}) —
-    the LSH bucket key. `max_bucket` drops degenerate buckets larger
-    than the cap (a skew guard for 100 TB corpora full of boilerplate).
-    Currently supports r=2 (bands of two hashes), the standard
-    b=4/r=2 setting for k=8 signatures.
+    Bands come from ONE explode generator (a union of per-band
+    projections would recompute the signature subtree per branch), and
+    pairs downstream come from a grouped array expansion instead of a
+    bucket self-join: a self-join evaluates the expensive
+    shingle->md5->min pipeline once per side (build, then probe —
+    sequentially), while collect_list pays it once and turns each
+    bucket into its pairs with a JVM lambda. The bucket key is the
+    shuffle key either way.
     """
     if rows_per_band != 2:
         raise NotImplementedError("rows_per_band=2 is the supported banding")
     num_hashes = len([c for c in signatures.columns if c.startswith("h")])
-    # Bands come from ONE explode generator (a union of per-band
-    # projections would recompute the signature subtree per branch),
-    # and pairs come from a grouped array expansion instead of a
-    # bucket self-join: a self-join evaluates the expensive
-    # shingle->md5->min pipeline once per side (build, then probe —
-    # sequentially), while collect_list pays it once and turns each
-    # bucket into its pairs with a JVM lambda. The bucket key is the
-    # shuffle key either way; max_bucket caps the quadratic expansion
-    # per bucket (boilerplate-collapse skew guard), now enforceable as
-    # a simple size() predicate on the collected bucket.
     band_structs = F.array(
         *[
             F.struct(
@@ -144,12 +132,73 @@ def lsh_candidate_pairs(
             for b in range(num_hashes // rows_per_band)
         ]
     )
-    buckets = (
+    return (
         signatures.select("doc_id", F.explode(band_structs).alias("bs"))
         .groupBy("bs.band", "bs.h0", "bs.h1")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Skew accounting for the LSH banding: ONE row
+    (n_buckets, n_dropped_buckets, n_dropped_docs, max_bucket_seen).
+
+    n_dropped_docs counts bucket MEMBERSHIPS in over-cap buckets (a doc
+    landing in two degenerate bands counts twice) — the quadratic work
+    the cap avoided is sum(n_i^2) over those buckets. This is the
+    guaranteed drop log for capped runs of lsh_candidate_pairs: same
+    banding shuffle, aggregate-only on top, immune to the AQE
+    empty-plan caveat that can swallow Observation metrics.
+    """
+    cap = max_bucket if max_bucket is not None else (1 << 62)
+    b = _lsh_buckets(signatures, rows_per_band)
+    over = F.size("ids") > cap
+    return b.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(over.cast("long")).alias("n_dropped_buckets"),
+        F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("n_dropped_docs"),
+        F.max(F.size("ids")).alias("max_bucket_seen"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 64,
+    observation=None,  # noqa: ANN001 — pyspark.sql.Observation
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (d1 < d2).
+
+    Banding with r=rows_per_band: docs agreeing on ALL rows of any band
+    become candidates. The self-join shuffles on (band, h0..h{r-1}) —
+    the LSH bucket key. `max_bucket` (ON by default) drops degenerate
+    buckets larger than the cap — the skew guard for 100 TB corpora
+    full of boilerplate, where one collapsed signature would otherwise
+    materialize a quadratic bucket expansion in a single task. Drops
+    are never silent: ``lsh_bucket_stats`` reports drop counts as a
+    1-row DataFrame from the same banding, and a
+    ``pyspark.sql.Observation`` can be attached to piggyback
+    ``n_dropped_buckets`` / ``max_bucket_seen`` on the pair-producing
+    action itself (map-side metrics, no extra job). Caveat on the
+    observation path: when EVERY bucket is dropped, AQE's
+    empty-relation propagation can eliminate the CollectMetrics node
+    along with the empty subtree — use lsh_bucket_stats for
+    guaranteed accounting. Currently supports r=2 (bands of two
+    hashes), the standard b=4/r=2 setting for k=8 signatures.
+    """
+    buckets = _lsh_buckets(signatures, rows_per_band)
+    if observation is not None:
+        cap = max_bucket if max_bucket is not None else (1 << 62)
+        buckets = buckets.observe(
+            observation,
+            F.sum((F.size("ids") > cap).cast("long")).alias("n_dropped_buckets"),
+            F.max(F.size("ids")).alias("max_bucket_seen"),
+        )
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket)
     pairs = (

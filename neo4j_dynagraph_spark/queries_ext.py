@@ -78,21 +78,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM sig"
             for b in range(4)
         )
-        + ") "
+        + "), "
+        "bsz AS (SELECT band, h0, h1, count(*) AS n FROM bands GROUP BY 1, 2, 3) "
         "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
         "FROM bands a JOIN bands b "
         "ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id "
+        "JOIN bsz ON bsz.band = a.band AND bsz.h0 = a.h0 AND bsz.h1 = a.h1 "
+        "AND bsz.n <= 64 "
         "ORDER BY d1, d2"
     ),
     bench=True,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (k=8 hashes, 4 bands x 2 rows) over
-    word-3-gram shingles. Signatures use the portable hash64 family, so
-    the oracle reproduces them exactly in SQL."""
+    word-3-gram shingles, with the default bucket cap (64) — the
+    boilerplate-skew guard — modeled identically in the SQL oracle.
+    Signatures use the portable hash64 family, so the oracle reproduces
+    them exactly in SQL."""
     sh = dedup.shingles_df(_docs(spark, sf_dir))
     sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    return dedup.lsh_candidate_pairs(sigs, rows_per_band=2).orderBy("d1", "d2")
+    return dedup.lsh_candidate_pairs(
+        sigs, rows_per_band=2, max_bucket=64
+    ).orderBy("d1", "d2")
 
 
 @query(
@@ -199,8 +206,11 @@ hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) AS hh FROM 
 hs AS (SELECT doc_id, {_PIPE_H} FROM hx),
 sig AS (SELECT doc_id, {_PIPE_SIG} FROM hs GROUP BY 1),
 bands AS ({_PIPE_BANDS}),
+bsz AS (SELECT band, h0, h1, count(*) AS n FROM bands GROUP BY 1, 2, 3),
 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b
-         ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+         ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+         JOIN bsz ON bsz.band = a.band AND bsz.h0 = a.h0 AND bsz.h1 = a.h1
+                 AND bsz.n <= 64),
 sz AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
           FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -289,10 +299,54 @@ WHERE sim_raw > 0.4 ORDER BY id1, id2
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim > 0.4, canonical
     id1 < id2) — the semantic-dedup complement to MinHash/SimHash.
-    Exact all-pairs here for the oracle; the LSH-bucketed variant of
-    the same operator is the scale path (subset relation tested)."""
+    Exact all-pairs: the within-block VERIFY primitive, quadratic by
+    construction — q_dedup_embed_bucketed is the corpus-scale path."""
     emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
     return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+def _hyperplane_bucket_sql(n_planes: int) -> str:
+    """DuckDB replay of similarity.hyperplane_buckets (table 0): plane
+    p's weight for dim d is (hash32('p{p}d{d}') % 2001 - 1000) / 1000,
+    bucket = packed sign bits of the projections."""
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            "list_sum(list_transform(range(len(e)), d -> e[d+1] * "
+            f"((('0x' || substr(md5('p{p}d' || d), 1, 8))::BIGINT % 2001 - 1000)"
+            " / 1000.0)))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "q_dedup_embed_bucketed",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({_hyperplane_bucket_sql(4)}) AS bucket FROM base),
+pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2, a.e AS ae, c.e AS ce
+          FROM b a JOIN b c ON a.vec_id < c.vec_id AND a.bucket = c.bucket),
+un AS (SELECT id1, id2, unnest(ae) AS x, unnest(ce) AS y FROM pairs),
+d AS (SELECT id1, id2, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+      FROM un GROUP BY 1, 2),
+s AS (SELECT id1, id2, dot / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM d)
+SELECT id1, id2, round(sim_raw, 6) AS sim FROM s
+WHERE sim_raw > 0.4 ORDER BY id1, id2
+""",
+)
+def q_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH buckets (4 planes) + exact
+    within-bucket verify — the 100 TB path: the bucket equi-join
+    replaces q_dedup_embed's all-pairs cross product, so candidate work
+    scales with bucket occupancy, not |corpus|^2. The deterministic
+    hash-derived hyperplanes are replayed in SQL, so the driver checks
+    the WHOLE approximate pipeline (bucketing included) bit-for-bit;
+    candidates ⊆ exact and the recall floor are asserted in tests."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_near_dup_pairs(
+        emb, threshold=0.4, use_buckets=True, n_planes=4
+    )
 
 
 @query(
@@ -745,15 +799,23 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = (
         tu.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     )
-    n_docs = _docs(spark, sf_dir).count()  # scalar corpus size (metadata-cheap)
+    # corpus size as a broadcast 1-row aggregate: construction stays
+    # fully lazy (no eager driver count()), one job at action time
+    n = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
     from pyspark.sql import Window
 
-    scored = tf.join(df_, "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 4
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 4
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
     return (

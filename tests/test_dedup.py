@@ -57,3 +57,33 @@ def test_ngram_jaccard(docs):
     assert out[(0, 1)] == 1.0
     assert (0, 2) in out and 0.5 <= out[(0, 2)] < 1.0
     assert not any(3 in k for k in out)
+
+
+def test_boilerplate_skew_capped_and_observed(spark):
+    # A boilerplate corpus: 40 docs with IDENTICAL text collapse to one
+    # signature -> one degenerate bucket per band. The default cap must
+    # drop those buckets (no quadratic expansion in one task) and the
+    # observation must report the drops — never silent.
+    from pyspark.sql import Observation
+
+    boiler = [(i, "same boilerplate text repeated across the whole corpus", "s")
+              for i in range(40)]
+    docs = spark.createDataFrame(boiler, "doc_id long, text string, source string")
+    sigs = dedup.minhash_signatures(dedup.shingles_df(docs), num_hashes=8)
+
+    pairs = dedup.lsh_candidate_pairs(sigs, max_bucket=8)
+    assert pairs.count() == 0  # every bucket holds all 40 docs: dropped
+    # guaranteed accounting path (AQE can swallow Observation metrics
+    # when the whole result goes empty — lsh_bucket_stats cannot lose)
+    stats = dedup.lsh_bucket_stats(sigs, max_bucket=8).first()
+    assert stats.n_dropped_buckets == 4  # one per band
+    assert stats.n_dropped_docs == 160  # 40 docs x 4 bands
+    assert stats.max_bucket_seen == 40
+
+    # under the cap nothing is dropped, all pairs survive, and the
+    # piggybacked Observation metrics arrive with the action
+    obs = Observation("lsh_no_drops")
+    pairs2 = dedup.lsh_candidate_pairs(sigs, max_bucket=64, observation=obs)
+    assert pairs2.count() == 40 * 39 // 2
+    assert obs.get["n_dropped_buckets"] == 0
+    assert obs.get["max_bucket_seen"] == 40

@@ -88,3 +88,15 @@ def test_asof_join_no_global_window(spark):
         "as-of window collapsed to a single partition"
     )
     assert "BroadcastHashJoin" in s, "carry-in side must be broadcast"
+
+
+def test_dedup_embed_bucketed_is_equi_join(spark):
+    # the scale path must join on the LSH bucket key (hash/broadcast
+    # HASH join) — never the all-pairs BroadcastNestedLoopJoin that the
+    # exact variant uses
+    df = REGISTRY["q_dedup_embed_bucketed"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in s, (
+        "bucketed near-dup degenerated to a cross product"
+    )
+    assert "Join" in s and "bucket" in s
