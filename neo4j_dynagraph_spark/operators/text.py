@@ -121,3 +121,39 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_shingles"),
         )
     )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token posting lists: (token, doc_id, tf) — the engine's fulltext
+    index (the reference keeps a Lucene fulltext index on actors,
+    load_gexf_to_neo4j.py:148; here it is a first-class DataFrame).
+    One tokenize + one groupBy; at rest, persist partitioned/bucketed
+    by token so a term probe prunes to its posting files."""
+    tu = tokens_df(docs, text_col).select(
+        "doc_id", F.explode("t").alias("token")
+    )
+    return tu.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def search_all_terms(
+    docs: DataFrame, terms: list[str] | tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """AND-semantics fulltext search: (doc_id, hits) for docs containing
+    EVERY query term; hits = total occurrences of the query terms (the
+    ranking signal). Probe shape, not scan shape: the posting lists are
+    filtered by the tiny literal term set FIRST (predicate-pushable into
+    the index scan), then one groupBy(doc_id) keeps docs whose distinct
+    matched-term count equals |terms| — intersection of posting lists
+    without a per-term self-join."""
+    tl = sorted({t.lower() for t in terms})
+    return (
+        inverted_index(docs, text_col)
+        .where(F.col("token").isin(tl))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("nt"),
+            F.sum("tf").alias("hits"),
+        )
+        .where(F.col("nt") == len(tl))
+        .select("doc_id", "hits")
+    )

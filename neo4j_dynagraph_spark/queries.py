@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.operators import graph, ingest
+from neo4j_dynagraph_spark.operators import text as text_ops
 from neo4j_dynagraph_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1564,6 +1565,148 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id", "session_id")
+    )
+
+
+# ===========================================================================
+# Round-3 reference-shape additions: anchored QUERY11, fulltext search,
+# multi-run namespace
+# ===========================================================================
+
+
+@query(
+    "q11_anchored",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+b AS (SELECT user_id AS a FROM events
+      WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}
+      GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 1),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+n AS (SELECT DISTINCT dst AS actor FROM sym WHERE src = (SELECT a FROM b))
+SELECT e.actor1 AS n1, e.actor2 AS n2 FROM e
+JOIN n na ON na.actor = e.actor1
+JOIN n nb ON nb.actor = e.actor2
+ORDER BY n1, n2
+""",
+    bench=True,
+)
+def q11_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY11's actual anchored shape (cypher_query_timing.py:158-203):
+    hour-restricted neighbor pairs of a pinned actor that close a
+    triangle — neigh1/neigh2 interact with the anchor AND with each
+    other inside the pinned hour. Anchor = the hour's most active actor
+    (deterministic, non-trivial at every SF, like q8). Pairs are
+    canonical n1 < n2 (the engine's pair normalization; the reference
+    emits both orderings of the same undirected pair). Plan: hour-pruned
+    distinct edge set -> broadcast anchor -> broadcast neighbor-set
+    semi-joins — the q11 staged-distinct+broadcast design specialized to
+    one anchor, so the probe touches the anchor's neighborhood, never
+    the full triangle space."""
+    edges = (
+        _edges(spark, sf_dir, _hour_filter(HOUR, HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    anchor = (
+        _events(spark, sf_dir)
+        .where(_hour_filter(HOUR, HOUR + 1))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(1)
+        .select(F.col("user_id").alias("src"))
+    )
+    neigh = (
+        graph.symmetrize(edges)
+        .join(F.broadcast(anchor), "src")
+        .select(F.col("dst").alias("actor"))
+        .distinct()
+    )
+    return (
+        edges.join(
+            F.broadcast(neigh.withColumnRenamed("actor", "actor1")),
+            "actor1",
+            "semi",
+        )
+        .join(
+            F.broadcast(neigh.withColumnRenamed("actor", "actor2")),
+            "actor2",
+            "semi",
+        )
+        .select(F.col("actor1").alias("n1"), F.col("actor2").alias("n2"))
+        .orderBy("n1", "n2")
+    )
+
+
+@query(
+    "q_text_search",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+tu AS (SELECT doc_id, unnest(t) AS token FROM tok),
+m AS (SELECT doc_id, token, count(*) AS tf FROM tu
+      WHERE token IN ('merge', 'spark', 'vector') GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS hits
+FROM m GROUP BY 1 HAVING count(*) = 3
+ORDER BY hits DESC, doc_id
+""",
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulltext AND-search over documents — S6's missing half (the
+    reference's Lucene fulltext actor index,
+    load_gexf_to_neo4j.py:148): posting-list probe for docs containing
+    ALL of {merge, spark, vector}, ranked by total term occurrences.
+    The literal term filter pushes into the index scan; the AND is one
+    groupBy over the matched postings, not a per-term self-join."""
+    return (
+        text_ops.search_all_terms(
+            load_table(spark, sf_dir, "documents"), ["merge", "spark", "vector"]
+        )
+        .orderBy(F.desc("hits"), "doc_id")
+    )
+
+
+@query(
+    "q_runs",
+    oracle=f"""
+WITH p1 AS (SELECT 'hour' AS run, {_FID} AS frame_id, user_id AS actor,
+                   count(*) AS n_events FROM events GROUP BY 2, 3),
+p2 AS (SELECT 'day' AS run, CAST(floor(epoch(ts)/86400) AS BIGINT) AS frame_id,
+              user_id AS actor, count(*) AS n_events FROM events GROUP BY 2, 3),
+star AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT run, frame_id, CAST(count(*) AS BIGINT) AS n_actors,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM star WHERE run = 'day'
+GROUP BY 1, 2 ORDER BY frame_id
+""",
+)
+def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-run namespace (load_gexf_to_neo4j.py:151-155: every star
+    hangs off a named RUN node; RUN_NAME scopes all queries): the same
+    events discretized under two runs with different DELTAT (hour vs
+    day), unioned into one run-keyed star fact, then filtered to one
+    run. The run filter constant-folds against each branch's literal
+    run column, so Catalyst prunes the other run's ENTIRE subtree
+    (empty-relation propagation) — namespace isolation is free at plan
+    time, no bleed and no wasted scan (plan test locks the single
+    scan)."""
+    ev = _events(spark, sf_dir)
+    star = ingest.events_to_presence(ev, DELTA).select(
+        F.lit("hour").alias("run"), "frame_id", "actor", "n_events"
+    ).unionByName(
+        ingest.events_to_presence(ev, 86400).select(
+            F.lit("day").alias("run"), "frame_id", "actor", "n_events"
+        )
+    )
+    return (
+        star.where(F.col("run") == "day")
+        .groupBy("run", "frame_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_actors"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("frame_id")
     )
 
 

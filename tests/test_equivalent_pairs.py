@@ -133,3 +133,34 @@ def test_co_present_equals_edge_neighbors(spark):
         via_fact = sorted(r.actor for r in graph.co_present(presence, actor).collect())
         via_edges = sorted(r.actor for r in graph.neighbors(edges, actor).collect())
         assert via_fact == via_edges
+
+
+def test_q11_anchored_equals_filtered_triangles(spark):
+    # the anchored QUERY11 shape must equal filtering the global
+    # triangle enumeration to triangles containing the anchor and
+    # projecting out the other two vertices (reference 11a/b/c are the
+    # same assertion across formulations). Run at sf0.01: the pinned
+    # hour has no edges at sf0.001.
+    from neo4j_dynagraph_spark.queries import HOUR, REGISTRY, _hour_filter
+    from tests.conftest import SF_MED
+
+    anchored = _rows(REGISTRY["q11_anchored"].fn(spark, SF_MED))
+    assert anchored, "pinned hour must produce rows at sf0.01"
+
+    edges = (
+        _edges(spark, SF_MED, _hour_filter(HOUR, HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    ev = load_table(spark, SF_MED, "events").where(_hour_filter(HOUR, HOUR + 1))
+    anchor = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id").limit(1).collect()[0][0]
+    )
+    tris = graph.triangles(edges).collect()
+    expected = sorted(
+        tuple(sorted(set((r.a, r.b, r.c)) - {anchor}))
+        for r in tris
+        if anchor in (r.a, r.b, r.c)
+    )
+    assert anchored == expected

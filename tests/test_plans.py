@@ -100,3 +100,13 @@ def test_dedup_embed_bucketed_is_equi_join(spark):
         "bucketed near-dup degenerated to a cross product"
     )
     assert "Join" in s and "bucket" in s
+
+
+def test_runs_namespace_prunes_other_run(spark):
+    # filtering the two-run star to run='day' must constant-fold the
+    # 'hour' branch away: exactly ONE events scan in the final plan
+    df = REGISTRY["q_runs"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert s.count("Scan parquet") == 1, (
+        "run filter failed to prune the other run's subtree"
+    )

@@ -86,3 +86,20 @@ def test_sample_frames_one_to_many(docs):
         assert len(r.payload) == 4 == r.payload_len
         start = r.frame_idx * 4
         assert bytes(r.payload) == src[r.media_id][start : start + 4]
+
+
+def test_search_all_terms_and_semantics(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge vector spark", "s"),   # all three, spark twice
+            (1, "spark merge", "s"),                # missing vector
+            (2, "vector vector merge spark", "s"),  # all three
+            (3, "unrelated words only", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r.hits
+           for r in text_ops.search_all_terms(docs, ["spark", "merge", "vector"]).collect()}
+    assert out == {0: 4, 2: 4}  # AND semantics; hits = total occurrences
