@@ -1,29 +1,39 @@
-"""Streaming co-presence edges — stream-stream self-join.
+"""Streaming co-presence edges.
 
 The reference's FRAME_INTERACTION facts (load_gexf_to_neo4j.py:241-249)
-are built in batch by pairing actors active in the same frame. This is
-the incremental version: the events stream self-joined on the frame
-grid, with watermarks bounding join state — each side only retains
-events until the watermark passes their frame, so state is O(events in
-the watermark horizon), not O(stream history).
+are built in batch by pairing actors active in the same frame. Two
+incremental forms live here:
 
-Spark requirements encoded here (and why):
-- both sides carry ``withWatermark`` and the join condition includes an
-  event-time bound (|ts1 - ts2| < delta) in addition to the frame
-  equality — without the time bound the state store could never evict.
-- the downstream per-frame aggregation chains a second stateful
-  operator after the join (supported with append-mode semantics in
-  Spark 3.5+/4.x).
+- ``stream_frame_edges``: stream-stream self-join on TUMBLING-WINDOW
+  EQUALITY. Joining on ``window(t, delta)`` — not on a derived
+  frame-id column with a side time-bound — is the watermark-extractable
+  form: the join key itself contains the event-time window, so Spark
+  derives a key watermark and evicts each side's state as soon as the
+  watermark passes a window (no "cannot extract state constraint"
+  fallback to unbounded state). State is O(events in the watermark
+  horizon) per side.
 
-Drained with Trigger.AvailableNow, the result must equal the batch
-``presence_to_frame_interactions`` edge set — q_stream_edges checks
-exactly that against the batch SQL oracle.
+- ``stateful_frame_edges``: applyInPandasWithState keyed by frame.
+  State is the per-frame actor->count map — O(actors in frame), NOT
+  O(events) and never O(pairs); the k*(k-1)/2 pair expansion happens
+  only at flush time, when the event-time timeout proves the frame
+  complete. Carries the batch path's hot-frame guard
+  (``max_actors_per_frame``, ingest.presence_to_frame_interactions):
+  a frame exceeding the cap collapses its state to an overflow marker
+  (O(1) from that point) and emits nothing — identical drop semantics
+  to batch, so stream == batch holds guard-for-guard.
+
+Drained with Trigger.AvailableNow, both must equal the batch
+``presence_to_frame_interactions`` edge set — q_stream_edges checks the
+join form against the batch SQL oracle; the stateful form is
+differentially tested with a synthetic hot frame.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, BooleanType, LongType, StructField, StructType
 
 
 def stream_frame_edges(
@@ -37,72 +47,185 @@ def stream_frame_edges(
     edges, weight = n_events(a1) * n_events(a2) exactly as the batch
     operator computes it (ingest.presence_to_frame_interactions).
 
-    Implementation: self-join raw events on the tumbling frame id with
-    an event-time bound, then aggregate pair multiplicities per frame.
-    The join emits one row per EVENT pair, so count(*) per
-    (frame, a1, a2) is already the product of per-actor event counts —
-    the batch operator's n1*n2 — with no second join needed.
+    Implementation: self-join raw events on tumbling-window EQUALITY
+    (epoch-aligned, so window start / delta == the batch frame_id),
+    then aggregate pair multiplicities per window. The join emits one
+    row per EVENT pair, so count(*) per (window, a1, a2) is already the
+    product of per-actor event counts — the batch operator's n1*n2 —
+    with no second join. The window struct in the join key gives Spark
+    a key-watermark eviction bound; the chained windowed aggregation
+    finalizes in append mode once the watermark passes the window.
     """
+    w_expr = f"{delta_seconds} seconds"
     base = events.select(
-        F.col(user_col).alias("u"),
-        F.col(ts_col).alias("t"),
-        (F.floor(F.unix_timestamp(ts_col) / delta_seconds)).alias("fid"),
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t")
     )
     left = (
-        base.select(
-            F.col("u").alias("u1"), F.col("t").alias("t1"), F.col("fid").alias("fid1")
-        ).withWatermark("t1", watermark)
+        base.select(F.col("u").alias("u1"), F.col("t").alias("t1"))
+        .withWatermark("t1", watermark)
+        .select("u1", "t1", F.window("t1", w_expr).alias("w1"))
     )
     right = (
-        base.select(
-            F.col("u").alias("u2"), F.col("t").alias("t2"), F.col("fid").alias("fid2")
-        ).withWatermark("t2", watermark)
+        base.select(F.col("u").alias("u2"), F.col("t").alias("t2"))
+        .withWatermark("t2", watermark)
+        .select("u2", "t2", F.window("t2", w_expr).alias("w2"))
     )
     pairs = left.join(
         right,
-        (F.col("fid1") == F.col("fid2"))
-        & (F.col("u1") < F.col("u2"))
-        # event-time bound: same frame implies |t1 - t2| < delta; stated
-        # explicitly so the state store can evict by watermark
-        & (F.col("t2") >= F.col("t1") - F.expr(f"INTERVAL {delta_seconds} SECONDS"))
-        & (F.col("t2") <= F.col("t1") + F.expr(f"INTERVAL {delta_seconds} SECONDS")),
+        (F.col("w1") == F.col("w2")) & (F.col("u1") < F.col("u2")),
     )
-    # one row per event pair -> count == n1 * n2. The window() keeps the
-    # aggregation event-time-aware so append mode can finalize groups.
     return (
         pairs.groupBy(
-            F.window(F.col("t1"), f"{delta_seconds} seconds").alias("w"),
-            F.col("fid1").alias("frame_id"),
+            F.col("w1").alias("w"),
             F.col("u1").alias("actor1"),
             F.col("u2").alias("actor2"),
         )
         .agg(F.count(F.lit(1)).alias("weight"))
-        .select("frame_id", "actor1", "actor2", "weight")
+        .select(
+            (F.col("w.start").cast("long") / delta_seconds)
+            .cast("long")
+            .alias("frame_id"),
+            "actor1",
+            "actor2",
+            "weight",
+        )
     )
 
 
-def streaming_frame_edges_from_parquet(
+EDGE_SCHEMA = StructType(
+    [
+        StructField("frame_id", LongType()),
+        StructField("actor1", LongType()),
+        StructField("actor2", LongType()),
+        StructField("weight", LongType()),
+    ]
+)
+_EDGE_STATE_SCHEMA = StructType(
+    [
+        StructField("actors", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("overflow", BooleanType()),
+    ]
+)
+
+
+def stateful_frame_edges(
+    events: DataFrame,
+    delta_seconds: int = 3600,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    max_actors_per_frame: int | None = None,
+) -> DataFrame:
+    """Streaming frame edges with O(actors-per-frame) state and the
+    batch hot-frame guard.
+
+    Keyed by frame_id; state is the frame's actor->count map, merged
+    vectorized per micro-batch (pandas groupby, no per-row Python).
+    When the event-time timeout fires (watermark past frame end), the
+    frame is provably complete: emit all canonical pairs with
+    weight = n1*n2 and drop the state. A frame whose DISTINCT actor
+    count exceeds ``max_actors_per_frame`` becomes an O(1) overflow
+    marker and emits nothing — byte-identical drop semantics to
+    ingest.presence_to_frame_interactions(max_actors_per_frame=...),
+    so one near-clique frame (stadium, bot storm) can neither blow up
+    state nor dominate the flush shuffle.
+    """
+    import pandas as pd
+
+    delta_ms = delta_seconds * 1000
+    cap = max_actors_per_frame
+
+    def fn(key, pdfs, state):  # noqa: ANN001
+        (frame_id,) = key
+        if state.hasTimedOut:
+            actors, counts, overflow = state.get
+            state.remove()
+            if overflow or len(actors) < 2:
+                yield pd.DataFrame(
+                    {"frame_id": [], "actor1": [], "actor2": [], "weight": []}
+                )
+                return
+            order = sorted(range(len(actors)), key=lambda i: actors[i])
+            a = [actors[i] for i in order]
+            c = [counts[i] for i in order]
+            rows = [
+                (frame_id, a[i], a[j], c[i] * c[j])
+                for i in range(len(a))
+                for j in range(i + 1, len(a))
+            ]
+            yield pd.DataFrame(rows, columns=["frame_id", "actor1", "actor2", "weight"])
+            return
+
+        if state.exists:
+            actors, counts, overflow = state.get
+        else:
+            actors, counts, overflow = [], [], False
+
+        if not overflow:
+            merged = dict(zip(actors, counts))
+            for pdf in pdfs:
+                batch = pdf[user_col].value_counts()
+                for actor, n in batch.items():
+                    merged[int(actor)] = merged.get(int(actor), 0) + int(n)
+            if cap is not None and len(merged) > cap:
+                actors, counts, overflow = [], [], True
+            else:
+                actors = list(merged.keys())
+                counts = [merged[a] for a in actors]
+        else:
+            for pdf in pdfs:
+                pass  # overflowed: consume and discard, state stays O(1)
+
+        state.update((actors, counts, overflow))
+        # flush when the watermark proves the frame complete
+        frame_end_ms = (int(frame_id) + 1) * delta_ms
+        state.setTimeoutTimestamp(
+            max(frame_end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame({"frame_id": [], "actor1": [], "actor2": [], "weight": []})
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.select(
+            (F.unix_timestamp(F.col(ts_col)) / delta_seconds)
+            .cast("long")
+            .alias("frame_id"),
+            F.col(user_col),
+            # the watermarked event-time column must survive the
+            # projection or EventTimeTimeout has no watermark to track
+            F.col(ts_col),
+        )
+        .groupBy("frame_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EDGE_SCHEMA,
+            stateStructType=_EDGE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def _stage_with_sentinel(
     spark,  # noqa: ANN001
     parquet_path: str,
+    ts_is_nanos: bool,
     schema,  # noqa: ANN001
-    delta_seconds: int = 3600,
-    ts_is_nanos: bool = False,
-) -> DataFrame:
-    """Bounded-drain runner (Trigger.AvailableNow, memory sink): returns
-    the finalized edge set for differential testing against the batch
-    operator.
+) -> str:
+    """Stage the input files plus a SENTINEL event far past the real
+    data (alone in its own frame, so it can never produce a pair).
 
-    Append-mode window aggregation only emits windows the watermark has
+    Append-mode stateful operators only emit what the watermark has
     passed, and a drained stream's watermark stops at max_ts - delay —
-    the trailing windows would be withheld forever. The runner stages a
-    SENTINEL event far past the real data (alone in its own frame, so
-    it can never produce a pair) purely to push the final watermark
-    beyond every real window — the streaming equivalent of an
-    end-of-stream flush marker.
+    the trailing frames would be withheld forever. The sentinel pushes
+    the final watermark beyond every real frame: the streaming
+    equivalent of an end-of-stream flush marker.
     """
     import os
     import tempfile
-    import uuid
 
     import pyspark.sql.functions as F_
 
@@ -112,25 +235,20 @@ def streaming_frame_edges_from_parquet(
     else:
         for f in os.listdir(parquet_path):
             if f.endswith(".parquet"):
-                os.symlink(
-                    os.path.join(parquet_path, f), os.path.join(stage, f)
-                )
+                os.symlink(os.path.join(parquet_path, f), os.path.join(stage, f))
     batch_df = spark.read.schema(schema).parquet(parquet_path)
-    ts_field = "ts"
-    mx = batch_df.agg(F_.max(ts_field)).first()[0]
+    mx = batch_df.agg(F_.max("ts")).first()[0]
     if mx is None:
         raise ValueError(f"no rows under {parquet_path}; nothing to stream")
-    horizon_ns = 7 * 24 * 3600
-    if ts_is_nanos:
-        sentinel_ts = int(mx) + horizon_ns * 1_000_000_000
-    else:
-        sentinel_ts = mx  # timestamp type: shift below in expression
+    horizon_s = 7 * 24 * 3600
     sentinel = batch_df.limit(1)
     if ts_is_nanos:
-        sentinel = sentinel.withColumn(ts_field, F_.lit(sentinel_ts).cast("long"))
+        sentinel = sentinel.withColumn(
+            "ts", F_.lit(int(mx) + horizon_s * 1_000_000_000).cast("long")
+        )
     else:
         sentinel = sentinel.withColumn(
-            ts_field, F_.col(ts_field) + F_.expr(f"INTERVAL {horizon_ns} SECONDS")
+            "ts", F_.col("ts") + F_.expr(f"INTERVAL {horizon_s} SECONDS")
         )
     sentinel.write.mode("overwrite").parquet(os.path.join(stage, "_sentinel"))
     for f in os.listdir(os.path.join(stage, "_sentinel")):
@@ -139,12 +257,14 @@ def streaming_frame_edges_from_parquet(
                 os.path.join(stage, "_sentinel", f),
                 os.path.join(stage, f"zz_sentinel_{f}"),
             )
-    parquet_path = stage
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
-    if ts_is_nanos:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    edges = stream_frame_edges(stream, delta_seconds)
-    sink_name = f"stream_edges_{uuid.uuid4().hex[:8]}"
+    return stage
+
+
+def _drain(edges: DataFrame, prefix: str):  # noqa: ANN202
+    import tempfile
+    import uuid
+
+    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
     query = (
         edges.writeStream.format("memory")
@@ -155,4 +275,42 @@ def streaming_frame_edges_from_parquet(
         .start()
     )
     query.awaitTermination()
-    return spark.table(sink_name)
+    return edges.sparkSession.table(sink_name)
+
+
+def streaming_frame_edges_from_parquet(
+    spark,  # noqa: ANN001
+    parquet_path: str,
+    schema,  # noqa: ANN001
+    delta_seconds: int = 3600,
+    ts_is_nanos: bool = False,
+) -> DataFrame:
+    """Bounded-drain runner for the join form (Trigger.AvailableNow,
+    memory sink): returns the finalized edge set for differential
+    testing against the batch operator."""
+    stage = _stage_with_sentinel(spark, parquet_path, ts_is_nanos, schema)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if ts_is_nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _drain(stream_frame_edges(stream, delta_seconds), "stream_edges")
+
+
+def stateful_frame_edges_from_parquet(
+    spark,  # noqa: ANN001
+    parquet_path: str,
+    schema,  # noqa: ANN001
+    delta_seconds: int = 3600,
+    ts_is_nanos: bool = False,
+    max_actors_per_frame: int | None = None,
+) -> DataFrame:
+    """Bounded-drain runner for the stateful (hot-frame-guarded) form."""
+    stage = _stage_with_sentinel(spark, parquet_path, ts_is_nanos, schema)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if ts_is_nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _drain(
+        stateful_frame_edges(
+            stream, delta_seconds, max_actors_per_frame=max_actors_per_frame
+        ),
+        "stream_edges_stateful",
+    )

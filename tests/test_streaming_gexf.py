@@ -228,3 +228,66 @@ def test_stream_edges_equal_batch(spark):
         ingest.events_to_presence(load_table(spark, SF_SMALL, "events"))
     ).select("frame_id", "actor1", "actor2", "weight")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_edges_hot_frame_guard_equals_batch(spark, tmp_path):
+    """The O(actors)-state stateful edge operator == batch operator
+    under the SAME hot-frame guard: a synthetic near-clique frame (30
+    actors) must be dropped by both paths, normal frames must match
+    exactly, and without a cap the hot frame's full pair expansion must
+    appear in both."""
+    import pandas as pd
+
+    from neo4j_dynagraph_spark.streaming.edges import (
+        stateful_frame_edges_from_parquet,
+    )
+
+    rows = []
+    # frame 100: 3 actors, actor 1 twice -> weights 2,2,1
+    for u, k in ((1, 2), (2, 1), (3, 1)):
+        for i in range(k):
+            rows.append((u, 100 * 3600 + 10 + i))
+    # frame 200: HOT — 30 distinct actors
+    for u in range(1, 31):
+        rows.append((u, 200 * 3600 + 5))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_s"])
+    src = str(tmp_path / "hot_events")
+    (
+        spark.createDataFrame(pdf)
+        .select("user_id", F.expr("timestamp_seconds(ts_s)").alias("ts"))
+        .write.mode("overwrite").parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+
+    def batch_edges(cap):
+        return sorted(
+            map(
+                tuple,
+                ingest.presence_to_frame_interactions(
+                    ingest.events_to_presence(spark.read.parquet(src)),
+                    max_actors_per_frame=cap,
+                )
+                .select("frame_id", "actor1", "actor2", "weight")
+                .collect(),
+            )
+        )
+
+    got_capped = sorted(
+        map(
+            tuple,
+            stateful_frame_edges_from_parquet(
+                spark, src, schema, 3600, max_actors_per_frame=10
+            ).collect(),
+        )
+    )
+    assert got_capped == batch_edges(10)
+    assert {r[0] for r in got_capped} == {100}  # hot frame dropped
+
+    got_uncapped = sorted(
+        map(
+            tuple,
+            stateful_frame_edges_from_parquet(spark, src, schema, 3600).collect(),
+        )
+    )
+    assert got_uncapped == batch_edges(None)
+    assert sum(1 for r in got_uncapped if r[0] == 200) == 30 * 29 // 2
