@@ -1519,8 +1519,8 @@ g AS (SELECT user_id, event_id, es,
                   THEN 1 ELSE 0 END AS brk
       FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (SELECT user_id, event_id, es,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g)
 SELECT user_id, session_id, min(es) AS session_start, max(es) AS session_end,
        count(*) AS n_events
