@@ -160,9 +160,11 @@ def lsh_bucket_stats(
     over = F.size("ids") > cap
     return b.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(over.cast("long")).alias("n_dropped_buckets"),
-        F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("n_dropped_docs"),
-        F.max(F.size("ids")).alias("max_bucket_seen"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("n_dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(over, F.size("ids")).otherwise(0)), F.lit(0)
+        ).alias("n_dropped_docs"),
+        F.coalesce(F.max(F.size("ids")), F.lit(0)).alias("max_bucket_seen"),
     )
 
 

@@ -709,6 +709,36 @@ def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_edges_stateful",
+    oracle=f"""
+WITH p AS ({_presence_sql()})
+SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
+ORDER BY frame_id, actor1, actor2
+""",
+)
+def q_stream_edges_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful production path for streaming co-presence edges
+    (applyInPandasWithState keyed by frame, streaming/edges.py): state
+    is the per-frame actor->count map — O(actors-per-frame), never
+    O(events) or O(pairs) — and the pair expansion happens only at the
+    event-time-timeout flush. This is the skew-robust form for 100 TB
+    streams (the join form's state is O(events in the watermark
+    horizon)). Hot-frame cap unset here so a fully-drained run equals
+    the batch edge set exactly — the same batch SQL oracle as
+    q_stream_edges; the cap semantics are differentially tested in
+    tests/test_streaming_gexf.py."""
+    from neo4j_dynagraph_spark.streaming.edges import (
+        stateful_frame_edges_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = stateful_frame_edges_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA, ts_is_nanos=True
+    )
+    return result.orderBy("frame_id", "actor1", "actor2")
+
+
+@query(
     "q_stream_sessions",
     oracle=f"""
 WITH o AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
