@@ -73,19 +73,222 @@ def docs_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     ).select([f.name for f in MEDIA_SCHEMA.fields])
 
 
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode for the PPM/PGM container (P6/P5): pure-Python
+    header parse + raw pixel plane — no external codec needed. Returns
+    width/height/maxval plus byte statistics over the pixel plane
+    (mean/min/max), which downstream features and the SQL oracles
+    consume. Raises ValueError on malformed input."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a P6/P5 netpbm payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end-of-line
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace byte after maxval, then raster starts
+    width, height, maxval = (int(t) for t in tokens)
+    if width <= 0 or height <= 0 or not 0 < maxval < 65536:
+        raise ValueError("invalid netpbm dimensions")
+    bpp = (3 if payload[:2] == b"P6" else 1) * (2 if maxval > 255 else 1)
+    plane = payload[i : i + width * height * bpp]
+    if len(plane) != width * height * bpp:
+        raise ValueError("pixel plane shorter than header promises")
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "n_bytes": len(plane),
+        "mean_byte": sum(plane) / len(plane),
+        "min_byte": min(plane),
+        "max_byte": max(plane),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM: pure-Python chunk walk +
+    fmt parse + int16/uint8 sample statistics. Raises ValueError on
+    malformed input."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only PCM 8/16-bit supported, got fmt={audio_format} bits={bits}")
+    if bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: n * 2])
+    else:
+        samples = tuple(b - 128 for b in data)
+    n_samples = len(samples) // max(1, channels)
+    peak = max(abs(s) for s in samples) if samples else 0
+    mean = sum(samples) / len(samples) if samples else 0.0
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "peak": peak,
+        "mean_sample": mean,
+    }
+
+
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> list[float]:
-    """THE decode boundary. Real implementation requires media libs not
-    present in this container; `fake=True` produces a deterministic
-    8-dim feature from the payload bytes (for pipeline tests)."""
+    """THE decode boundary. PPM/PGM images and PCM WAV audio are decoded
+    FOR REAL (pure-Python parsers above — no external libraries needed);
+    other containers (JPEG/PNG/MP4...) require codecs not present here,
+    so they fall back to a deterministic fake 8-dim feature when
+    `fake=True` and raise otherwise."""
+    if payload[:2] in (b"P6", b"P5"):
+        d = decode_ppm(payload)
+        return [
+            float(d["width"]), float(d["height"]), float(d["maxval"]),
+            float(d["n_bytes"]), d["mean_byte"] / 255.0,
+            d["min_byte"] / 255.0, d["max_byte"] / 255.0, 1.0,
+        ]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        d = decode_wav(payload)
+        return [
+            float(d["sample_rate"]), float(d["channels"]), float(d["bits"]),
+            float(d["n_samples"]), float(d["peak"]), d["mean_sample"],
+            0.0, 2.0,
+        ]
     if not fake:
         raise NotImplementedError(
-            "media decode requires image/audio libraries not available here; "
-            "run with fake=True for the deterministic test double"
+            "no pure-Python decoder for this container (JPEG/PNG/MP4 need "
+            "codec libraries not available here); PPM/PGM and PCM WAV decode "
+            "for real — or run with fake=True for the deterministic double"
         )
     acc = [0] * 8
     for i, byte in enumerate(payload[:4096]):
         acc[i % 8] = (acc[i % 8] * 31 + byte) % 100003
     return [a / 100003.0 for a in acc]
+
+
+def encode_test_media(ids: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic REAL media encoder (mapInPandas): builds valid PPM
+    (P6) images or PCM16 WAV audio whose dimensions and byte content are
+    closed-form functions of media_id — so a SQL oracle can state what a
+    correct decoder must recover, and the decode→oracle hash comparison
+    verifies the parser byte-for-byte (a wrong pixel/sample read cannot
+    match). ``ids`` needs one `media_id` long column."""
+    import struct
+
+    import pandas as pd
+
+    def ppm(mid: int) -> bytes:
+        w, h, v = 4 + mid % 13, 3 + mid % 7, mid % 251
+        return f"P6\n{w} {h}\n255\n".encode() + bytes([v]) * (w * h * 3)
+
+    def wav(mid: int) -> bytes:
+        sr, ch = 8000 * (1 + mid % 3), 1 + mid % 2
+        n, amp = 100 + mid % 50, (mid % 1000) - 500
+        data = struct.pack(f"<{n * ch}h", *([amp] * (n * ch)))
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+
+    enc = ppm if kind == "image" else wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kind,
+                    "payload": [enc(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    media = ids.select("media_id").mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+    return attach_payload_meta(media).select([f.name for f in MEDIA_SCHEMA.fields])
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL image decode: PPM header + pixel statistics per
+    payload (decode_ppm — no fake path, no codec library)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_ppm(bytes(p))
+                rows.append(
+                    (int(mid), d["width"], d["height"], d["maxval"],
+                     d["n_bytes"], d["mean_byte"], d["min_byte"], d["max_byte"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "maxval",
+                         "n_bytes", "mean_byte", "min_byte", "max_byte"],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width long, height long, maxval long, "
+        "n_bytes long, mean_byte double, min_byte long, max_byte long",
+    )
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL audio decode: RIFF/WAVE chunk walk + PCM sample
+    statistics per payload (decode_wav)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(bytes(p))
+                rows.append(
+                    (int(mid), d["sample_rate"], d["channels"], d["bits"],
+                     d["n_samples"], d["peak"], d["mean_sample"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels", "bits",
+                         "n_samples", "peak", "mean_sample"],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, sample_rate long, channels long, bits long, "
+        "n_samples long, peak long, mean_sample double",
+    )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

@@ -1,22 +1,37 @@
 """Parquet table loading with timestamp normalization.
 
-The driver testdata (TESTDATA.md) stores ``events.ts`` as parquet
-TIMESTAMP(NANOS,false), which Spark cannot read natively; the session
-sets ``spark.sql.legacy.parquet.nanosAsLong=true`` so it arrives as a
-long of epoch-nanoseconds, and this module converts it to a proper
-``TimestampType`` (microsecond precision, matching what DuckDB's
-reader produces for the oracle comparison).
+The driver testdata (TESTDATA.md) has stored ``events.ts`` two ways
+across generations:
+
+- parquet TIMESTAMP(NANOS): Spark cannot read natively; with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long of
+  epoch-nanoseconds.
+- parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads this
+  as ``timestamp_ntz`` (DuckDB reads the same bytes as its naive
+  TIMESTAMP, so the oracle comparison is aligned by construction).
+
+``load_table`` normalizes both arrivals to one contract:
+
+- ``ts``    — the event-time column, left in its stored type when it is
+  already a timestamp (keeping predicates on it pushdown-eligible), or
+  derived ``timestamp_micros(ts div 1000)`` from legacy long-nanos.
+- ``ts_ns`` — long epoch-nanoseconds, for exact integer arithmetic
+  (as-of keys, session gaps). Derived from the stored micros when the
+  arrival is a timestamp; the raw stored value in the legacy path.
 
 Scale note: these are plain ``spark.read.parquet`` scans — column
-pruning and predicate pushdown flow through untouched. The nanos
-conversion is a single projected expression and does not block
-pushdown on any other column.
+pruning and predicate pushdown flow through untouched. Time-range
+predicates are expressed on the bare ``ts`` column (see
+``queries._ns_range``) so they reach the parquet reader as
+PushedFilters for row-group min/max pruning; ``ts_ns`` is a single
+projected expression and does not block pushdown on any other column.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = [
     "region",
@@ -31,32 +46,74 @@ TABLES = [
     "embeddings",
 ]
 
-# columns stored as TIMESTAMP(NANOS) -> read as long nanos -> normalize
-_NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+# columns that carry event time and get the ts/ts_ns normalization
+_EVENT_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def normalize_event_ts(spark: SparkSession, df: DataFrame, col: str) -> DataFrame:
+    """Normalize one event-time column to the (ts, ts_ns) contract.
+
+    Handles every arrival type the testdata generations produce:
+    long epoch-nanos (legacy nanosAsLong), timestamp_ntz (current
+    TIMESTAMP_MICROS/isAdjustedToUTC=false files), and plain timestamp.
+    """
+    if col not in df.columns:
+        return df
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
+        # Keep the RAW nanos long as `{col}_ns` (exact integer math),
+        # and derive the timestamp. MUST be integer `div`: `/` promotes
+        # to double, and epoch-nanos (~1.7e18) exceed double's 2^53
+        # exact range — floor(ns/1000.0) lands on a 1024 ns grid,
+        # observed as ±1 µs errors against the oracle's exact division.
+        df = df.withColumn(f"{col}_ns", F.col(col))
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+        # UTC session: makes the ntz->ltz cast below the identity
+        # mapping (the testdata's naive timestamps ARE UTC instants),
+        # and matches what the DuckDB oracle computes with epoch().
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        src = F.col(col)
+        if isinstance(dtype, TimestampNTZType):
+            src = src.cast("timestamp")
+        df = df.withColumn(
+            f"{col}_ns", (F.unix_micros(src) * F.lit(1000)).cast("long")
+        )
+    return df
+
+
+def normalize_stream_ts(
+    spark: SparkSession, stream: DataFrame, schema, ts_col: str = "ts"
+) -> DataFrame:
+    """Normalize a file-stream's raw ``ts`` to TimestampType.
+
+    ``schema`` is the batch-read StructType the stream was declared
+    with; the arrival type is derived from it (never guessed by the
+    caller): legacy long epoch-nanos -> timestamp_micros(div 1000),
+    timestamp_ntz -> cast under a UTC session (identity mapping — the
+    naive values are UTC instants), timestamp -> unchanged. Downstream
+    watermarks/windows then behave identically for every arrival.
+    """
+    dtype = schema[ts_col].dataType
+    if isinstance(dtype, LongType):
+        return stream.withColumn(
+            ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
+        )
+    if isinstance(dtype, TimestampNTZType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing nano-timestamp columns."""
-    if name in _NANOS_TS_COLUMNS:
+    """Load one testdata table, normalizing event-time columns."""
+    if name in _EVENT_TS_COLUMNS:
         # runtime-settable SQL conf: lets driver-provided sessions (built
-        # without our session factory) read TIMESTAMP(NANOS) parquet
+        # without our session factory) read legacy TIMESTAMP(NANOS) parquet
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLUMNS.get(name, []):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
-            # Keep the RAW nanos long as `{col}_ns`: predicates on the
-            # bare stored column push down to the parquet reader
-            # (row-group min/max pruning), which predicates on the
-            # derived timestamp cannot. Time-range queries filter on
-            # `{col}_ns`; everything else uses the derived timestamp.
-            df = df.withColumn(f"{col}_ns", F.col(col))
-            # integer nanos -> truncate to micros (same truncation DuckDB
-            # applies when reading TIMESTAMP(NANOS) into its micro
-            # TIMESTAMP). MUST be integer `div`: `/` promotes to double,
-            # and epoch-nanos (~1.7e18) exceed double's 2^53 exact range,
-            # so floor(ns/1000.0) lands on a 1024 ns grid — observed as
-            # ±1 µs errors against the oracle's exact integer division.
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    for col in _EVENT_TS_COLUMNS.get(name, []):
+        df = normalize_event_ts(spark, df, col)
     return df
 
 

@@ -212,7 +212,6 @@ def stateful_frame_edges(
 def _stage_with_sentinel(
     spark,  # noqa: ANN001
     parquet_path: str,
-    ts_is_nanos: bool,
     schema,  # noqa: ANN001
 ) -> str:
     """Stage the input files plus a SENTINEL event far past the real
@@ -223,11 +222,17 @@ def _stage_with_sentinel(
     the trailing frames would be withheld forever. The sentinel pushes
     the final watermark beyond every real frame: the streaming
     equivalent of an end-of-stream flush marker.
+
+    The ts arrival type (legacy long nanos vs timestamp/timestamp_ntz)
+    is derived from ``schema``; the sentinel is built from the MAX-ts
+    row plus the horizon, so it sits past every real frame regardless
+    of type (an arbitrary limit(1) row's ts + horizon need not).
     """
     import os
     import tempfile
 
     import pyspark.sql.functions as F_
+    from pyspark.sql.types import LongType as _Long
 
     stage = tempfile.mkdtemp(prefix="dynagraph_edges_src_")
     if os.path.isfile(parquet_path):
@@ -237,17 +242,19 @@ def _stage_with_sentinel(
             if f.endswith(".parquet"):
                 os.symlink(os.path.join(parquet_path, f), os.path.join(stage, f))
     batch_df = spark.read.schema(schema).parquet(parquet_path)
-    mx = batch_df.agg(F_.max("ts")).first()[0]
-    if mx is None:
-        raise ValueError(f"no rows under {parquet_path}; nothing to stream")
     horizon_s = 7 * 24 * 3600
-    sentinel = batch_df.limit(1)
-    if ts_is_nanos:
-        sentinel = sentinel.withColumn(
-            "ts", F_.lit(int(mx) + horizon_s * 1_000_000_000).cast("long")
+    last = batch_df.orderBy(F_.col("ts").desc_nulls_last()).limit(1)
+    if last.isEmpty():
+        raise ValueError(f"no rows under {parquet_path}; nothing to stream")
+    if isinstance(schema["ts"].dataType, _Long):
+        sentinel = last.withColumn(
+            "ts", (F_.col("ts") + F_.lit(horizon_s * 1_000_000_000)).cast("long")
         )
     else:
-        sentinel = sentinel.withColumn(
+        # timestamp / timestamp_ntz: interval addition preserves the
+        # exact column type, so the staged sentinel file's physical
+        # parquet type matches the real files under the one schema
+        sentinel = last.withColumn(
             "ts", F_.col("ts") + F_.expr(f"INTERVAL {horizon_s} SECONDS")
         )
     sentinel.write.mode("overwrite").parquet(os.path.join(stage, "_sentinel"))
@@ -283,15 +290,19 @@ def streaming_frame_edges_from_parquet(
     parquet_path: str,
     schema,  # noqa: ANN001
     delta_seconds: int = 3600,
-    ts_is_nanos: bool = False,
+    ts_is_nanos: bool | None = None,  # retained for API compat; ignored
 ) -> DataFrame:
     """Bounded-drain runner for the join form (Trigger.AvailableNow,
     memory sink): returns the finalized edge set for differential
-    testing against the batch operator."""
-    stage = _stage_with_sentinel(spark, parquet_path, ts_is_nanos, schema)
+    testing against the batch operator. The ts arrival type is derived
+    from ``schema`` (``ts_is_nanos`` is ignored — the flag was always
+    implied by the schema and hardcoding it broke when the testdata's
+    physical type changed)."""
+    from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
+
+    stage = _stage_with_sentinel(spark, parquet_path, schema)
     stream = spark.readStream.schema(schema).parquet(stage)
-    if ts_is_nanos:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_stream_ts(spark, stream, schema)
     return _drain(stream_frame_edges(stream, delta_seconds), "stream_edges")
 
 
@@ -300,14 +311,16 @@ def stateful_frame_edges_from_parquet(
     parquet_path: str,
     schema,  # noqa: ANN001
     delta_seconds: int = 3600,
-    ts_is_nanos: bool = False,
+    ts_is_nanos: bool | None = None,  # retained for API compat; ignored
     max_actors_per_frame: int | None = None,
 ) -> DataFrame:
-    """Bounded-drain runner for the stateful (hot-frame-guarded) form."""
-    stage = _stage_with_sentinel(spark, parquet_path, ts_is_nanos, schema)
+    """Bounded-drain runner for the stateful (hot-frame-guarded) form.
+    ts arrival type derived from ``schema`` (see join-form runner)."""
+    from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
+
+    stage = _stage_with_sentinel(spark, parquet_path, schema)
     stream = spark.readStream.schema(schema).parquet(stage)
-    if ts_is_nanos:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_stream_ts(spark, stream, schema)
     return _drain(
         stateful_frame_edges(
             stream, delta_seconds, max_actors_per_frame=max_actors_per_frame

@@ -102,19 +102,21 @@ def streaming_presence_from_parquet(
     parquet_path: str,
     schema,  # noqa: ANN001
     delta_seconds: int = 3600,
-    ts_is_nanos: bool = False,
+    ts_is_nanos: bool | None = None,  # retained for API compat; ignored
 ) -> DataFrame:
     """Bounded-drain runner for stream_presence_dedup (AvailableNow,
-    memory sink): drained output == batch distinct presence."""
+    memory sink): drained output == batch distinct presence. The ts
+    arrival type is derived from ``schema``, never from the flag."""
     import os
+
+    from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
 
     if os.path.isfile(parquet_path):
         stage = tempfile.mkdtemp(prefix="dynagraph_presence_src_")
         os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
         parquet_path = stage
     stream = spark.readStream.schema(schema).parquet(parquet_path)
-    if ts_is_nanos:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_stream_ts(spark, stream, schema)
     dedup = stream_presence_dedup(stream, delta_seconds)
     sink_name = f"stream_presence_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
@@ -135,16 +137,19 @@ def streaming_frame_counts_from_parquet(
     parquet_path: str,
     schema,  # noqa: ANN001 — StructType of the batch-read table
     delta_seconds: int = 3600,
-    ts_is_nanos: bool = False,
+    ts_is_nanos: bool | None = None,  # retained for API compat; ignored
     slide_seconds: int | None = None,
 ) -> DataFrame:
     """Run the tumbling count as a bounded stream and return the result.
 
     Uses Trigger.AvailableNow so the stream drains all existing files
     and stops — deterministic, suitable for differential testing
-    against the batch plan (and the DuckDB oracle).
+    against the batch plan (and the DuckDB oracle). The ts arrival type
+    is derived from ``schema``, never from the flag.
     """
     import os
+
+    from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
 
     # FileStreamSource requires a directory basePath; when pointed at a
     # single parquet file, stage a symlink inside a temp dir (testdata is
@@ -155,8 +160,7 @@ def streaming_frame_counts_from_parquet(
         parquet_path = stage
     reader = spark.readStream.schema(schema)
     stream = reader.parquet(parquet_path)
-    if ts_is_nanos:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_stream_ts(spark, stream, schema)
     agg = stream_tumbling_counts(stream, delta_seconds, slide_seconds=slide_seconds)
     sink_name = f"stream_frames_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")

@@ -153,7 +153,7 @@ def stateful_sessions_from_parquet(
     parquet_path: str,
     schema,  # noqa: ANN001
     gap_seconds: int = 1800,
-    ts_is_nanos: bool = False,
+    ts_is_nanos: bool | None = None,  # retained for API compat; ignored
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run the stateful sessionizer over a bounded file stream
@@ -178,8 +178,9 @@ def stateful_sessions_from_parquet(
         # one time-ordered file per batch, oldest first
         reader = reader.option("latestFirst", "false")
     stream = reader.parquet(parquet_path)
-    if ts_is_nanos:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
+
+    stream = normalize_stream_ts(spark, stream, schema)
     sessions = stateful_sessionize(stream, gap_seconds)
     sink_name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")

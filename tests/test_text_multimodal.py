@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from neo4j_dynagraph_spark.operators import multimodal, text
@@ -103,3 +104,67 @@ def test_search_all_terms_and_semantics(spark):
     out = {r.doc_id: r.hits
            for r in text_ops.search_all_terms(docs, ["spark", "merge", "vector"]).collect()}
     assert out == {0: 4, 2: 4}  # AND semantics; hits = total occurrences
+
+
+def test_ppm_decode_real():
+    # 2x1 P6 image, known pixels, comment in header
+    img = b"P6\n# a comment\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    d = multimodal.decode_ppm(img)
+    assert (d["width"], d["height"], d["maxval"], d["n_bytes"]) == (2, 1, 255, 6)
+    assert (d["min_byte"], d["max_byte"]) == (10, 60)
+    assert d["mean_byte"] == sum([10, 20, 30, 40, 50, 60]) / 6
+    # P5 grayscale: one byte per pixel
+    g = multimodal.decode_ppm(b"P5\n3 2\n255\n" + bytes(6))
+    assert g["n_bytes"] == 6 and g["max_byte"] == 0
+    # truncated plane must raise, not silently mis-decode
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n\x00\x00")
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"JFIF not a ppm")
+
+
+def test_wav_decode_real():
+    import struct
+
+    sr, ch, samples = 16000, 2, [100, -200, 300, -400]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d = multimodal.decode_wav(wav)
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (sr, ch, 16)
+    assert d["n_samples"] == len(samples) // ch
+    assert d["peak"] == 400
+    assert d["mean_sample"] == sum(samples) / len(samples)
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"OggS not a wav")
+
+
+def test_decode_stub_dispatches_real_codecs():
+    # PPM and WAV decode for REAL even with fake=False — the
+    # NotImplementedError boundary now only covers codec-library formats
+    feats = multimodal.decode_stub(b"P6\n1 1\n255\n\x07\x07\x07", "image", fake=False)
+    assert feats[:4] == [1.0, 1.0, 255.0, 3.0]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x89PNG....", "image", fake=False)
+
+
+def test_encode_decode_roundtrip_spark(spark):
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    img = multimodal.decode_image_meta(
+        multimodal.encode_test_media(ids, kind="image")
+    ).collect()
+    assert len(img) == 40
+    for r in img:
+        assert r.width == 4 + r.media_id % 13
+        assert r.mean_byte == float(r.media_id % 251)
+    aud = multimodal.decode_audio_meta(
+        multimodal.encode_test_media(ids, kind="audio")
+    ).collect()
+    for r in aud:
+        assert r.sample_rate == 8000 * (1 + r.media_id % 3)
+        assert r.peak == abs(r.media_id % 1000 - 500)
