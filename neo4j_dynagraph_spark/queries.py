@@ -1458,13 +1458,14 @@ WITH sp AS (SELECT event_id, user_id, {_ES} AS t1, {_ES} + {SPELL_LEN} AS t2
             FROM events),
 bucketed AS (SELECT sp.*, u.b AS day_bucket
              FROM sp, unnest(range(t1 // 86400, (t2 - 1) // 86400 + 1)) AS u(b))
-SELECT DISTINCT a.event_id AS e1, b.event_id AS e2,
+SELECT a.event_id AS e1, b.event_id AS e2,
        a.user_id AS u1, b.user_id AS u2,
        least(a.t2, b.t2) - greatest(a.t1, b.t1) AS overlap_s
 FROM bucketed a JOIN bucketed b
   ON a.day_bucket = b.day_bucket
  AND a.user_id < b.user_id
  AND a.t1 < b.t2 AND b.t1 < a.t2
+ AND a.day_bucket = greatest(a.t1, b.t1) // 86400
 ORDER BY e1, e2
 """,
 )
@@ -1474,10 +1475,15 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     length. The scale pattern is the reference's own trick turned
     inside out (SURVEY.md §4 note): REPLICATE each interval into every
     day bucket it touches (explode over the bucket range — <= 2 here),
-    equi-join on the bucket so the planner gets a hash key, apply the
-    interval predicate inside the bucket, and dedupe pairs whose
-    overlap spans a boundary (found in both buckets). A true interval
-    join as a bucketed hash join instead of a cartesian."""
+    equi-join on the bucket so the planner gets a hash key, and apply
+    the interval predicate inside the bucket. A pair whose overlap
+    spans a boundary matches in EVERY shared bucket — instead of a
+    global DISTINCT over the full pair output (an extra shuffle that
+    grows with the result at 100x), each pair is emitted only from the
+    bucket containing its overlap START (greatest(t1a,t1b) div day):
+    that instant lies inside both intervals, so exactly one bucket
+    qualifies and the dedup is a free per-row predicate. A true
+    interval join as a bucketed hash join instead of a cartesian."""
     ev = _events(spark, sf_dir)
     es = dfn.epoch_seconds(F.col("ts"))
     sp = ev.select(
@@ -1501,7 +1507,14 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.day_bucket") == F.col("b.day_bucket"))
             & (F.col("a.user_id") < F.col("b.user_id"))
             & (F.col("a.t1") < F.col("b.t2"))
-            & (F.col("b.t1") < F.col("a.t2")),
+            & (F.col("b.t1") < F.col("a.t2"))
+            # first-shared-bucket predicate: emit the pair only from the
+            # bucket holding the overlap start — replaces a global
+            # distinct over the pair output with a per-row filter
+            & (
+                F.col("a.day_bucket")
+                == (F.greatest(F.col("a.t1"), F.col("b.t1")) / 86400).cast("long")
+            ),
         )
         .select(
             F.col("a.event_id").alias("e1"),
@@ -1513,7 +1526,6 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.greatest(F.col("a.t1"), F.col("b.t1"))
             ).alias("overlap_s"),
         )
-        .distinct()
         .orderBy("e1", "e2")
     )
 
@@ -1716,6 +1728,44 @@ def q_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
         .orderBy("frame_id")
+    )
+
+
+@query(
+    "q_runs_both",
+    oracle=f"""
+WITH p1 AS (SELECT 'hour' AS run, {_FID} AS frame_id, user_id AS actor,
+                   count(*) AS n_events FROM events GROUP BY 2, 3),
+p2 AS (SELECT 'day' AS run, CAST(floor(epoch(ts)/86400) AS BIGINT) AS frame_id,
+              user_id AS actor, count(*) AS n_events FROM events GROUP BY 2, 3),
+star AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT run, frame_id, CAST(count(*) AS BIGINT) AS n_actors,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM star GROUP BY 1, 2 ORDER BY run, frame_id
+""",
+)
+def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run isolation made hash-verifiable: BOTH runs' per-frame
+    aggregates with `run` as a group key (the round-3 verdict's
+    no-bleed check — q_runs verifies one run in isolation; this hashes
+    EVERY frame row of BOTH namespaces coexisting in one star, so a
+    single row bleeding between runs, or a frame landing on the wrong
+    DELTAT grid, breaks the hash)."""
+    ev = _events(spark, sf_dir)
+    star = ingest.events_to_presence(ev, DELTA).select(
+        F.lit("hour").alias("run"), "frame_id", "actor", "n_events"
+    ).unionByName(
+        ingest.events_to_presence(ev, 86400).select(
+            F.lit("day").alias("run"), "frame_id", "actor", "n_events"
+        )
+    )
+    return (
+        star.groupBy("run", "frame_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_actors"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("run", "frame_id")
     )
 
 

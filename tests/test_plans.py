@@ -115,3 +115,16 @@ def test_runs_namespace_prunes_other_run(spark):
     assert s.count("Scan parquet") == 1, (
         "run filter failed to prune the other run's subtree"
     )
+
+
+def test_interval_overlap_no_global_distinct(spark):
+    # boundary-spanning pairs dedupe via the first-shared-bucket join
+    # predicate, NOT a global distinct over the pair output — at 100x
+    # the distinct's exchange grows with the RESULT, the predicate is
+    # free. No aggregate may appear in the plan (distinct plans as
+    # HashAggregate pairs around an Exchange).
+    df = REGISTRY["q_interval_overlap"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert "HashAggregate" not in s and "SortAggregate" not in s, (
+        "pair-output distinct crept back into q_interval_overlap"
+    )
