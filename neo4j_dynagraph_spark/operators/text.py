@@ -144,10 +144,22 @@ def search_all_terms(
     filtered by the tiny literal term set FIRST (predicate-pushable into
     the index scan), then one groupBy(doc_id) keeps docs whose distinct
     matched-term count equals |terms| — intersection of posting lists
-    without a per-term self-join."""
+    without a per-term self-join.
+
+    A conjunctive substring prefilter (lower(text) contains each term)
+    runs BEFORE tokenization: it is a superset of the exact token match
+    (substrings can over-match, never under-match — exactness is
+    enforced by the token equality after the explode), so the expensive
+    split+explode+aggregate pipeline only touches candidate documents.
+    On an AND query over a large corpus almost everything is pruned in
+    the scan stage; for a corpus stored case-normalized the bare
+    `contains` additionally pushes to parquet as StringContains."""
     tl = sorted({t.lower() for t in terms})
+    pre = docs
+    for t in tl:
+        pre = pre.where(F.lower(F.col(text_col)).contains(t))
     return (
-        inverted_index(docs, text_col)
+        inverted_index(pre, text_col)
         .where(F.col("token").isin(tl))
         .groupBy("doc_id")
         .agg(

@@ -136,3 +136,40 @@ def test_sessionize_invariants(spark):
             assert s2 - e1 >= SPELL_LEN
             gaps_checked += 1
     assert gaps_checked > 0
+
+
+def test_ts_normalization_all_arrival_types(spark, tmp_path):
+    # The driver testdata's events.ts physical type has changed between
+    # generations (long epoch-nanos -> TIMESTAMP_MICROS/ntz). The
+    # (ts, ts_ns) contract must come out identical for EVERY arrival
+    # type — this pins the normalization so the next format change
+    # surfaces here, not as 15 red driver rows.
+    import datetime as dt
+
+    from neo4j_dynagraph_spark.sources.tables import normalize_event_ts
+
+    base = dt.datetime(2024, 1, 15, 9, 30, 0, 123456)
+    micros = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000 + 123456
+    rows = [(1, micros), (2, micros + 86_400_000_000)]
+
+    # arrival 1: legacy long epoch-nanos
+    df_long = spark.createDataFrame(
+        [(i, us * 1000) for i, us in rows], "event_id long, ts long"
+    )
+    # arrival 2: timestamp_ntz (current testdata generation)
+    df_ntz = spark.createDataFrame(
+        [(i, dt.datetime.utcfromtimestamp(us / 1e6)) for i, us in rows],
+        "event_id long, ts timestamp_ntz",
+    )
+    # arrival 3: plain timestamp
+    df_ts = spark.createDataFrame(
+        [(i, dt.datetime.utcfromtimestamp(us / 1e6)) for i, us in rows],
+        "event_id long, ts timestamp",
+    )
+
+    for name, df in [("long", df_long), ("ntz", df_ntz), ("ts", df_ts)]:
+        out = normalize_event_ts(spark, df, "ts")
+        assert "ts_ns" in out.columns
+        got = {r.event_id: r.ts_ns for r in out.collect()}
+        want = {i: us * 1000 for i, us in rows}
+        assert got == want, f"{name} arrival: ts_ns mismatch {got} != {want}"
