@@ -261,3 +261,36 @@ def write_star(star: StarSchema, out_dir: str) -> None:
     star.frame_interactions.sortWithinPartitions("frame_id").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/frame_interactions")
+
+
+def write_star_bucketed(
+    star: StarSchema,
+    database: str,
+    out_dir: str,
+    n_buckets: int = 64,
+) -> None:
+    """Bucketed-at-rest fact layout: both fact tables hash-bucketed AND
+    sorted on frame_id via ``bucketBy``/``sortBy`` + ``saveAsTable``.
+
+    This is the co-located-join layout for the hot key: any
+    frame_id-keyed join between the facts (presence x interactions, or
+    the pair-explosion self-join) plans as a SortMergeJoin with ZERO
+    Exchange — at 100 TB the facts shuffle ONCE at write time instead
+    of on every query (locked by
+    tests/test_ingest.py::test_bucketed_star_join_no_shuffle). Matching
+    bucket counts on both tables are what makes the join co-located;
+    changing one side's count reintroduces the shuffle.
+    """
+    spark = star.frame_actors.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name, df in (
+        ("frame_actors", star.frame_actors),
+        ("frame_interactions", star.frame_interactions),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{out_dir}/{name}")
+            .bucketBy(n_buckets, "frame_id")
+            .sortBy("frame_id")
+            .saveAsTable(f"{database}.{name}")
+        )

@@ -500,6 +500,30 @@ def q11_triangles_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangles(edges)
 
 
+@query(
+    "q11_count_hour",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.actor2 = e2.actor1
+JOIN e e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2
+""",
+)
+def q11_count_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate form of QUERY11: triangle COUNT over the hour-pruned
+    edge set. The enumeration form's output grows ~cubically with frame
+    density (measured 441 M triangles at sf1, SCALE.md) — collecting it
+    at any single node is the anti-pattern; the count keeps the same
+    pruned broadcast join but terminates engine-side in O(1) output.
+    This is the dense-regime production shape."""
+    edges = _edges(spark, sf_dir, _hour_filter(HOUR, HOUR + 1))
+    return graph.triangles(edges).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 # ===========================================================================
 # §2.1 — ingest / scan operators
 # ===========================================================================

@@ -173,3 +173,37 @@ def test_ts_normalization_all_arrival_types(spark, tmp_path):
         got = {r.event_id: r.ts_ns for r in out.collect()}
         want = {i: us * 1000 for i, us in rows}
         assert got == want, f"{name} arrival: ts_ns mismatch {got} != {want}"
+
+
+def test_bucketed_star_join_no_shuffle(spark, tmp_path):
+    # the co-located-join layout: both facts bucketed+sorted on
+    # frame_id, so a frame-keyed fact-to-fact join runs with ZERO
+    # Exchange — the write-once shuffle replaces a per-query shuffle
+    from neo4j_dynagraph_spark import plans
+
+    ev = load_table(spark, SF_SMALL, "events")
+    star = ingest.build_star(ev, delta=3600)
+    db = "bucketed_star_test"
+    ingest.write_star_bucketed(star, db, str(tmp_path / "star"), n_buckets=8)
+    try:
+        fa = spark.table(f"{db}.frame_actors")
+        fi = spark.table(f"{db}.frame_interactions")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = fa.join(fi, "frame_id").groupBy("actor").count()
+            s = plans.plan_str(j, "simple")
+            # exactly ONE exchange (for the groupBy) — none for the join
+            assert "SortMergeJoin" in s
+            n_exchanges = s.count("Exchange")
+            assert n_exchanges <= 1, (
+                f"bucketed join must not shuffle its inputs, saw "
+                f"{n_exchanges} exchanges:\n{s}"
+            )
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.frame_actors")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.frame_interactions")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
