@@ -169,3 +169,71 @@ def search_all_terms(
         .where(F.col("nt") == len(tl))
         .select("doc_id", "hits")
     )
+
+
+# Conservative regexes valid and equivalent in BOTH Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround, no dialect-specific
+# classes — so the SQL oracle replays them bit-for-bit.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.2
+) -> DataFrame:
+    """Gopher-style within-document repetition filter: the fraction of
+    word 3-grams that are repeats of an earlier 3-gram in the SAME
+    document. Boilerplate, templated spam, and looping generations
+    score high; natural prose scores near 0. Pure JVM array lambdas —
+    the whole metric is one narrow projection, no shuffle, no Python.
+
+    Columns: doc_id, n_grams, n_distinct, rep_ratio (rounded at 1e-6,
+    the cross-engine float rule), flag_repetitive.
+    """
+    toked = docs.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
+    grams = F.when(
+        F.size(F.col("t")) >= 3,
+        F.expr(
+            "transform(sequence(0, size(t) - 3), "
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = toked.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    # flag compares the RAW ratio (pre-round), exactly as the SQL
+    # oracle does — the exported ratio is rounded per the cross-engine
+    # float rule, but a flag computed on the rounded value could flip
+    # at a rounding boundary
+    raw = F.when(
+        n > 0, F.lit(1.0) - nd.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(raw, 6).alias("rep_ratio"),
+        (raw > threshold).alias("flag_repetitive"),
+    )
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style PII pattern counting per document (emails, IPv4,
+    phone-shaped strings) — the redaction/filter signal computed
+    JVM-side with regexp_count over the lowercased text. At 100 TB this
+    is a narrow projection inside codegen; no shuffle until whatever
+    aggregate the caller adds.
+
+    Columns: doc_id, n_email, n_ipv4, n_phone, has_pii.
+    """
+    low = F.lower(F.col(text_col))
+    cols = [
+        F.regexp_count(low, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *cols)
+    total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
+    return out.withColumn("has_pii", total > 0)

@@ -524,6 +524,60 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+@query(
+    "q_repetition",
+    oracle=f"""
+WITH {_TOK_CTE},
+g AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS grams
+      FROM tok)
+SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN n > 0
+                  THEN 1.0 - len(list_distinct(grams)) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rep_ratio,
+       CASE WHEN n > 0
+            THEN (1.0 - len(list_distinct(grams)) / CAST(n AS DOUBLE)) > 0.2
+            ELSE FALSE END AS flag_repetitive
+FROM g ORDER BY doc_id
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter (public C4/Gopher
+    curation rule): fraction of word 3-grams repeating an earlier
+    3-gram in the same doc. Boilerplate and looping generations score
+    high. Pure JVM array lambdas — one narrow projection, no shuffle;
+    the oracle replays the 3-gram arithmetic with DuckDB list
+    functions. NOTE: flag threshold compare happens pre-round in BOTH
+    engines so the hash can't straddle a rounding boundary."""
+    return text.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_pii_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+       (len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["email"]}'))
+        + len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["ipv4"]}'))
+        + len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["phone"]}'))) > 0 AS has_pii
+FROM documents ORDER BY doc_id
+""",
+)
+def q_pii_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII pattern counting (emails / IPv4 / phone-shaped
+    strings) — the redaction-or-drop signal of a public curation
+    pipeline. regexp_count JVM-side over lowercased text; the patterns
+    are chosen to parse and match identically under Java regex (Spark)
+    and RE2 (DuckDB), so the oracle replays them verbatim."""
+    return text.pii_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # ------------------------------------------------------------ multimodal
 
 

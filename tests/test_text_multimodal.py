@@ -168,3 +168,34 @@ def test_encode_decode_roundtrip_spark(spark):
     for r in aud:
         assert r.sample_rate == 8000 * (1 + r.media_id % 3)
         assert r.peak == abs(r.media_id % 1000 - 500)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark spark spark"),  # 3 grams, 1 distinct
+            (1, "one two three four five"),        # all distinct
+            (2, "hi"),                             # < 3 tokens: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert (out[0].n_grams, out[0].n_distinct) == (3, 1)
+    assert out[0].rep_ratio == 0.666667 and out[0].flag_repetitive
+    assert out[1].rep_ratio == 0.0 and not out[1].flag_repetitive
+    assert (out[2].n_grams, out[2].rep_ratio) == (0, 0.0)
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "reach me at First.Last+tag@Example.ORG today"),
+            (1, "server 10.0.0.1 and 192.168.1.255, call 555-123-4567"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.pii_counts(df).collect()}
+    assert out[0].n_email == 1 and out[0].has_pii  # case-insensitive
+    assert out[1].n_ipv4 == 2 and out[1].n_phone == 1 and out[1].has_pii
+    assert not out[2].has_pii
