@@ -38,6 +38,37 @@ from neo4j_dynagraph_spark import functions as dfn
 DEFAULT_DELTA = 3600  # engine default frame width for the events table, seconds
 
 
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join, result-identical to ``left.join(right,
+    keys, how)`` for inner/left joins.
+
+    The left side gets a DETERMINISTIC salt in [0, n_salt) hashed from
+    its whole row (no rand(): rerunning a stage under task retry must
+    re-produce the same salt or Spark can duplicate/lose rows); the
+    right side is replicated once per salt value via explode. The join
+    key becomes (keys..., salt), so a hot key's build/probe work
+    scatters across n_salt tasks instead of hammering one. Output
+    volume is unchanged (salting fixes COMPUTE skew, not output skew);
+    right-side volume is n_salt x — use for big-big joins where the hot
+    key dominates a task, broadcast for small dims, and AQE skew-split
+    when post-shuffle partition size alone is the problem.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted join supports inner/left, got {how}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    lsalted = left.withColumn("_salt", salt)
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return lsalted.join(rsalted, [*keys, "_salt"], how).drop("_salt")
+
+
 @dataclass
 class StarSchema:
     """The discretized temporal-graph star schema (SURVEY.md §1.1)."""
@@ -76,7 +107,9 @@ def events_to_presence(
 
 
 def presence_to_frame_interactions(
-    presence: DataFrame, max_actors_per_frame: int | None = None
+    presence: DataFrame,
+    max_actors_per_frame: int | None = None,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Self-join presence on frame_id -> co-activity edges per frame.
 
@@ -118,9 +151,17 @@ def presence_to_frame_interactions(
     right = presence.select(
         "frame_id", F.col("actor").alias("actor2"), F.col("n_events").alias("n2")
     )
+    # n_salt: scatter a hot frame's join build/probe across salt tasks
+    # (salted_equi_join) — the cap drops pathological frames, AQE splits
+    # big post-shuffle partitions, salting parallelizes one hot KEY's
+    # compute; three independent levers for three skew shapes
+    joined = (
+        salted_equi_join(left, right, ["frame_id"], n_salt)
+        if n_salt
+        else left.join(right, "frame_id")
+    )
     return (
-        left.join(right, "frame_id")
-        .where(F.col("actor1") < F.col("actor2"))
+        joined.where(F.col("actor1") < F.col("actor2"))
         .select(
             "frame_id",
             "actor1",

@@ -207,3 +207,25 @@ def test_bucketed_star_join_no_shuffle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {db}.frame_actors")
         spark.sql(f"DROP TABLE IF EXISTS {db}.frame_interactions")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_salted_join_differential(spark):
+    # salting must be result-invisible: identical edge set (including
+    # weights) to the unsalted join, with the salt in the join key
+    rows = [(1, a, a + 1) for a in range(12)] + [(2, 20, 1), (2, 21, 2)]
+    presence = spark.createDataFrame(rows, "frame_id long, actor long, n_events long")
+    plain = sorted(
+        tuple(r) for r in ingest.presence_to_frame_interactions(presence).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in ingest.presence_to_frame_interactions(presence, n_salt=4).collect()
+    )
+    assert plain == salted and len(plain) == 66 + 1
+    # the physical join key must include the salt column
+    from neo4j_dynagraph_spark import plans
+
+    s = plans.plan_str(
+        ingest.presence_to_frame_interactions(presence, n_salt=4), "simple"
+    )
+    assert "_salt" in s

@@ -199,3 +199,56 @@ def test_pii_counts(spark):
     assert out[0].n_email == 1 and out[0].has_pii  # case-insensitive
     assert out[1].n_ipv4 == 2 and out[1].n_phone == 1 and out[1].has_pii
     assert not out[2].has_pii
+
+
+def test_ppm_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        v=st.integers(0, 255),
+        gray=st.booleans(),
+    )
+    def check(w, h, v, gray):
+        magic, bpp = (b"P5", 1) if gray else (b"P6", 3)
+        img = magic + f"\n{w} {h}\n255\n".encode() + bytes([v]) * (w * h * bpp)
+        d = multimodal.decode_ppm(img)
+        assert (d["width"], d["height"], d["maxval"]) == (w, h, 255)
+        assert d["n_bytes"] == w * h * bpp
+        assert d["mean_byte"] == float(v) == d["min_byte"] == d["max_byte"]
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        sr=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(1, 2),
+        samples=st.lists(st.integers(-32768, 32767), min_size=2, max_size=64),
+    )
+    def check(sr, ch, samples):
+        if len(samples) % ch:
+            samples = samples[: len(samples) - 1]
+        if not samples:
+            return
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        d = multimodal.decode_wav(wav)
+        assert (d["sample_rate"], d["channels"]) == (sr, ch)
+        assert d["n_samples"] == len(samples) // ch
+        assert d["peak"] == max(abs(s) for s in samples)
+
+    check()
