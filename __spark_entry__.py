@@ -6,10 +6,11 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 The real registry lives in ``neo4j_dynagraph_spark.queries``; this
-module is a thin adapter. NOTE: the engine requires
-``spark.sql.legacy.parquet.nanosAsLong=true`` (the testdata stores
-TIMESTAMP(NANOS)); if the driver-provided session lacks it, entry()
-still works because load_table handles both encodings.
+module is a thin adapter. NOTE: the testdata's ``events.ts`` physical
+type has changed across driver generations (TIMESTAMP(NANOS) ->
+TIMESTAMP_MICROS/timestamp_ntz); load_table normalizes EVERY arrival
+type to the engine's (ts, ts_ns) contract and sets the runtime confs
+it needs, so a vanilla driver-provided session works unmodified.
 """
 
 from __future__ import annotations
