@@ -313,13 +313,24 @@ def stateful_frame_edges_from_parquet(
     delta_seconds: int = 3600,
     ts_is_nanos: bool | None = None,  # retained for API compat; ignored
     max_actors_per_frame: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Bounded-drain runner for the stateful (hot-frame-guarded) form.
-    ts arrival type derived from ``schema`` (see join-form runner)."""
+    ts arrival type derived from ``schema`` (see join-form runner).
+
+    ``max_files_per_trigger`` caps files per micro-batch: pointed at a
+    directory of time-ordered files with cap 1, a frame's actor map is
+    forced to accumulate ACROSS micro-batches before its event-time
+    timeout flushes it — the state-carry path the single-batch drain
+    never exercises."""
     from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
 
     stage = _stage_with_sentinel(spark, parquet_path, schema)
-    stream = spark.readStream.schema(schema).parquet(stage)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        reader = reader.option("latestFirst", "false")
+    stream = reader.parquet(stage)
     stream = normalize_stream_ts(spark, stream, schema)
     return _drain(
         stateful_frame_edges(

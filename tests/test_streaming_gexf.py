@@ -291,3 +291,56 @@ def test_stateful_edges_hot_frame_guard_equals_batch(spark, tmp_path):
     )
     assert got_uncapped == batch_edges(None)
     assert sum(1 for r in got_uncapped if r[0] == 200) == 30 * 29 // 2
+
+
+def test_stateful_edges_multibatch_equals_batch(spark, tmp_path):
+    """State carry across micro-batches for the EDGE tracker: events
+    split into 3 time-ordered files, 1 file per trigger, so frames near
+    the cuts accumulate their actor maps across batch boundaries before
+    the event-time timeout flushes them. Drained == batch edge set."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.sources.tables import load_table
+    from neo4j_dynagraph_spark.streaming.edges import (
+        stateful_frame_edges_from_parquet,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    c1 = dt.datetime(2024, 1, 11, tzinfo=dt.timezone.utc)
+    c2 = dt.datetime(2024, 1, 21, tzinfo=dt.timezone.utc)
+    parts = [
+        ev.where(F.col("ts") < F.lit(c1)),
+        ev.where((F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))),
+        ev.where(F.col("ts") >= F.lit(c2)),
+    ]
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, p in enumerate(parts):
+        keys = [r.event_id for r in p.select("event_id").collect()]
+        raw.filter(F.col("event_id").isin(keys)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part{i}"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i in range(3):
+        f = glob.glob(str(src / f"part{i}" / "*.parquet"))[0]
+        shutil.copy(f, flat / f"file{i}.parquet")
+        os.utime(flat / f"file{i}.parquet", (1e9 + i, 1e9 + i))
+
+    streamed = stateful_frame_edges_from_parquet(
+        spark, str(flat), raw.schema, 3600, max_files_per_trigger=1
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(
+        map(
+            tuple,
+            ingest.presence_to_frame_interactions(
+                ingest.events_to_presence(ev, 3600)
+            ).collect(),
+        )
+    )
+    assert got == want
