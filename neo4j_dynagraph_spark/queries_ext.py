@@ -15,7 +15,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from neo4j_dynagraph_spark.operators import dedup, multimodal, similarity, text
+from neo4j_dynagraph_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
 from neo4j_dynagraph_spark.queries import (
     _EDGES_FROM_P,
     _FID,
@@ -245,6 +251,63 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drops, "doc_id", "left_anti")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pr AS (SELECT d1, d2 FROM inter
+       JOIN sz na ON na.doc_id = d1
+       JOIN sz nb ON nb.doc_id = d2
+       WHERE c / CAST(na.n + nb.n - c AS DOUBLE) >= 0.6),
+sym AS (SELECT d1 AS src, d2 AS dst FROM pr UNION ALL SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id,
+       (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP done right: near-dup similarity is not
+    transitive, so greedy pair-dropping (q_dedup_pipeline's last stage)
+    can drop a doc whose counterpart was itself dropped. Here verified
+    pairs become edges, connected components (the already-tested
+    pointer-jumping operator, operators/graph.py) give each duplicate
+    CLUSTER a canonical id (min doc_id reachable), and exactly one
+    survivor per cluster is kept; singletons survive trivially. The
+    oracle replays components as a recursive CTE — the same
+    equivalent-formulation pattern as q_connected_components, applied
+    to the curation capstone."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, block_col="source")
+    edges = pairs.select(
+        F.col("d1").alias("actor1"), F.col("d2").alias("actor2")
+    )
+    comp = graph.connected_components(edges).select(
+        F.col("actor").alias("doc_id"), "component"
+    )
+    out = docs.select("doc_id").join(comp, "doc_id", "left")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_survivor"),
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------------------------ similarity
