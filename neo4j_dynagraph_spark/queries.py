@@ -524,6 +524,141 @@ def q11_count_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_frame_turnover",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+c AS (SELECT frame_id, count(*) AS n_edges FROM e GROUP BY 1),
+i AS (SELECT a.frame_id, count(*) AS n_common
+      FROM e a JOIN e b ON b.frame_id = a.frame_id + 1
+       AND b.actor1 = a.actor1 AND b.actor2 = a.actor2
+      GROUP BY 1)
+SELECT c.frame_id, CAST(c.n_edges AS BIGINT) AS n_edges,
+       CAST(cn.n_edges AS BIGINT) AS n_next,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       round(COALESCE(i.n_common, 0)
+             / CAST(c.n_edges + cn.n_edges - COALESCE(i.n_common, 0) AS DOUBLE),
+             6) AS jaccard
+FROM c JOIN c cn ON cn.frame_id = c.frame_id + 1
+LEFT JOIN i ON i.frame_id = c.frame_id
+ORDER BY c.frame_id
+""",
+)
+def q_frame_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-network evolution: Jaccard overlap of consecutive
+    frames' edge sets over the pinned day — the SocioPatterns-domain
+    turnover metric the reference's frame chain exists to support
+    (NEXT_FRAME traversal, load_gexf_to_neo4j.py:183-188, walked
+    pairwise). One day-pruned edge build, a self-join on
+    (frame_id+1, pair) for the intersection, per-frame counts for the
+    union — no per-frame driver loop, frames processed in parallel."""
+    e = (
+        _edges(spark, sf_dir, _day_filter())
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    c = e.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_edges"))
+    nxt = e.select(
+        (F.col("frame_id") - 1).alias("frame_id"), "actor1", "actor2"
+    )
+    inter = (
+        e.join(nxt, ["frame_id", "actor1", "actor2"])
+        .groupBy("frame_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cn = c.select(
+        (F.col("frame_id") - 1).alias("frame_id"),
+        F.col("n_edges").alias("n_next"),
+    )
+    common = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        c.join(cn, "frame_id")
+        .join(inter, "frame_id", "left")
+        .select(
+            "frame_id",
+            "n_edges",
+            "n_next",
+            common.cast("long").alias("n_common"),
+            F.round(
+                common
+                / (F.col("n_edges") + F.col("n_next") - common).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("frame_id")
+    )
+
+
+@query(
+    "q_clustering_coeff",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+tri AS (SELECT e1.actor1 AS a, e1.actor2 AS b, e2.actor2 AS c
+        FROM e e1
+        JOIN e e2 ON e1.actor2 = e2.actor1
+        JOIN e e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2),
+tc AS (SELECT actor, count(*) AS n_tri FROM (
+         SELECT a AS actor FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1),
+deg AS (SELECT actor, count(*) AS degree FROM (
+          SELECT actor1 AS actor FROM e
+          UNION ALL SELECT actor2 FROM e) GROUP BY 1)
+SELECT d.actor, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(tc.n_tri, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg d LEFT JOIN tc ON tc.actor = d.actor
+ORDER BY d.actor
+""",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per actor on the hour-pruned graph:
+    2*triangles / (deg*(deg-1)) — the standard contact-network cohesion
+    metric built from the SAME pruned edge set and triangle join as
+    QUERY11 (one more explode + two aggregates on top). Degree here is
+    distinct-partner degree within the hour, matching QUERY10's
+    semantics."""
+    edges = (
+        _edges(spark, sf_dir, _hour_filter(HOUR, HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    tri = graph.triangles(edges)
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(tc, "actor", "left")
+        .select(
+            "actor",
+            "degree",
+            n_tri.cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * n_tri
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coeff"),
+        )
+        .orderBy("actor")
+    )
+
+
 # ===========================================================================
 # §2.1 — ingest / scan operators
 # ===========================================================================
