@@ -906,6 +906,38 @@ def q_stream_edges_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_degree",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+s AS (SELECT actor1 AS actor FROM e UNION ALL SELECT actor2 FROM e)
+SELECT actor, CAST(count(*) AS BIGINT) AS degree
+FROM s GROUP BY 1 ORDER BY actor
+""",
+)
+def q_stream_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY10 as an incrementally-maintained materialized view: the
+    finalized co-presence edge stream drains through foreachBatch into
+    a versioned canonical-pair dimension (merge-on-key, idempotent
+    replays, atomic pointer-flip — streaming/upsert.py), and degree is
+    a read of that dimension — the streaming answer to recomputing
+    q10's full-range distinct from scratch. (The dependency-free store
+    rewrites the merged table per commit; on a deployment the same
+    foreachBatch body targets a Delta/Iceberg MERGE, making each
+    commit O(batch) — the pattern, commit atomicity, and idempotence
+    are what this verifies.) The oracle is q10's batch SQL."""
+    from neo4j_dynagraph_spark.streaming.edges import (
+        streaming_degree_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_degree_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA
+    )
+    return result.orderBy("actor")
+
+
+@query(
     "q_stream_sessions",
     oracle=f"""
 WITH o AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, ts

@@ -338,3 +338,51 @@ def stateful_frame_edges_from_parquet(
         ),
         "stream_edges_stateful",
     )
+
+
+def streaming_degree_from_parquet(
+    spark,  # noqa: ANN001
+    parquet_path: str,
+    schema,  # noqa: ANN001
+    delta_seconds: int = 3600,
+) -> DataFrame:
+    """Incrementally-maintained degree view (the streaming
+    materialized-view pattern, T2+T4): the finalized co-presence edge
+    stream drains through foreachBatch into a versioned canonical-pair
+    DIMENSION (DimensionStore merge-on-key — idempotent under
+    micro-batch replay, atomic pointer-flip commits), and degree is a
+    read of the materialized dimension: union of endpoints + count,
+    exactly QUERY10's semantics. At scale the store is the incremental
+    alternative to recomputing q10's full-history distinct: each
+    micro-batch merges O(new pairs), not O(all pairs ever)."""
+    import tempfile
+
+    from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
+    from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
+
+    stage = _stage_with_sentinel(spark, parquet_path, schema)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    stream = normalize_stream_ts(spark, stream, schema)
+    edges = stream_frame_edges(stream, delta_seconds)
+    store = DimensionStore(
+        spark, tempfile.mkdtemp(prefix="dynagraph_pairdim_"), ["actor1", "actor2"]
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ANN001
+        store.merge(batch_df.select("actor1", "actor2"))
+
+    q = (
+        edges.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dynagraph_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = store.read()
+    if pairs is None:
+        raise ValueError(f"no edges drained from {parquet_path}")
+    ends = pairs.select(F.col("actor1").alias("actor")).unionByName(
+        pairs.select(F.col("actor2").alias("actor"))
+    )
+    return ends.groupBy("actor").agg(F.count(F.lit(1)).alias("degree"))
