@@ -588,6 +588,48 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_pairs",
+    oracle=f"""
+WITH {_TOK_CTE},
+pairs AS (SELECT t[i] || ' ' || t[i+1] AS pair
+          FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner statistic: corpus-wide adjacent-token
+    pair frequencies, top-20 (each merge round of byte-pair encoding
+    picks argmax of exactly this table). JVM array lambda builds the
+    pair list per doc, explode + count with map-side partial
+    aggregation — shuffle volume is ~pair-vocabulary, not corpus —
+    and TakeOrdered for the top-k. A full BPE trainer is this query
+    iterated with a merge-apply step."""
+    from neo4j_dynagraph_spark import functions as dfn
+
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", dfn.tokens(F.col("text")).alias("t")
+    )
+    pairs = (
+        toked.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> concat_ws(' ', t[i], t[i+1]))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@query(
     "q_repetition",
     oracle=f"""
 WITH {_TOK_CTE},
