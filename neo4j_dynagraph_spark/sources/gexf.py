@@ -116,3 +116,66 @@ def read_gexf_many(spark: SparkSession, paths: list[str]) -> DataFrame:
             )
 
     return paths_df.mapInPandas(parse, SPELL_SCHEMA)
+
+
+def write_gexf(spells: DataFrame, path: str, timeformat: str = "long") -> None:
+    """Dynamic-GEXF sink — the inverse of :func:`read_gexf`, closing
+    the format round-trip (the reference only LOADS GEXF; exporting
+    makes the engine a drop-in producer for any GEXF consumer).
+
+    The per-entity spell grouping runs DISTRIBUTED (one groupBy over
+    the spell facts, spells sorted for deterministic output); only the
+    document assembly streams through the driver via toLocalIterator —
+    GEXF is a single-document XML format, so a single file is the
+    format's constraint, not the engine's (mirror of the source's
+    scale note). Output satisfies read_gexf's own validation: dynamic
+    mode, integer-ish timeformat, canonical src < dst edges.
+    """
+    from xml.sax.saxutils import quoteattr
+
+    import pyspark.sql.functions as F
+
+    if timeformat not in ("integer", "long", "double"):
+        raise ValueError(f"unsupported timeformat {timeformat!r}")
+    grouped = (
+        spells.groupBy("kind", "id", "src", "dst")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("t_start", "t_end"))).alias("sp")
+        )
+        # 'node' sorts after 'edge' descending-wise: desc puts nodes first
+        .orderBy(F.desc("kind"), "id")
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n')
+        f.write(
+            f'  <graph mode="dynamic" defaultedgetype="undirected" '
+            f'timeformat="{timeformat}">\n'
+        )
+        section = None
+        for row in grouped.toLocalIterator():
+            want = "nodes" if row.kind == "node" else "edges"
+            if section != want:
+                if section is not None:
+                    f.write(f"    </{section}>\n")
+                f.write(f"    <{want}>\n")
+                section = want
+            spell_xml = "".join(
+                f'<spell start="{s.t_start}" end="{s.t_end}"/>'
+                for s in row.sp
+            )
+            if row.kind == "node":
+                f.write(
+                    f"      <node id={quoteattr(row.id)} "
+                    f"label={quoteattr(row.id)}>"
+                    f"<spells>{spell_xml}</spells></node>\n"
+                )
+            else:
+                f.write(
+                    f"      <edge id={quoteattr(row.id)} "
+                    f'source="{row.src}" target="{row.dst}">'
+                    f"<spells>{spell_xml}</spells></edge>\n"
+                )
+        if section is not None:
+            f.write(f"    </{section}>\n")
+        f.write("  </graph>\n</gexf>\n")

@@ -344,3 +344,18 @@ def test_stateful_edges_multibatch_equals_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_gexf_sink_roundtrip(spark, tmp_path):
+    """write_gexf is the exact inverse of read_gexf: parse -> export ->
+    re-parse yields the identical spell set, and the exported document
+    passes the source's own dynamic-mode/timeformat validation."""
+    src = tmp_path / "in.gexf"
+    src.write_text(GEXF_DOC)
+    spells = gexf.read_gexf(spark, str(src))
+    out = tmp_path / "out.gexf"
+    gexf.write_gexf(spells, str(out))
+    again = gexf.read_gexf(spark, str(out))
+    a = sorted(map(tuple, spells.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b and len(a) > 0
