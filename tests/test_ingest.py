@@ -229,3 +229,44 @@ def test_salted_join_differential(spark):
         ingest.presence_to_frame_interactions(presence, n_salt=4), "simple"
     )
     assert "_salt" in s
+
+
+def test_salted_join_property(spark):
+    # random small tables, inner and left: salted == plain, always
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lrows=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 100)),
+            min_size=0, max_size=25,
+        ),
+        rrows=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 100)),
+            min_size=0, max_size=25,
+        ),
+        n_salt=st.sampled_from([1, 3, 8]),
+        how=st.sampled_from(["inner", "left"]),
+    )
+    def check(lrows, rrows, n_salt, how):
+        left = spark.createDataFrame(
+            lrows or [(None, None)], "k int, lv int"
+        ).where(F.lit(bool(lrows)))
+        right = spark.createDataFrame(
+            rrows or [(None, None)], "k int, rv int"
+        ).where(F.lit(bool(rrows)))
+        plain = sorted(
+            map(tuple, left.join(right, ["k"], how).collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                ingest.salted_equi_join(
+                    left, right, ["k"], n_salt=n_salt, how=how
+                ).collect(),
+            )
+        )
+        assert plain == salted
+
+    check()
