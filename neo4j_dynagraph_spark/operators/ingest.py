@@ -61,12 +61,45 @@ def salted_equi_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted join supports inner/left, got {how}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salt))
-    lsalted = left.withColumn("_salt", salt)
+    salt_col = "_salt"
+    if salt_col in left.columns or salt_col in right.columns:
+        # never silently overwrite (then drop) a user column
+        raise ValueError(
+            "salted_equi_join: input already has a '_salt' column; "
+            "rename it before joining"
+        )
+    # F.hash raises on MapType columns — hash only the hashable ones.
+    # Any deterministic row-derived value works as a salt; skipping
+    # unhashable columns only affects salt dispersion, not results.
+    hashable = [
+        f.name
+        for f in left.schema.fields
+        if not _contains_map_type(f.dataType)
+    ]
+    if not hashable:
+        raise ValueError(
+            "salted_equi_join: no hashable columns on the left side "
+            "to derive a deterministic salt from"
+        )
+    salt = F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(n_salt))
+    lsalted = left.withColumn(salt_col, salt)
     rsalted = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
-    return lsalted.join(rsalted, [*keys, "_salt"], how).drop("_salt")
+    return lsalted.join(rsalted, [*keys, salt_col], how).drop(salt_col)
+
+
+def _contains_map_type(dtype) -> bool:
+    """True if dtype is or nests a MapType (unhashable for F.hash)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return True
+    if isinstance(dtype, ArrayType):
+        return _contains_map_type(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return any(_contains_map_type(f.dataType) for f in dtype.fields)
+    return False
 
 
 @dataclass

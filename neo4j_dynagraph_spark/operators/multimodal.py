@@ -132,6 +132,13 @@ def decode_wav(payload: bytes) -> dict:
             "<I", payload[pos + 4 : pos + 8]
         )[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # a truncated chunk must be the documented ValueError, not
+            # silent statistics over partial samples
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size} bytes, "
+                f"got {len(body)}"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -139,6 +146,8 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short: {len(fmt)} < 16 bytes")
     audio_format, channels, sample_rate = struct.unpack("<HHI", fmt[:8])
     bits = struct.unpack("<H", fmt[14:16])[0]
     if audio_format != 1 or bits not in (8, 16):

@@ -171,9 +171,13 @@ def write_gexf(spells: DataFrame, path: str, timeformat: str = "long") -> None:
                     f"<spells>{spell_xml}</spells></node>\n"
                 )
             else:
+                # quoteattr on source/target too: schema says long, but
+                # a caller-supplied frame with string ids must not be
+                # able to emit malformed XML and break the round-trip.
                 f.write(
                     f"      <edge id={quoteattr(row.id)} "
-                    f'source="{row.src}" target="{row.dst}">'
+                    f"source={quoteattr(str(row.src))} "
+                    f"target={quoteattr(str(row.dst))}>"
                     f"<spells>{spell_xml}</spells></edge>\n"
                 )
         if section is not None:

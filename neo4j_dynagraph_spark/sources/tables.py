@@ -59,6 +59,12 @@ def normalize_event_ts(spark: SparkSession, df: DataFrame, col: str) -> DataFram
     """
     if col not in df.columns:
         return df
+    # UTC session unconditionally (not just for the ntz arrival): the
+    # legacy long-nanos branch also derives a session-tz-sensitive
+    # TimestampType ts, and calendar-part queries (F.year/F.hour/
+    # date_format) must agree with the naive DuckDB oracle on a
+    # driver-provided session with a non-UTC default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dtype = df.schema[col].dataType
     if isinstance(dtype, LongType):
         # Keep the RAW nanos long as `{col}_ns` (exact integer math),
@@ -69,10 +75,9 @@ def normalize_event_ts(spark: SparkSession, df: DataFrame, col: str) -> DataFram
         df = df.withColumn(f"{col}_ns", F.col(col))
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     elif isinstance(dtype, (TimestampType, TimestampNTZType)):
-        # UTC session: makes the ntz->ltz cast below the identity
-        # mapping (the testdata's naive timestamps ARE UTC instants),
-        # and matches what the DuckDB oracle computes with epoch().
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # under the UTC session set above, the ntz->ltz cast below is
+        # the identity mapping (the testdata's naive timestamps ARE UTC
+        # instants) and matches what the DuckDB oracle computes.
         src = F.col(col)
         if isinstance(dtype, TimestampNTZType):
             src = src.cast("timestamp")
@@ -94,13 +99,15 @@ def normalize_stream_ts(
     naive values are UTC instants), timestamp -> unchanged. Downstream
     watermarks/windows then behave identically for every arrival.
     """
+    # UTC unconditionally, for the same reason as normalize_event_ts:
+    # every branch yields a session-tz-sensitive TimestampType.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dtype = schema[ts_col].dataType
     if isinstance(dtype, LongType):
         return stream.withColumn(
             ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
         )
     if isinstance(dtype, TimestampNTZType):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
