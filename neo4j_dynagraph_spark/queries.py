@@ -1575,6 +1575,7 @@ FROM events a JOIN events b
 WHERE a.event_type = 'purchase'
 GROUP BY a.event_id ORDER BY a.event_id
 """,
+    bench=True,
 )
 def q_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed as-of join — every purchase matched to the user's most
@@ -1627,6 +1628,7 @@ FROM bucketed a JOIN bucketed b
  AND a.day_bucket = greatest(a.t1, b.t1) // 86400
 ORDER BY e1, e2
 """,
+    bench=True,
 )
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join without discretization: event spells

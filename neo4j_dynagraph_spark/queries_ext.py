@@ -397,6 +397,7 @@ s AS (SELECT id1, id2, dot / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM d)
 SELECT id1, id2, round(sim_raw, 6) AS sim FROM s
 WHERE sim_raw > 0.4 ORDER BY id1, id2
 """,
+    bench=True,
 )
 def q_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH buckets (4 planes) + exact
@@ -705,17 +706,58 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")
+@query(
+    "q_multimodal_features",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, doc_id % 251 AS v,
+         8000 * (1 + doc_id % 3) AS sr, 1 + doc_id % 2 AS ch,
+         100 + doc_id % 50 AS n, doc_id % 1000 - 500 AS amp
+  FROM documents)
+SELECT doc_id AS media_id, kind,
+  CAST(CASE WHEN kind = 'image'
+            THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                 + 3 * w * h
+            ELSE 44 + 2 * n * ch END AS BIGINT) AS payload_len,
+  CAST(CASE WHEN kind = 'image' THEN w ELSE sr END AS DOUBLE) AS f0,
+  CAST(CASE WHEN kind = 'image' THEN h ELSE ch END AS DOUBLE) AS f1,
+  CAST(CASE WHEN kind = 'image' THEN 255 ELSE 16 END AS DOUBLE) AS f2,
+  CAST(CASE WHEN kind = 'image' THEN 3 * w * h ELSE n END AS DOUBLE) AS f3,
+  CAST(CAST(CASE WHEN kind = 'image' THEN v / 255.0
+                 ELSE abs(amp) END AS REAL) AS DOUBLE) AS f4,
+  CAST(CAST(CASE WHEN kind = 'image' THEN v / 255.0
+                 ELSE amp END AS REAL) AS DOUBLE) AS f5,
+  CAST(CAST(CASE WHEN kind = 'image' THEN v / 255.0
+                 ELSE 0 END AS REAL) AS DOUBLE) AS f6,
+  CAST(CASE WHEN kind = 'image' THEN 1 ELSE 2 END AS DOUBLE) AS f7
+FROM m ORDER BY media_id
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads with the
-    deterministic fake decoder (media libs unavailable — SURVEY-mandated
-    stub). No SQL oracle (Python decode); rows-only check + unit tests."""
-    media = multimodal.docs_as_media(_docs(spark, sf_dir))
-    return (
-        multimodal.extract_features(media, fake=True)
-        .select("media_id", "kind", "payload_len", F.col("feature"))
-        .orderBy("media_id")
+    """mapInPandas feature extraction over binary payloads with the REAL
+    pure-Python decoders (no fake path anywhere): even doc_ids become
+    valid P6 PPM images, odd doc_ids PCM16 WAV audio
+    (multimodal.encode_test_media), and extract_features(fake=False)
+    dispatches decode_ppm/decode_wav per payload. Every feature lane is
+    closed-form in media_id, so the oracle replays the decode exactly —
+    the array<float> lanes are exported as doubles through the same
+    float32 rounding (CAST AS REAL) on the DuckDB side."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    img = multimodal.encode_test_media(
+        ids.where(F.col("media_id") % 2 == 0), kind="image"
     )
+    aud = multimodal.encode_test_media(
+        ids.where(F.col("media_id") % 2 == 1), kind="audio"
+    )
+    feats = multimodal.extract_features(img.unionByName(aud), fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_len",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    ).orderBy("media_id")
 
 
 @query(
@@ -898,6 +940,7 @@ WITH p AS ({_presence_sql()})
 SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
 ORDER BY frame_id, actor1, actor2
 """,
+    bench=True,
 )
 def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming co-presence edges: watermarked stream-stream self-join
@@ -1055,6 +1098,7 @@ ranked AS (SELECT doc_id, token, tfidf,
 SELECT doc_id, token, tfidf, rk FROM ranked
 WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk
 """,
+    bench=True,
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF without MLlib: tf (per-doc counts) join df (document
