@@ -99,14 +99,19 @@ def canonical_pair(a: Column, b: Column) -> tuple[Column, Column]:
 
 
 def hash64(col: Column) -> Column:
-    """Deterministic unsigned-ish 32-bit-in-a-long hash, identical in
-    Spark and ANSI SQL engines: first 8 hex chars of md5 as an integer.
+    """Deterministic 60-bit hash, identical in Spark and ANSI SQL
+    engines: first 15 hex chars of md5 as an integer (< 2^60, so it
+    stays inside signed BIGINT in both engines — 16 chars could not).
 
     Used by MinHash/fingerprint operators so the DuckDB oracle can
     reproduce signatures bit-for-bit
-    (Spark: conv(substr(md5(x),1,8),16,10); DuckDB: ('0x'||...)::BIGINT).
+    (Spark: conv(substr(md5(x),1,15),16,10); DuckDB: ('0x'||...)::BIGINT).
+    60 bits puts the band-key collision birthday bound near 10^9 keys;
+    the previous 32-bit width saturated around 65 k (visible as false
+    candidate pairs at billion-doc scale, all rejected by the verify
+    stage but paying its cost).
     """
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def seeded_hash64(col: Column, seed: int) -> Column:

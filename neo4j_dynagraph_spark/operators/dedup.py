@@ -81,22 +81,26 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     """Wide MinHash signature per doc: (doc_id, h0..h{k-1}).
 
-    Hash family: the concatenated hex of ceil(k/4) seeded md5 digests,
-    sliced into 8-hex-char windows — k independent-enough 32-bit hashes
-    from only k/4 md5 evaluations, fully portable to any SQL engine.
+    Hash family: the concatenated hex of ceil(15k/32) seeded md5
+    digests, sliced into 15-hex-char windows — k independent-enough
+    60-bit hashes (signed-BIGINT-safe in Spark AND DuckDB, so the
+    oracle replays signatures bit-for-bit). 60-bit lanes keep the
+    min-hash value space collision-free to ~10^9 distinct shingles;
+    the previous 32-bit lanes saturated near 65 k (birthday bound),
+    producing false candidate pairs at corpus scale.
 
     Shape matters at scale: no seed explode (k x fewer rows through the
     shuffle than a per-(doc,seed) layout) — ONE groupBy(doc_id) with k
     min() aggregates over the shingle rows, map-side combinable.
     """
-    n_md5 = (num_hashes + 3) // 4
+    n_md5 = (num_hashes * 15 + 31) // 32
     hexcat = F.concat(
         *[F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle"))) for i in range(n_md5)]
     )
     hashed = sh.select(
         "doc_id",
         *[
-            F.conv(F.substring(hexcat, 8 * i + 1, 8), 16, 10)
+            F.conv(F.substring(hexcat, 15 * i + 1, 15), 16, 10)
             .cast("long")
             .alias(f"h{i}")
             for i in range(num_hashes)

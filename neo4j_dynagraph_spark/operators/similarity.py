@@ -87,9 +87,12 @@ def hyperplane_buckets(
     seed = f"t{table}p" if table else "p"
     proj_terms = []
     for p in range(n_planes):
+        # BIGINT modulo, not DOUBLE: 60-bit hash values exceed double's
+        # 2^53 exact range, so the modulo must happen in integer space
+        # for the DuckDB replay to match bit-for-bit.
         w = (
             f"transform(sequence(0, size({vec_col}) - 1), "
-            f"d -> (CAST(conv(substr(md5(concat('{seed}{p}d', d)), 1, 8), 16, 10) AS DOUBLE) % 2001 - 1000) / 1000.0)"
+            f"d -> (CAST(conv(substr(md5(concat('{seed}{p}d', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0)"
         )
         dot = (
             f"aggregate(zip_with({vec_col}, {w}, (x, y) -> x * y), "

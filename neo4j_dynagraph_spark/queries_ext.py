@@ -42,7 +42,7 @@ _SH_CTE = (
     "sh AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
     "FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)"
 )
-_H64 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+_H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,10 +70,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash",
     oracle=(
         f"WITH {_TOK_CTE}, {_SH_CTE}, "
-        "hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) AS hh FROM sh), "
+        "hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) || md5('s2:' || shingle) || md5('s3:' || shingle) AS hh FROM sh), "
         "hs AS (SELECT doc_id, "
         + ", ".join(
-            f"('0x' || substr(hh, {8 * i + 1}, 8))::BIGINT AS h{i}" for i in range(8)
+            f"('0x' || substr(hh, {15 * i + 1}, 15))::BIGINT AS h{i}" for i in range(8)
         )
         + " FROM hx), "
         "sig AS (SELECT doc_id, "
@@ -167,7 +167,7 @@ s AS (SELECT doc_id, len(t) AS n_tokens,
 SELECT s.doc_id, d.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens
 FROM s JOIN documents d USING (doc_id)
 WHERE s.n_tokens >= 30 AND s.ttr >= 0.35
-  AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 < 2
+  AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 < 2
 ORDER BY doc_id
 """,
 )
@@ -191,7 +191,7 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PIPE_H = ", ".join(
-    f"('0x' || substr(hh, {8 * i + 1}, 8))::BIGINT AS h{i}" for i in range(8)
+    f"('0x' || substr(hh, {15 * i + 1}, 15))::BIGINT AS h{i}" for i in range(8)
 )
 _PIPE_SIG = ", ".join(f"min(h{i}) AS h{i}" for i in range(8))
 _PIPE_BANDS = " UNION ALL ".join(
@@ -208,7 +208,7 @@ keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 tok1 AS (SELECT tok.doc_id, tok.t FROM tok JOIN keep1 USING (doc_id)),
 sh1 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM tok1, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
-hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) AS hh FROM sh1),
+hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) || md5('s2:' || shingle) || md5('s3:' || shingle) AS hh FROM sh1),
 hs AS (SELECT doc_id, {_PIPE_H} FROM hx),
 sig AS (SELECT doc_id, {_PIPE_SIG} FROM hs GROUP BY 1),
 bands AS ({_PIPE_BANDS}),
@@ -370,13 +370,14 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hyperplane_bucket_sql(n_planes: int) -> str:
     """DuckDB replay of similarity.hyperplane_buckets (table 0): plane
-    p's weight for dim d is (hash32('p{p}d{d}') % 2001 - 1000) / 1000,
-    bucket = packed sign bits of the projections."""
+    p's weight for dim d is (hash64('p{p}d{d}') % 2001 - 1000) / 1000
+    (60-bit hash, integer modulo in both engines), bucket = packed
+    sign bits of the projections."""
     terms = []
     for p in range(n_planes):
         proj = (
             "list_sum(list_transform(range(len(e)), d -> e[d+1] * "
-            f"((('0x' || substr(md5('p{p}d' || d), 1, 8))::BIGINT % 2001 - 1000)"
+            f"((('0x' || substr(md5('p{p}d' || d), 1, 15))::BIGINT % 2001 - 1000)"
             " / 1000.0)))"
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
