@@ -115,22 +115,30 @@ def k_core(edges: DataFrame, k: int = 2, max_iterations: int = 50) -> DataFrame:
     (localCheckpoint; use checkpoint() on a cluster). The fixpoint is
     unique, so the result is deterministic regardless of peel order —
     which is what makes the operator testable without an oracle.
+
+    Convergence costs ONE action per round on the NODE-sized keep set
+    (not two full edge-table counts): keep_r ⊆ nodes(e_r) ⊆ keep_{r-1}
+    are non-increasing, so equal keep counts in consecutive rounds
+    force keep_r == nodes(e_r) — every surviving node already has
+    degree >= k and the next peel is the identity. At 100x scale this
+    saves two edge-scan jobs per peel round.
     """
     e = symmetrize(edges.select("actor1", "actor2").distinct()).localCheckpoint()
+    prev_kept: int | None = None
     for _ in range(max_iterations):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-        keep = deg.where(F.col("degree") >= k).select("src")
-        new_e = (
+        keep = deg.where(F.col("degree") >= k).select("src").localCheckpoint()
+        n_kept = keep.count()
+        if n_kept == prev_kept:
+            break
+        prev_kept = n_kept
+        e = (
             e.join(F.broadcast(keep), "src", "semi")
             .join(
                 F.broadcast(keep.withColumnRenamed("src", "dst")), "dst", "semi"
             )
             .localCheckpoint()
         )
-        dropped = e.count() - new_e.count()
-        e = new_e
-        if dropped == 0:
-            break
     return (
         e.groupBy(F.col("src").alias("actor"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
