@@ -252,3 +252,110 @@ def test_wav_roundtrip_property():
         assert d["peak"] == max(abs(s) for s in samples)
 
     check()
+
+
+# --------------------------------------------------------------- codec fuzz
+# The decoders sit in a mapInPandas hot path: one malformed payload that
+# escapes as anything other than ValueError kills a 100 TB stage. The
+# contract under fuzz: ValueError (or a correct decode for mutations
+# that keep the payload well-formed) — never any other exception, and
+# never statistics computed over silently-truncated planes/samples.
+
+
+def _mk_ppm(mid: int) -> bytes:
+    w, h, v = 4 + mid % 13, 3 + mid % 7, mid % 251
+    return f"P6\n{w} {h}\n255\n".encode() + bytes([v]) * (w * h * 3)
+
+
+def _mk_wav(mid: int) -> bytes:
+    import struct
+
+    sr, ch = 8000 * (1 + mid % 3), 1 + mid % 2
+    n, amp = 100 + mid % 50, (mid % 1000) - 500
+    data = struct.pack(f"<{n * ch}h", *([amp] * (n * ch)))
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_ppm_truncation_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), frac=st.floats(0.0, 1.0))
+    def check(mid, frac):
+        full = _mk_ppm(mid)
+        cut = full[: int(len(full) * frac)]
+        if cut == full:
+            multimodal.decode_ppm(cut)  # intact payload must decode
+            return
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(cut)  # any strict prefix is malformed
+
+    check()
+
+
+def test_ppm_mutation_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), pos=st.integers(0, 1 << 30),
+           byte=st.integers(0, 255))
+    def check(mid, pos, byte):
+        full = bytearray(_mk_ppm(mid))
+        pos %= len(full)
+        full[pos] = byte
+        try:
+            d = multimodal.decode_ppm(bytes(full))
+        except ValueError:
+            return  # rejected: fine
+        # accepted: stats must reflect the mutated plane, not stale math
+        assert d["n_bytes"] == d["width"] * d["height"] * 3
+        assert d["min_byte"] <= d["mean_byte"] <= d["max_byte"]
+
+    check()
+
+
+def test_wav_truncation_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), frac=st.floats(0.0, 1.0))
+    def check(mid, frac):
+        full = _mk_wav(mid)
+        cut = full[: int(len(full) * frac)]
+        if cut == full:
+            multimodal.decode_wav(cut)
+            return
+        with pytest.raises(ValueError):
+            multimodal.decode_wav(cut)
+
+    check()
+
+
+def test_wav_mutation_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), pos=st.integers(0, 1 << 30),
+           byte=st.integers(0, 255))
+    def check(mid, pos, byte):
+        full = bytearray(_mk_wav(mid))
+        pos %= len(full)
+        full[pos] = byte
+        try:
+            d = multimodal.decode_wav(bytes(full))
+        except ValueError:
+            return
+        # accepted: the fmt/sample invariants must still hold
+        assert d["bits"] in (8, 16)
+        assert d["channels"] >= 1 and d["n_samples"] >= 0
+        assert d["peak"] >= 0
+
+    check()
