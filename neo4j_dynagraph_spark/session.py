@@ -58,8 +58,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # -Xlog:disable: JVM unified-logging warnings (gc,alloc under
+        # GCLocker pressure) print to STDOUT, which corrupts harnesses
+        # that parse this process's stdout (bench.py's one-JSON-line
+        # contract). Driver-side only; executors inherit in local mode.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -183,3 +183,119 @@ def write_gexf(spells: DataFrame, path: str, timeformat: str = "long") -> None:
         if section is not None:
             f.write(f"    </{section}>\n")
         f.write("  </graph>\n</gexf>\n")
+
+
+def _gexf_document(rows, timeformat: str) -> str:
+    """Assemble one complete GEXF document from grouped spell rows
+    (kind, id, src, dst, sp) already sorted nodes-first. Shared by the
+    single-file driver sink and the distributed sharded sink."""
+    from xml.sax.saxutils import quoteattr
+
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        '<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n',
+        f'  <graph mode="dynamic" defaultedgetype="undirected" '
+        f'timeformat="{timeformat}">\n',
+    ]
+    section = None
+    for row in rows:
+        want = "nodes" if row.kind == "node" else "edges"
+        if section != want:
+            if section is not None:
+                parts.append(f"    </{section}>\n")
+            parts.append(f"    <{want}>\n")
+            section = want
+        spell_xml = "".join(
+            f'<spell start="{s.t_start}" end="{s.t_end}"/>' for s in row.sp
+        )
+        if row.kind == "node":
+            parts.append(
+                f"      <node id={quoteattr(row.id)} "
+                f"label={quoteattr(row.id)}>"
+                f"<spells>{spell_xml}</spells></node>\n"
+            )
+        else:
+            parts.append(
+                f"      <edge id={quoteattr(row.id)} "
+                f"source={quoteattr(str(row.src))} "
+                f"target={quoteattr(str(row.dst))}>"
+                f"<spells>{spell_xml}</spells></edge>\n"
+            )
+    if section is not None:
+        parts.append(f"    </{section}>\n")
+    parts.append("  </graph>\n</gexf>\n")
+    return "".join(parts)
+
+
+def write_gexf_sharded(
+    spells: DataFrame,
+    out_dir: str,
+    partition_by: str = "run",
+    timeformat: str = "long",
+) -> list[str]:
+    """Sharded dynamic-GEXF export: one complete, independently valid
+    GEXF file per distinct value of ``partition_by`` (a run id, a time
+    slice, a deployment...). Removes the single-driver-file bound of
+    :func:`write_gexf` for bulk export: each shard's document is
+    assembled INSIDE an applyInPandas task (grouped by the shard key,
+    so assembly parallelism = number of shards and no shard ever
+    transits the driver); only the (shard, path) manifest returns.
+
+    ``spells`` needs the SPELL_SCHEMA columns plus the shard column.
+    Files are written to ``{out_dir}/{partition_by}={value}.gexf``;
+    each round-trips through :func:`read_gexf` on its own. Returns the
+    sorted list of written paths.
+    """
+    import os
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    if timeformat not in ("integer", "long", "double"):
+        raise ValueError(f"unsupported timeformat {timeformat!r}")
+    if partition_by not in spells.columns:
+        raise ValueError(f"shard column {partition_by!r} not in input")
+    os.makedirs(out_dir, exist_ok=True)
+
+    grouped = (
+        spells.groupBy(partition_by, "kind", "id", "src", "dst")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("t_start", "t_end"))).alias("sp")
+        )
+    )
+
+    from types import SimpleNamespace
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = pdf[partition_by].iloc[0]
+        # nodes before edges, ids sorted — same deterministic layout as
+        # the single-file sink's orderBy(desc(kind), id)
+        pdf = pdf.sort_values(
+            ["kind", "id"], ascending=[False, True], kind="mergesort"
+        )
+        # Arrow hands array<struct> to pandas as dicts, and nullable
+        # long columns as float64 (NaN on node rows) — normalize to the
+        # attribute-access rows _gexf_document expects, with src/dst
+        # back to ints so edges serialize as "2", not "2.0"
+        rows = [
+            SimpleNamespace(
+                kind=r.kind,
+                id=r.id,
+                src=None if pd.isna(r.src) else int(r.src),
+                dst=None if pd.isna(r.dst) else int(r.dst),
+                sp=[
+                    SimpleNamespace(t_start=s["t_start"], t_end=s["t_end"])
+                    for s in r.sp
+                ],
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+        path = os.path.join(out_dir, f"{partition_by}={shard}.gexf")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(_gexf_document(rows, timeformat))
+        return pd.DataFrame({"shard": [str(shard)], "path": [path]})
+
+    manifest = grouped.groupBy(partition_by).applyInPandas(
+        write_shard, "shard string, path string"
+    )
+    return sorted(r.path for r in manifest.collect())

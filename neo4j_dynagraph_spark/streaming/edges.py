@@ -271,6 +271,8 @@ def _drain(edges: DataFrame, prefix: str):  # noqa: ANN202
     import tempfile
     import uuid
 
+    from neo4j_dynagraph_spark.streaming.drain import snapshot_and_drop
+
     sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
     query = (
@@ -282,7 +284,7 @@ def _drain(edges: DataFrame, prefix: str):  # noqa: ANN202
         .start()
     )
     query.awaitTermination()
-    return edges.sparkSession.table(sink_name)
+    return snapshot_and_drop(edges.sparkSession, sink_name)
 
 
 def streaming_frame_edges_from_parquet(

@@ -24,6 +24,8 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from neo4j_dynagraph_spark.streaming.drain import snapshot_and_drop
+
 
 def stream_tumbling_counts(
     events: DataFrame,
@@ -129,7 +131,7 @@ def streaming_presence_from_parquet(
         .start()
     )
     query.awaitTermination()
-    return spark.table(sink_name)
+    return snapshot_and_drop(spark, sink_name)
 
 
 def streaming_frame_counts_from_parquet(
@@ -173,4 +175,4 @@ def streaming_frame_counts_from_parquet(
         .start()
     )
     query.awaitTermination()
-    return spark.table(sink_name)
+    return snapshot_and_drop(spark, sink_name)

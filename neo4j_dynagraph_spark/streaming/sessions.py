@@ -193,4 +193,6 @@ def stateful_sessions_from_parquet(
         .start()
     )
     query.awaitTermination()
-    return spark.table(sink_name)
+    from neo4j_dynagraph_spark.streaming.drain import snapshot_and_drop
+
+    return snapshot_and_drop(spark, sink_name)

@@ -359,3 +359,30 @@ def test_gexf_sink_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, spells.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b and len(a) > 0
+
+
+def test_gexf_sharded_sink_roundtrip(spark, tmp_path):
+    """write_gexf_sharded emits one independently valid GEXF per shard
+    key, assembled executor-side: a 2-run spell set round-trips shard
+    by shard through read_gexf, and the union of the shards equals the
+    input spell set exactly."""
+    src = tmp_path / "in.gexf"
+    src.write_text(GEXF_DOC)
+    base = gexf.read_gexf(spark, str(src))
+    spells = base.withColumn("run", F.lit("a")).unionByName(
+        # second run: same entities, shifted spells — distinct content
+        base.withColumn("run", F.lit("b"))
+        .withColumn("t_start", F.col("t_start") + 1000)
+        .withColumn("t_end", F.col("t_end") + 1000)
+    )
+    out_dir = tmp_path / "shards"
+    paths = gexf.write_gexf_sharded(spells, str(out_dir), partition_by="run")
+    assert [p.rsplit("/", 1)[-1] for p in paths] == ["run=a.gexf", "run=b.gexf"]
+
+    got = []
+    for p in paths:
+        shard_run = p.rsplit("=", 1)[-1].removesuffix(".gexf")
+        for r in gexf.read_gexf(spark, p).collect():
+            got.append((shard_run, *tuple(r)))
+    want = sorted(map(tuple, spells.select("run", *base.columns).collect()))
+    assert sorted(got) == want and len(want) == 8
