@@ -83,26 +83,48 @@ def hyperplane_buckets(
     `table` seeds an independent hash family per LSH table. The bucket
     id packs the sign bits of the n_planes projections (table 0 keeps
     the historical 'p{p}d' seeds so existing buckets are stable).
+
+    Assumes a uniform vector dimension (taken from the first row) —
+    the embedding-table contract; the weight literals are sized to it.
     """
     seed = f"t{table}p" if table else "p"
+    dim = df.select(F.size(vec_col).alias("d")).first()
+    if dim is None:
+        raise ValueError("hyperplane_buckets: empty input, no dimension")
+    n_dim = int(dim.d)
     proj_terms = []
     for p in range(n_planes):
-        # BIGINT modulo, not DOUBLE: 60-bit hash values exceed double's
-        # 2^53 exact range, so the modulo must happen in integer space
-        # for the DuckDB replay to match bit-for-bit.
-        w = (
-            f"transform(sequence(0, size({vec_col}) - 1), "
-            f"d -> (CAST(conv(substr(md5(concat('{seed}{p}d', d)), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000) / 1000.0)"
+        # The weights are DATA-INDEPENDENT (pure functions of (plane,
+        # dim)), so they are computed ONCE here with Python's md5 —
+        # bit-identical to the SQL md5 the DuckDB oracle replays — and
+        # inlined as literals. The previous form evaluated the md5
+        # chain per ROW inside the transform: |corpus| x planes x dims
+        # JVM md5 calls (5M+ per query at sf0.1) for constants.
+        weights = [_plane_weight(f"{seed}{p}d{d}") for d in range(n_dim)]
+        w_arr = F.array(*[F.lit(w) for w in weights])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), w_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        dot = (
-            f"aggregate(zip_with({vec_col}, {w}, (x, y) -> x * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        proj_terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
-    bucket = " + ".join(proj_terms)
+        proj_terms.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = proj_terms[0]
+    for t in proj_terms[1:]:
+        bucket = bucket + t
     return df.select(
-        F.col(id_col), F.col(vec_col), F.expr(bucket).cast("long").alias("bucket")
+        F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket")
     )
+
+
+def _plane_weight(token: str) -> float:
+    """(hash64(token) % 2001 - 1000) / 1000.0 computed driver-side:
+    first 15 hex chars of md5, integer modulo — the exact value the
+    DuckDB oracle's ('0x'||substr(md5(...),1,15))::BIGINT form yields
+    (functions.hash64's portable family)."""
+    import hashlib
+
+    h = int(hashlib.md5(token.encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
 
 
 def lsh_bucketed_topk(
