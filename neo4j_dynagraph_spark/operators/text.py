@@ -237,3 +237,138 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = docs.select("doc_id", *cols)
     total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
     return out.withColumn("has_pii", total > 0)
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram Shannon entropy (bits) — the
+    information-density quality signal (low entropy = repetitive /
+    templated text; complements :func:`repetition_stats`' n-gram view).
+
+    Distributed shape: explode tokens -> count per (doc, token) ->
+    aggregate -sum(p*log2 p) per doc. Both groupBys carry map-side
+    partial aggregation, so shuffle volume is ~per-doc vocabulary, not
+    corpus token count. Entropy and the normalized variant are rounded
+    at 1e-6 (the cross-engine float rule).
+
+    Columns: doc_id, n_tokens, n_types, entropy, norm_entropy
+    (entropy / log2(n_types), 0 for single-type docs).
+    """
+    tf = (
+        tokens_df(docs, text_col)
+        .select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = F.sum("tf")
+    # -sum(tf * log2 tf)/n + log2 n  ==  -sum(p log2 p), computed
+    # without a second pass for per-row p = tf/n
+    h = F.log2(n) - F.sum(F.col("tf") * F.log2("tf")) / n
+    types = F.count(F.lit(1))
+    return tf.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        types.cast("long").alias("n_types"),
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(types > 1, h / F.log2(types)).otherwise(F.lit(0.0)), 6
+        ).alias("norm_entropy"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard context-window preprocessing for training / RAG indexing.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens;
+    each chunk is `window` tokens (the final chunks are shorter). Pure
+    JVM array lambdas (sequence -> slice -> concat_ws) inside one
+    narrow projection + explode: no shuffle, no Python, and chunk ids
+    are stable functions of (doc_id, start) so re-chunking is
+    idempotent. The chunk text itself is fingerprinted (portable
+    hash64) rather than carried — at 100 TB the downstream dedup /
+    index stages join on the fingerprint and re-slice the text only
+    for the rows they keep.
+
+    Columns: doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_hash.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toked = docs.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
+    starts = F.expr(f"sequence(0, greatest(size(t) - 1, 0), {stride})")
+    ch = (
+        toked.where(F.size("t") > 0)
+        .select("doc_id", "t", F.posexplode(starts).alias("chunk_idx", "start_tok"))
+    )
+    # slice() is 1-indexed; length past the end is clamped by slice itself
+    chunk = F.expr(f"slice(t, start_tok + 1, {window})")
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(window), F.size("t") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        dfn.hash64(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a benchmark/eval set (the GPT-3/PaLM-style 8-gram
+    overlap rule, computed on portable n-gram hashes).
+
+    Scale shape: the benchmark side is distinct-hashed and BROADCAST —
+    eval sets are tiny relative to a 100 TB corpus, so the check is a
+    map-side semi-join against the training n-gram stream; the only
+    shuffle is the final per-doc aggregation (map-side combined).
+
+    Returns one row per CONTAMINATED training doc:
+    doc_id, n_hit_ngrams (distinct benchmark n-grams matched),
+    n_doc_ngrams (distinct n-grams in the doc), hit_ratio (rounded).
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams(df: DataFrame) -> DataFrame:
+        toked = df.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
+        g = F.expr(
+            f"transform(sequence(0, size(t) - {n}), "
+            f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+        )
+        return (
+            toked.where(F.size("t") >= n)
+            .select("doc_id", F.explode(g).alias("gram"))
+            .select("doc_id", dfn.hash64(F.col("gram")).alias("gh"))
+            .distinct()
+        )
+    bench_hashes = (
+        grams(benchmark).select("gh").distinct().withColumn("hit", F.lit(1))
+    )
+    # broadcast left-join + one groupBy: hit and total counts in a
+    # single pass over the training n-gram stream (no second scan)
+    return (
+        grams(train)
+        .join(broadcast(bench_hashes), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("hit").alias("n_hit_ngrams"),
+            F.count(F.lit(1)).alias("n_doc_ngrams"),
+        )
+        .where(F.col("n_hit_ngrams") > 0)
+        .select(
+            "doc_id",
+            "n_hit_ngrams",
+            "n_doc_ngrams",
+            F.round(F.col("n_hit_ngrams") / F.col("n_doc_ngrams"), 6).alias(
+                "hit_ratio"
+            ),
+        )
+    )

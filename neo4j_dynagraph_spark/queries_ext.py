@@ -1139,3 +1139,118 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tfidf", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# ------------------------------------------------- round-6 pipeline ops
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+WITH {_TOK_CTE},
+u AS (SELECT doc_id, unnest(t) AS token FROM tok),
+c AS (SELECT doc_id, token, count(*) AS tf FROM u GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(log2(sum(tf)) - sum(tf * log2(tf)) / sum(tf), 6) AS entropy,
+       round(CASE WHEN count(*) > 1
+                  THEN (log2(sum(tf)) - sum(tf * log2(tf)) / sum(tf))
+                       / log2(count(*))
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy — the information-density
+    quality score (low = templated/repetitive text). Two map-side-
+    combined groupBys; shuffle volume ~per-doc vocabulary."""
+    return text.token_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id, t, unnest(range(0, len(t), 25)) AS start_tok
+      FROM tok WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(start_tok / 25 AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(50, len(t) - start_tok) AS BIGINT) AS n_chunk_tokens,
+       {_H64.format(x="array_to_string(list_slice(t, start_tok + 1, start_tok + 50), ' ')")} AS chunk_hash
+FROM s ORDER BY doc_id, chunk_idx
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 50, stride 25) with
+    stable ids + portable chunk fingerprints — context-window prep for
+    training / RAG indexing. Narrow projection + explode, no shuffle;
+    the oracle re-slices with list_slice and replays hash64."""
+    return text.chunk_documents(
+        _docs(spark, sf_dir), window=50, stride=25
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "q_decontam",
+    oracle=f"""
+WITH {_TOK_CTE},
+g AS (SELECT DISTINCT doc_id,
+             {_H64.format(x="array_to_string(list_slice(t, i, i + 3), ' ')")} AS gh
+      FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4),
+b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id,
+       CAST(count(b.gh) AS BIGINT) AS n_hit_ngrams,
+       CAST(count(*) AS BIGINT) AS n_doc_ngrams,
+       round(CAST(count(b.gh) AS DOUBLE) / count(*), 6) AS hit_ratio
+FROM g LEFT JOIN b ON g.gh = b.gh
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id HAVING count(b.gh) > 0
+ORDER BY g.doc_id
+""",
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    4-gram with the benchmark split (doc_id % 97 == 0 — the
+    deterministic stand-in for an eval set; production rules use
+    8-13-grams, but the synthetic corpus' short docs need n=4 to
+    exercise a non-empty overlap). Benchmark n-gram hashes
+    are distinct + BROADCAST, so at 100 TB the check is a map-side
+    semi-join over the training n-gram stream; one aggregation
+    shuffle. The oracle replays hash64 over the same slices."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return text.decontaminate(train, bench, n=4).orderBy("doc_id")
+
+
+@query(
+    "q_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1 ORDER BY k
+""",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the JSON property `k` out of
+    the events.props payload column (get_json_object, JVM-side — the
+    100 TB shape keeps JSON parsing inside codegen, no Python) and
+    aggregate per key. Decimal-exact sum per the cross-engine float
+    rule."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("value_sum"),
+        )
+        .orderBy("k")
+    )

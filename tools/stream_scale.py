@@ -10,7 +10,11 @@ production monitor would alert on.
 
 Usage:
 
-    python tools/stream_scale.py [sf_dir] [n_chunks]
+    python tools/stream_scale.py [sf_dir] [n_chunks] [query,query,...]
+
+Set DYNAGRAPH_ROCKSDB_STATE=1 to drain through the RocksDB state
+store (the spill-to-disk provider a production deployment would use
+for O(edges)-sized state).
 
 sf_dir defaults to /tmp/genscale/sf1 (tools/gen_scale.py output).
 n_chunks > 1 re-stages events.parquet as n time-ordered files with
@@ -84,14 +88,24 @@ def _chunked_stage(spark, events_path: str, schema, n_chunks: int) -> str:
 
 
 def _drain_with_metrics(spark, stream_df, output_mode: str):  # noqa: ANN001
-    """AvailableNow drain to a memory sink, returning (rows, wall_sec,
-    state_rows_peak, state_mem_peak_mb, n_batches)."""
-    sink = f"scale_{uuid.uuid4().hex[:8]}"
+    """AvailableNow drain to a PARQUET sink, returning (rows, wall_sec,
+    state_rows_peak, state_mem_peak_mb, n_batches).
+
+    A parquet sink, not memory: at sf1 the per-frame edge stream is
+    O(10^8) rows, and accumulating that in a driver-side memory sink is
+    exactly the collect-the-enumeration anti-pattern SCALE.md warns
+    about. Parquet is also the terminal a production drain would use,
+    so the wall-clock includes the real sink cost. (Parquet sinks only
+    support append mode; every drain here is append.)
+    """
+    if output_mode != "append":
+        raise ValueError("parquet scale drain supports append mode only")
+    out = tempfile.mkdtemp(prefix="dynagraph_scale_out_")
     ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
     t0 = time.perf_counter()
     q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
         .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -105,15 +119,24 @@ def _drain_with_metrics(spark, stream_df, output_mode: str):  # noqa: ANN001
         for op in p.get("stateOperators", []):
             rows_peak = max(rows_peak, op.get("numRowsTotal", 0))
             mem_peak = max(mem_peak, op.get("memoryUsedBytes", 0))
-    n = spark.table(sink).count()
-    spark.catalog.dropTempView(sink)
+    n = spark.read.parquet(out).count()
     return n, wall, rows_peak, mem_peak / 1e6, batches
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/genscale/sf1"
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark("stream-scale")
+    if os.environ.get("DYNAGRAPH_ROCKSDB_STATE") == "1":
+        # large-state drains (the join variant at sf>=1 holds O(edges)
+        # state) belong in the spill-to-disk store, not the default
+        # memory-backed HDFSBackedStateStore
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
@@ -136,6 +159,8 @@ def main() -> None:
         ("stream_edges_stateful", lambda s: stateful_frame_edges(s), "append"),
         ("stream_edges_join", lambda s: stream_frame_edges(s), "append"),
     ]:
+        if only is not None and name not in only:
+            continue
         n, wall, rp, mm, nb = _drain_with_metrics(spark, build(reader()), mode)
         print(
             json.dumps(
@@ -158,6 +183,8 @@ def main() -> None:
     # final size instead of a state-store peak
     from neo4j_dynagraph_spark.streaming.edges import streaming_degree_from_parquet
 
+    if only is not None and "stream_degree_view" not in only:
+        return
     t0 = time.perf_counter()
     deg = streaming_degree_from_parquet(spark, events_path, schema)
     n = deg.count()
