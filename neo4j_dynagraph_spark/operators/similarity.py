@@ -391,3 +391,139 @@ def pandas_cosine_topk(
         .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
         .orderBy("qid", "rank")
     )
+
+
+# -------------------------------------------------------------- k-means
+
+
+def kmeans_fixed(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Fixed-round Lloyd k-means over an embedding column, fully
+    declarative: returns (id_col, cluster) after `n_iter` centroid
+    updates + one final assignment.
+
+    Design for scale (and for the SQL oracle):
+
+    - **Deterministic, model-free**: centroids initialize from the k
+      smallest ids and run a FIXED number of rounds — no RNG, no
+      convergence action, no stored model, so a DuckDB oracle replays
+      the whole fit and the driver hash-checks it. (Convergence-looped
+      variants exist in the iterative-graph family; bounded rounds is
+      also the production choice for a preprocessing pass.)
+    - **Assignment is map-only**: the k centroids are collapsed into
+      ONE array<struct> row, broadcast, and each corpus row takes
+      array_min over per-centroid (distance, cid) structs — O(n·k·d)
+      JVM work with NO shuffle of the corpus (the window/groupBy argmin
+      forms shuffle n·k rows per round; at 100 TB that dominates).
+    - **Update** posexplodes assigned vectors to (cluster, pos, x) and
+      averages per (cluster, pos) — map-side combined, shuffle volume
+      k·d, then rebuilds the centroid arrays with a sort-by-position
+      collect. Centroid components and distances round at 1e-9 so
+      cross-engine/partition-order float drift cannot flip an argmin.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0 or n_iter < 0:
+        raise ValueError("k must be positive and n_iter non-negative")
+    base = corpus.select(F.col(id_col), F.col(vec_col).alias("_kv"))
+    cent = (
+        base.orderBy(id_col)
+        .limit(k)
+        .withColumn(
+            "cid", F.row_number().over(Window.orderBy(id_col)).cast("long")
+        )
+        .select("cid", F.col("_kv").alias("_cv"))
+    )
+    # per-centroid (rounded squared distance, cid) struct; array_min's
+    # lexicographic struct ordering IS argmin-with-cid-tiebreak
+    best = (
+        "array_min(transform(cents, c -> struct("
+        "round(aggregate(zip_with(_kv, c._cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 9) AS d2, "
+        "c.cid AS cid)))"
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        cents = c.agg(F.collect_list(F.struct("cid", "_cv")).alias("cents"))
+        return (
+            base.crossJoin(F.broadcast(cents))
+            .select(id_col, "_kv", F.expr(best).alias("_best"))
+            .select(id_col, "_kv", F.col("_best.cid").alias("cid"))
+        )
+
+    for _ in range(n_iter):
+        cent = (
+            assign(cent)
+            .select("cid", F.posexplode("_kv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("_cv")
+            )
+        )
+    return assign(cent).select(id_col, F.col("cid").alias("cluster"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    :func:`kmeans_fixed`, then WITHIN each cluster drop any vector that
+    has a lower-id cluster-mate with cosine similarity above
+    `threshold` (deterministic earliest-id survivor — the SQL-stable
+    form of SemDeDup's keep-one-per-near-dup-group rule).
+
+    The scale point is the clustering: candidate pairs come from a
+    cluster equi-join, so pair work is bounded by cluster occupancy
+    (~(n/k)² per cluster), not |corpus|² — the same bucket-join
+    discipline as the LSH dedup family, but driven by learned global
+    structure instead of random hyperplanes.
+
+    Returns (id_col, cluster, keep) for every corpus vector.
+    """
+    assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col)
+    withv = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(_NORM.format(c=vec_col)).alias("_n"),
+    ).join(assign, id_col)
+    a1 = withv.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        F.col("_n").alias("n1"),
+        "cluster",
+    )
+    a2 = withv.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        F.col("_n").alias("n2"),
+        F.col("cluster").alias("c2"),
+    )
+    sim = F.expr(_DOT12) / (F.col("n1") * F.col("n2"))
+    dropped = (
+        a1.join(
+            a2, (F.col("cluster") == F.col("c2")) & (F.col("id1") < F.col("id2"))
+        )
+        .where(sim > threshold)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assign.join(dropped, id_col, "left")
+        .select(id_col, "cluster", F.col("_dup").isNull().alias("keep"))
+        .orderBy(id_col)
+    )

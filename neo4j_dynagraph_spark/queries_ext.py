@@ -1254,3 +1254,78 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def _kmeans_cte(k: int = 8, n_iter: int = 2) -> str:
+    """DuckDB replay of similarity.kmeans_fixed: deterministic init
+    (k smallest vec_ids), n_iter unrolled Lloyd rounds, distances and
+    centroid components rounded at 1e-9 exactly as the Spark side.
+    Ends with `af` = the final assignment (vec_id, cid)."""
+    parts = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e AS cv "
+        f"FROM (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT {k}))",
+    ]
+    dist = (
+        "round(list_sum(list_transform(range(len(b.e)), "
+        "i -> (b.e[i+1] - c.cv[i+1]) * (b.e[i+1] - c.cv[i+1]))), 9)"
+    )
+    for it in range(n_iter):
+        parts.append(
+            f"d{it} AS (SELECT b.vec_id, c.cid, {dist} AS d2 "
+            f"FROM base b CROSS JOIN c{it} c)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk "
+            f"FROM d{it}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"u{it} AS (SELECT a.cid, t.i AS pos, round(avg(b.e[t.i]), 9) AS m "
+            f"FROM a{it} a JOIN base b USING (vec_id), "
+            "UNNEST(range(1, len(b.e) + 1)) AS t(i) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT cid, list(m ORDER BY pos) AS cv "
+            f"FROM u{it} GROUP BY cid)"
+        )
+    parts.append(
+        f"df AS (SELECT b.vec_id, c.cid, {dist} AS d2 "
+        f"FROM base b CROSS JOIN c{n_iter} c)"
+    )
+    parts.append(
+        "af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk "
+        "FROM df) WHERE rk = 1)"
+    )
+    return ",\n".join(parts)
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+WITH {_kmeans_cte(8, 2)},
+p AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+pu AS (SELECT p.id1, p.id2, unnest(b1.e) AS xx, unnest(b2.e) AS yy
+       FROM p JOIN base b1 ON b1.vec_id = p.id1
+              JOIN base b2 ON b2.vec_id = p.id2),
+ps AS (SELECT id1, id2,
+              sum(xx*yy) / (sqrt(sum(xx*xx)) * sqrt(sum(yy*yy))) AS sim_raw
+       FROM pu GROUP BY 1, 2),
+dup AS (SELECT DISTINCT id2 FROM ps WHERE sim_raw > 0.4)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, (d.id2 IS NULL) AS keep
+FROM af a LEFT JOIN dup d ON a.vec_id = d.id2 ORDER BY a.vec_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic fixed-round
+    k-means (k=8, 2 Lloyd rounds, init = smallest vec_ids) clusters
+    the corpus; within each cluster, vectors with a lower-id
+    cluster-mate above cosine 0.4 are dropped (earliest-id survivor).
+    The ENTIRE fit is replayed by the oracle — the driver hash-checks
+    the clustering, not just the final keep bits. Pair work is bounded
+    by the cluster equi-join (~(n/k)^2 per cluster), the learned-
+    structure complement of the LSH bucket joins."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup(emb, k=8, n_iter=2, threshold=0.4)

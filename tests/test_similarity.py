@@ -146,3 +146,62 @@ def test_multi_table_lsh_improves_recall(emb):
     r1, r3 = recall(1), recall(3)
     assert r3 >= r1
     assert r3 > 0
+
+
+def test_kmeans_fixed_matches_numpy(emb):
+    """Differential: replay init + 2 Lloyd rounds + final assignment in
+    numpy with the same 1e-9 rounding; assignments must agree exactly."""
+    rows = sorted(emb.select("vec_id", "v").collect(), key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    k, n_iter = 8, 2
+    cent = mat[:k].copy()  # init: k smallest vec_ids
+    cids = np.arange(1, k + 1)
+
+    def assign(c, cc):
+        d2 = np.round(((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), 9)
+        # argmin with cid tie-break: lexicographic over (d2, cid)
+        best = []
+        for i in range(len(mat)):
+            j = min(range(len(cc)), key=lambda j: (d2[i, j], cc[j]))
+            best.append(cc[j])
+        return np.array(best)
+
+    for _ in range(n_iter):
+        a = assign(cent, cids)
+        new_cent, new_cids = [], []
+        for c in sorted(set(a)):
+            new_cent.append(np.round(mat[a == c].mean(axis=0), 9))
+            new_cids.append(c)
+        cent, cids = np.array(new_cent), np.array(new_cids)
+    a = assign(cent, cids)
+    want = dict(zip(ids, (int(x) for x in a)))
+
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.kmeans_fixed(emb, k=k, n_iter=n_iter).collect()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_keep_rule(emb):
+    """Every dropped vector has a lower-id same-cluster mate above the
+    threshold; every kept vector has none (rule replayed via numpy)."""
+    thr = 0.2  # lower than the registry's 0.4 so the small SF drops some
+    out = similarity.semantic_dedup(emb, k=8, n_iter=2, threshold=thr).collect()
+    assert len(out) > 0 and any(not r.keep for r in out)
+    rows = {r.vec_id: r for r in out}
+    vecs = {r.vec_id: np.array(r.v) for r in emb.select("vec_id", "v").collect()}
+
+    def sim(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    for r in out:
+        mates = [
+            o.vec_id
+            for o in out
+            if o.cluster == r.cluster and o.vec_id < r.vec_id
+        ]
+        has_near = any(sim(m, r.vec_id) > thr for m in mates)
+        assert r.keep == (not has_near), r
