@@ -1329,3 +1329,43 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure complement of the LSH bucket joins."""
     emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
     return similarity.semantic_dedup(emb, k=8, n_iter=2, threshold=0.4)
+
+
+@query(
+    "q_chunk_dups",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id, t, unnest(range(0, len(t), 25)) AS start_tok
+      FROM tok WHERE len(t) > 0),
+c AS (SELECT doc_id,
+             {_H64.format(x="array_to_string(list_slice(t, start_tok + 1, start_tok + 50), ' ')")} AS chunk_hash
+      FROM s WHERE len(t) - start_tok >= 50)
+SELECT chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM c GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) > 1
+ORDER BY n_occurrences DESC, chunk_hash
+""",
+)
+def q_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated passages: full 50-token chunk
+    fingerprints occurring in more than one document — the
+    stride-granular approximation of exact-substring dedup (boilerplate
+    / template detection). Reuses chunk_documents' fingerprints, keeps
+    only FULL windows (a short tail chunk equal to another doc's tail
+    is likelier chance than boilerplate), one map-side-combined
+    groupBy on the 60-bit hash."""
+    ch = text.chunk_documents(_docs(spark, sf_dir), window=50, stride=25)
+    return (
+        ch.where(F.col("n_chunk_tokens") >= 50)
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+    )
