@@ -492,6 +492,13 @@ def semantic_dedup(
     discipline as the LSH dedup family, but driven by learned global
     structure instead of random hyperplanes.
 
+    Sizing k at scale: the pair join shuffles on `cluster`, which has
+    exactly k distinct values — k must comfortably exceed the shuffle
+    parallelism AND keep per-cluster pair work bounded. Production
+    SemDeDup uses k ≈ n / (desired cluster size ~1-10k docs); the k=8
+    registry default is sized to the 500-vector test corpus, not a
+    recommendation.
+
     Returns (id_col, cluster, keep) for every corpus vector.
     """
     assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col)
