@@ -1194,6 +1194,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_decontam",
+    bench=True,
     oracle=f"""
 WITH {_TOK_CTE},
 g AS (SELECT DISTINCT doc_id,
@@ -1303,6 +1304,7 @@ def _kmeans_cte(k: int = 8, n_iter: int = 2) -> str:
 
 @query(
     "q_semdedup",
+    bench=True,
     oracle=f"""
 WITH {_kmeans_cte(8, 2)},
 p AS (SELECT x.vec_id AS id1, y.vec_id AS id2

@@ -1,0 +1,83 @@
+"""Round-6 pipeline operators: chunking, decontamination, entropy.
+
+Invariant tests beyond the registry's oracle parity: these check the
+operator CONTRACTS (coverage, self-exclusion, closed-form values) on
+constructed inputs, where the parity gate only checks engine
+agreement on the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from neo4j_dynagraph_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),          # 10 tokens
+        (2, "x " * 120),                      # 120 tokens, one type
+        (3, "common phrase one two three four five six seven eight"),
+        (4, "common phrase one two three four five six seven eight"),
+        (5, "unique tail nine ten"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_coverage_and_counts(docs):
+    out = text.chunk_documents(docs, window=8, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # chunk count = ceil(n / stride); every token position covered
+    for doc_id, n in [(1, 10), (2, 120), (5, 4)]:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert len(chunks) == math.ceil(n / 4)
+        covered = set()
+        for r in chunks:
+            assert r.start_tok == r.chunk_idx * 4
+            assert r.n_chunk_tokens == min(8, n - r.start_tok)
+            covered |= set(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+        assert covered == set(range(n))
+    # identical docs produce identical fingerprint sequences
+    h3 = [r.chunk_hash for r in sorted(by_doc[3], key=lambda r: r.chunk_idx)]
+    h4 = [r.chunk_hash for r in sorted(by_doc[4], key=lambda r: r.chunk_idx)]
+    assert h3 == h4
+
+
+def test_chunk_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, window=0)
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, stride=-1)
+
+
+def test_decontaminate_flags_exact_overlap(spark, docs):
+    bench = docs.where(F.col("doc_id") == 3)
+    train = docs.where(F.col("doc_id") != 3)
+    out = {r.doc_id: r for r in text.decontaminate(train, bench, n=4).collect()}
+    # doc 4 is an exact copy of the benchmark doc -> every n-gram hits
+    assert set(out) == {4}
+    assert out[4].n_hit_ngrams == out[4].n_doc_ngrams
+    assert out[4].hit_ratio == 1.0
+
+
+def test_decontaminate_no_false_hits(spark, docs):
+    bench = docs.where(F.col("doc_id") == 5)
+    train = docs.where(F.col("doc_id").isin([1, 2]))
+    assert text.decontaminate(train, bench, n=4).count() == 0
+
+
+def test_token_entropy_closed_form(docs):
+    out = {r.doc_id: r for r in text.token_entropy(docs).collect()}
+    # doc 1: 10 distinct tokens -> H = log2(10), norm = 1
+    assert out[1].n_tokens == 10 and out[1].n_types == 10
+    assert out[1].entropy == pytest.approx(math.log2(10), abs=1e-6)
+    assert out[1].norm_entropy == pytest.approx(1.0, abs=1e-6)
+    # doc 2: single type -> H = 0, norm = 0 by convention
+    assert out[2].n_types == 1
+    assert out[2].entropy == 0.0 and out[2].norm_entropy == 0.0
