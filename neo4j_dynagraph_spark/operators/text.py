@@ -444,3 +444,41 @@ def token_budget_sample(
             .orderBy("doc_id")
         )
     raise ValueError(f"unknown mode: {mode!r}")
+
+
+PII_PLACEHOLDERS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "phone": "<PHONE>",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style PII REDACTION (the write path of :func:`pii_counts`):
+    replace every email/IPv4/phone match with a typed placeholder, in
+    a fixed pattern order (email, ipv4, phone — order matters where
+    classes could overlap, so both engines apply the same sequence).
+
+    Ships the redacted text's portable hash64 + length instead of the
+    text itself — at 100 TB the redacted corpus goes to a sink, and
+    downstream checks join on the fingerprint; re-materializing the
+    text is a narrow re-projection. All regex work is JVM-side
+    regexp_replace inside codegen; one narrow projection, no shuffle.
+
+    Columns: doc_id, n_email, n_ipv4, n_phone, redacted_len,
+    redacted_hash.
+    """
+    red = F.lower(F.col(text_col))
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, PII_PLACEHOLDERS[name])
+    low = F.lower(F.col(text_col))
+    counts = [
+        F.regexp_count(low, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.length(red).cast("long").alias("redacted_len"),
+        dfn.hash64(red).alias("redacted_hash"),
+    )

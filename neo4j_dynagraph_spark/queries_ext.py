@@ -1400,3 +1400,29 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_budget_sample(
         _docs(spark, sf_dir), budget=700, mode="greedy"
     )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+WITH r AS (SELECT doc_id, lower(text) AS low,
+  regexp_replace(regexp_replace(regexp_replace(lower(text),
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+    '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g'),
+    '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS red
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(low, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(low, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(low, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT) AS n_phone,
+  CAST(length(red) AS BIGINT) AS redacted_len,
+  {_H64.format(x="red")} AS redacted_hash
+FROM r ORDER BY doc_id
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII redaction (write path of q_pii_count): typed
+    placeholders substituted JVM-side in a fixed pattern order; the
+    redacted text is exported as portable hash64 + length so the
+    oracle verifies the EXACT redacted bytes without shipping them."""
+    return text.redact_pii(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -105,3 +105,30 @@ def test_token_budget_sample_modes(spark):
         text.token_budget_sample(docs, budget=0)
     with pytest.raises(ValueError):
         text.token_budget_sample(docs, budget=10, mode="nope")
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from neo4j_dynagraph_spark.sources import jsonl
+    from neo4j_dynagraph_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    jsonl.write_jsonl_documents(docs, out, shards=3)
+    back = jsonl.read_jsonl_documents(spark, out)
+    assert back.schema == jsonl.DOCUMENTS_SCHEMA
+    a = sorted(map(tuple, docs.select("doc_id", "text", "lang", "source", "n_chars").collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+    # corrupt lines are quarantined, not dropped silently / fatal
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "{this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    kept = jsonl.read_jsonl_documents(spark, str(bad))
+    assert {r.doc_id for r in kept.collect()} == {1, 2}
+    dead = jsonl.corrupt_lines(spark, str(bad)).collect()
+    assert len(dead) == 1 and dead[0].line.startswith("{this")
