@@ -1482,6 +1482,161 @@ def q_part_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(  # noqa: E302
+    "q_intercontact",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+g AS (SELECT actor1, actor2,
+             frame_id - lag(frame_id) OVER (PARTITION BY actor1, actor2
+                                            ORDER BY frame_id) AS gap
+      FROM e)
+SELECT actor1, actor2, count(*) AS n_gaps, min(gap) AS min_gap,
+       max(gap) AS max_gap, sum(gap) AS sum_gap,
+       round(avg(gap), 6) AS avg_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_intercontact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-contact time distribution per canonical pair — the classic
+    SocioPatterns burstiness statistic over the reference's frame model
+    (frames between consecutive co-presences of the same pair). Lag
+    window partitioned by pair: state is per-pair and tiny, so the
+    window parallelizes across pairs — no global sort. Gap columns are
+    exact integers (frames); only the mean is rounded float.
+
+    Scale: one shuffle on (actor1, actor2) shared by the window and the
+    groupBy (same keys — Spark reuses the partitioning, no second
+    exchange). Pair cardinality is O(actors²) worst case but sparse in
+    contact data; skewed mega-pairs don't exist by construction (a pair
+    has at most one row per frame after distinct)."""
+    e = (
+        _edges(spark, sf_dir)
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
+    gaps = (
+        e.withColumn("gap", F.col("frame_id") - F.lag("frame_id").over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy("actor1", "actor2")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap").alias("min_gap"),
+            F.max("gap").alias("max_gap"),
+            F.sum("gap").alias("sum_gap"),
+            F.round(F.avg("gap"), 6).alias("avg_gap"),
+        )
+        .orderBy("actor1", "actor2")
+    )
+
+
+@query(
+    "q_edge_lifetimes",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+r AS (SELECT actor1, actor2,
+             frame_id - row_number() OVER (PARTITION BY actor1, actor2
+                                           ORDER BY frame_id) AS grp
+      FROM e),
+runs AS (SELECT actor1, actor2, count(*) AS run_len
+         FROM r GROUP BY actor1, actor2, grp)
+SELECT run_len, count(*) AS n_runs
+FROM runs GROUP BY 1 ORDER BY 1
+""",
+)
+def q_edge_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-duration (edge lifetime) histogram: lengths of maximal
+    runs of consecutive frames per pair — SocioPatterns' contact-
+    duration distribution, the statistic DELTAT discretization exists
+    to support (load_gexf_to_neo4j.py:69-71 turns spells into exactly
+    these runs). Gaps-and-islands: frame_id − row_number is constant
+    within a consecutive run, so grouping by it recovers the spells.
+
+    Scale: the window and both groupBys hash on (actor1, actor2[, grp])
+    — one logical shuffle on the pair key, then a tiny histogram
+    reduction. Output is O(max run length) rows."""
+    e = (
+        _edges(spark, sf_dir)
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
+    runs = (
+        e.withColumn("grp", F.col("frame_id") - F.row_number().over(w))
+        .groupBy("actor1", "actor2", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("run_len")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+        .orderBy("run_len")
+    )
+
+
+@query(
+    "q_assortativity",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+deg AS (SELECT actor, count(*) AS degree FROM (
+          SELECT actor1 AS actor, actor2 FROM e
+          UNION ALL SELECT actor2, actor1 FROM e) s GROUP BY 1),
+de AS (SELECT d1.degree AS dx, d2.degree AS dy
+       FROM (SELECT actor1 AS src, actor2 AS dst FROM e
+             UNION ALL SELECT actor2, actor1 FROM e) s
+       JOIN deg d1 ON d1.actor = s.src
+       JOIN deg d2 ON d2.actor = s.dst)
+SELECT round(corr(dx, dy), 6) AS assortativity,
+       count(*) AS n_directed_edges
+FROM de
+""",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the interaction graph (Newman's r):
+    Pearson correlation of endpoint degrees over directed edge
+    instances (each undirected edge counted in both orientations, the
+    standard estimator). Contact networks are typically disassortative
+    — a one-scalar structural summary the reference's degree query
+    (QUERY10) feeds but never computes.
+
+    Scale: degree is a node-sized table — broadcast to both endpoint
+    joins, so the edge table streams through two BroadcastHashJoins
+    with zero shuffle, then a single-pass corr reduction. The distinct
+    edge set is materialized once (localCheckpoint) because it feeds
+    four plan branches (two union orientations + two degree builds) and
+    Spark does no cross-branch CSE — without it the presence join would
+    be evaluated 4x (cluster: swap for checkpoint(), see SCALE.md)."""
+    e = (
+        _edges(spark, sf_dir)
+        .select("actor1", "actor2")
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = graph.symmetrize(e)
+    deg = graph.degree(e)  # actor, degree
+    de = (
+        sym.join(F.broadcast(deg.withColumnRenamed("actor", "src")), "src")
+        .withColumnRenamed("degree", "dx")
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("actor").alias("dst"), F.col("degree").alias("dy")
+                )
+            ),
+            "dst",
+        )
+    )
+    return de.agg(
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+        F.count(F.lit(1)).alias("n_directed_edges"),
+    )
+
+
 # Extension queries (dedup / similarity / text / multimodal / streaming)
 # register themselves into REGISTRY on import. Import last: queries_ext
 # needs the `query` decorator defined above.
