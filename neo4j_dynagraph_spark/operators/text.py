@@ -482,3 +482,65 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(red).cast("long").alias("redacted_len"),
         dfn.hash64(red).alias("redacted_hash"),
     )
+
+
+# Deterministic linear quality model (CCNet/fastText-style shape: a
+# handful of cheap lexical features behind a logistic link). The
+# weights are fixed public heuristics, not trained artifacts — the
+# point is the OPERATOR (model-based filtering as a single codegen
+# projection, replayable by an external engine), not the model.
+QUALITY_BIAS = -3.0
+QUALITY_WEIGHTS: dict[str, float] = {
+    "f_len": 0.6,  # ln(1 + n_tokens): longer docs are likelier clean
+    "f_ttr": 2.0,  # lexical diversity
+    "f_stop": 4.0,  # stopword mass ~ natural-language likelihood
+    "f_alpha": 3.0,  # alphabetic char fraction ~ not markup/binary
+    "f_wordlen": -0.2,  # very long mean tokens ~ URLs / code / noise
+}
+
+_QUALITY_STOPS = ("the", "a", "of", "and", "to")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering: five lexical features -> linear
+    logit -> sigmoid score -> keep decision. The whole model is one
+    narrow JVM projection (no shuffle, no UDF); at 100 TB it runs at
+    scan speed and the score lands in the same parquet row group as
+    the doc id for downstream threshold sweeps without recompute.
+
+    The keep label thresholds the ROUNDED score so both engines decide
+    identically even at one-ulp logit drift.
+
+    Columns: doc_id, n_tokens, quality (round 6), keep (boolean).
+    """
+    toks = tokens_df(docs, text_col).join(
+        docs.select("doc_id", F.lower(F.col(text_col)).alias("_low")), "doc_id"
+    )
+    n = F.size("t").cast("double")
+    feats = toks.where(F.size("t") > 0).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.log(F.lit(1.0) + n).alias("f_len"),
+        (F.size(F.array_distinct("t")) / n).alias("f_ttr"),
+        F.expr(_ratio_expr(_QUALITY_STOPS)).alias("f_stop"),
+        (
+            F.length(F.regexp_replace("_low", "[^a-z]", ""))
+            / F.greatest(F.length("_low"), F.lit(1)).cast("double")
+        ).alias("f_alpha"),
+        (
+            F.expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / n
+        ).alias("f_wordlen"),
+    )
+    z = F.lit(QUALITY_BIAS)
+    for name, w in QUALITY_WEIGHTS.items():
+        z = z + F.lit(w) * F.col(name)
+    scored = feats.withColumn(
+        "quality", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        (F.col("quality") >= 0.5).alias("keep"),
+    )

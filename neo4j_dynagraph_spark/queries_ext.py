@@ -1426,3 +1426,40 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted text is exported as portable hash64 + length so the
     oracle verifies the EXACT redacted bytes without shipping them."""
     return text.redact_pii(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+WITH {_TOK_CTE},
+f AS (SELECT t.doc_id,
+        CAST(len(t.t) AS BIGINT) AS n_tokens,
+        ln(1.0 + CAST(len(t.t) AS DOUBLE)) AS f_len,
+        len(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE) AS f_ttr,
+        len(list_filter(t.t, x -> x = 'the' OR x = 'a' OR x = 'of'
+                               OR x = 'and' OR x = 'to'))
+          / CAST(greatest(len(t.t), 1) AS DOUBLE) AS f_stop,
+        len(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+          / CAST(greatest(len(lower(d.text)), 1) AS DOUBLE) AS f_alpha,
+        CAST(list_sum(list_transform(t.t, x -> len(x))) AS DOUBLE)
+          / CAST(len(t.t) AS DOUBLE) AS f_wordlen
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE len(t.t) > 0)
+SELECT doc_id, n_tokens,
+       round(1.0 / (1.0 + exp(-(-3.0 + 0.6 * f_len + 2.0 * f_ttr
+             + 4.0 * f_stop + 3.0 * f_alpha + -0.2 * f_wordlen))), 6)
+         AS quality,
+       round(1.0 / (1.0 + exp(-(-3.0 + 0.6 * f_len + 2.0 * f_ttr
+             + 4.0 * f_stop + 3.0 * f_alpha + -0.2 * f_wordlen))), 6) >= 0.5
+         AS keep
+FROM f ORDER BY doc_id
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (CCNet/fastText shape): five
+    lexical features -> fixed-weight logistic score -> keep decision,
+    all one codegen projection (operators/text.py:quality_score). The
+    oracle replays the exact model — same features, weight order, and
+    rounded-score threshold — so the filter decision is verified
+    bit-for-bit across engines."""
+    return text.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
