@@ -360,3 +360,92 @@ def triangles(edges: DataFrame) -> DataFrame:
         .select("a", "b", "c")
         .orderBy("a", "b", "c")
     )
+
+
+def intercontact_gaps(frame_edges: DataFrame) -> DataFrame:
+    """Per-pair inter-contact gap statistics (frames between consecutive
+    co-presences of the same canonical pair) — the SocioPatterns
+    burstiness statistic over the reference's frame model.
+
+    Input: (frame_id, actor1, actor2); duplicates per frame are deduped
+    here. The lag window and the groupBy hash on the same pair key, so
+    Spark plans ONE exchange shared by both (verified in plans_audit).
+    Columns: actor1, actor2, n_gaps, min_gap, max_gap, sum_gap
+    (exact integers), avg_gap (round 6).
+    """
+    from pyspark.sql import Window
+
+    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
+    gaps = e.withColumn(
+        "gap", F.col("frame_id") - F.lag("frame_id").over(w)
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("actor1", "actor2").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+        F.sum("gap").alias("sum_gap"),
+        F.round(F.avg("gap"), 6).alias("avg_gap"),
+    )
+
+
+def edge_lifetime_histogram(frame_edges: DataFrame) -> DataFrame:
+    """Contact-duration histogram: lengths of maximal runs of
+    consecutive frames per pair (gaps-and-islands: frame_id −
+    row_number is constant within a run), then a global run-length
+    histogram. Recovers the spell lengths the reference's DELTAT
+    discretization encodes (load_gexf_to_neo4j.py:69-71).
+    Columns: run_len, n_runs.
+    """
+    from pyspark.sql import Window
+
+    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
+    runs = (
+        e.withColumn("grp", F.col("frame_id") - F.row_number().over(w))
+        .groupBy("actor1", "actor2", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("run_len").agg(F.count(F.lit(1)).alias("n_runs"))
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman's r): Pearson correlation of
+    endpoint degrees over directed edge instances (each undirected
+    edge in both orientations — the standard estimator).
+
+    The node-sized degree table is broadcast to both endpoint joins so
+    the edge table streams through two BroadcastHashJoins; the distinct
+    edge set is localCheckpointed because it feeds four plan branches
+    and Spark does no cross-branch CSE (cluster: checkpoint()).
+    Columns: assortativity (round 6), n_directed_edges.
+    """
+    e = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    sym = symmetrize(e)
+    deg = degree(e)
+    de = (
+        sym.join(broadcast(deg.withColumnRenamed("actor", "src")), "src")
+        .withColumnRenamed("degree", "dx")
+        .join(
+            broadcast(
+                deg.select(
+                    F.col("actor").alias("dst"), F.col("degree").alias("dy")
+                )
+            ),
+            "dst",
+        )
+    )
+    # corr() spelled as try_divide(covar, sx*sy): algebraically the same
+    # estimator, but NULL (not an ANSI DIVIDE_BY_ZERO error) on a
+    # regular graph where every degree is equal — matching what the
+    # oracle's corr() returns for zero variance.
+    return de.agg(
+        F.round(
+            F.try_divide(
+                F.covar_samp("dx", "dy"),
+                F.stddev_samp("dx") * F.stddev_samp("dy"),
+            ),
+            6,
+        ).alias("assortativity"),
+        F.count(F.lit(1)).alias("n_directed_edges"),
+    )

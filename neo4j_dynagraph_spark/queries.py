@@ -1511,26 +1511,8 @@ def q_intercontact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange). Pair cardinality is O(actors²) worst case but sparse in
     contact data; skewed mega-pairs don't exist by construction (a pair
     has at most one row per frame after distinct)."""
-    e = (
-        _edges(spark, sf_dir)
-        .select("frame_id", "actor1", "actor2")
-        .distinct()
-    )
-    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
-    gaps = (
-        e.withColumn("gap", F.col("frame_id") - F.lag("frame_id").over(w))
-        .where(F.col("gap").isNotNull())
-    )
-    return (
-        gaps.groupBy("actor1", "actor2")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.min("gap").alias("min_gap"),
-            F.max("gap").alias("max_gap"),
-            F.sum("gap").alias("sum_gap"),
-            F.round(F.avg("gap"), 6).alias("avg_gap"),
-        )
-        .orderBy("actor1", "actor2")
+    return graph.intercontact_gaps(_edges(spark, sf_dir)).orderBy(
+        "actor1", "actor2"
     )
 
 
@@ -1560,21 +1542,8 @@ def q_edge_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the window and both groupBys hash on (actor1, actor2[, grp])
     — one logical shuffle on the pair key, then a tiny histogram
     reduction. Output is O(max run length) rows."""
-    e = (
-        _edges(spark, sf_dir)
-        .select("frame_id", "actor1", "actor2")
-        .distinct()
-    )
-    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
-    runs = (
-        e.withColumn("grp", F.col("frame_id") - F.row_number().over(w))
-        .groupBy("actor1", "actor2", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
-    return (
-        runs.groupBy("run_len")
-        .agg(F.count(F.lit(1)).alias("n_runs"))
-        .orderBy("run_len")
+    return graph.edge_lifetime_histogram(_edges(spark, sf_dir)).orderBy(
+        "run_len"
     )
 
 
@@ -1611,30 +1580,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     four plan branches (two union orientations + two degree builds) and
     Spark does no cross-branch CSE — without it the presence join would
     be evaluated 4x (cluster: swap for checkpoint(), see SCALE.md)."""
-    e = (
-        _edges(spark, sf_dir)
-        .select("actor1", "actor2")
-        .distinct()
-        .localCheckpoint()
-    )
-    sym = graph.symmetrize(e)
-    deg = graph.degree(e)  # actor, degree
-    de = (
-        sym.join(F.broadcast(deg.withColumnRenamed("actor", "src")), "src")
-        .withColumnRenamed("degree", "dx")
-        .join(
-            F.broadcast(
-                deg.select(
-                    F.col("actor").alias("dst"), F.col("degree").alias("dy")
-                )
-            ),
-            "dst",
-        )
-    )
-    return de.agg(
-        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
-        F.count(F.lit(1)).alias("n_directed_edges"),
-    )
+    return graph.assortativity(_edges(spark, sf_dir))
 
 
 # Extension queries (dedup / similarity / text / multimodal / streaming)

@@ -171,3 +171,70 @@ def test_k_core_peels_cascade(spark):
     assert set(core2) == {1, 2, 3, 4}
     core1 = {r.actor for r in graph.k_core(e, k=1).collect()}
     assert core1 == {1, 2, 3, 4, 5, 6}
+
+
+# frame-edges for temporal-pair stats: pair (1,2) present in frames
+# 0,1,2, 5, 9 -> gaps 1,1,3,4; runs [3,1,1]. pair (3,4) in frames 7,8
+# -> gap 1; runs [2]. pair (5,6) only frame 4 -> no gaps; runs [1].
+FRAME_EDGES = [
+    (0, 1, 2), (1, 1, 2), (2, 1, 2), (5, 1, 2), (9, 1, 2),
+    (7, 3, 4), (8, 3, 4),
+    (4, 5, 6),
+]
+
+
+@pytest.fixture(scope="module")
+def frame_edges(spark):
+    return spark.createDataFrame(
+        FRAME_EDGES, "frame_id long, actor1 long, actor2 long"
+    )
+
+
+def test_intercontact_gaps(frame_edges):
+    got = {
+        (r.actor1, r.actor2): (r.n_gaps, r.min_gap, r.max_gap, r.sum_gap, r.avg_gap)
+        for r in graph.intercontact_gaps(frame_edges).collect()
+    }
+    # pair (5,6) has a single contact -> no gap rows at all
+    assert got == {
+        (1, 2): (4, 1, 4, 9, 2.25),
+        (3, 4): (1, 1, 1, 1, 1.0),
+    }
+
+
+def test_intercontact_dedups_frame_duplicates(spark, frame_edges):
+    dup = frame_edges.unionByName(frame_edges)  # same frames twice
+    base = graph.intercontact_gaps(frame_edges).collect()
+    got = graph.intercontact_gaps(dup).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, base))
+
+
+def test_edge_lifetime_histogram(frame_edges):
+    got = {
+        r.run_len: r.n_runs
+        for r in graph.edge_lifetime_histogram(frame_edges).collect()
+    }
+    # runs: (1,2)->[0..2],[5],[9]; (3,4)->[7,8]; (5,6)->[4]
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_assortativity_star_is_negative(spark):
+    # star graph 0-{1,2,3,4}: hub degree 4, leaves degree 1 -> perfectly
+    # disassortative, r = -1
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "actor1 long, actor2 long"
+    )
+    row = graph.assortativity(star).collect()[0]
+    assert row.n_directed_edges == 8
+    assert row.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_undefined(spark, edges):
+    # on the triangle 1-2-3 alone every degree is 2 -> zero variance,
+    # corr undefined -> null, and 6 directed edge instances
+    tri = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "actor1 long, actor2 long"
+    )
+    row = graph.assortativity(tri).collect()[0]
+    assert row.n_directed_edges == 6
+    assert row.assortativity is None
