@@ -1583,6 +1583,49 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.assortativity(_edges(spark, sf_dir))
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_pivot_event_types",
+    oracle=f"""
+SELECT {_FID} AS frame_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                  for t in EVENT_TYPES)},
+       {" + ".join(f"count(*) FILTER (WHERE event_type = '{t}')"
+                   for t in EVENT_TYPES)} AS n_total
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format activity matrix: per-frame event counts pivoted to
+    one column per event type — the DataFrame `pivot` operator (absent
+    in the reference, SURVEY.md §2.5 'not present' list; the oracle
+    replays it as conditional aggregation, which is also exactly what
+    Spark compiles an explicit-values pivot to).
+
+    Scale: the value list is pinned (EVENT_TYPES), so Spark skips the
+    extra distinct-values job an open pivot needs, and the whole thing
+    is one partial-agg shuffle on frame_id — same cost as the plain
+    groupBy (n_total is the row-sum of the pivoted columns, not a
+    second aggregation+join). Never open-pivot a high-cardinality
+    column at 100 TB: each distinct value becomes a column."""
+    ev = _events(spark, sf_dir).withColumn(
+        "frame_id", dfn.frame_id(dfn.epoch_seconds(F.col("ts")), DELTA)
+    )
+    counts = ev.groupBy("frame_id").pivot("event_type", list(EVENT_TYPES)).count()
+    ns = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    wide = counts.select("frame_id", *ns)
+    total = sum(
+        (F.col(f"n_{t}") for t in EVENT_TYPES[1:]),
+        F.col(f"n_{EVENT_TYPES[0]}"),
+    )
+    return wide.withColumn("n_total", total).orderBy("frame_id")
+
+
 # Extension queries (dedup / similarity / text / multimodal / streaming)
 # register themselves into REGISTRY on import. Import last: queries_ext
 # needs the `query` decorator defined above.
