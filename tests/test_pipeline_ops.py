@@ -132,3 +132,28 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     assert {r.doc_id for r in kept.collect()} == {1, 2}
     dead = jsonl.corrupt_lines(spark, str(bad)).collect()
     assert len(dead) == 1 and dead[0].line.startswith("{this")
+
+
+def test_quality_score_orders_clean_above_junk(spark):
+    rows = [
+        (1, "the cat sat on a mat and the dog ran to the park of dreams"),
+        (2, "@@@@ z9 #### q3 $$$$ %%%% ^^^^ &&&& **** ((((("),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    assert 3 not in out  # empty doc -> no tokens -> filtered upstream
+    clean, junk = out[1], out[2]
+    # natural English: high stopword mass + alpha fraction -> keep
+    assert clean.keep and clean.quality > junk.quality
+    # symbol soup: zero stopwords, near-zero alpha fraction -> drop
+    assert not junk.keep
+    assert 0.0 <= junk.quality <= 1.0
+
+
+def test_quality_score_is_deterministic(spark):
+    rows = [(i, f"the quick brown fox {i} jumps over a lazy dog") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, text.quality_score(docs).collect()))
+    b = sorted(map(tuple, text.quality_score(docs).collect()))
+    assert a == b
