@@ -941,7 +941,6 @@ WITH p AS ({_presence_sql()})
 SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
 ORDER BY frame_id, actor1, actor2
 """,
-    bench=True,
 )
 def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming co-presence edges: watermarked stream-stream self-join
@@ -968,6 +967,7 @@ WITH p AS ({_presence_sql()})
 SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
 ORDER BY frame_id, actor1, actor2
 """,
+    bench=True,
 )
 def q_stream_edges_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful production path for streaming co-presence edges
