@@ -414,38 +414,53 @@ def assortativity(edges: DataFrame) -> DataFrame:
     endpoint degrees over directed edge instances (each undirected
     edge in both orientations — the standard estimator).
 
-    The node-sized degree table is broadcast to both endpoint joins so
-    the edge table streams through two BroadcastHashJoins; the distinct
-    edge set is localCheckpointed because it feeds four plan branches
-    and Spark does no cross-branch CSE (cluster: checkpoint()).
+    Because the directed instance set is symmetric, x and y have
+    identical marginals, and every moment reduces to a sum over the
+    CANONICAL edges only: Σx = Σ(da+db), Σx² = Σ(da²+db²),
+    Σxy = 2Σ(da·db), N = 2|E|. So the plan is one streaming pass —
+    the edge set joined twice against the broadcast node-sized degree
+    table, then exact BIGINT partial sums — no symmetrize union, no
+    multi-branch reuse, no caching (an earlier localCheckpoint variant
+    pinned the 112M-row sf1 edge set and starved execution memory in
+    a 16 GB single JVM; this form runs q10-sized work instead).
+
+    The degree build re-evaluates the distinct-edge subtree once more
+    (two evaluations total); at petabyte scale materialize the edge
+    set to a parquet sink first and feed that here. Moments are exact
+    integers; one double formula at the end, identical in the oracle,
+    so the rounded r is bit-deterministic across engines. Zero degree
+    variance (regular graph) yields NULL.
     Columns: assortativity (round 6), n_directed_edges.
     """
-    e = edges.select("actor1", "actor2").distinct().localCheckpoint()
-    sym = symmetrize(e)
+    e = edges.select("actor1", "actor2").distinct()
     deg = degree(e)
-    de = (
-        sym.join(broadcast(deg.withColumnRenamed("actor", "src")), "src")
-        .withColumnRenamed("degree", "dx")
+    j = (
+        e.join(
+            broadcast(
+                deg.select(F.col("actor").alias("actor1"), F.col("degree").alias("da"))
+            ),
+            "actor1",
+        )
         .join(
             broadcast(
-                deg.select(
-                    F.col("actor").alias("dst"), F.col("degree").alias("dy")
-                )
+                deg.select(F.col("actor").alias("actor2"), F.col("degree").alias("db"))
             ),
-            "dst",
+            "actor2",
         )
     )
-    # corr() spelled as try_divide(covar, sx*sy): algebraically the same
-    # estimator, but NULL (not an ANSI DIVIDE_BY_ZERO error) on a
-    # regular graph where every degree is equal — matching what the
-    # oracle's corr() returns for zero variance.
-    return de.agg(
-        F.round(
-            F.try_divide(
-                F.covar_samp("dx", "dy"),
-                F.stddev_samp("dx") * F.stddev_samp("dy"),
-            ),
-            6,
-        ).alias("assortativity"),
-        F.count(F.lit(1)).alias("n_directed_edges"),
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("da") + F.col("db")).alias("sx"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias("sxx"),
+        F.sum(F.col("da") * F.col("db")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = F.lit(2.0) * n * (F.lit(2.0) * sxy) - sx * sx
+    den = F.lit(2.0) * n * sxx - sx * sx
+    return s.select(
+        F.round(F.when(den != 0.0, num / den), 6).alias("assortativity"),
+        (F.col("n") * F.lit(2)).cast("long").alias("n_directed_edges"),
     )

@@ -1555,14 +1555,23 @@ e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
 deg AS (SELECT actor, count(*) AS degree FROM (
           SELECT actor1 AS actor, actor2 FROM e
           UNION ALL SELECT actor2, actor1 FROM e) s GROUP BY 1),
-de AS (SELECT d1.degree AS dx, d2.degree AS dy
-       FROM (SELECT actor1 AS src, actor2 AS dst FROM e
-             UNION ALL SELECT actor2, actor1 FROM e) s
-       JOIN deg d1 ON d1.actor = s.src
-       JOIN deg d2 ON d2.actor = s.dst)
-SELECT round(corr(dx, dy), 6) AS assortativity,
-       count(*) AS n_directed_edges
-FROM de
+j AS (SELECT d1.degree AS da, d2.degree AS db
+      FROM e JOIN deg d1 ON d1.actor = e.actor1
+             JOIN deg d2 ON d2.actor = e.actor2),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(da + db) AS BIGINT) AS sx,
+             CAST(sum(da * da + db * db) AS BIGINT) AS sxx,
+             CAST(sum(da * db) AS BIGINT) AS sxy
+      FROM j)
+SELECT round(CASE WHEN 2.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+             THEN (2.0 * CAST(n AS DOUBLE) * (2.0 * CAST(sxy AS DOUBLE))
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (2.0 * CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END, 6) AS assortativity,
+       n * 2 AS n_directed_edges
+FROM s
 """,
 )
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
