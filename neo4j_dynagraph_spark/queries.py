@@ -1635,6 +1635,45 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.withColumn("n_total", total).orderBy("frame_id")
 
 
+@query(
+    "q_unpivot_event_types",
+    oracle=f"""
+WITH w AS (
+  SELECT {_FID} AS frame_id,
+         {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                    for t in EVENT_TYPES)}
+  FROM events GROUP BY 1)
+SELECT frame_id, event_type, n FROM (
+  {" UNION ALL ".join(f"SELECT frame_id, '{t}' AS event_type, n_{t} AS n FROM w"
+                      for t in EVENT_TYPES)}
+) u WHERE n > 0 ORDER BY frame_id, event_type
+""",
+)
+def q_unpivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt — the inverse of q_pivot_event_types: the wide per-frame
+    activity matrix back to long (frame_id, event_type, n) via the
+    DataFrame `unpivot` operator (ids/values/variable/value form).
+    Round-tripping pivot∘unpivot is the classic wide↔long reshaping
+    pair; zero-count cells are dropped so the long form is sparse,
+    matching what the original groupBy would have produced.
+
+    Scale: unpivot is a generate-style projection (each row expands to
+    k fixed rows) — no shuffle beyond the upstream pivot agg; the
+    WHERE n > 0 prunes before the sort."""
+    wide = q_pivot_event_types(spark, sf_dir).drop("n_total")
+    return (
+        wide.unpivot(
+            ids=["frame_id"],
+            values=[f"n_{t}" for t in EVENT_TYPES],
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .where(F.col("n") > 0)
+        .orderBy("frame_id", "event_type")
+    )
+
+
 # Extension queries (dedup / similarity / text / multimodal / streaming)
 # register themselves into REGISTRY on import. Import last: queries_ext
 # needs the `query` decorator defined above.
