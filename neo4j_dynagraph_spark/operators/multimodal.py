@@ -152,6 +152,10 @@ def decode_wav(payload: bytes) -> dict:
     bits = struct.unpack("<H", fmt[14:16])[0]
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"only PCM 8/16-bit supported, got fmt={audio_format} bits={bits}")
+    if channels == 0 or sample_rate == 0:
+        raise ValueError(
+            f"invalid fmt: channels={channels} sample_rate={sample_rate}"
+        )
     if bits == 16:
         n = len(data) // 2
         samples = struct.unpack(f"<{n}h", data[: n * 2])
