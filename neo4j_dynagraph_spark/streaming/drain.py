@@ -26,7 +26,41 @@ def snapshot_and_drop(spark: SparkSession, sink_name: str) -> DataFrame:
 
     Returns a DataFrame backed by checkpointed blocks, independent of
     the catalog entry (safe to use after the view is gone).
+
+    Right-sized for SMALL drained results (windowed aggregates,
+    session summaries): the memory sink buffers every row in the
+    driver heap. Large-output drains (the co-presence edge sets —
+    millions of rows per run, unbounded at 100 TB) must use
+    :func:`drain_stream_to_parquet` instead, which never routes data
+    through the driver.
     """
     out = spark.table(sink_name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink_name)
     return out
+
+
+def drain_stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
+    """Bounded drain through a DISTRIBUTED file sink.
+
+    Runs ``stream_df`` (append-mode streaming plan) to completion with
+    Trigger.AvailableNow into a temp parquet directory and returns the
+    batch DataFrame reading it back. Unlike the memory sink, rows go
+    executor -> files -> executor: the driver never holds the result,
+    so drain size is bounded by disk, not driver heap — the only drain
+    shape that survives a 100 TB stream.
+    """
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix=f"dynagraph_{prefix}_out_")
+    ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
+    query = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # explicit schema: an all-empty drain leaves no files to infer from
+    return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)

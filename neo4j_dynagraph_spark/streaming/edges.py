@@ -131,6 +131,7 @@ def stateful_frame_edges(
     so one near-clique frame (stadium, bot storm) can neither blow up
     state nor dominate the flush shuffle.
     """
+    import numpy as np
     import pandas as pd
 
     delta_ms = delta_seconds * 1000
@@ -146,15 +147,23 @@ def stateful_frame_edges(
                     {"frame_id": [], "actor1": [], "actor2": [], "weight": []}
                 )
                 return
-            order = sorted(range(len(actors)), key=lambda i: actors[i])
-            a = [actors[i] for i in order]
-            c = [counts[i] for i in order]
-            rows = [
-                (frame_id, a[i], a[j], c[i] * c[j])
-                for i in range(len(a))
-                for j in range(i + 1, len(a))
-            ]
-            yield pd.DataFrame(rows, columns=["frame_id", "actor1", "actor2", "weight"])
+            # vectorized pair expansion: a frame with n actors emits
+            # n*(n-1)/2 rows, and a Python tuple loop over millions of
+            # pairs dominated the whole drain — numpy triu indexing
+            # builds the same canonical (actor1<actor2) pairs in C
+            a_arr = np.asarray(actors, dtype=np.int64)
+            c_arr = np.asarray(counts, dtype=np.int64)
+            order = np.argsort(a_arr)
+            a_arr, c_arr = a_arr[order], c_arr[order]
+            i, j = np.triu_indices(len(a_arr), k=1)
+            yield pd.DataFrame(
+                {
+                    "frame_id": np.full(len(i), int(frame_id), dtype=np.int64),
+                    "actor1": a_arr[i],
+                    "actor2": a_arr[j],
+                    "weight": c_arr[i] * c_arr[j],
+                }
+            )
             return
 
         if state.exists:
@@ -268,23 +277,11 @@ def _stage_with_sentinel(
 
 
 def _drain(edges: DataFrame, prefix: str):  # noqa: ANN202
-    import tempfile
-    import uuid
+    # edge drains are the large-output case (pairs grow quadratically
+    # with frame occupancy): distributed file sink, never the driver
+    from neo4j_dynagraph_spark.streaming.drain import drain_stream_to_parquet
 
-    from neo4j_dynagraph_spark.streaming.drain import snapshot_and_drop
-
-    sink_name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
-    query = (
-        edges.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return snapshot_and_drop(edges.sparkSession, sink_name)
+    return drain_stream_to_parquet(edges, prefix)
 
 
 def streaming_frame_edges_from_parquet(
