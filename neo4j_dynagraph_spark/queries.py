@@ -1808,16 +1808,16 @@ def q_asof_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sp AS (SELECT event_id, user_id, {_ES} AS t1, {_ES} + {SPELL_LEN} AS t2
             FROM events),
-bucketed AS (SELECT sp.*, u.b AS day_bucket
-             FROM sp, unnest(range(t1 // 86400, (t2 - 1) // 86400 + 1)) AS u(b))
+bucketed AS (SELECT sp.*, u.b AS hour_bucket
+             FROM sp, unnest(range(t1 // 3600, (t2 - 1) // 3600 + 1)) AS u(b))
 SELECT a.event_id AS e1, b.event_id AS e2,
        a.user_id AS u1, b.user_id AS u2,
        least(a.t2, b.t2) - greatest(a.t1, b.t1) AS overlap_s
 FROM bucketed a JOIN bucketed b
-  ON a.day_bucket = b.day_bucket
+  ON a.hour_bucket = b.hour_bucket
  AND a.user_id < b.user_id
  AND a.t1 < b.t2 AND b.t1 < a.t2
- AND a.day_bucket = greatest(a.t1, b.t1) // 86400
+ AND a.hour_bucket = greatest(a.t1, b.t1) // 3600
 ORDER BY e1, e2
 """,
     bench=True,
@@ -1827,16 +1827,21 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     [ts, ts+30min) of different users that overlap, with overlap
     length. The scale pattern is the reference's own trick turned
     inside out (SURVEY.md §4 note): REPLICATE each interval into every
-    day bucket it touches (explode over the bucket range — <= 2 here),
-    equi-join on the bucket so the planner gets a hash key, and apply
-    the interval predicate inside the bucket. A pair whose overlap
-    spans a boundary matches in EVERY shared bucket — instead of a
-    global DISTINCT over the full pair output (an extra shuffle that
-    grows with the result at 100x), each pair is emitted only from the
-    bucket containing its overlap START (greatest(t1a,t1b) div day):
-    that instant lies inside both intervals, so exactly one bucket
-    qualifies and the dedup is a free per-row predicate. A true
-    interval join as a bucketed hash join instead of a cartesian."""
+    hour bucket it touches (explode over the bucket range — <= 2 for a
+    30-min spell), equi-join on the bucket so the planner gets a hash
+    key, and apply the interval predicate inside the bucket. A pair
+    whose overlap spans a boundary matches in EVERY shared bucket —
+    instead of a global DISTINCT over the full pair output (an extra
+    shuffle that grows with the result at 100x), each pair is emitted
+    only from the bucket containing its overlap START
+    (greatest(t1a,t1b) div hour): that instant lies inside both
+    intervals, so exactly one bucket qualifies and the dedup is a free
+    per-row predicate. The bucket width is sized just above the
+    interval length: candidate comparisons scale with
+    (rows-per-bucket)^2 x buckets, so an hour bucket over 30-min
+    spells does ~24x less within-bucket work than a day bucket while
+    keeping replication at <= 2 copies per interval. A true interval
+    join as a bucketed hash join instead of a cartesian."""
     ev = _events(spark, sf_dir)
     es = dfn.epoch_seconds(F.col("ts"))
     sp = ev.select(
@@ -1845,11 +1850,11 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.alias("t1"),
         (es + SPELL_LEN).alias("t2"),
     ).withColumn(
-        "day_bucket",
+        "hour_bucket",
         F.explode(
             F.sequence(
-                (F.col("t1") / 86400).cast("long"),
-                ((F.col("t2") - 1) / 86400).cast("long"),
+                (F.col("t1") / 3600).cast("long"),
+                ((F.col("t2") - 1) / 3600).cast("long"),
             )
         ),
     )
@@ -1857,7 +1862,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.day_bucket") == F.col("b.day_bucket"))
+            (F.col("a.hour_bucket") == F.col("b.hour_bucket"))
             & (F.col("a.user_id") < F.col("b.user_id"))
             & (F.col("a.t1") < F.col("b.t2"))
             & (F.col("b.t1") < F.col("a.t2"))
@@ -1865,8 +1870,8 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             # bucket holding the overlap start — replaces a global
             # distinct over the pair output with a per-row filter
             & (
-                F.col("a.day_bucket")
-                == (F.greatest(F.col("a.t1"), F.col("b.t1")) / 86400).cast("long")
+                F.col("a.hour_bucket")
+                == (F.greatest(F.col("a.t1"), F.col("b.t1")) / 3600).cast("long")
             ),
         )
         .select(
