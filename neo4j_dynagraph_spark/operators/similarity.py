@@ -501,7 +501,13 @@ def semantic_dedup(
 
     Returns (id_col, cluster, keep) for every corpus vector.
     """
-    assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col)
+    # the (id, cluster) assignment feeds BOTH sides of the pair join
+    # and the final keep join; Spark has no common-subplan reuse across
+    # DataFrame references, so without a cache the entire multi-round
+    # Lloyd lineage (scan + k assignments + centroid updates) executes
+    # once per reference. The assignment is 2 narrow columns — cache
+    # it (spillable, freed by the ContextCleaner with the DataFrame).
+    assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col).persist()
     withv = corpus.select(
         F.col(id_col),
         F.col(vec_col),
