@@ -544,3 +544,120 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "quality",
         (F.col("quality") >= 0.5).alias("keep"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 128,
+    text_col: str = "text",
+    chunk: int = 1024,
+) -> DataFrame:
+    """Sequence-packing index: concatenate documents (in doc_id order)
+    into one token stream and cut it into fixed-length training
+    sequences of ``seq_len`` tokens. Returns one row per
+    (sequence, document-segment): ``(seq_id, doc_id, seg_off,
+    seg_len)`` where ``seg_off`` is the segment's offset inside its
+    sequence — exactly the index a loader needs to assemble packed
+    training examples without materializing the concatenated text.
+
+    The global prefix sum is the scale hazard: a single ORDER BY
+    doc_id window serializes the whole corpus through one task. This
+    runs the classic two-phase distributed prefix sum instead — docs
+    group into coarse ordered chunks (``doc_id div chunk``), the
+    per-chunk token totals (corpus/chunk rows, tiny) take the only
+    global window, and each chunk then computes its local cumsum in
+    parallel partitioned by chunk_id. Spill-free at any corpus size;
+    ``chunk`` only trades chunk count against per-chunk fan-in, the
+    output is chunk-invariant (asserted in tests).
+
+    A document spanning a sequence boundary is SPLIT across the
+    adjacent sequences (the standard pretraining packing rule, no
+    padding); the explode over its covered sequence range mirrors the
+    interval-bucketing trick in q_interval_overlap.
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0 or chunk <= 0:
+        raise ValueError("seq_len and chunk must be positive")
+    n = (
+        tokens_df(docs, text_col)
+        .select("doc_id", F.size("t").cast("long").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+        .withColumn("chunk_id", F.expr(f"doc_id div {chunk}"))
+    )
+    totals = n.groupBy("chunk_id").agg(F.sum("n_tok").alias("c_tot"))
+    # the ONLY global window runs over chunk totals (corpus/chunk rows)
+    off_w = Window.orderBy("chunk_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "chunk_id", F.coalesce(F.sum("c_tot").over(off_w), F.lit(0)).alias("c_off")
+    )
+    local_w = (
+        Window.partitionBy("chunk_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        n.join(F.broadcast(offsets), "chunk_id")
+        .withColumn(
+            "start",
+            F.col("c_off") + F.coalesce(F.sum("n_tok").over(local_w), F.lit(0)),
+        )
+        .withColumn("fin", F.col("start") + F.col("n_tok"))
+    )
+    return (
+        spans.withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start div {seq_len}"),
+                    F.expr(f"(fin - 1) div {seq_len}"),
+                )
+            ),
+        )
+        .select(
+            "seq_id",
+            "doc_id",
+            (
+                F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+                - F.col("seq_id") * seq_len
+            ).alias("seg_off"),
+            (
+                F.least(F.col("fin"), (F.col("seq_id") + 1) * seq_len)
+                - F.greatest(F.col("start"), F.col("seq_id") * seq_len)
+            ).alias("seg_len"),
+        )
+        .orderBy("seq_id", "doc_id")
+    )
+
+
+def train_shards(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle + sharding for training data:
+    every document gets a pseudorandom ``shard`` (portable 60-bit hash
+    mod ``n_shards``) and a dense ``pos`` inside its shard ordered by
+    the same hash — a reproducible permutation of the corpus that any
+    engine (and any re-run) derives identically, with no RNG state.
+
+    Scale shape: one hash projection (map-only) plus a row_number
+    window PARTITIONED by shard — parallelism = n_shards, so size
+    n_shards to the cluster (production: thousands). No global sort,
+    no driver involvement; writing `partitionBy(shard)` then gives
+    loaders one file-set per shard.
+    """
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = dfn.hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.col("h") % n_shards)
+        .select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

@@ -1463,3 +1463,57 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-score threshold — so the filter decision is verified
     bit-for-bit across engines."""
     return text.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+WITH {_TOK_CTE},
+n AS (SELECT doc_id, len(t) AS n_tok FROM tok WHERE len(t) > 0),
+c AS (SELECT doc_id, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start
+      FROM n),
+e AS (SELECT doc_id, start, start + n_tok AS fin FROM c),
+x AS (SELECT doc_id, u.s AS seq_id, start, fin
+      FROM e, unnest(range(start // 128, (fin - 1) // 128 + 1)) AS u(s))
+SELECT seq_id, doc_id,
+       greatest(start, seq_id * 128) - seq_id * 128 AS seg_off,
+       least(fin, (seq_id + 1) * 128) - greatest(start, seq_id * 128) AS seg_len
+FROM x ORDER BY seq_id, doc_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing index: documents concatenated in doc_id order
+    and cut into 128-token training sequences, one row per
+    (sequence, doc-segment) with the segment's in-sequence offset and
+    length (operators/text.py:pack_sequences). The engine runs the
+    two-phase DISTRIBUTED prefix sum (per-chunk totals take the only
+    global window); the oracle replays the same packing with a plain
+    sequential window — identical output, different physical shape,
+    which is exactly the point of the chunked form."""
+    return text.pack_sequences(_docs(spark, sf_dir), seq_len=128)
+
+
+@query(
+    "q_train_shards",
+    oracle=f"""
+WITH h AS (SELECT doc_id,
+                  {_H64.format(x="'shard:' || doc_id")} AS h
+           FROM documents),
+s AS (SELECT doc_id, h, h % 16 AS shard FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
+""",
+)
+def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle + sharding: portable 60-bit
+    hash assigns each doc a shard (mod 16) and a dense pseudorandom
+    position within it (operators/text.py:train_shards) — the
+    reproducible global permutation a loader consumes, RNG-free so the
+    oracle derives the identical permutation. Window parallelism is
+    per-shard; no global sort anywhere."""
+    return text.train_shards(_docs(spark, sf_dir), n_shards=16)

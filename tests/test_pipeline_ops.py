@@ -157,3 +157,67 @@ def test_quality_score_is_deterministic(spark):
     a = sorted(map(tuple, text.quality_score(docs).collect()))
     b = sorted(map(tuple, text.quality_score(docs).collect()))
     assert a == b
+
+
+def test_pack_sequences_invariants(docs):
+    L = 16
+    out = text.pack_sequences(docs, seq_len=L).collect()
+    # token conservation: segments sum to the corpus token count
+    n_tok = {1: 10, 2: 120, 3: 10, 4: 10, 5: 4}
+    assert sum(r.seg_len for r in out) == sum(n_tok.values())
+    # per-doc conservation and contiguity of the doc across sequences
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, segs in by_doc.items():
+        assert sum(r.seg_len for r in segs) == n_tok[d]
+        segs.sort(key=lambda r: r.seq_id)
+        for a, b in zip(segs, segs[1:]):
+            assert b.seq_id == a.seq_id + 1  # split docs stay contiguous
+            assert a.seg_off + a.seg_len == L  # fills its sequence to the end
+            assert b.seg_off == 0  # resumes at the next sequence start
+    # every sequence except the last is exactly full, none overflows
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, 0)
+        by_seq[r.seq_id] += r.seg_len
+        assert 0 <= r.seg_off < L and 0 < r.seg_len <= L
+    last = max(by_seq)
+    for s, tot in by_seq.items():
+        assert tot == L or s == last
+    # no gaps between consecutive segments inside one sequence
+    for s in by_seq:
+        segs = sorted((r for r in out if r.seq_id == s), key=lambda r: r.seg_off)
+        pos = 0
+        for r in segs:
+            assert r.seg_off == pos
+            pos += r.seg_len
+
+
+def test_pack_sequences_chunk_invariance(docs):
+    a = text.pack_sequences(docs, seq_len=16, chunk=1024).collect()
+    b = text.pack_sequences(docs, seq_len=16, chunk=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_sequences_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        text.pack_sequences(docs, seq_len=0)
+    with pytest.raises(ValueError):
+        text.pack_sequences(docs, chunk=0)
+
+
+def test_train_shards_is_a_permutation(docs):
+    out = text.train_shards(docs, n_shards=4).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2, 3, 4, 5]  # bijection
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))  # dense
+    # deterministic across runs
+    again = text.train_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        text.train_shards(docs, n_shards=0)
