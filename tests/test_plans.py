@@ -128,3 +128,27 @@ def test_interval_overlap_no_global_distinct(spark):
     assert "HashAggregate" not in s and "SortAggregate" not in s, (
         "pair-output distinct crept back into q_interval_overlap"
     )
+
+
+def test_pack_sequences_single_partition_only_for_chunk_totals(spark):
+    # the two-phase prefix sum may serialize ONLY the per-chunk totals
+    # (corpus/chunk rows) through a single partition; the corpus-sized
+    # cumsum must stay partitioned by chunk_id and the offsets join
+    # must broadcast the tiny totals side
+    df = REGISTRY["q_pack_sequences"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert s.count("SinglePartition") == 1, (
+        "corpus-sized window collapsed to a single partition "
+        "(or the chunk-totals window disappeared)"
+    )
+    assert "BroadcastHashJoin" in s, "chunk-offsets join must broadcast"
+
+
+def test_train_shards_no_single_partition(spark):
+    # the permutation is a hash projection + a window PARTITIONED BY
+    # shard: nothing in the plan may serialize the corpus
+    df = REGISTRY["q_train_shards"].fn(spark, SF_SMALL)
+    s = plans.plan_str(df, "simple")
+    assert "SinglePartition" not in s, (
+        "train_shards planned a global window/exchange"
+    )
