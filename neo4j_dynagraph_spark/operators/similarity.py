@@ -221,12 +221,40 @@ def cosine_near_dup_pairs(
         F.expr(_NORM.format(c=vec_col)).alias("n2"),
     )
     if use_buckets:
-        b = hyperplane_buckets(corpus, n_planes, id_col, vec_col).select(
-            id_col, "bucket"
+        # one bucketing pass feeds both join sides directly (no join
+        # back by id). The verify cost rides on the PROBE side of the
+        # (broadcast) bucket join — per probe row x bucket-mates x dim
+        # interpreted lambda evals — and a small corpus arrives as ONE
+        # parquet file = one partition, serializing the whole verify in
+        # a single task. Round-robin repartition the probe side to the
+        # default parallelism first (same treatment as shingles_df);
+        # when the corpus outgrows the broadcast threshold the planner
+        # shuffles both sides on `bucket` anyway and AQE's skew-join
+        # splitting handles hot sign patterns.
+        wb = hyperplane_buckets(corpus, n_planes, id_col, vec_col)
+        base = wb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(_NORM.format(c=vec_col)).alias("n"),
+            "bucket",
         )
-        c1 = c1.join(b.withColumnRenamed(id_col, "id1"), "id1")
-        c2 = c2.join(b.withColumnRenamed(id_col, "id2"), "id2")
-        pairs = c1.join(c2, (F.col("id1") < F.col("id2")) & (c1.bucket == c2.bucket))
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        left = base.repartition(par).select(
+            F.col(id_col).alias("id1"),
+            F.col(vec_col).alias("v1"),
+            F.col("n").alias("n1"),
+            F.col("bucket").alias("b1"),
+        )
+        right = base.select(
+            F.col(id_col).alias("id2"),
+            F.col(vec_col).alias("v2"),
+            F.col("n").alias("n2"),
+            F.col("bucket").alias("b2"),
+        )
+        pairs = left.join(
+            right,
+            (F.col("id1") < F.col("id2")) & (F.col("b1") == F.col("b2")),
+        )
     else:
         pairs = c1.join(F.broadcast(c2), F.col("id1") < F.col("id2"))
     sim = F.expr(_DOT12) / (F.col("n1") * F.col("n2"))

@@ -104,7 +104,7 @@ def test_dedup_embed_bucketed_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in s, (
         "bucketed near-dup degenerated to a cross product"
     )
-    assert "Join" in s and "bucket" in s
+    assert "Join" in s and ("bucket" in s or ("b1" in s and "b2" in s))
 
 
 def test_runs_namespace_prunes_other_run(spark):
