@@ -256,7 +256,12 @@ def cosine_near_dup_pairs(
             (F.col("id1") < F.col("id2")) & (F.col("b1") == F.col("b2")),
         )
     else:
-        pairs = c1.join(F.broadcast(c2), F.col("id1") < F.col("id2"))
+        # probe side parallelized for the same one-file-corpus reason
+        # as the bucketed path above
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        pairs = c1.repartition(par).join(
+            F.broadcast(c2), F.col("id1") < F.col("id2")
+        )
     sim = F.expr(_DOT12) / (F.col("n1") * F.col("n2"))
     return (
         pairs.select("id1", "id2", sim.alias("sim_raw"))
@@ -541,7 +546,11 @@ def semantic_dedup(
         F.col(vec_col),
         F.expr(_NORM.format(c=vec_col)).alias("_n"),
     ).join(assign, id_col)
-    a1 = withv.select(
+    # probe side of the pair join carries the cosine-verify work; a
+    # one-file corpus would otherwise run it in ONE task (same fix as
+    # cosine_near_dup_pairs' bucketed path)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    a1 = withv.repartition(par).select(
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
         F.col("_n").alias("n1"),
