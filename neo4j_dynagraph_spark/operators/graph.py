@@ -464,3 +464,92 @@ def assortativity(edges: DataFrame) -> DataFrame:
         F.round(F.when(den != 0.0, num / den), 6).alias("assortativity"),
         (F.col("n") * F.lit(2)).cast("long").alias("n_directed_edges"),
     )
+
+
+def burstiness(frame_edges: DataFrame) -> DataFrame:
+    """Per-pair burstiness coefficient B = (sigma - mu) / (sigma + mu)
+    of the inter-contact gap distribution (Goh & Barabasi's B statistic,
+    the standard SocioPatterns temporal-heterogeneity measure): B -> 1
+    for bursty trains, 0 for Poisson, -1 for periodic contact.
+
+    Moments come from exact integer sums (n, sum gap, sum gap^2) in ONE
+    aggregation after the per-pair lag window — same single shared
+    exchange as intercontact_gaps; population sigma via
+    sqrt(max(E[g^2] - mu^2, 0)). Pairs need >= 2 gaps (a single gap has
+    sigma = 0 and pins B = -1, pure noise). The expression shape is
+    replayed verbatim by the SQL oracle so the rounded double matches
+    bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
+    gaps = e.withColumn(
+        "gap", F.col("frame_id") - F.lag("frame_id").over(w)
+    ).where(F.col("gap").isNotNull())
+    agg = gaps.groupBy("actor1", "actor2").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("_s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("_s2"),
+    )
+    mu = F.col("_s1") / F.col("n_gaps")
+    sig = F.sqrt(
+        F.greatest(F.col("_s2") / F.col("n_gaps") - mu * mu, F.lit(0.0))
+    )
+    return (
+        agg.where(F.col("n_gaps") >= 2)
+        .select(
+            "actor1",
+            "actor2",
+            "n_gaps",
+            F.round((sig - mu) / (sig + mu), 6).alias("burstiness"),
+        )
+    )
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Deterministic fixed-round synchronous label propagation over an
+    undirected edge set: labels initialize to the node id; each round
+    every node adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label. Returns (actor, community).
+
+    Same design stance as kmeans_fixed: no RNG, no convergence action,
+    a FIXED number of rounds — so a SQL oracle replays the entire
+    propagation round-for-round and the driver hash-checks the
+    community assignment itself, not a summary. (Classic async LPA is
+    order-dependent and unverifiable; the synchronous min-tie-break
+    form is the determinized variant.)
+
+    Scale shape per round: one hash join labels-on-neighbors (labels
+    are 2 narrow columns; the join shuffles on the node key), one
+    map-side-combined count, one argmax window partitioned by node.
+    State between rounds is O(nodes). Label oscillation (bipartite
+    flip-flop) is inherent to synchronous LPA — run an odd/even n_iter
+    pair and compare, or treat n_iter as the analysis horizon.
+    """
+    from pyspark.sql import Window
+
+    if n_iter < 0:
+        raise ValueError("n_iter must be non-negative")
+    sym = symmetrize(edges.select("actor1", "actor2").distinct())
+    labels = (
+        sym.select(F.col("src").alias("actor"))
+        .distinct()
+        .withColumn("community", F.col("actor"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("n"), F.asc("community")
+    )
+    for _ in range(n_iter):
+        nbr = sym.join(
+            labels, sym["dst"] == labels["actor"], "inner"
+        ).select("src", "community")
+        cnt = nbr.groupBy("src", "community").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("src").alias("actor"), "community")
+        )
+    return labels

@@ -1517,3 +1517,89 @@ def q_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives the identical permutation. Window parallelism is
     per-shard; no global sort anywhere."""
     return text.train_shards(_docs(spark, sf_dir), n_shards=16)
+
+
+_BURST_SIG = "sqrt(greatest(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps), 0.0))"
+
+
+@query(
+    "q_burstiness",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+g AS (SELECT actor1, actor2,
+             frame_id - lag(frame_id) OVER (PARTITION BY actor1, actor2
+                                            ORDER BY frame_id) AS gap
+      FROM e),
+a AS (SELECT actor1, actor2, count(*) AS n_gaps,
+             sum(gap) AS s1, sum(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY 1, 2)
+SELECT actor1, actor2, n_gaps,
+       round(({_BURST_SIG} - s1 / n_gaps) / ({_BURST_SIG} + s1 / n_gaps), 6)
+         AS burstiness
+FROM a WHERE n_gaps >= 2 ORDER BY actor1, actor2
+""",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    pair's inter-contact gaps (operators/graph.py:burstiness) — the
+    temporal-heterogeneity statistic of the SocioPatterns literature,
+    computed from exact integer moment sums in the same one-exchange
+    window+agg shape as q_intercontact; the oracle replays the exact
+    expression so the rounded double matches bit-for-bit."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.burstiness(qmod._edges(spark, sf_dir)).orderBy(
+        "actor1", "actor2"
+    )
+
+
+def _lpa_cte(n_iter: int) -> str:
+    """DuckDB replay of graph.label_propagation: n_iter chained CTEs,
+    each one synchronous round (neighbor-label count, argmax with
+    smallest-label tie-break)."""
+    parts = [
+        "sym AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e)",
+        "l0 AS (SELECT DISTINCT src AS actor, src AS community FROM sym)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"l{i} AS (SELECT src AS actor, community FROM (\n"
+            f"  SELECT s.src, l.community, count(*) AS n,\n"
+            f"         row_number() OVER (PARTITION BY s.src\n"
+            f"           ORDER BY count(*) DESC, l.community) AS rk\n"
+            f"  FROM sym s JOIN l{i - 1} l ON l.actor = s.dst\n"
+            f"  GROUP BY s.src, l.community) WHERE rk = 1)"
+        )
+    return ",\n".join(parts)
+
+
+from neo4j_dynagraph_spark.queries import DAY, HOUR, MONTH, YEAR  # noqa: E402
+
+
+@query(
+    "q_communities_lpa",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+{_lpa_cte(2)}
+SELECT actor, community FROM l2 ORDER BY actor
+""",
+)
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the hour-pruned contact graph via
+    deterministic fixed-round synchronous label propagation
+    (operators/graph.py:label_propagation): 2 rounds, min-label
+    tie-break, no RNG — so the oracle replays the propagation
+    round-for-round and the driver hash-checks the full community
+    assignment, the same verify-the-whole-fit stance as q_semdedup's
+    k-means."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = (
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    return graph.label_propagation(edges, n_iter=2).orderBy("actor")

@@ -238,3 +238,43 @@ def test_assortativity_regular_graph_undefined(spark, edges):
     row = graph.assortativity(tri).collect()[0]
     assert row.n_directed_edges == 6
     assert row.assortativity is None
+
+
+def test_burstiness_closed_form(spark):
+    import math
+
+    # pair (1,2): contacts at frames 0,1,2,3 -> gaps 1,1,1 (periodic,
+    # sigma=0 -> B=-1); pair (3,4): frames 0,1,10 -> gaps 1,9
+    # (mu=5, sigma=4 -> B=(4-5)/(4+5)); pair (5,6): single gap, dropped
+    rows = [(f, 1, 2) for f in (0, 1, 2, 3)]
+    rows += [(f, 3, 4) for f in (0, 1, 10)]
+    rows += [(f, 5, 6) for f in (0, 7)]
+    fe = spark.createDataFrame(rows, "frame_id long, actor1 long, actor2 long")
+    got = {(r.actor1, r.actor2): r for r in graph.burstiness(fe).collect()}
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)].n_gaps == 3
+    assert got[(1, 2)].burstiness == -1.0
+    assert got[(3, 4)].burstiness == round((4 - 5) / (4 + 5), 6)
+    assert math.isclose(got[(3, 4)].burstiness, -0.111111, abs_tol=1e-6)
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by a single bridge edge: LPA must settle
+    # each triangle on its own min label, and the bridge must not
+    # merge them (each node has 2 in-clique neighbors vs 1 across)
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(7, 8), (7, 9), (8, 9)]
+    bridge = [(3, 7)]
+    e = spark.createDataFrame(tri1 + tri2 + bridge, "actor1 long, actor2 long")
+    got = {r.actor: r.community for r in graph.label_propagation(e, n_iter=4).collect()}
+    assert len({got[1], got[2], got[3]}) == 1, "triangle 1 must agree"
+    assert len({got[7], got[8], got[9]}) == 1, "triangle 2 must agree"
+    assert got[1] != got[7], "bridge must not merge the cliques"
+
+
+def test_label_propagation_zero_rounds_is_identity(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], "actor1 long, actor2 long")
+    got = {r.actor: r.community for r in graph.label_propagation(e, n_iter=0).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    with pytest.raises(ValueError):
+        graph.label_propagation(e, n_iter=-1)
