@@ -1603,3 +1603,90 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.label_propagation(edges, n_iter=2).orderBy("actor")
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, and
+    for each (cohort, day-offset) the count of users still active —
+    the standard product-analytics triangle. Shape: one distinct on
+    (user, day), one min-agg for the cohort dimension, one broadcast
+    join back (the cohort table is |users| rows of two narrow
+    columns), one count agg. No window over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    acts = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH s AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY 1)
+SELECT CAST(count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_signup,
+       CAST(count(CASE WHEN t_signup < t_view THEN 1 END) AS BIGINT)
+         AS n_signup_view,
+       CAST(count(CASE WHEN t_signup < t_view AND t_view < t_purchase
+                       THEN 1 END) AS BIGINT) AS n_full_funnel
+FROM s
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> purchase: per user the FIRST
+    timestamp of each stage (conditional min — one map-side-combined
+    aggregation, no self-joins over the event log), then the strict
+    time-ordering predicates count who progressed. The classic
+    event-sequence analytic in its shuffle-minimal form: two
+    aggregations total, no window, no n-way join of the log against
+    itself."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):  # noqa: ANN202
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    s = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return s.agg(
+        F.count(F.when(F.col("t_signup").isNotNull(), 1))
+        .alias("n_signup"),
+        F.count(F.when(F.col("t_signup") < F.col("t_view"), 1))
+        .alias("n_signup_view"),
+        F.count(
+            F.when(
+                (F.col("t_signup") < F.col("t_view"))
+                & (F.col("t_view") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
