@@ -1690,3 +1690,48 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events),
+c AS (SELECT event_type AS prev_type, next_type, count(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c ORDER BY prev_type, next_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: per-user lead window
+    (ordered by ts with event_id tie-break, so simultaneous events
+    sequence deterministically) -> pair counts -> row-normalized
+    transition probability. The per-prev normalization runs as a
+    window over the |types|^2 aggregate, not the event log. One
+    shuffle on user_id, one on the type pair."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    cnt = seq.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("prev_type")
+    return (
+        cnt.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
