@@ -221,3 +221,38 @@ def test_train_shards_is_a_permutation(docs):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with pytest.raises(ValueError):
         text.train_shards(docs, n_shards=0)
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.integers(0, 9), min_size=0, max_size=20),
+        st.integers(1, 7),
+        st.integers(1, 5),
+    )
+    def check(tok_counts, seq_len, chunk):
+        rows = [
+            (i, " ".join(["w"] * n))  # n whitespace tokens (0 -> empty doc)
+            for i, n in enumerate(tok_counts)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string") if rows \
+            else spark.createDataFrame([], "doc_id long, text string")
+        got = sorted(
+            map(tuple, text.pack_sequences(df, seq_len=seq_len, chunk=chunk).collect())
+        )
+        # pure-Python reference: walk the concatenated token stream
+        expect, pos = [], 0
+        for i, n in enumerate(tok_counts):
+            if n == 0:
+                continue
+            start, fin = pos, pos + n
+            for s in range(start // seq_len, (fin - 1) // seq_len + 1):
+                lo, hi = max(start, s * seq_len), min(fin, (s + 1) * seq_len)
+                expect.append((s, i, lo - s * seq_len, hi - lo))
+            pos = fin
+        assert got == sorted(expect)
+
+    check()
