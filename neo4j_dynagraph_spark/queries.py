@@ -1511,9 +1511,7 @@ def q_intercontact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange). Pair cardinality is O(actors²) worst case but sparse in
     contact data; skewed mega-pairs don't exist by construction (a pair
     has at most one row per frame after distinct)."""
-    return graph.intercontact_gaps(_edges(spark, sf_dir)).orderBy(
-        "actor1", "actor2"
-    )
+    return graph.intercontact_gaps(_edges(spark, sf_dir))
 
 
 @query(
@@ -1884,7 +1882,6 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.greatest(F.col("a.t1"), F.col("b.t1"))
             ).alias("overlap_s"),
         )
-        .orderBy("e1", "e2")
     )
 
 

@@ -957,7 +957,7 @@ def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = streaming_frame_edges_from_parquet(
         spark, f"{sf_dir}/events.parquet", raw_schema, DELTA
     )
-    return result.orderBy("frame_id", "actor1", "actor2")
+    return result
 
 
 @query(
@@ -988,7 +988,7 @@ def q_stream_edges_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = stateful_frame_edges_from_parquet(
         spark, f"{sf_dir}/events.parquet", raw_schema, DELTA
     )
-    return result.orderBy("frame_id", "actor1", "actor2")
+    return result
 
 
 @query(
@@ -1549,9 +1549,7 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression so the rounded double matches bit-for-bit."""
     from neo4j_dynagraph_spark import queries as qmod
 
-    return graph.burstiness(qmod._edges(spark, sf_dir)).orderBy(
-        "actor1", "actor2"
-    )
+    return graph.burstiness(qmod._edges(spark, sf_dir))
 
 
 def _lpa_cte(n_iter: int) -> str:
