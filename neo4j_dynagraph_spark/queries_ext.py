@@ -1733,3 +1733,67 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "q_training_mix",
+    oracle=f"""
+WITH {_TOK_CTE},
+keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s AS (SELECT tok.doc_id, t, len(t) AS n_tokens,
+             len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS ttr
+      FROM tok JOIN keep1 USING (doc_id) WHERE len(t) > 0),
+q AS (SELECT doc_id, t FROM s WHERE n_tokens >= 30 AND ttr >= 0.35),
+g AS (SELECT DISTINCT doc_id,
+             {_H64.format(x="array_to_string(list_slice(t, i, i + 3), ' ')")} AS gh
+      FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4),
+b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gh)
+           WHERE g.doc_id % 97 != 0),
+clean AS (SELECT doc_id, t FROM q
+          WHERE doc_id % 97 != 0
+            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+n AS (SELECT doc_id, len(t) AS n_tok FROM clean WHERE len(t) > 0),
+c AS (SELECT doc_id, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start
+      FROM n),
+e AS (SELECT doc_id, start, start + n_tok AS fin FROM c),
+x AS (SELECT doc_id, u.s AS seq_id, start, fin
+      FROM e, unnest(range(start // 128, (fin - 1) // 128 + 1)) AS u(s))
+SELECT seq_id, doc_id,
+       greatest(start, seq_id * 128) - seq_id * 128 AS seg_off,
+       least(fin, (seq_id + 1) * 128) - greatest(start, seq_id * 128) AS seg_len
+FROM x ORDER BY seq_id, doc_id
+""",
+)
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data capstone: exact dedup (min-id survivor
+    per content hash) -> quality gate (length + type-token ratio) ->
+    benchmark decontamination (4-gram broadcast semi-join, train split
+    only) -> sequence packing of the clean corpus into 128-token
+    training rows. Every stage is the already-verified operator
+    (dedup/exact, text_stats, decontaminate, pack_sequences) composed
+    as one lazy plan, and the oracle replays the WHOLE pipeline — the
+    driver hash-checks the final packed index, so any stage drifting
+    breaks the gate. Shuffle budget: content-hash agg, doc-id joins,
+    the broadcast n-gram semi-join, and the packing prefix sum's
+    chunk-total window — nothing quadratic anywhere."""
+    docs = _docs(spark, sf_dir)
+    keep1 = (
+        docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(keep1, "doc_id")
+    good = (
+        text.text_stats(d1)
+        .where((F.col("n_tokens") >= 30) & (F.col("ttr") >= 0.35))
+        .select("doc_id")
+    )
+    d2 = d1.join(good, "doc_id")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = d2.where(F.col("doc_id") % 97 != 0)
+    contam = text.decontaminate(train, bench, n=4).select("doc_id")
+    clean = train.join(contam, "doc_id", "left_anti")
+    return text.pack_sequences(clean, seq_len=128)
