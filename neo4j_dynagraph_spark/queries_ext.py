@@ -1737,6 +1737,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_training_mix",
+    bench=True,
     oracle=f"""
 WITH {_TOK_CTE},
 keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
