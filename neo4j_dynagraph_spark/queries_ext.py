@@ -1798,3 +1798,52 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = text.decontaminate(train, bench, n=4).select("doc_id")
     clean = train.join(contam, "doc_id", "left_anti")
     return text.pack_sequences(clean, seq_len=128)
+
+
+@query(
+    "q_conversion_latency",
+    oracle="""
+WITH s AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY 1),
+l AS (SELECT date_diff('microsecond', t_signup, t_purchase) AS lat_us
+      FROM s WHERE t_signup < t_purchase)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(lat_us, 0.5) AS p50_us,
+       quantile_cont(lat_us, 0.9) AS p90_us,
+       CAST(min(lat_us) AS BIGINT) AS min_us,
+       CAST(max(lat_us) AS BIGINT) AS max_us
+FROM l
+""",
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per-user first-signup ->
+    first-purchase latency (conditional-min aggregation, no log
+    self-join) reduced to exact interpolated percentiles over the
+    integer microsecond latencies (Spark `percentile` == DuckDB
+    `quantile_cont` bit-exact over the same integers — the q_quantiles
+    equivalence reused). Two aggregations, second one over |users|
+    rows."""
+    # first-touch instants via the contract's exact ts_ns longs (the
+    # normalized `ts` may be TIMESTAMP_NTZ, which unix_micros rejects;
+    # integer nanos sidestep the arrival type entirely)
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ns"))).alias(
+            "t_signup_ns"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias(
+            "t_purchase_ns"
+        ),
+    )
+    lat = s.where(F.col("t_signup_ns") < F.col("t_purchase_ns")).select(
+        F.expr("(t_purchase_ns - t_signup_ns) div 1000").alias("lat_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(lat_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(lat_us, 0.9)").alias("p90_us"),
+        F.min("lat_us").alias("min_us"),
+        F.max("lat_us").alias("max_us"),
+    )
