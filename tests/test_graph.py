@@ -278,3 +278,45 @@ def test_label_propagation_zero_rounds_is_identity(spark):
     assert got == {1: 1, 2: 2, 3: 3}
     with pytest.raises(ValueError):
         graph.label_propagation(e, n_iter=-1)
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+        st.integers(0, 3),
+    )
+    def check(pairs, n_iter):
+        edges = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+        df = spark.createDataFrame(edges, "actor1 long, actor2 long")
+        got = {
+            r.actor: r.community
+            for r in graph.label_propagation(df, n_iter=n_iter).collect()
+        }
+        # pure-Python synchronous LPA, min-label tie-break
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        lab = {v: v for v in adj}
+        for _ in range(n_iter):
+            new = {}
+            for v, nbrs in adj.items():
+                c = Counter(lab[u] for u in nbrs)
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            lab = new
+        assert got == lab
+
+    check()
