@@ -1847,3 +1847,79 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lat_us").alias("min_us"),
         F.max("lat_us").alias("max_us"),
     )
+
+
+@query(
+    "q_corpus_report",
+    oracle=f"""
+WITH {_TOK_CTE},
+f AS (SELECT t.doc_id,
+        CAST(len(t.t) AS BIGINT) AS n_tokens,
+        ln(1.0 + CAST(len(t.t) AS DOUBLE)) AS f_len,
+        len(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE) AS f_ttr,
+        len(list_filter(t.t, x -> x = 'the' OR x = 'a' OR x = 'of'
+                               OR x = 'and' OR x = 'to'))
+          / CAST(greatest(len(t.t), 1) AS DOUBLE) AS f_stop,
+        len(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+          / CAST(greatest(len(lower(d.text)), 1) AS DOUBLE) AS f_alpha,
+        CAST(list_sum(list_transform(t.t, x -> len(x))) AS DOUBLE)
+          / CAST(len(t.t) AS DOUBLE) AS f_wordlen
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE len(t.t) > 0),
+q AS (SELECT doc_id, n_tokens,
+             round(1.0 / (1.0 + exp(-(-3.0 + 0.6 * f_len + 2.0 * f_ttr
+                   + 4.0 * f_stop + 3.0 * f_alpha + -0.2 * f_wordlen))), 6)
+               AS quality
+      FROM f),
+k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1),
+fl AS (SELECT d.doc_id, d.source, d.lang, d.doc_id != k.keep_id AS is_dup
+       FROM documents d JOIN k ON md5(d.text) = k.h)
+SELECT fl.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(q.n_tokens), 0) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_exact_dups,
+       round(CAST(count(CASE WHEN is_dup THEN 1 END) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       round(avg(q.quality), 6) AS mean_quality,
+       CAST(count(DISTINCT fl.lang) AS BIGINT) AS n_langs
+FROM fl LEFT JOIN q USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card report: doc and token counts, exact-dup
+    rate (global content-hash groups, min-id survivor), mean model
+    quality, and language spread — the one-scan summary a data-mixing
+    decision reads. Composes quality_score (codegen projection) with a
+    content-hash self-grouping; everything aggregates map-side before
+    the per-source shuffle. The rounded per-doc qualities average
+    safely across partition orders (double drift ~1e-16 against a 1e-6
+    rounding grid)."""
+    docs = _docs(spark, sf_dir)
+    qs = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    d = docs.withColumn("_h", F.md5("text"))
+    k = d.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    flags = d.join(k, "_h").select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.col("doc_id") != F.col("_keep")).alias("is_dup"),
+    )
+    return (
+        flags.join(qs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_exact_dups"),
+            F.round(
+                F.count(F.when(F.col("is_dup"), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
