@@ -553,3 +553,66 @@ def label_propagation(edges: DataFrame, n_iter: int = 2) -> DataFrame:
             .select(F.col("src").alias("actor"), "community")
         )
     return labels
+
+
+def k_truss(edges: DataFrame, k: int = 4, max_iterations: int = 30) -> DataFrame:
+    """The k-truss: the maximal subgraph whose every edge participates
+    in >= k-2 triangles within the subgraph — the edge-level
+    cohesion analogue of k_core (node-level), and a standard
+    contact-network community core. Returns the surviving canonical
+    edge set (actor1, actor2).
+
+    Iterative support peeling: enumerate triangles on the surviving
+    canonical edges (the same three-way broadcast join as
+    :func:`triangles`), count per-edge support by exploding each
+    triangle into its three edges (map-side combined), semi-join the
+    edges that clear k-2, repeat to the unique fixpoint. One
+    triangle-enumeration + one aggregation + one semi-join per round;
+    convergence costs a single edge-count action per round (equal
+    consecutive counts == nothing peeled == fixpoint, since the
+    support computation is deterministic). Lineage truncated per round
+    (localCheckpoint; checkpoint() on a cluster).
+    """
+    if k < 2:
+        raise ValueError("k-truss requires k >= 2")
+    e = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    if k == 2:
+        # every edge is trivially in the 2-truss; the support semi-join
+        # below would wrongly drop triangle-free edges (no support row)
+        return e.orderBy("actor1", "actor2")
+    prev: int | None = None
+    for _ in range(max_iterations):
+        n_edges = e.count()
+        if n_edges == prev:
+            break
+        prev = n_edges
+        e1 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("b"))
+        e2 = e.select(F.col("actor1").alias("b"), F.col("actor2").alias("c"))
+        e3 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("c"))
+        tri = e1.join(broadcast(e2), "b").join(broadcast(e3), ["a", "c"], "semi")
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("actor1"), F.col("b").alias("actor2")
+                        ),
+                        F.struct(
+                            F.col("a").alias("actor1"), F.col("c").alias("actor2")
+                        ),
+                        F.struct(
+                            F.col("b").alias("actor1"), F.col("c").alias("actor2")
+                        ),
+                    )
+                ).alias("ed")
+            )
+            .select("ed.actor1", "ed.actor2")
+            .groupBy("actor1", "actor2")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        e = e.join(
+            sup.where(F.col("support") >= k - 2).select("actor1", "actor2"),
+            ["actor1", "actor2"],
+            "semi",
+        ).localCheckpoint()
+    return e.orderBy("actor1", "actor2")

@@ -1923,3 +1923,22 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("q_ktruss")
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the pinned-hour interaction graph: the maximal edge
+    set where every edge closes >= 2 triangles inside the subgraph —
+    the edge-level cohesion core beside q_kcore's node-level one.
+    Iterative support peeling to the unique fixpoint
+    (operators/graph.py:k_truss) — no ANSI-SQL oracle (rows-only
+    check); the fixpoint semantics are pinned by a pure-Python peeling
+    differential in tests/test_graph.py."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = (
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    return graph.k_truss(edges, k=4)

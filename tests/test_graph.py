@@ -320,3 +320,66 @@ def test_label_propagation_matches_python_reference(spark):
         assert got == lab
 
     check()
+
+
+def _py_truss(edges, k):
+    es = {tuple(sorted(e)) for e in edges}
+    while True:
+        sup = {e: 0 for e in es}
+        nodes = {v for e in es for v in e}
+        adj = {v: set() for v in nodes}
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        for a, b in es:
+            for c in adj[a] & adj[b]:
+                sup[(a, b)] += 1
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return es
+        es -= drop
+
+
+def test_k_truss_matches_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 9), st.integers(1, 9)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(3, 5),
+    )
+    def check(pairs, k):
+        edges = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+        df = spark.createDataFrame(edges, "actor1 long, actor2 long")
+        got = {(r.actor1, r.actor2) for r in graph.k_truss(df, k=k).collect()}
+        assert got == _py_truss(edges, k)
+
+    check()
+
+
+def test_k_truss_two_keeps_everything(edges):
+    got = {(r.actor1, r.actor2) for r in graph.k_truss(edges, k=2).collect()}
+    assert got == set(EDGES)
+    with pytest.raises(ValueError):
+        graph.k_truss(edges, k=1)
+
+
+def test_k_truss_cascade(spark):
+    # triangle 1-2-3 + pendant triangle-chain: edges (3,4),(3,5),(4,5)
+    # form a second triangle sharing node 3; a 4-truss keeps both
+    # triangles (every edge has support 1... actually support 1 < 2)
+    # -> k=4 must peel EVERYTHING here, while k=3 keeps both triangles
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)],
+        "actor1 long, actor2 long",
+    )
+    k3 = {(r.actor1, r.actor2) for r in graph.k_truss(e, k=3).collect()}
+    assert k3 == {(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)}
+    assert graph.k_truss(e, k=4).count() == 0
