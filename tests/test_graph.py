@@ -372,10 +372,9 @@ def test_k_truss_two_keeps_everything(edges):
 
 
 def test_k_truss_cascade(spark):
-    # triangle 1-2-3 + pendant triangle-chain: edges (3,4),(3,5),(4,5)
-    # form a second triangle sharing node 3; a 4-truss keeps both
-    # triangles (every edge has support 1... actually support 1 < 2)
-    # -> k=4 must peel EVERYTHING here, while k=3 keeps both triangles
+    # two triangles sharing node 3: every edge has support exactly 1,
+    # so k=3 (support >= 1) keeps both triangles intact while k=4
+    # (support >= 2) peels the whole graph
     e = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)],
         "actor1 long, actor2 long",
