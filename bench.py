@@ -12,7 +12,21 @@ can be judged against measured noise. Prints ONE JSON line:
 
     {"metric": "...", "value": <sum of per-query medians, sec>,
      "unit": "sec", "queries": {name: median_sec, ...},
-     "spread": {name: {"p5": s, "p95": s}, ...}, "sf": <sf>}
+     "spread": {name: {"p5": s, "p95": s}, ...},
+     "drift": {name: {"first": s, "last": s}, ...}, "sf": <sf>}
+
+The full payload is ALSO written to BENCH_local.json beside this file
+(committed per round): the driver captures only a tail of stdout, and
+round 6's 27-query line overflowed it, losing the q1-q3 medians from
+the recorded history — the repo artifact is the durable copy.
+
+The "drift" section makes run-to-run drift falsifiable: the probe
+queries (round 6's +15-24% movers) are timed FIRST thing in the
+session and again LAST, each a fresh median. first ≈ last but both
+shifted vs the previous round's record => environmental drift
+(sandbox/CPU), not code; last > first => intra-session accumulation
+(JVM heap/GC, code-cache) and the fix is per-query session isolation;
+a plan change would show in plans_audit/ diffs instead.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
@@ -45,12 +59,37 @@ def _pctl(sorted_samples: list[float], q: float) -> float:
     return sorted_samples[lo] + (sorted_samples[hi] - sorted_samples[lo]) * (pos - lo)
 
 
+# round-6 movers (VERDICT r6): the queries whose medians drifted
+# +15-24% r5->r6 with byte-identical plans — the drift probe set
+DRIFT_PROBES = ["q10_degree", "q_dedup_exact", "q_dedup_minhash", "q_revenue_by_nation"]
+
+
+def _probe(spark, sf_dir: str, n: int = 5) -> dict[str, float]:  # noqa: ANN001
+    """Median wall over n runs (after one warm-up) for each probe query."""
+    out: dict[str, float] = {}
+    for name in DRIFT_PROBES:
+        if name not in REGISTRY:
+            continue
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).toPandas()
+        samples = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples), 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "10"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("dynagraph-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    first = _probe(spark, sf_dir)
+    print(f"# drift probe (first-in-session): {first}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -80,22 +119,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    last = _probe(spark, sf_dir)
+    print(f"# drift probe (last-in-session): {last}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "sum of per-query median wall seconds, "
-                f"{len(timings)} headline queries, N={runs} "
-                "(N=3 when warm-up >5s) with p5/p95 "
-                "(protocol: cypher_query_timing.py:217-239)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "sum of per-query median wall seconds, "
+        f"{len(timings)} headline queries, N={runs} "
+        "(N=3 when warm-up >5s) with p5/p95 "
+        "(protocol: cypher_query_timing.py:217-239)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "drift": {
+            n: {"first": first[n], "last": last[n]} for n in first if n in last
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # durable copy: the driver records only a stdout tail, which a
+    # wide registry overflows (it truncated BENCH_r06) — the repo
+    # artifact is the authoritative record
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -555,6 +555,62 @@ def label_propagation(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     return labels
 
 
+def _truss_peel_round(e: DataFrame, k: int) -> DataFrame:
+    """One support-peel round: enumerate triangles on the canonical
+    edge set `e` (the triangles() three-way broadcast join), count
+    per-edge support by exploding each triangle into its three edges
+    (map-side combined), and semi-join the edges clearing k-2."""
+    e1 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("b"))
+    e2 = e.select(F.col("actor1").alias("b"), F.col("actor2").alias("c"))
+    e3 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("c"))
+    tri = e1.join(broadcast(e2), "b").join(broadcast(e3), ["a", "c"], "semi")
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("actor1"), F.col("b").alias("actor2")),
+                    F.struct(F.col("a").alias("actor1"), F.col("c").alias("actor2")),
+                    F.struct(F.col("b").alias("actor1"), F.col("c").alias("actor2")),
+                )
+            ).alias("ed")
+        )
+        .select("ed.actor1", "ed.actor2")
+        .groupBy("actor1", "actor2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return e.join(
+        sup.where(F.col("support") >= k - 2).select("actor1", "actor2"),
+        ["actor1", "actor2"],
+        "semi",
+    )
+
+
+def k_truss_rounds(edges: DataFrame, k: int = 4, rounds: int = 2) -> DataFrame:
+    """Exactly `rounds` support-peel rounds toward the k-truss — the
+    deterministic bounded form of :func:`k_truss`.
+
+    No fixpoint loop, no convergence actions (zero counts on the
+    driver): the plan is a fixed composition of `rounds` peel rounds,
+    so an independent engine can replay it as an unrolled CTE and the
+    two results compare bit-for-bit (the same unrolled-iteration
+    oracle pattern as the SemDeDup k-means fit). The result is a
+    superset of the k-truss that equals it whenever the peel converges
+    within `rounds` (always true on graphs whose cascade depth is
+    short, e.g. after k_truss has been profiled once); use
+    :func:`k_truss` when fixpoint semantics are required.
+    """
+    if k < 2:
+        raise ValueError("k-truss requires k >= 2")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    if k == 2:
+        return e.orderBy("actor1", "actor2")
+    for _ in range(rounds):
+        e = _truss_peel_round(e, k).localCheckpoint()
+    return e.orderBy("actor1", "actor2")
+
+
 def k_truss(edges: DataFrame, k: int = 4, max_iterations: int = 30) -> DataFrame:
     """The k-truss: the maximal subgraph whose every edge participates
     in >= k-2 triangles within the subgraph — the edge-level
@@ -572,6 +628,13 @@ def k_truss(edges: DataFrame, k: int = 4, max_iterations: int = 30) -> DataFrame
     consecutive counts == nothing peeled == fixpoint, since the
     support computation is deterministic). Lineage truncated per round
     (localCheckpoint; checkpoint() on a cluster).
+
+    If the peel has not reached the fixpoint when ``max_iterations``
+    runs out (long cascades peel one layer per round, so worst-case
+    rounds grow with graph diameter), the surviving set is a SUPERSET
+    of the k-truss — that is detected from the already-computed round
+    counts and raised as ``RuntimeError`` rather than returned
+    silently; raise ``max_iterations`` to proceed.
     """
     if k < 2:
         raise ValueError("k-truss requires k >= 2")
@@ -581,38 +644,18 @@ def k_truss(edges: DataFrame, k: int = 4, max_iterations: int = 30) -> DataFrame
         # below would wrongly drop triangle-free edges (no support row)
         return e.orderBy("actor1", "actor2")
     prev: int | None = None
+    converged = False
     for _ in range(max_iterations):
         n_edges = e.count()
         if n_edges == prev:
+            converged = True
             break
         prev = n_edges
-        e1 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("b"))
-        e2 = e.select(F.col("actor1").alias("b"), F.col("actor2").alias("c"))
-        e3 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("c"))
-        tri = e1.join(broadcast(e2), "b").join(broadcast(e3), ["a", "c"], "semi")
-        sup = (
-            tri.select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("a").alias("actor1"), F.col("b").alias("actor2")
-                        ),
-                        F.struct(
-                            F.col("a").alias("actor1"), F.col("c").alias("actor2")
-                        ),
-                        F.struct(
-                            F.col("b").alias("actor1"), F.col("c").alias("actor2")
-                        ),
-                    )
-                ).alias("ed")
-            )
-            .select("ed.actor1", "ed.actor2")
-            .groupBy("actor1", "actor2")
-            .agg(F.count(F.lit(1)).alias("support"))
+        e = _truss_peel_round(e, k).localCheckpoint()
+    if not converged and e.count() != prev:
+        raise RuntimeError(
+            f"k_truss did not converge within max_iterations={max_iterations}: "
+            "the surviving edge set is a superset of the k-truss. "
+            "Increase max_iterations."
         )
-        e = e.join(
-            sup.where(F.col("support") >= k - 2).select("actor1", "actor2"),
-            ["actor1", "actor2"],
-            "semi",
-        ).localCheckpoint()
     return e.orderBy("actor1", "actor2")

@@ -84,14 +84,26 @@ class QuerySpec:
     oracle: str | None
     bench: bool
     doc: str
+    # rows-only entries fail the local gate when empty (an empty result
+    # usually means a broken predicate); a query whose empty result is
+    # SEMANTICALLY valid on tiny fixtures (e.g. an 18-core of a
+    # 7-edge graph) declares it here so the gate can tell the two apart
+    empty_ok: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, bench: bool = False):
+def query(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    empty_ok: bool = False,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, bench, (fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, bench, (fn.__doc__ or "").strip(), empty_ok
+        )
         return fn
 
     return deco
@@ -1325,22 +1337,64 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components(_edges(spark, sf_dir, _day_filter()))
 
 
-@query("q_kcore")
+@query("q_kcore", empty_ok=True)
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """18-core of the pinned-day interaction graph (iterative peeling to
     the unique fixpoint; k=18 keeps ~half the day's actors at sf0.01 —
-    a real cascade, not all-or-nothing). Iterative algorithm — no
-    ANSI-SQL oracle (rows-only check); the fixpoint properties are
+    a real cascade, not all-or-nothing; on the sf0.001 fixture the
+    day graph has 7 edges, so the empty 18-core is the CORRECT answer
+    — declared empty_ok for the rows-only gate). Iterative algorithm —
+    no ANSI-SQL oracle (rows-only check); the fixpoint properties are
     pinned by unit tests on hand graphs (tests/test_graph.py)."""
     return graph.k_core(_edges(spark, sf_dir, _day_filter()), k=18)
 
 
-@query("q_pagerank")
+def _pagerank_cte(n_iter: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank as DuckDB CTE blocks — the
+    equivalent-formulation oracle for the deterministic power method
+    (the same unrolled-fit pattern as the SemDeDup ``_kmeans_cte``;
+    reference precedent: the equivalent-formulation cross-checks of
+    cypher_query_timing.py:83-203). Expression shapes mirror the
+    engine bit-for-bit where it matters: ``1.0/n`` initial mass,
+    ``(1.0-0.85)/n + 0.85*sum(rank/degree)`` per step (``1.0-0.85``
+    evaluated IN SQL so both engines fold the identical binary double),
+    BIGINT degree promoting through the same double division."""
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    blocks = [
+        f"p AS ({_presence_sql(day)})",
+        f"e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        "sym AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e)",
+        "deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY 1)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        'r0 AS (SELECT src AS actor, 1.0 / (SELECT n FROM nn) AS "rank" FROM deg)',
+    ]
+    for i in range(n_iter):
+        blocks.append(
+            f"r{i + 1} AS (SELECT s.dst AS actor, "
+            "(1.0 - 0.85) / (SELECT n FROM nn) "
+            f'+ 0.85 * sum(r."rank" / d.degree) AS "rank" '
+            f"FROM sym s JOIN r{i} r ON r.actor = s.src "
+            "JOIN deg d ON d.src = s.src GROUP BY s.dst)"
+        )
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_pagerank",
+    oracle=f"""
+WITH {_pagerank_cte(10)}
+SELECT actor, round("rank", 6) AS rank
+FROM r10 ORDER BY 2 DESC, actor
+""",
+)
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 iterations, d=0.85) over the pinned-day interaction
-    graph. Iterative algorithm — no ANSI-SQL oracle (the driver records
-    the rows-only check); the numpy power-method differential lives in
-    tests/test_graph.py."""
+    graph. Fixed-round deterministic power method, so the DuckDB oracle
+    replays ALL 10 iterations as an unrolled CTE (``_pagerank_cte``)
+    and the ranks hash-match on the 1e-6 rounding grid; the numpy
+    power-method differential lives in tests/test_graph.py as the
+    second independent check."""
     return graph.pagerank(_edges(spark, sf_dir, _day_filter()), iterations=10)
 
 

@@ -1827,18 +1827,27 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     # first-touch instants via the contract's exact ts_ns longs (the
     # normalized `ts` may be TIMESTAMP_NTZ, which unix_micros rejects;
-    # integer nanos sidestep the arrival type entirely)
+    # integer nanos sidestep the arrival type entirely). Both the
+    # conversion filter and the latency use MICROSECOND-truncated
+    # instants (ts_ns div 1000 per side — min/div commute since div is
+    # monotone), matching the oracle's truncate-then-diff semantics
+    # exactly even for sub-microsecond ns arrivals, where filtering on
+    # raw ns then diffing would diverge at the boundary.
     ev = load_table(spark, sf_dir, "events")
     s = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ns"))).alias(
-            "t_signup_ns"
-        ),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias(
-            "t_purchase_ns"
-        ),
+        F.min(
+            F.when(
+                F.col("event_type") == "signup", F.expr("ts_ns div 1000")
+            )
+        ).alias("t_signup_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.expr("ts_ns div 1000")
+            )
+        ).alias("t_purchase_us"),
     )
-    lat = s.where(F.col("t_signup_ns") < F.col("t_purchase_ns")).select(
-        F.expr("(t_purchase_ns - t_signup_ns) div 1000").alias("lat_us")
+    lat = s.where(F.col("t_signup_us") < F.col("t_purchase_us")).select(
+        (F.col("t_purchase_us") - F.col("t_signup_us")).alias("lat_us")
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
@@ -1927,18 +1936,76 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ktruss")
 def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-truss of the pinned-hour interaction graph: the maximal edge
+    """4-truss of the full-range interaction graph: the maximal edge
     set where every edge closes >= 2 triangles inside the subgraph —
     the edge-level cohesion core beside q_kcore's node-level one.
     Iterative support peeling to the unique fixpoint
     (operators/graph.py:k_truss) — no ANSI-SQL oracle (rows-only
     check); the fixpoint semantics are pinned by a pure-Python peeling
-    differential in tests/test_graph.py."""
+    differential in tests/test_graph.py, and the bounded peel is
+    hash-matched against an unrolled CTE oracle (q_ktruss_bounded).
+    Full range (not the pinned hour) so every fixture SF — including
+    sf0.001, where hour 10 has no co-presence at all — yields rows for
+    the rows-only gate."""
     from neo4j_dynagraph_spark import queries as qmod
 
     edges = (
-        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1))
-        .select("actor1", "actor2")
-        .distinct()
+        qmod._edges(spark, sf_dir).select("actor1", "actor2").distinct()
     )
     return graph.k_truss(edges, k=4)
+
+
+def _ktruss_cte(k: int, rounds: int) -> str:
+    """Unrolled bounded k-truss peel as DuckDB CTE blocks: per round,
+    enumerate canonical triangles a<b<c on the surviving edge set,
+    count per-edge support by unioning each triangle's three edges,
+    and keep edges clearing k-2 — the SQL twin of
+    operators/graph.py:_truss_peel_round, one CTE triple per round
+    (the unrolled-fit oracle pattern of ``_kmeans_cte`` /
+    ``_pagerank_cte``)."""
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    blocks = [
+        f"p AS ({_presence_sql(day)})",
+        f"e0 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+    ]
+    for i in range(rounds):
+        blocks += [
+            f"t{i} AS (SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c "
+            f"FROM e{i} x JOIN e{i} y ON y.actor1 = x.actor2 "
+            f"JOIN e{i} z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2)",
+            f"s{i} AS (SELECT actor1, actor2, count(*) AS support FROM ("
+            f"SELECT a AS actor1, b AS actor2 FROM t{i} "
+            f"UNION ALL SELECT a, c FROM t{i} "
+            f"UNION ALL SELECT b, c FROM t{i}) GROUP BY 1, 2)",
+            f"e{i + 1} AS (SELECT e.actor1, e.actor2 FROM e{i} e "
+            f"JOIN s{i} s ON s.actor1 = e.actor1 AND s.actor2 = e.actor2 "
+            f"WHERE s.support >= {k - 2})",
+        ]
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_ktruss_bounded",
+    oracle=f"""
+WITH {_ktruss_cte(18, 2)}
+SELECT actor1, actor2 FROM e2 ORDER BY 1, 2
+""",
+)
+def q_ktruss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded support-peel rounds toward the 18-truss of the
+    pinned-day interaction graph (k=18 drives a REAL cascade at
+    sf0.01: 1723 -> 263 edges across the two rounds, so the oracle
+    verifies non-trivial peeling, not a fixed-point no-op) — the
+    deterministic fixed-round form
+    of q_ktruss (no fixpoint loop), so the DuckDB oracle replays BOTH
+    peel rounds as an unrolled CTE and the surviving edge set
+    hash-matches exactly. The fixpoint production API stays
+    :func:`operators.graph.k_truss` (q_ktruss, rows-only +
+    pure-Python differential); this entry pins the per-round peel
+    semantics cross-engine."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "actor1", "actor2"
+    )
+    return graph.k_truss_rounds(edges, k=18, rounds=2)

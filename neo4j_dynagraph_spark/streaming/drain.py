@@ -39,20 +39,37 @@ def snapshot_and_drop(spark: SparkSession, sink_name: str) -> DataFrame:
     return out
 
 
-def drain_stream_to_parquet(stream_df: DataFrame, prefix: str) -> DataFrame:
+def drain_stream_to_parquet(
+    stream_df: DataFrame, prefix: str, base_dir: str | None = None
+) -> DataFrame:
     """Bounded drain through a DISTRIBUTED file sink.
 
     Runs ``stream_df`` (append-mode streaming plan) to completion with
-    Trigger.AvailableNow into a temp parquet directory and returns the
+    Trigger.AvailableNow into a parquet directory and returns the
     batch DataFrame reading it back. Unlike the memory sink, rows go
     executor -> files -> executor: the driver never holds the result,
-    so drain size is bounded by disk, not driver heap — the only drain
-    shape that survives a 100 TB stream.
+    so drain size is bounded by storage, not driver heap — the only
+    drain shape that survives a 100 TB stream.
+
+    ``base_dir`` is where the sink and checkpoint directories are
+    created. On a multi-node cluster it MUST be a path on a SHARED
+    filesystem visible to every executor (HDFS/S3A/NFS) — executors
+    write the sink files, the driver-side read-back lists them, and a
+    node-local path would scatter the files across machines. The
+    default (``None`` -> ``tempfile.mkdtemp()``) is the local-mode
+    convenience only, where driver and executors share one disk.
     """
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix=f"dynagraph_{prefix}_out_")
-    ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
+    if base_dir is None:
+        out_dir = tempfile.mkdtemp(prefix=f"dynagraph_{prefix}_out_")
+        ckpt = tempfile.mkdtemp(prefix="dynagraph_ckpt_")
+    else:
+        import uuid
+
+        run = uuid.uuid4().hex[:12]
+        out_dir = f"{base_dir.rstrip('/')}/dynagraph_{prefix}_out_{run}"
+        ckpt = f"{base_dir.rstrip('/')}/dynagraph_{prefix}_ckpt_{run}"
     query = (
         stream_df.writeStream.format("parquet")
         .option("path", out_dir)

@@ -48,7 +48,7 @@ def compare_query(spark, con, spec, sf_dir):  # noqa: ANN001
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if spec.oracle is None:
-        if not srows:
+        if not srows and not spec.empty_ok:
             return [f"{spec.name}: empty result (rows-only check)"], 0
         return [], len(srows)
     cur = con.execute(spec.oracle)
