@@ -112,7 +112,14 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 
 def _lsh_buckets(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
-    """Banded LSH buckets with >= 2 members: (band, h0, h1, ids).
+    """Banded LSH buckets with >= 2 members: (band, h0..h{r-1}, ids).
+
+    Parameterized (b, r) banding: the signature's k hash columns split
+    into b = k/r bands of r rows each; a bucket is one band's r-tuple
+    of hash values. Tuning (b, r) trades recall for precision at fixed
+    k (P(candidate) = 1-(1-s^r)^b for Jaccard s): r=2 is the
+    high-recall near-dup setting, r=4 the high-precision one — at
+    100 TB the knob that sizes the verify stage's candidate load.
 
     Bands come from ONE explode generator (a union of per-band
     projections would recompute the signature subtree per branch), and
@@ -123,22 +130,27 @@ def _lsh_buckets(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
     bucket into its pairs with a JVM lambda. The bucket key is the
     shuffle key either way.
     """
-    if rows_per_band != 2:
-        raise NotImplementedError("rows_per_band=2 is the supported banding")
+    if rows_per_band < 1:
+        raise ValueError("rows_per_band must be >= 1")
     num_hashes = len([c for c in signatures.columns if c.startswith("h")])
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"signature width {num_hashes} is not divisible by "
+            f"rows_per_band={rows_per_band}"
+        )
+    r = rows_per_band
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.col(f"h{rows_per_band * b}").alias("h0"),
-                F.col(f"h{rows_per_band * b + 1}").alias("h1"),
+                *[F.col(f"h{r * b + j}").alias(f"h{j}") for j in range(r)],
             )
-            for b in range(num_hashes // rows_per_band)
+            for b in range(num_hashes // r)
         ]
     )
     return (
         signatures.select("doc_id", F.explode(band_structs).alias("bs"))
-        .groupBy("bs.band", "bs.h0", "bs.h1")
+        .groupBy("bs.band", *[f"bs.h{j}" for j in range(r)])
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -194,8 +206,9 @@ def lsh_candidate_pairs(
     observation path: when EVERY bucket is dropped, AQE's
     empty-relation propagation can eliminate the CollectMetrics node
     along with the empty subtree — use lsh_bucket_stats for
-    guaranteed accounting. Currently supports r=2 (bands of two
-    hashes), the standard b=4/r=2 setting for k=8 signatures.
+    guaranteed accounting. Any (b, r) with r dividing the signature
+    width is supported — b=4/r=2 on k=8 signatures for recall,
+    b=4/r=4 on k=16 for precision.
     """
     buckets = _lsh_buckets(signatures, rows_per_band)
     if observation is not None:

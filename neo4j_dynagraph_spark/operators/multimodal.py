@@ -118,6 +118,156 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG filter type 4): pick whichever of
+    left/up/up-left is closest to a+b-c, ties resolved a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_line(line: bytes, prev: bytes, ftype: int, bpp: int) -> bytes:
+    """Apply PNG scanline filter `ftype` (encoder direction)."""
+    out = bytearray(len(line))
+    for j, x in enumerate(line):
+        a = line[j - bpp] if j >= bpp else 0
+        b = prev[j]
+        c = prev[j - bpp] if j >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        elif ftype == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[j] = (x - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_line(line: bytearray, prev: bytes, ftype: int, bpp: int) -> None:
+    """Invert PNG scanline filter `ftype` in place (decoder direction).
+    Predictors read RECONSTRUCTED bytes (line[j-bpp] already unfiltered
+    when j is reached), per the PNG spec."""
+    if ftype == 0:
+        return
+    for j in range(len(line)):
+        a = line[j - bpp] if j >= bpp else 0
+        b = prev[j]
+        c = prev[j - bpp] if j >= bpp else 0
+        if ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        elif ftype == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        line[j] = (line[j] + pred) & 0xFF
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL image decode for PNG: pure-Python chunk walk with CRC
+    verification, stdlib-zlib inflate of the IDAT stream, and
+    per-scanline unfiltering (None/Sub/Up/Average/Paeth) — no external
+    codec. Supports the common non-interlaced 8-bit-depth color types
+    (gray / RGB / gray+alpha / RGBA); palette (type 3), 16-bit, and
+    interlaced images raise. Returns width/height/bit depth/color type
+    plus byte statistics over the unfiltered pixel plane. Raises
+    ValueError on malformed input (bad signature, truncated chunk,
+    CRC mismatch, short pixel plane)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_iend = 8, None, b"", False
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(
+                f"truncated {ctype!r} chunk: declared {length} bytes, "
+                f"got {len(data)}"
+            )
+        crc = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc) != 4:
+            raise ValueError(f"truncated CRC on {ctype!r} chunk")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != struct.unpack(">I", crc)[0]:
+            raise ValueError(f"CRC mismatch on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing or malformed IHDR chunk")
+    if not idat:
+        raise ValueError("missing IDAT chunk")
+    if not seen_iend:
+        raise ValueError("missing IEND chunk")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError("invalid PNG dimensions")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"only 8-bit gray/RGB/gray+A/RGBA supported, "
+            f"got depth={depth} color={color}"
+        )
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT zlib stream: {exc}") from exc
+    bpp = _PNG_CHANNELS[color]
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"pixel plane is {len(raw)} bytes, header promises "
+            f"{height * (1 + stride)}"
+        )
+    plane = bytearray()
+    prev: bytes = bytes(stride)
+    for y in range(height):
+        off = y * (1 + stride)
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        _png_unfilter_line(line, prev, raw[off], bpp)
+        plane += line
+        prev = bytes(line)
+    return {
+        "width": width,
+        "height": height,
+        "maxval": (1 << depth) - 1,
+        "color_type": color,
+        "n_bytes": len(plane),
+        "mean_byte": sum(plane) / len(plane),
+        "min_byte": min(plane),
+        "max_byte": max(plane),
+    }
+
+
 def decode_wav(payload: bytes) -> dict:
     """REAL audio decode for RIFF/WAVE PCM: pure-Python chunk walk +
     fmt parse + int16/uint8 sample statistics. Raises ValueError on
@@ -175,17 +325,24 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_stub(payload: bytes, kind: str, fake: bool = False) -> list[float]:
-    """THE decode boundary. PPM/PGM images and PCM WAV audio are decoded
-    FOR REAL (pure-Python parsers above — no external libraries needed);
-    other containers (JPEG/PNG/MP4...) require codecs not present here,
-    so they fall back to a deterministic fake 8-dim feature when
-    `fake=True` and raise otherwise."""
+    """THE decode boundary. PPM/PGM and PNG images and PCM WAV audio are
+    decoded FOR REAL (pure-Python parsers above — no external libraries
+    needed); the remaining containers (JPEG/MP3/MP4...) require entropy
+    codecs not present here, so they fall back to a deterministic fake
+    8-dim feature when `fake=True` and raise otherwise."""
     if payload[:2] in (b"P6", b"P5"):
         d = decode_ppm(payload)
         return [
             float(d["width"]), float(d["height"]), float(d["maxval"]),
             float(d["n_bytes"]), d["mean_byte"] / 255.0,
             d["min_byte"] / 255.0, d["max_byte"] / 255.0, 1.0,
+        ]
+    if payload[:8] == _PNG_SIG:
+        d = decode_png(payload)
+        return [
+            float(d["width"]), float(d["height"]), float(d["color_type"]),
+            float(d["n_bytes"]), d["mean_byte"] / 255.0,
+            d["min_byte"] / 255.0, d["max_byte"] / 255.0, 3.0,
         ]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         d = decode_wav(payload)
@@ -196,9 +353,10 @@ def decode_stub(payload: bytes, kind: str, fake: bool = False) -> list[float]:
         ]
     if not fake:
         raise NotImplementedError(
-            "no pure-Python decoder for this container (JPEG/PNG/MP4 need "
-            "codec libraries not available here); PPM/PGM and PCM WAV decode "
-            "for real — or run with fake=True for the deterministic double"
+            "no pure-Python decoder for this container (JPEG/MP3/MP4 need "
+            "entropy codecs not available here); PPM/PGM, PNG, and PCM WAV "
+            "decode for real — or run with fake=True for the deterministic "
+            "double"
         )
     acc = [0] * 8
     for i, byte in enumerate(payload[:4096]):
@@ -221,6 +379,37 @@ def encode_test_media(ids: DataFrame, kind: str = "image") -> DataFrame:
         w, h, v = 4 + mid % 13, 3 + mid % 7, mid % 251
         return f"P6\n{w} {h}\n255\n".encode() + bytes([v]) * (w * h * 3)
 
+    def png(mid: int) -> bytes:
+        # RGB with a horizontal byte gradient (v+x mod 256, so some
+        # payloads wrap past 255), pushed through a NONTRIVIAL filter
+        # schedule — Sub on row 0, Up on row 1, Paeth after — so the
+        # hash-matched decode proves real unfiltering arithmetic, not
+        # just an inflate of filter-0 scanlines
+        import zlib as _z
+
+        w, h, v = 4 + mid % 13, 3 + mid % 7, mid % 251
+        row = bytes((v + x) % 256 for x in range(w) for _ in range(3))
+        raw = bytearray()
+        prev: bytes = bytes(3 * w)
+        for y in range(h):
+            ftype = 1 if y == 0 else (2 if y == 1 else 4)
+            raw.append(ftype)
+            raw += _png_filter_line(row, prev, ftype, 3)
+            prev = row
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
     def wav(mid: int) -> bytes:
         sr, ch = 8000 * (1 + mid % 3), 1 + mid % 2
         n, amp = 100 + mid % 50, (mid % 1000) - 500
@@ -232,7 +421,7 @@ def encode_test_media(ids: DataFrame, kind: str = "image") -> DataFrame:
         )
         return hdr + data
 
-    enc = ppm if kind == "image" else wav
+    enc = {"image": ppm, "png": png}.get(kind, wav)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,15 +440,18 @@ def encode_test_media(ids: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:
-    """mapInPandas REAL image decode: PPM header + pixel statistics per
-    payload (decode_ppm — no fake path, no codec library)."""
+    """mapInPandas REAL image decode, dispatched on the container magic:
+    netpbm (decode_ppm) or PNG (decode_png) — no fake path, no codec
+    library. Both decoders share the (width, height, maxval, byte
+    statistics) output contract."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_ppm(bytes(p))
+                b = bytes(p)
+                d = decode_png(b) if b[:8] == _PNG_SIG else decode_ppm(b)
                 rows.append(
                     (int(mid), d["width"], d["height"], d["maxval"],
                      d["n_bytes"], d["mean_byte"], d["min_byte"], d["max_byte"])

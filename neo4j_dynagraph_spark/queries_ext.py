@@ -109,6 +109,55 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_minhash_b4r4",
+    oracle=(
+        f"WITH {_TOK_CTE}, {_SH_CTE}, "
+        "hx AS (SELECT doc_id, "
+        + " || ".join(f"md5('s{i}:' || shingle)" for i in range(8))
+        + " AS hh FROM sh), "
+        "hs AS (SELECT doc_id, "
+        + ", ".join(
+            f"('0x' || substr(hh, {15 * i + 1}, 15))::BIGINT AS h{i}"
+            for i in range(16)
+        )
+        + " FROM hx), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"min(h{i}) AS h{i}" for i in range(16))
+        + " FROM hs GROUP BY 1), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{4 * b} AS h0, h{4 * b + 1} AS h1, "
+            f"h{4 * b + 2} AS h2, h{4 * b + 3} AS h3 FROM sig"
+            for b in range(4)
+        )
+        + "), "
+        "bsz AS (SELECT band, h0, h1, h2, h3, count(*) AS n "
+        "FROM bands GROUP BY 1, 2, 3, 4, 5) "
+        "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 "
+        "AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id "
+        "JOIN bsz ON bsz.band = a.band AND bsz.h0 = a.h0 AND bsz.h1 = a.h1 "
+        "AND bsz.h2 = a.h2 AND bsz.h3 = a.h3 AND bsz.n <= 64 "
+        "ORDER BY d1, d2"
+    ),
+)
+def q_dedup_minhash_b4r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs in the HIGH-PRECISION banding:
+    k=16 hashes, 4 bands x 4 rows (vs q_dedup_minhash's recall-tuned
+    4 x 2) — a candidate must agree on all four hashes of some band,
+    so P(candidate) = 1-(1-s^4)^4, sharply suppressing low-Jaccard
+    noise pairs before the verify stage. Exercises the generalized
+    (b, r) banding; the oracle replays the 16-hash signature and the
+    4-row bucket key bit-for-bit, cap (64) included."""
+    sh = dedup.shingles_df(_docs(spark, sf_dir))
+    sigs = dedup.minhash_signatures(sh, num_hashes=16)
+    return dedup.lsh_candidate_pairs(
+        sigs, rows_per_band=4, max_bucket=64
+    ).orderBy("d1", "d2")
+
+
+@query(
     "q_dedup_simhash",
     oracle=(
         f"WITH {_TOK_CTE}, "
@@ -832,6 +881,50 @@ def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     media = multimodal.encode_test_media(ids, kind="image")
     return multimodal.decode_image_meta(media).orderBy("media_id")
+
+
+@query(
+    "q_png_decode",
+    oracle="""
+WITH g AS (SELECT doc_id,
+                  4 + doc_id % 13 AS w,
+                  3 + doc_id % 7 AS h,
+                  doc_id % 251 AS v
+           FROM documents),
+px AS (SELECT doc_id, w, h,
+              list_transform(range(0, w), x -> (v + x) % 256) AS bytes_row
+       FROM g)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(w * h * 3 AS BIGINT) AS n_bytes,
+       round(CAST(list_sum(bytes_row) AS DOUBLE) / w, 6) AS mean_byte,
+       CAST(list_min(bytes_row) AS BIGINT) AS min_byte,
+       CAST(list_max(bytes_row) AS BIGINT) AS max_byte
+FROM px ORDER BY media_id
+""",
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, hash-verified end-to-end: the deterministic
+    encoder builds valid RGB PNGs (stdlib zlib, CRC'd chunks) whose
+    pixel bytes follow a closed-form horizontal gradient in media_id,
+    filtered through a NONTRIVIAL scanline schedule (Sub row 0, Up
+    row 1, Paeth after); the pure-Python decoder
+    (multimodal.decode_png) must CRC-check the chunks, inflate the
+    IDAT stream, and invert all three filters to recover exactly the
+    oracle's closed-form statistics — a wrong predictor or filter
+    inversion cannot hash-match. The per-row gradient repeats down
+    rows and across channels, so mean over the whole plane equals
+    mean over one row's x positions (list_sum/w in the oracle; both
+    sides rounded on the 1e-6 grid)."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.encode_test_media(ids, kind="png")
+    return (
+        multimodal.decode_image_meta(media)
+        .withColumn("mean_byte", F.round("mean_byte", 6))
+        .orderBy("media_id")
+    )
 
 
 @query(

@@ -145,12 +145,15 @@ def test_wav_decode_real():
 
 
 def test_decode_stub_dispatches_real_codecs():
-    # PPM and WAV decode for REAL even with fake=False — the
-    # NotImplementedError boundary now only covers codec-library formats
+    # PPM, PNG, and WAV decode for REAL even with fake=False — the
+    # NotImplementedError boundary now only covers entropy-codec formats
     feats = multimodal.decode_stub(b"P6\n1 1\n255\n\x07\x07\x07", "image", fake=False)
     assert feats[:4] == [1.0, 1.0, 255.0, 3.0]
+    png = _mk_png([bytes([7])], 1, 1, 0, [0])
+    pfeats = multimodal.decode_stub(png, "image", fake=False)
+    assert pfeats[:4] == [1.0, 1.0, 0.0, 1.0] and pfeats[7] == 3.0
     with pytest.raises(NotImplementedError):
-        multimodal.decode_stub(b"\x89PNG....", "image", fake=False)
+        multimodal.decode_stub(b"\xff\xd8\xff\xe0 jpeg", "image", fake=False)
 
 
 def test_encode_decode_roundtrip_spark(spark):
@@ -316,6 +319,119 @@ def test_ppm_mutation_fuzz():
         # accepted: stats must reflect the mutated plane, not stale math
         assert d["n_bytes"] == d["width"] * d["height"] * 3
         assert d["min_byte"] <= d["mean_byte"] <= d["max_byte"]
+
+    check()
+
+
+def _mk_png(
+    rows: list[bytes], w: int, bpp: int, color: int, fts: list[int]
+) -> bytes:
+    """Minimal valid PNG from raw scanlines + a per-row filter schedule,
+    using only stdlib zlib — the test-side independent encoder."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for line, ft in zip(rows, fts):
+        raw.append(ft)
+        raw += multimodal._png_filter_line(line, prev, ft, bpp)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, len(rows), 8, color, 0, 0, 0)
+    return (
+        multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_property():
+    # every color type x every filter type, arbitrary pixel content:
+    # decode must recover the exact plane statistics
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 8),
+        color=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 1 << 30),
+    )
+    def check(w, h, color, seed):
+        import random
+
+        rnd = random.Random(seed)
+        bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        rows = [
+            bytes(rnd.randrange(256) for _ in range(w * bpp)) for _ in range(h)
+        ]
+        fts = [rnd.randrange(5) for _ in range(h)]
+        d = multimodal.decode_png(_mk_png(rows, w, bpp, color, fts))
+        plane = b"".join(rows)
+        assert (d["width"], d["height"], d["color_type"]) == (w, h, color)
+        assert d["n_bytes"] == len(plane)
+        assert d["mean_byte"] == sum(plane) / len(plane)
+        assert (d["min_byte"], d["max_byte"]) == (min(plane), max(plane))
+
+    check()
+
+
+def test_png_truncation_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), frac=st.floats(0.0, 1.0))
+    def check(mid, frac):
+        w, bpp = 4 + mid % 13, 3
+        v = mid % 251
+        row = bytes((v + x) % 256 for x in range(w) for _ in range(bpp))
+        h = 3 + mid % 7
+        full = _mk_png([row] * h, w, bpp, 2, ([1, 2] + [4] * h)[:h])
+        cut = full[: int(len(full) * frac)]
+        if cut == full:
+            multimodal.decode_png(cut)  # intact payload must decode
+            return
+        with pytest.raises(ValueError):
+            multimodal.decode_png(cut)  # any strict prefix is malformed
+
+    check()
+
+
+def test_png_mutation_fuzz():
+    # a single flipped byte must either be REJECTED (ValueError — the
+    # CRC walk catches chunk corruption) or be a byte-identical no-op
+    # mutation; it can never alter the decoded statistics silently
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), pos=st.integers(0, 1 << 30),
+           byte=st.integers(0, 255))
+    def check(mid, pos, byte):
+        w, bpp = 4 + mid % 13, 3
+        v = mid % 251
+        row = bytes((v + x) % 256 for x in range(w) for _ in range(bpp))
+        h = 3 + mid % 7
+        orig = _mk_png([row] * h, w, bpp, 2, ([1, 2] + [4] * h)[:h])
+        ref = multimodal.decode_png(orig)
+        full = bytearray(orig)
+        pos %= len(full)
+        full[pos] = byte
+        try:
+            d = multimodal.decode_png(bytes(full))
+        except ValueError:
+            return  # rejected: fine
+        assert bytes(full) == orig, "CRC accepted a real mutation"
+        assert d == ref
 
     check()
 
