@@ -1,0 +1,113 @@
+"""Interval-overlap join: the bucketed-hash-join range join.
+
+The reference's timeline tree prunes range scans by descending
+year/month/day/hour levels (BaseTimeline.java's getNextLevel walk);
+the Spark-native generalization for interval x interval OVERLAP is
+bucket replication: replicate each interval into every fixed-width
+time bucket it touches, equi-join on the bucket (so Catalyst plans a
+shuffled HASH join, never a cartesian with a range predicate), and
+apply the interval predicate within the bucket.
+
+Two design points carry the 100 TB load:
+
+- **first-shared-bucket dedup.** A pair overlapping across a bucket
+  boundary matches in every shared bucket; instead of a global
+  DISTINCT over the pair output (a shuffle that grows with the
+  RESULT), each pair is emitted only from the bucket containing its
+  overlap start — a free per-row predicate, since that instant lies
+  in both intervals and hence in exactly one bucket.
+
+- **bucket sizing.** Candidate work scales like
+  (rows-per-bucket)^2 x buckets while replication is
+  ~1 + interval_len/bucket. A bucket just above the typical interval
+  length minimizes within-bucket quadratic work at <= 2 copies per
+  interval; `auto_bucket_seconds` reads that off the data as the p99
+  interval length (one cheap percentile_approx scan) rounded up to
+  the next minute so boundary-aligned data stays aligned.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def auto_bucket_seconds(
+    intervals: DataFrame,
+    t1: str = "t1",
+    t2: str = "t2",
+    quantile: float = 0.99,
+) -> int:
+    """Pick the overlap-join bucket width from the data: the p99
+    interval length (percentile_approx — one aggregate scan, no sort),
+    rounded UP to the next minute and floored at one minute.
+
+    p99 rather than max: one pathological year-long interval must not
+    force year buckets on everything (the tail intervals just
+    replicate into more buckets — correctness is unaffected); rather
+    than mean: a typical-length bucket keeps replication <= ~2 for 99%
+    of rows, which is the quadratic-work sweet spot.
+    """
+    row = intervals.select(
+        F.expr(
+            f"percentile_approx({t2} - {t1}, {quantile})"
+        ).alias("p")
+    ).first()
+    p = 0 if row is None or row.p is None else int(row.p)
+    return max(60, ((p + 59) // 60) * 60)
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    bucket_seconds: int | None = None,
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+    t1: str = "t1",
+    t2: str = "t2",
+) -> DataFrame:
+    """Self-join intervals [t1, t2) (epoch seconds) that OVERLAP across
+    distinct keys, as a bucketed hash join — never a cartesian.
+
+    Returns (e1, e2, u1, u2, overlap_s) with key1 < key2 canonical
+    ordering and overlap_s = min(t2) - max(t1) > 0. `bucket_seconds`
+    defaults to :func:`auto_bucket_seconds` on the input (an extra
+    O(1)-output aggregate job; pass it explicitly in hot paths or
+    when the width is known, e.g. hour buckets for 30-min spells).
+    """
+    if bucket_seconds is None:
+        bucket_seconds = auto_bucket_seconds(intervals, t1, t2)
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    w = F.lit(bucket_seconds)
+    sp = intervals.select(id_col, key_col, t1, t2).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(t1) / w).cast("long"),
+                ((F.col(t2) - 1) / w).cast("long"),
+            )
+        ),
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    return a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        & (F.col(f"a.{t1}") < F.col(f"b.{t2}"))
+        & (F.col(f"b.{t1}") < F.col(f"a.{t2}"))
+        # first-shared-bucket predicate: emit each pair exactly once,
+        # from the bucket holding its overlap start
+        & (
+            F.col("a._bucket")
+            == (F.greatest(F.col(f"a.{t1}"), F.col(f"b.{t1}")) / w).cast("long")
+        ),
+    ).select(
+        F.col(f"a.{id_col}").alias("e1"),
+        F.col(f"b.{id_col}").alias("e2"),
+        F.col(f"a.{key_col}").alias("u1"),
+        F.col(f"b.{key_col}").alias("u2"),
+        (
+            F.least(F.col(f"a.{t2}"), F.col(f"b.{t2}"))
+            - F.greatest(F.col(f"a.{t1}"), F.col(f"b.{t1}"))
+        ).alias("overlap_s"),
+    )

@@ -18,6 +18,30 @@ def plan_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def normalize_plan(s: str) -> str:
+    """Strip session-dependent counters from an explain string so plans
+    from different sessions compare byte-for-byte: attribute expression
+    ids (#834L — allocated from a session-global counter, so ADDING a
+    query shifts every later plan's ids), plan ids, and broadcast
+    exchange ids. Structural content (operators, join strategies,
+    PushedFilters, ReadSchema, codegen stage numbering) is untouched —
+    exactly the properties the audit exists to pin."""
+    import re
+
+    s = re.sub(r"#\d+", "#N", s)
+    # lambda-variable names (x_467) draw from the same global counter
+    s = re.sub(r"_\d+#N", "_N#N", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=N", s)
+    s = re.sub(r"\[id=\d+\]", "[id=N]", s)
+    # checkpointed lineage scans: RDD id and Python/JVM callsite vary
+    # per session (MapPartitionsRDD[2368] at localCheckpoint at ...:0)
+    s = re.sub(r"RDD\[\d+\] at (\w+) at [^,]+", r"RDD[N] at \1 at SITE", s)
+    # engine temp dirs (drain sinks, upsert dimension stores) carry
+    # random per-run suffixes / content-hash version dirs
+    s = re.sub(r"/tmp/dynagraph_[^\]\s,]*", "/tmp/dynagraph_PATH", s)
+    return s
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan —
     the first number to look at for any operator meant for 100 TB."""

@@ -1893,7 +1893,15 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-per-bucket)^2 x buckets, so an hour bucket over 30-min
     spells does ~24x less within-bucket work than a day bucket while
     keeping replication at <= 2 copies per interval. A true interval
-    join as a bucketed hash join instead of a cartesian."""
+    join as a bucketed hash join instead of a cartesian. Implemented
+    by the reusable operators/intervals.py:interval_overlap_join,
+    whose auto-sizer reads the bucket off the data (p99 interval
+    length -> 1800 s here); the emitted pair set is bucket-width
+    INVARIANT (the first-shared-bucket dedup guarantees each
+    overlapping pair exactly once at any width), so the hour-bucket
+    oracle verifies the auto-sized engine run."""
+    from neo4j_dynagraph_spark.operators.intervals import interval_overlap_join
+
     ev = _events(spark, sf_dir)
     es = dfn.epoch_seconds(F.col("ts"))
     sp = ev.select(
@@ -1901,42 +1909,8 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         es.alias("t1"),
         (es + SPELL_LEN).alias("t2"),
-    ).withColumn(
-        "hour_bucket",
-        F.explode(
-            F.sequence(
-                (F.col("t1") / 3600).cast("long"),
-                ((F.col("t2") - 1) / 3600).cast("long"),
-            )
-        ),
     )
-    a, b = sp.alias("a"), sp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.hour_bucket") == F.col("b.hour_bucket"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.t1") < F.col("b.t2"))
-            & (F.col("b.t1") < F.col("a.t2"))
-            # first-shared-bucket predicate: emit the pair only from the
-            # bucket holding the overlap start — replaces a global
-            # distinct over the pair output with a per-row filter
-            & (
-                F.col("a.hour_bucket")
-                == (F.greatest(F.col("a.t1"), F.col("b.t1")) / 3600).cast("long")
-            ),
-        )
-        .select(
-            F.col("a.event_id").alias("e1"),
-            F.col("b.event_id").alias("e2"),
-            F.col("a.user_id").alias("u1"),
-            F.col("b.user_id").alias("u2"),
-            (
-                F.least(F.col("a.t2"), F.col("b.t2"))
-                - F.greatest(F.col("a.t1"), F.col("b.t1"))
-            ).alias("overlap_s"),
-        )
-    )
+    return interval_overlap_join(sp)
 
 
 @query(

@@ -417,16 +417,18 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
 
 
-def _hyperplane_bucket_sql(n_planes: int) -> str:
-    """DuckDB replay of similarity.hyperplane_buckets (table 0): plane
-    p's weight for dim d is (hash64('p{p}d{d}') % 2001 - 1000) / 1000
-    (60-bit hash, integer modulo in both engines), bucket = packed
-    sign bits of the projections."""
+def _hyperplane_bucket_sql(n_planes: int, table: int = 0) -> str:
+    """DuckDB replay of similarity.hyperplane_buckets: plane p's weight
+    for dim d is (hash64('{seed}{p}d{d}') % 2001 - 1000) / 1000 (60-bit
+    hash, integer modulo in both engines), bucket = packed sign bits of
+    the projections; `table` selects the independent per-LSH-table hash
+    family (table 0 keeps the historical 'p{p}d' seeds)."""
+    seed = f"t{table}p" if table else "p"
     terms = []
     for p in range(n_planes):
         proj = (
             "list_sum(list_transform(range(len(e)), d -> e[d+1] * "
-            f"((('0x' || substr(md5('p{p}d' || d), 1, 15))::BIGINT % 2001 - 1000)"
+            f"((('0x' || substr(md5('{seed}{p}d' || d), 1, 15))::BIGINT % 2001 - 1000)"
             " / 1000.0)))"
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
@@ -517,6 +519,122 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     return similarity.lsh_bucketed_topk(emb, queries_df, k=5, n_planes=8, n_tables=2)
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 5),
+-- exact cosine top-10 (the ground truth)
+xp AS (SELECT q.qid, b.vec_id AS cid, q.qe, b.e AS ce
+       FROM base b CROSS JOIN q WHERE b.vec_id != q.qid),
+xu AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM xp),
+xd AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+       FROM xu GROUP BY 1, 2),
+xr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM xd),
+exact AS (SELECT qid, cid FROM xr WHERE rk <= 10),
+-- IVF top-10 (32 seed centroids, nprobe=4): coarse assign -> probe -> re-rank
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 32),
+ap AS (SELECT b.vec_id, c.cent_id, b.e AS be, c.ce FROM base b CROSS JOIN cent c),
+au AS (SELECT vec_id, cent_id, unnest(be) AS x, unnest(ce) AS y FROM ap),
+ad AS (SELECT vec_id, cent_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+       FROM au GROUP BY 1, 2),
+ar AS (SELECT vec_id, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+       FROM ad),
+cells AS (SELECT vec_id AS cid, cent_id AS cell FROM ar WHERE rk = 1),
+probes AS (SELECT vec_id AS qid, cent_id AS cell FROM ar WHERE rk <= 4 AND vec_id < 5),
+icand AS (SELECT DISTINCT p.qid, c.cid FROM probes p JOIN cells c USING (cell)
+          WHERE c.cid != p.qid),
+iu AS (SELECT icand.qid, icand.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM icand JOIN base qq ON qq.vec_id = icand.qid
+       JOIN base b ON b.vec_id = icand.cid),
+idd AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+        FROM iu GROUP BY 1, 2),
+ir AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM idd),
+ivf AS (SELECT qid, cid FROM ir WHERE rk <= 10),
+-- hyperplane-LSH top-10 (4 planes x 2 OR-amplified tables) -> re-rank
+lb0 AS (SELECT vec_id, ({_hyperplane_bucket_sql(4, 0)}) AS bucket FROM base),
+lb1 AS (SELECT vec_id, ({_hyperplane_bucket_sql(4, 1)}) AS bucket FROM base),
+lcand AS (
+  SELECT DISTINCT qq.vec_id AS qid, c.vec_id AS cid
+  FROM lb0 qq JOIN lb0 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id
+  UNION
+  SELECT DISTINCT qq.vec_id, c.vec_id
+  FROM lb1 qq JOIN lb1 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id),
+lu AS (SELECT lcand.qid, lcand.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM lcand JOIN base qq ON qq.vec_id = lcand.qid
+       JOIN base b ON b.vec_id = lcand.cid),
+ld AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+       FROM lu GROUP BY 1, 2),
+lr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM ld),
+lsh AS (SELECT qid, cid FROM lr WHERE rk <= 10),
+-- recall@10 per (method, query)
+m AS (SELECT 'ivf' AS method, qid, cid FROM ivf
+      UNION ALL SELECT 'lsh', qid, cid FROM lsh),
+methods AS (SELECT unnest(['ivf', 'lsh']) AS method),
+ex2 AS (SELECT method, qid, cid FROM exact CROSS JOIN methods)
+SELECT x.method, x.qid,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(m.cid) AS BIGINT) AS n_hit,
+       round(count(m.cid) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ex2 x LEFT JOIN m ON m.method = x.method AND m.qid = x.qid AND m.cid = x.cid
+GROUP BY 1, 2 ORDER BY x.method, x.qid
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two approximate indexes (IVF nprobe=4 and
+    4-plane x 2-table hyperplane LSH — 16 buckets, the recall-biased
+    setting the unit tests also pin) against the exact cosine top-10
+    — computed entirely as DataFrame joins and aggregates (no collect):
+    per (method, query) the overlap of the approximate and exact result
+    sets over the exact set size. At 100 TB recall-vs-cost IS the ANN
+    operator's spec, so the quality metric ships as a first-class
+    query; both index pipelines are deterministic (seed centroids,
+    hash-derived hyperplanes), so the oracle replays ground truth, both
+    indexes, AND the recall arithmetic end-to-end."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    exact = similarity.brute_force_topk(emb, queries_df, k=10).select("qid", "cid")
+    approx = {
+        "ivf": similarity.ivf_topk(
+            emb, queries_df, k=10, n_centroids=32, nprobe=4
+        ).select("qid", "cid"),
+        "lsh": similarity.lsh_bucketed_topk(
+            emb, queries_df, k=10, n_planes=4, n_tables=2
+        ).select("qid", "cid"),
+    }
+    n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    parts = []
+    for name, adf in approx.items():
+        n_hit = (
+            exact.join(adf, ["qid", "cid"], "semi")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            n_exact.join(n_hit, "qid", "left").select(
+                F.lit(name).alias("method"),
+                "qid",
+                "n_exact",
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.withColumn(
+        "recall", F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6)
+    ).orderBy("method", "qid")
 
 
 # ----------------------------------------------------------------- text

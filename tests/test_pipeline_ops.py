@@ -256,3 +256,56 @@ def test_pack_sequences_matches_python_reference(spark):
         assert got == sorted(expect)
 
     check()
+
+
+def test_interval_overlap_join_matches_python_reference(spark):
+    # arbitrary variable-length intervals, several bucket widths AND the
+    # auto-sized width: the emitted pair set must equal the brute-force
+    # overlap pairs exactly — the first-shared-bucket dedup guarantees
+    # bucket-width invariance (each pair once, from its overlap-start
+    # bucket)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_dynagraph_spark.operators.intervals import (
+        auto_bucket_seconds,
+        interval_overlap_join,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        spec=st.lists(
+            st.tuples(
+                st.integers(0, 5),        # key (user)
+                st.integers(0, 20_000),   # start second
+                st.integers(1, 9_000),    # length: seconds to 2.5 h
+            ),
+            min_size=2,
+            max_size=25,
+        ),
+        bucket=st.sampled_from([60, 600, 3600, None]),
+    )
+    def check(spec, bucket):
+        rows = [
+            (i, k, s, s + ln) for i, (k, s, ln) in enumerate(spec)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, t1 long, t2 long"
+        )
+        got = sorted(
+            (r.e1, r.e2, r.u1, r.u2, r.overlap_s)
+            for r in interval_overlap_join(df, bucket_seconds=bucket).collect()
+        )
+        expect = sorted(
+            (i, j, ki, kj, min(e1, e2) - max(s1, s2))
+            for i, (ki, s1, e1) in ((i, (k, s, s + ln)) for i, (k, s, ln) in enumerate(spec))
+            for j, (kj, s2, e2) in ((j, (k, s, s + ln)) for j, (k, s, ln) in enumerate(spec))
+            if ki < kj and s1 < e2 and s2 < e1
+        )
+        assert got == expect
+        if bucket is None:
+            # the auto-sizer must pick a positive minute-aligned width
+            w = auto_bucket_seconds(df)
+            assert w >= 60 and w % 60 == 0
+
+    check()

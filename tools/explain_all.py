@@ -7,6 +7,12 @@ join strategies (broadcast vs shuffle), scan schemas (column pruning).
 
 Defaults: /root/testdata/sf0.01 -> ./plans_audit/ (one .txt per query,
 plus a summary line per query on stdout: joins by type, #exchanges).
+
+Plans are written NORMALIZED (plans.normalize_plan strips the
+session-global expression/plan-id counters) so re-generations from any
+session compare byte-for-byte — which is what lets `pytest -m plans`
+(tests/test_plans_audit.py) mechanically fail on any unexplained plan
+change against the committed audit files.
 """
 
 from __future__ import annotations
@@ -21,6 +27,18 @@ from neo4j_dynagraph_spark import plans  # noqa: E402
 from neo4j_dynagraph_spark.queries import REGISTRY  # noqa: E402
 
 
+def audit_plan(spark, spec, sf_dir):  # noqa: ANN001
+    """The normalized formatted plan for one registry entry, or None
+    when building the DataFrame needs execution (streaming runners).
+    Shared by the CLI writer below and the `pytest -m plans` gate so
+    both produce the identical text."""
+    try:
+        df = spec.fn(spark, sf_dir)
+    except Exception:
+        return None
+    return plans.normalize_plan(plans.plan_str(df, "formatted"))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "plans_audit"
@@ -29,14 +47,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     for name, spec in sorted(REGISTRY.items()):
-        try:
-            df = spec.fn(spark, sf_dir)
-        except Exception as ex:  # streaming runners etc. may need execution
-            print(f"{name}: SKIP ({type(ex).__name__})")
+        s = audit_plan(spark, spec, sf_dir)
+        if s is None:
+            print(f"{name}: SKIP (streaming runner)")
             continue
-        s = plans.plan_str(df, "formatted")
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
             f.write(s)
+        df = spec.fn(spark, sf_dir)
         simple = plans.plan_str(df, "simple")
         counts = {
             "bhj": simple.count("BroadcastHashJoin"),
