@@ -146,6 +146,42 @@ def k_core(edges: DataFrame, k: int = 2, max_iterations: int = 50) -> DataFrame:
     )
 
 
+def k_core_rounds(edges: DataFrame, k: int = 2, rounds: int = 2) -> DataFrame:
+    """Exactly `rounds` degree-peel rounds toward the k-core — the
+    deterministic bounded form of :func:`k_core`, the node-level twin
+    of :func:`k_truss_rounds`.
+
+    No fixpoint loop, no convergence actions: the plan is a fixed
+    composition of `rounds` (degree-agg -> keep -> double semi-join)
+    peels, so an independent engine can replay it as an unrolled CTE
+    and the surviving (actor, degree) set compares bit-for-bit (the
+    unrolled-iteration oracle pattern of ``k_truss_rounds`` /
+    ``_kmeans_cte``). The result is a superset of the k-core that
+    equals it whenever the cascade converges within `rounds`; use
+    :func:`k_core` when fixpoint semantics are required. Output
+    columns (actor, degree) — `degree` is the node's degree in the
+    r-round survivor subgraph, NOT necessarily its core degree.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = symmetrize(edges.select("actor1", "actor2").distinct()).localCheckpoint()
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("src")
+        e = (
+            e.join(F.broadcast(keep), "src", "semi")
+            .join(
+                F.broadcast(keep.withColumnRenamed("src", "dst")), "dst", "semi"
+            )
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy(F.col("src").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("actor")
+    )
+
+
 def triangles_via_graphframes(edges: DataFrame) -> DataFrame:
     """Optional GraphFrames motif backend for triangles (SURVEY.md §7.1:
     'if the runtime has the GraphFrames jar, expose it as an optional

@@ -507,13 +507,41 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=32, nprobe=4)
 
 
-@query("q_embed_ann_lsh")
+@query(
+    "q_embed_ann_lsh",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+lb0 AS (SELECT vec_id, ({_hyperplane_bucket_sql(8, 0)}) AS bucket FROM base),
+lb1 AS (SELECT vec_id, ({_hyperplane_bucket_sql(8, 1)}) AS bucket FROM base),
+cand AS (
+  SELECT DISTINCT qq.vec_id AS qid, c.vec_id AS cid
+  FROM lb0 qq JOIN lb0 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id
+  UNION
+  SELECT DISTINCT qq.vec_id, c.vec_id
+  FROM lb1 qq JOIN lb1 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id),
+un AS (SELECT cand.qid, cand.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM cand JOIN base qq ON qq.vec_id = cand.qid
+       JOIN base b ON b.vec_id = cand.cid),
+dots AS (SELECT qid, cid, sum(x*y) AS d, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM un GROUP BY 1, 2),
+sims AS (SELECT qid, cid, d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, cid, sim_raw,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims)
+SELECT qid, rank, cid, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via deterministic random-hyperplane LSH buckets
     (8 planes x 2 tables, OR-amplified) + exact re-rank over deduped
-    candidates. No SQL oracle — the bucketing is engine-internal
-    (rows-only check); recall vs q_embed_topk and the multi-table
-    recall gain are asserted in tests."""
+    candidates. The DuckDB oracle replays BOTH hash families'
+    bucketings (`_hyperplane_bucket_sql` per table), the OR-union
+    candidate set, and the exact re-rank — upgrading this entry from
+    rows-only to hash-matched; recall vs q_embed_topk and the
+    multi-table recall gain are additionally asserted in tests."""
     emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
@@ -2220,3 +2248,53 @@ def q_ktruss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actor1", "actor2"
     )
     return graph.k_truss_rounds(edges, k=18, rounds=2)
+
+
+def _kcore_cte(k: int, rounds: int) -> str:
+    """Unrolled bounded k-core peel as DuckDB CTE blocks: per round,
+    count degrees on the symmetrized survivor edges, keep nodes
+    clearing k, and restrict edges to kept endpoints — the SQL twin of
+    operators/graph.py:k_core_rounds, one CTE pair per round (the
+    unrolled-fit oracle pattern of ``_ktruss_cte`` /
+    ``_pagerank_cte``)."""
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    blocks = [
+        f"p AS ({_presence_sql(day)})",
+        f"e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        "s0 AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e)",
+    ]
+    for i in range(rounds):
+        blocks += [
+            f"d{i} AS (SELECT src, count(*) AS degree FROM s{i} GROUP BY 1)",
+            f"k{i} AS (SELECT src FROM d{i} WHERE degree >= {k})",
+            f"s{i + 1} AS (SELECT s.src, s.dst FROM s{i} s "
+            f"JOIN k{i} a ON a.src = s.src JOIN k{i} b ON b.src = s.dst)",
+        ]
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_kcore_bounded",
+    oracle=f"""
+WITH {_kcore_cte(18, 2)}
+SELECT src AS actor, CAST(count(*) AS BIGINT) AS degree
+FROM s2 GROUP BY 1 ORDER BY 1
+""",
+)
+def q_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded degree-peel rounds toward the 18-core of the
+    pinned-day interaction graph — the deterministic fixed-round form
+    of q_kcore (no fixpoint loop), so the DuckDB oracle replays BOTH
+    peel rounds as an unrolled CTE and the surviving (actor, degree)
+    set hash-matches exactly. The fixpoint production API stays
+    :func:`operators.graph.k_core` (q_kcore, rows-only + cascade unit
+    tests); this entry pins the per-round peel semantics cross-engine,
+    upgrading the k-core family from rows-only to hash-matched — the
+    node-level twin of q_ktruss_bounded."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "actor1", "actor2"
+    )
+    return graph.k_core_rounds(edges, k=18, rounds=2)

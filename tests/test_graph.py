@@ -173,6 +173,24 @@ def test_k_core_peels_cascade(spark):
     assert core1 == {1, 2, 3, 4, 5, 6}
 
 
+def test_k_core_rounds_matches_fixpoint_when_converged(spark):
+    """Bounded peel vs fixpoint: on the clique+pendant-path graph the
+    k=2 cascade needs exactly 2 rounds (leaf 6 peels in round 1; node
+    5's degree only then drops below 2 — the cascade case), so
+    k_core_rounds(rounds=2) must equal k_core's fixpoint (modulo the
+    degree-vs-core_degree column name), while rounds=1 must still hold
+    the mid-cascade node 5."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(4, 5), (5, 6)]
+    e = spark.createDataFrame(clique + path, "actor1 long, actor2 long")
+    fix = {r.actor: r.core_degree for r in graph.k_core(e, k=2).collect()}
+    r2 = {r.actor: r.degree for r in graph.k_core_rounds(e, k=2, rounds=2).collect()}
+    assert r2 == fix == {1: 3, 2: 3, 3: 3, 4: 3}
+    r1 = {r.actor: r.degree for r in graph.k_core_rounds(e, k=2, rounds=1).collect()}
+    # after one round only leaf 6 is gone; 5 survives with degree 1
+    assert r1 == {1: 3, 2: 3, 3: 3, 4: 4, 5: 1}
+
+
 # frame-edges for temporal-pair stats: pair (1,2) present in frames
 # 0,1,2, 5, 9 -> gaps 1,1,3,4; runs [3,1,1]. pair (3,4) in frames 7,8
 # -> gap 1; runs [2]. pair (5,6) only frame 4 -> no gaps; runs [1].
