@@ -661,3 +661,58 @@ def train_shards(docs: DataFrame, n_shards: int = 16) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+def vocab_prune(
+    docs: DataFrame,
+    top_k: int = 20,
+    unk: str = "<unk>",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency vocabulary pruning: rebuild every document with
+    only the global top-`top_k` tokens kept, all others replaced by the
+    `unk` marker — the classic closed-vocabulary preprocessing step
+    (OOV collapse) before tokenizer/count-model training.
+
+    Returns (doc_id, text_hash, n_unk, n_tokens): the md5 of the
+    reconstructed token stream rather than the stream itself, so the
+    terminal is fixed-width per doc no matter the document size (ship
+    the rebuilt text by swapping the md5 for the concat in a sink job).
+    Empty-token docs yield no row (nothing to rebuild; consistent in
+    both engines since explode drops empty arrays).
+
+    Scale shape: one explode + vocabulary-sized aggregate (partial
+    map-side combine collapses the per-partition duplicates, so the
+    shuffle is ~|vocab| not ~corpus), a BROADCAST join of the top-k
+    vocabulary against the token stream (top_k is small by
+    definition), and one per-doc re-aggregation whose state is the
+    document itself — no global sort, no driver data path. The
+    vocabulary selection is deterministic (count desc, token asc), so
+    independent engines derive the identical pruned corpus.
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    toks = docs.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
+    u = toks.select("doc_id", F.posexplode("t").alias("pos", "w"))
+    f = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    v = f.orderBy(F.desc("c"), "w").limit(top_k).select("w")
+    r = u.join(
+        F.broadcast(v.withColumn("_in", F.lit(True))), "w", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("_in").isNotNull(), F.col("w")).otherwise(F.lit(unk)).alias("w2"),
+        F.col("_in").isNull().cast("long").alias("unk"),
+    )
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, w2))),"
+                " s -> s.w2), ' ')"
+            ).alias("_txt"),
+            F.sum("unk").alias("n_unk"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select("doc_id", F.md5("_txt").alias("text_hash"), "n_unk", "n_tokens")
+    )

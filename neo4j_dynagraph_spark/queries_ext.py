@@ -2298,3 +2298,139 @@ def q_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actor1", "actor2"
     )
     return graph.k_core_rounds(edges, k=18, rounds=2)
+
+
+_DAY_WHERE = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+
+
+@query(
+    "q_contact_matrix",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS ({_EDGES_FROM_P}),
+j AS (SELECT e.actor1, e.actor2,
+             c1.c_mktsegment AS g1, c2.c_mktsegment AS g2
+      FROM e JOIN customer c1 ON c1.c_custkey = e.actor1
+             JOIN customer c2 ON c2.c_custkey = e.actor2),
+m AS (SELECT least(g1, g2) AS seg_a, greatest(g1, g2) AS seg_b,
+             actor1, actor2 FROM j)
+SELECT seg_a, seg_b,
+       CAST(count(*) AS BIGINT) AS n_contacts,
+       CAST(count(DISTINCT (actor1, actor2)) AS BIGINT) AS n_pairs
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_contact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-x-group contact matrix of the pinned day — the
+    SocioPatterns headline analysis (contact matrices between
+    classes/departments, e.g. the school / hospital-ward studies the
+    reference's data model serves; ref: README.md dataset description)
+    re-expressed on the star schema: frame-level co-presence edges,
+    each endpoint joined to its customer segment via the BROADCAST
+    dimension, aggregated into an unordered segment-pair matrix with
+    both contact instances (frame-pair co-presences) and distinct
+    actor pairs per cell. One agg shuffle over ~|segments|^2 keys; the
+    dimension joins are broadcast so the edge stream never shuffles
+    for them."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "actor1", "actor2"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("actor"), F.col("c_mktsegment").alias("seg")
+    )
+    j = (
+        edges.join(
+            F.broadcast(
+                cust.select(
+                    F.col("actor").alias("actor1"), F.col("seg").alias("g1")
+                )
+            ),
+            "actor1",
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("actor").alias("actor2"), F.col("seg").alias("g2")
+                )
+            ),
+            "actor2",
+        )
+    )
+    return (
+        j.select(
+            F.least("g1", "g2").alias("seg_a"),
+            F.greatest("g1", "g2").alias("seg_b"),
+            "actor1",
+            "actor2",
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_contacts"),
+            F.countDistinct("actor1", "actor2").alias("n_pairs"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+@query(
+    "q_degree_dist",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src FROM e UNION ALL SELECT actor2 FROM e),
+deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_actors
+FROM deg GROUP BY 1 ORDER BY 1
+""",
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the full-range interaction graph — the
+    first plot of every contact-network paper (how many actors have
+    k distinct partners). Two cascaded aggregations: per-actor degree
+    over the distinct symmetrized edge set, then a histogram over the
+    (at most |actors|-sized) degree table — output is
+    O(max degree), a fixed-size terminal at any corpus scale.
+    Symmetrization via explode(array(..)) rather than a union so the
+    edge subtree (presence agg + frame self-join + distinct) is
+    scanned ONCE, not duplicated per union branch."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir).select("actor1", "actor2").distinct()
+    sym = e.select(F.explode(F.array("actor1", "actor2")).alias("src"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_actors"))
+        .orderBy("degree")
+    )
+
+
+@query(
+    "q_vocab_prune",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w FROM tok),
+f AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+v AS (SELECT w FROM f ORDER BY c DESC, w LIMIT 20),
+r AS (SELECT u.doc_id, u.pos,
+             CASE WHEN v.w IS NULL THEN '<unk>' ELSE u.w END AS w2,
+             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS unk
+      FROM u LEFT JOIN v ON v.w = u.w)
+SELECT doc_id, md5(string_agg(w2, ' ' ORDER BY pos)) AS text_hash,
+       CAST(sum(unk) AS BIGINT) AS n_unk,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM r GROUP BY 1 ORDER BY doc_id
+""",
+)
+def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary OOV collapse: rebuild every document keeping
+    only the global top-20 tokens (deterministic count-desc,
+    token-asc selection), all others replaced by '<unk>' — classic
+    count-model / tokenizer-training preprocessing. Hash-terminal:
+    (doc_id, md5 of the rebuilt token stream, n_unk, n_tokens), so the
+    oracle verifies the EXACT reconstructed text of every document
+    while the output stays fixed-width per doc
+    (operators/text.py:vocab_prune)."""
+    return text.vocab_prune(_docs(spark, sf_dir), top_k=20).orderBy("doc_id")

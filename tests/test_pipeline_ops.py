@@ -309,3 +309,44 @@ def test_interval_overlap_join_matches_python_reference(spark):
             assert w >= 60 and w % 60 == 0
 
     check()
+
+
+def test_vocab_prune_matches_python_reference(spark):
+    # deterministic top-k selection (count desc, token asc) and exact
+    # reconstruction vs a pure-Python reference, incl. an empty doc
+    # (must yield no row) and an all-OOV doc
+    import hashlib
+    import re
+    from collections import Counter
+
+    from neo4j_dynagraph_spark.operators.text import vocab_prune
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zebra yak xylophone"),
+        (4, ""),
+        (5, "cat cat dog the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    tok = {i: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for i, t in docs}
+    freq = Counter(w for ws in tok.values() for w in ws)
+    top3 = {w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+    expect = {}
+    for i, ws in tok.items():
+        if not ws:
+            continue
+        pruned = [w if w in top3 else "<unk>" for w in ws]
+        expect[i] = (
+            hashlib.md5(" ".join(pruned).encode()).hexdigest(),
+            sum(w not in top3 for w in ws),
+            len(ws),
+        )
+
+    got = {
+        r.doc_id: (r.text_hash, r.n_unk, r.n_tokens)
+        for r in vocab_prune(df, top_k=3).collect()
+    }
+    assert got == expect
+    assert 4 not in got
