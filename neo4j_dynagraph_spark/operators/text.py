@@ -716,3 +716,37 @@ def vocab_prune(
         )
         .select("doc_id", F.md5("_txt").alias("text_hash"), "n_unk", "n_tokens")
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM — the
+    CCNet/KenLM-style quality signal (docs whose tokens are atypical
+    for the corpus score high): avg over the doc's tokens of
+    -ln(count(w)/total_tokens). Complements :func:`token_entropy`,
+    which measures a doc against ITSELF; this measures it against the
+    corpus (boilerplate scores low, lorem-ipsum-like outliers high).
+
+    Distributed shape: one explode feeding BOTH the vocabulary-sized
+    frequency aggregate (map-side combine ⇒ shuffle ~|vocab|) and the
+    token stream; the frequency table and the 1-row total join back by
+    BROADCAST, then one per-doc aggregate. No driver data path, no
+    second tokenize pass. Cross-engine float rule: the per-doc average
+    is rounded at 1e-6.
+
+    Columns: doc_id, n_tokens, avg_neg_logp.
+    """
+    u = tokens_df(docs, text_col).select(
+        "doc_id", F.explode("t").alias("w")
+    )
+    f = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = f.agg(F.sum("c").cast("double").alias("total"))
+    scored = u.join(F.broadcast(f), "w").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("total"))), 6
+            ).alias("avg_neg_logp"),
+        )
+    )

@@ -2434,3 +2434,26 @@ def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the output stays fixed-width per doc
     (operators/text.py:vocab_prune)."""
     return text.vocab_prune(_docs(spark, sf_dir), top_k=20).orderBy("doc_id")
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT doc_id, unnest(t) AS w FROM tok),
+f AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+tt AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f)
+SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(f.c / tt.total)), 6) AS avg_neg_logp
+FROM u JOIN f ON f.w = u.w CROSS JOIN tt
+GROUP BY 1 ORDER BY u.doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: per-doc average -ln p(w) under the
+    corpus unigram distribution (the CCNet/KenLM-style filter signal —
+    q_token_entropy's corpus-relative twin). One explode feeds both
+    the vocab-sized frequency aggregate and the scoring stream; the
+    frequency and 1-row-total joins are broadcast
+    (operators/text.py:unigram_logprob)."""
+    return text.unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")

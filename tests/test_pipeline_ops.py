@@ -350,3 +350,29 @@ def test_vocab_prune_matches_python_reference(spark):
     }
     assert got == expect
     assert 4 not in got
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from neo4j_dynagraph_spark.operators.text import unigram_logprob
+
+    docs = [(1, "a a b"), (2, "b c"), (3, "a c c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tok = {i: re.split(r"[^a-z0-9]+", t) for i, t in docs}
+    freq = Counter(w for ws in tok.values() for w in ws)
+    total = sum(freq.values())
+    expect = {
+        i: (
+            len(ws),
+            round(sum(-math.log(freq[w] / total) for w in ws) / len(ws), 6)
+        )
+        for i, ws in tok.items()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_neg_logp)
+        for r in unigram_logprob(df).collect()
+    }
+    assert got == expect
