@@ -64,35 +64,63 @@ def interval_overlap_join(
     key_col: str = "user_id",
     t1: str = "t1",
     t2: str = "t2",
+    right: DataFrame | None = None,
 ) -> DataFrame:
-    """Self-join intervals [t1, t2) (epoch seconds) that OVERLAP across
-    distinct keys, as a bucketed hash join — never a cartesian.
+    """Intervals [t1, t2) (epoch seconds) that OVERLAP, as a bucketed
+    hash join — never a cartesian.
 
-    Returns (e1, e2, u1, u2, overlap_s) with key1 < key2 canonical
-    ordering and overlap_s = min(t2) - max(t1) > 0. `bucket_seconds`
-    defaults to :func:`auto_bucket_seconds` on the input (an extra
-    O(1)-output aggregate job; pass it explicitly in hot paths or
-    when the width is known, e.g. hour buckets for 30-min spells).
+    Self-join form (``right=None``): pairs across DISTINCT keys with
+    key1 < key2 canonical ordering (the ``a.key < b.key`` predicate
+    both canonicalizes and de-duplicates the symmetric pair).
+
+    Two-relation form (``right=...``): every (left, right) interval
+    pair that overlaps, NO key predicate — the general range join
+    (readings x maintenance windows, sessions x campaigns). Both
+    inputs must carry the same four column names; each side is
+    bucket-replicated independently and the same first-shared-bucket
+    predicate keeps the pair set exactly-once at any bucket width.
+
+    Returns (e1, e2, u1, u2, overlap_s) with
+    overlap_s = min(t2) - max(t1) > 0. `bucket_seconds` defaults to
+    :func:`auto_bucket_seconds` on the input (the union of both sides
+    in the two-relation form — an extra O(1)-output aggregate job;
+    pass it explicitly in hot paths or when the width is known, e.g.
+    hour buckets for 30-min spells).
     """
+    cols = [id_col, key_col, t1, t2]
     if bucket_seconds is None:
-        bucket_seconds = auto_bucket_seconds(intervals, t1, t2)
+        sized = (
+            intervals.select(t1, t2)
+            if right is None
+            else intervals.select(t1, t2).unionByName(right.select(t1, t2))
+        )
+        bucket_seconds = auto_bucket_seconds(sized, t1, t2)
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
     w = F.lit(bucket_seconds)
-    sp = intervals.select(id_col, key_col, t1, t2).withColumn(
-        "_bucket",
-        F.explode(
-            F.sequence(
-                (F.col(t1) / w).cast("long"),
-                ((F.col(t2) - 1) / w).cast("long"),
-            )
-        ),
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(*cols).withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(t1) / w).cast("long"),
+                    ((F.col(t2) - 1) / w).cast("long"),
+                )
+            ),
+        )
+
+    a = bucketed(intervals).alias("a")
+    b = bucketed(intervals if right is None else right).alias("b")
+    key_pred = (
+        F.col(f"a.{key_col}") < F.col(f"b.{key_col}")
+        if right is None
+        else F.lit(True)
     )
-    a, b = sp.alias("a"), sp.alias("b")
     return a.join(
         b,
         (F.col("a._bucket") == F.col("b._bucket"))
-        & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        & key_pred
         & (F.col(f"a.{t1}") < F.col(f"b.{t2}"))
         & (F.col(f"b.{t1}") < F.col(f"a.{t2}"))
         # first-shared-bucket predicate: emit each pair exactly once,

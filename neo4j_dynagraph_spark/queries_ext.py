@@ -2457,3 +2457,60 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency and 1-row-total joins are broadcast
     (operators/text.py:unigram_logprob)."""
     return text.unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_campaign_overlap",
+    oracle=f"""
+WITH s AS (SELECT event_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t1,
+                  CAST(floor(epoch(ts)) AS BIGINT) + {SPELL_LEN} AS t2
+           FROM events WHERE event_type = 'signup'),
+pu AS (SELECT event_id, user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS t1,
+              CAST(floor(epoch(ts)) AS BIGINT) + {SPELL_LEN} AS t2
+       FROM events WHERE event_type = 'purchase')
+SELECT pu.event_id AS e2,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(s.t2, pu.t2) - greatest(s.t1, pu.t1)) AS BIGINT)
+         AS sum_overlap_s
+FROM pu JOIN s ON s.t1 < pu.t2 AND pu.t1 < s.t2
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-RELATION interval join: for every purchase spell, the count
+    and total seconds of concurrently-open signup spells (the
+    campaign-exposure / readings-x-maintenance-windows shape the
+    self-join form can't express). Same bucketed hash-join engine —
+    both relations bucket-replicated, equi-join on bucket,
+    first-shared-bucket exactly-once — via
+    operators/intervals.py:interval_overlap_join(right=...), whose
+    auto-sizer reads the bucket off the UNION of both interval sets;
+    the oracle's plain theta-join verifies the engine's bucketed plan
+    at any width. Aggregated per right-interval so the terminal is
+    |purchases|-bounded, not |pairs|-bounded."""
+    from neo4j_dynagraph_spark import functions as dfn
+    from neo4j_dynagraph_spark.operators.intervals import interval_overlap_join
+    from neo4j_dynagraph_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    es = dfn.epoch_seconds(F.col("ts"))
+
+    def spells(event_type: str) -> DataFrame:
+        return ev.where(F.col("event_type") == event_type).select(
+            "event_id",
+            "user_id",
+            es.alias("t1"),
+            (es + SPELL_LEN).alias("t2"),
+        )
+
+    pairs = interval_overlap_join(spells("signup"), right=spells("purchase"))
+    return (
+        pairs.groupBy(F.col("e2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("overlap_s").alias("sum_overlap_s"),
+        )
+        .orderBy("e2")
+    )

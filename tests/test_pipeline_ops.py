@@ -376,3 +376,46 @@ def test_unigram_logprob_matches_python_reference(spark):
         for r in unigram_logprob(df).collect()
     }
     assert got == expect
+
+
+def test_interval_overlap_join_two_relation_matches_reference(spark):
+    # the cross-relation form: every overlapping (left, right) pair,
+    # no key predicate, exactly once at any bucket width incl. auto
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_dynagraph_spark.operators.intervals import interval_overlap_join
+
+    iv = st.tuples(
+        st.integers(0, 3),       # key
+        st.integers(0, 10_000),  # start
+        st.integers(1, 5_000),   # length
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        left=st.lists(iv, min_size=1, max_size=12),
+        right=st.lists(iv, min_size=1, max_size=12),
+        bucket=st.sampled_from([None, 60, 3600]),
+    )
+    def check(left, right, bucket):
+        mk = lambda spec: spark.createDataFrame(  # noqa: E731
+            [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(spec)],
+            "event_id long, user_id long, t1 long, t2 long",
+        )
+        got = sorted(
+            (r.e1, r.e2, r.u1, r.u2, r.overlap_s)
+            for r in interval_overlap_join(
+                mk(left), right=mk(right), bucket_seconds=bucket
+            ).collect()
+        )
+        expect = sorted(
+            (i, j, ki, kj, min(e1, e2) - max(s1, s2))
+            for i, (ki, s1, l1) in enumerate(left)
+            for j, (kj, s2, l2) in enumerate(right)
+            for e1, e2 in [(s1 + l1, s2 + l2)]
+            if s1 < e2 and s2 < e1
+        )
+        assert got == expect
+
+    check()
