@@ -2514,3 +2514,40 @@ def q_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("e2")
     )
+
+
+@query(
+    "q_stream_campaign",
+    oracle=f"""
+WITH s AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t1,
+                  CAST(floor(epoch(ts)) AS BIGINT) + {SPELL_LEN} AS t2
+           FROM events WHERE event_type = 'signup'),
+pu AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t1,
+              CAST(floor(epoch(ts)) AS BIGINT) + {SPELL_LEN} AS t2
+       FROM events WHERE event_type = 'purchase')
+SELECT pu.event_id AS e2,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(s.t2, pu.t2) - greatest(s.t1, pu.t1)) AS BIGINT)
+         AS sum_overlap_s
+FROM pu JOIN s ON s.t1 < pu.t2 AND pu.t1 < s.t2
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_stream_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING two-relation interval join: signup-spell exposure per
+    purchase spell as a watermarked stream-stream TIME-RANGE join
+    (state bounded by watermark + spell horizon on each side) chained
+    into a windowed per-purchase aggregation — the incremental twin of
+    q_campaign_overlap, drained with Trigger.AvailableNow through the
+    distributed file sink. The oracle IS the batch SQL: stream ==
+    batch for the full two-stateful-operator chain
+    (streaming/intervals.py)."""
+    from neo4j_dynagraph_spark.streaming.intervals import (
+        stream_interval_overlap_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    res = stream_interval_overlap_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, spell_seconds=SPELL_LEN
+    )
+    return res.orderBy("e2")

@@ -40,9 +40,24 @@ def snapshot_and_drop(spark: SparkSession, sink_name: str) -> DataFrame:
 
 
 def drain_stream_to_parquet(
-    stream_df: DataFrame, prefix: str, base_dir: str | None = None
+    stream_df: DataFrame,
+    prefix: str,
+    base_dir: str | None = None,
+    restarts: int = 0,
 ) -> DataFrame:
     """Bounded drain through a DISTRIBUTED file sink.
+
+    ``restarts``: number of additional AvailableNow runs against the
+    SAME checkpoint after the first terminates — the escape hatch for
+    deep stateful chains. Watermark propagation takes one no-data
+    batch per stateful operator, and an AvailableNow run stops once
+    the source is exhausted and no further batch makes progress; a
+    chain deep enough can leave final windows in state, and a
+    checkpoint-preserving restart runs the extra finalization batches
+    (cheap: no source data, state-store catch-up only). The join→agg
+    chains in this repo finalize without restarts once every stream
+    branch observes the end-of-stream sentinel (see
+    edges._stage_with_sentinel's ``type_values``).
 
     Runs ``stream_df`` (append-mode streaming plan) to completion with
     Trigger.AvailableNow into a parquet directory and returns the
@@ -70,14 +85,15 @@ def drain_stream_to_parquet(
         run = uuid.uuid4().hex[:12]
         out_dir = f"{base_dir.rstrip('/')}/dynagraph_{prefix}_out_{run}"
         ckpt = f"{base_dir.rstrip('/')}/dynagraph_{prefix}_ckpt_{run}"
-    query = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    for _ in range(1 + restarts):
+        query = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # explicit schema: an all-empty drain leaves no files to infer from
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)

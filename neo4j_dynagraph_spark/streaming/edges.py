@@ -222,6 +222,9 @@ def _stage_with_sentinel(
     spark,  # noqa: ANN001
     parquet_path: str,
     schema,  # noqa: ANN001
+    type_values: tuple[str, ...] = (),
+    type_col: str = "event_type",
+    stagger_seconds: int = 3600,
 ) -> str:
     """Stage the input files plus a SENTINEL event far past the real
     data (alone in its own frame, so it can never produce a pair).
@@ -236,6 +239,16 @@ def _stage_with_sentinel(
     is derived from ``schema``; the sentinel is built from the MAX-ts
     row plus the horizon, so it sits past every real frame regardless
     of type (an arbitrary limit(1) row's ts + horizon need not).
+
+    ``type_values``: when the downstream plan filters the stream by
+    ``type_col`` into separate branches, Catalyst pushes those filters
+    BELOW the EventTimeWatermark node — so a branch whose type the
+    single sentinel doesn't carry never observes it and its watermark
+    stalls at its own last real event, stranding the trailing windows
+    in state. Passing the filtered-on values stages one sentinel PER
+    value, each a further ``stagger_seconds`` apart so no two
+    sentinels can fall inside one frame/spell and pair with each
+    other.
     """
     import os
     import tempfile
@@ -255,17 +268,30 @@ def _stage_with_sentinel(
     last = batch_df.orderBy(F_.col("ts").desc_nulls_last()).limit(1)
     if last.isEmpty():
         raise ValueError(f"no rows under {parquet_path}; nothing to stream")
-    if isinstance(schema["ts"].dataType, _Long):
-        sentinel = last.withColumn(
-            "ts", (F_.col("ts") + F_.lit(horizon_s * 1_000_000_000)).cast("long")
-        )
-    else:
+    def _advanced(df, seconds):  # noqa: ANN001, ANN202
+        if isinstance(schema["ts"].dataType, _Long):
+            return df.withColumn(
+                "ts", (F_.col("ts") + F_.lit(seconds * 1_000_000_000)).cast("long")
+            )
         # timestamp / timestamp_ntz: interval addition preserves the
         # exact column type, so the staged sentinel file's physical
         # parquet type matches the real files under the one schema
-        sentinel = last.withColumn(
-            "ts", F_.col("ts") + F_.expr(f"INTERVAL {horizon_s} SECONDS")
+        return df.withColumn(
+            "ts", F_.col("ts") + F_.expr(f"INTERVAL {seconds} SECONDS")
         )
+
+    if type_values:
+        parts = [
+            _advanced(last, horizon_s + i * stagger_seconds).withColumn(
+                type_col, F_.lit(v)
+            )
+            for i, v in enumerate(type_values)
+        ]
+        sentinel = parts[0]
+        for p in parts[1:]:
+            sentinel = sentinel.unionByName(p)
+    else:
+        sentinel = _advanced(last, horizon_s)
     sentinel.write.mode("overwrite").parquet(os.path.join(stage, "_sentinel"))
     for f in os.listdir(os.path.join(stage, "_sentinel")):
         if f.endswith(".parquet"):

@@ -386,3 +386,63 @@ def test_gexf_sharded_sink_roundtrip(spark, tmp_path):
             got.append((shard_run, *tuple(r)))
     want = sorted(map(tuple, spells.select("run", *base.columns).collect()))
     assert sorted(got) == want and len(want) == 8
+
+
+def test_stream_interval_overlap_equals_batch_with_trailing_events(spark, tmp_path):
+    """Streaming two-relation interval join == batch theta-join,
+    including sub-second timestamps and TRAILING events: the final
+    purchases' windows only finalize because the per-type sentinels
+    reach BOTH filtered branches' watermark nodes (the event_type
+    filters are pushed below the watermark, so a single arbitrary-type
+    sentinel stalls one side — the regression this test pins)."""
+    import datetime as dt
+
+    from neo4j_dynagraph_spark.streaming.intervals import (
+        stream_interval_overlap_from_parquet,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    spell = 600
+
+    def ev(i, off_s, typ):
+        # deliberately non-integral seconds
+        return (i, base + dt.timedelta(seconds=off_s, microseconds=317 * i), i, typ)
+
+    rows = [
+        ev(1, 0, "signup"),
+        ev(2, 100, "purchase"),      # overlaps signup 1
+        ev(3, 1500, "signup"),
+        ev(4, 1900, "purchase"),     # overlaps signup 3
+        ev(5, 5000, "click"),        # noise type
+        ev(6, 7000, "signup"),
+        ev(7, 7100, "purchase"),     # TRAILING pair: the last events
+    ]
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    got = {
+        r.e2: (r.n_overlaps, r.sum_overlap_s)
+        for r in stream_interval_overlap_from_parquet(
+            spark, src, schema, spell_seconds=spell
+        ).collect()
+    }
+
+    # batch reference on floored seconds
+    es = {i: int((t - dt.datetime(1970, 1, 1)).total_seconds()) for i, t, _, ty in rows}
+    typ = {i: ty for i, t, _, ty in rows}
+    expect = {}
+    for p in [i for i in es if typ[i] == "purchase"]:
+        ov = [
+            min(es[sx] + spell, es[p] + spell) - max(es[sx], es[p])
+            for sx in es
+            if typ[sx] == "signup"
+            and es[sx] < es[p] + spell
+            and es[p] < es[sx] + spell
+        ]
+        if ov:
+            expect[p] = (len(ov), sum(ov))
+    assert got == expect
+    assert 7 in got  # the trailing purchase must have flushed
