@@ -2319,6 +2319,7 @@ SELECT seg_a, seg_b,
        CAST(count(DISTINCT (actor1, actor2)) AS BIGINT) AS n_pairs
 FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """,
+    bench=True,
 )
 def q_contact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-x-group contact matrix of the pinned day — the
@@ -2423,6 +2424,7 @@ SELECT doc_id, md5(string_agg(w2, ' ' ORDER BY pos)) AS text_hash,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM r GROUP BY 1 ORDER BY doc_id
 """,
+    bench=True,
 )
 def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-vocabulary OOV collapse: rebuild every document keeping
@@ -2477,6 +2479,7 @@ SELECT pu.event_id AS e2,
 FROM pu JOIN s ON s.t1 < pu.t2 AND pu.t1 < s.t2
 GROUP BY 1 ORDER BY 1
 """,
+    bench=True,
 )
 def q_campaign_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-RELATION interval join: for every purchase spell, the count
