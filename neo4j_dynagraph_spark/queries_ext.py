@@ -2554,3 +2554,100 @@ def q_stream_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet", raw_schema, spell_seconds=SPELL_LEN
     )
     return res.orderBy("e2")
+
+
+@query(
+    "q_graph_diff",
+    oracle=f"""
+WITH p1 AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")}),
+p2 AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY + 1}")}),
+e1 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p1 p1").replace("p p2", "p1 p2")})),
+e2 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p2 p1").replace("p p2", "p2 p2")})),
+st AS (SELECT CASE WHEN e2.actor1 IS NULL THEN 'removed'
+                   WHEN e1.actor1 IS NULL THEN 'added'
+                   ELSE 'stable' END AS status
+       FROM e1 FULL OUTER JOIN e2 USING (actor1, actor2))
+SELECT status, CAST(count(*) AS BIGINT) AS n_edges
+FROM st GROUP BY 1 ORDER BY 1
+""",
+)
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day network evolution: the distinct edge sets of two
+    consecutive days full-outer-joined into added / removed / stable
+    counts — the SocioPatterns snapshot-comparison analysis (which
+    contacts persist across days) as one co-partitioned join: both
+    edge sets shuffle on the same (actor1, actor2) key, the histogram
+    terminal is 3 rows at any scale."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    def day_edges(day: int) -> DataFrame:
+        lo = qmod._utc_ns(qmod.YEAR, qmod.MONTH, day)
+        flt = qmod._ns_range(lo, lo + 86400 * 1_000_000_000)
+        return (
+            qmod._edges(spark, sf_dir, flt).select("actor1", "actor2").distinct()
+        )
+
+    e1 = day_edges(qmod.DAY).withColumn("_in1", F.lit(1))
+    e2 = day_edges(qmod.DAY + 1).withColumn("_in2", F.lit(1))
+    st = e1.join(e2, ["actor1", "actor2"], "full").select(
+        F.when(F.col("_in2").isNull(), F.lit("removed"))
+        .when(F.col("_in1").isNull(), F.lit("added"))
+        .otherwise(F.lit("stable"))
+        .alias("status")
+    )
+    return (
+        st.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "q_topk_per_actor",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS ({_EDGES_FROM_P}),
+sym AS (SELECT actor1 AS actor, actor2 AS partner, frame_id FROM e
+        UNION ALL SELECT actor2, actor1, frame_id FROM e),
+cnt AS (SELECT actor, partner, count(DISTINCT frame_id) AS n_frames
+        FROM sym GROUP BY 1, 2),
+rk AS (SELECT actor, partner, n_frames,
+              row_number() OVER (PARTITION BY actor
+                                 ORDER BY n_frames DESC, partner) AS rnk
+       FROM cnt)
+SELECT actor, CAST(rnk AS BIGINT) AS rnk, partner, n_frames
+FROM rk WHERE rnk <= 3 ORDER BY actor, rnk
+""",
+)
+def q_topk_per_actor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: each actor's top-3 co-presence partners by
+    shared-frame count, deterministic tie-break (count desc, partner
+    asc). The grouped-top-k operator the global q_topk
+    (TakeOrderedAndProject) can't express — one pair-count aggregate
+    then a row_number window partitioned by actor, both map-side
+    combinable on the same key family."""
+    from neo4j_dynagraph_spark import queries as qmod
+    from pyspark.sql import Window
+
+    e = qmod._edges(spark, sf_dir)
+    sym = e.select(
+        F.col("actor1").alias("actor"),
+        F.col("actor2").alias("partner"),
+        "frame_id",
+    ).unionByName(
+        e.select(
+            F.col("actor2").alias("actor"),
+            F.col("actor1").alias("partner"),
+            "frame_id",
+        )
+    )
+    cnt = sym.groupBy("actor", "partner").agg(
+        F.countDistinct("frame_id").alias("n_frames")
+    )
+    w = Window.partitionBy("actor").orderBy(F.desc("n_frames"), "partner")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("actor", "rnk", "partner", "n_frames")
+        .orderBy("actor", "rnk")
+    )
