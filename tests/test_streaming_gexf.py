@@ -446,3 +446,39 @@ def test_stream_interval_overlap_equals_batch_with_trailing_events(spark, tmp_pa
             expect[p] = (len(ov), sum(ov))
     assert got == expect
     assert 7 in got  # the trailing purchase must have flushed
+
+
+def test_drain_restart_is_idempotent(spark, tmp_path):
+    """drain_stream_to_parquet(restarts=N): a checkpoint-preserving
+    AvailableNow restart with no new source data must add NO rows —
+    the escape-hatch parameter is safe to use unconditionally."""
+    import datetime as dt
+
+    from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
+    from neo4j_dynagraph_spark.streaming.drain import drain_stream_to_parquet
+    from neo4j_dynagraph_spark.streaming.edges import _stage_with_sentinel
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=600 * i), i, "click") for i in range(6)
+    ]
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stage = _stage_with_sentinel(spark, src, schema)
+    stream = normalize_stream_ts(
+        spark, spark.readStream.schema(schema).parquet(stage), schema
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1800 seconds"))
+        .count()
+    )
+    out = drain_stream_to_parquet(agg, "restart_test", restarts=2)
+    # 6 real events at 600-s spacing = two half-hour windows of 3; the
+    # sentinel's own trailing window correctly never finalizes (the
+    # watermark stops 10 min before it) and restarts add no duplicates
+    got = sorted((r["window"].start, r["count"]) for r in out.collect())
+    assert [c for _, c in got] == [3, 3]
