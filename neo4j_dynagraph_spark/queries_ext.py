@@ -2651,3 +2651,59 @@ def q_topk_per_actor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("actor", "rnk", "partner", "n_frames")
         .orderBy("actor", "rnk")
     )
+
+
+@query(
+    "q_null_model_gaps",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+h AS (SELECT frame_id, actor1, actor2,
+             {_H64.format(x="'null:' || frame_id || '_' || actor1 || '_' || actor2")} AS hk
+      FROM e),
+ra AS (SELECT actor1, actor2,
+              row_number() OVER (ORDER BY hk, frame_id, actor1, actor2) AS r
+       FROM h),
+rb AS (SELECT frame_id,
+              row_number() OVER (ORDER BY frame_id, actor1, actor2) AS r
+       FROM e),
+nm AS (SELECT DISTINCT ra.actor1, ra.actor2, rb.frame_id
+       FROM ra JOIN rb USING (r)),
+g AS (SELECT frame_id - lag(frame_id) OVER (PARTITION BY actor1, actor2
+                                            ORDER BY frame_id) AS gap
+      FROM nm)
+SELECT gap, CAST(count(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+""",
+)
+def q_null_model_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-shuffled null model of the pinned day's interaction stream
+    (the SocioPatterns baseline that separates real temporal structure
+    from contact frequencies): the frame multiset and per-pair
+    occurrence counts are preserved while frame assignments are
+    permuted by a DETERMINISTIC pseudorandom rank join
+    (operators/rank.py:time_shuffle — two two-phase distributed global
+    ranks, no one-partition window in the engine), then the inter-
+    contact gap histogram of the shuffled stream. Compare with
+    q_intercontact's real-stream gaps to read off the burstiness
+    excess. The oracle replays the permutation with two plain
+    row_number windows — bit-identical because order-aligned bucketed
+    ranking equals the global rank by construction."""
+    from neo4j_dynagraph_spark.operators.rank import time_shuffle
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = (
+        qmod._edges(spark, sf_dir, qmod._day_filter())
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    nm = time_shuffle(e).distinct()
+    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
+    g = nm.select(
+        (F.col("frame_id") - F.lag("frame_id").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return (
+        g.groupBy("gap").agg(F.count(F.lit(1)).alias("n")).orderBy("gap")
+    )

@@ -419,3 +419,45 @@ def test_interval_overlap_join_two_relation_matches_reference(spark):
         assert got == expect
 
     check()
+
+
+def test_two_phase_rank_equals_global_row_number(spark):
+    # order-aligned bucketed ranking must equal the naive global rank,
+    # for skewed buckets, empty buckets, and tie-broken orders
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    rows = [(i % 7, (i * 37) % 23, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "b long, k long, i long")
+    got = {
+        r.i: r.rank
+        for r in two_phase_rank(
+            df, F.col("b"), [F.col("b"), "k", "i"], rank_col="rank"
+        ).collect()
+    }
+    w = Window.orderBy("b", "k", "i")
+    want = {
+        r.i: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_time_shuffle_preserves_multisets(spark):
+    from collections import Counter
+
+    from neo4j_dynagraph_spark.operators.rank import time_shuffle
+
+    rows = [(f, a, b) for f in range(6) for a, b in [(1, 2), (1, 3), (2, 3)]][:14]
+    df = spark.createDataFrame(rows, "frame_id long, actor1 long, actor2 long")
+    out = time_shuffle(df).collect()
+    assert Counter(r.frame_id for r in out) == Counter(f for f, _, _ in rows)
+    assert Counter((r.actor1, r.actor2) for r in out) == Counter(
+        (a, b) for _, a, b in rows
+    )
+    # determinism: same input -> identical permutation
+    again = time_shuffle(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
