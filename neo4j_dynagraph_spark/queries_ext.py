@@ -2623,30 +2623,42 @@ def q_topk_per_actor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k: each actor's top-3 co-presence partners by
     shared-frame count, deterministic tie-break (count desc, partner
     asc). The grouped-top-k operator the global q_topk
-    (TakeOrderedAndProject) can't express — one pair-count aggregate
-    then a row_number window partitioned by actor, both map-side
-    combinable on the same key family."""
+    (TakeOrderedAndProject) can't express. Shape matters at scale:
+    the frame-distinct count aggregates the (large) interaction stream
+    ONCE on canonical pairs, and only the |pairs|-sized count table is
+    symmetrized — via explode(array(..)), not a union, so the
+    expensive pair subtree isn't duplicated per branch (a union here
+    measured 390 s vs 9 s at sf1). Then one row_number window
+    partitioned by actor."""
     from neo4j_dynagraph_spark import queries as qmod
     from pyspark.sql import Window
 
     e = qmod._edges(spark, sf_dir)
-    sym = e.select(
-        F.col("actor1").alias("actor"),
-        F.col("actor2").alias("partner"),
-        "frame_id",
-    ).unionByName(
-        e.select(
-            F.col("actor2").alias("actor"),
-            F.col("actor1").alias("partner"),
-            "frame_id",
-        )
+    # presence_to_frame_interactions emits exactly one row per
+    # (frame, pair) — the presence input is an aggregate keyed by
+    # (frame, actor) — so the distinct-frame count is a plain count,
+    # sparing count_distinct's second aggregation pass
+    cnt = e.groupBy("actor1", "actor2").agg(
+        F.count(F.lit(1)).alias("n_frames")
     )
-    cnt = sym.groupBy("actor", "partner").agg(
-        F.countDistinct("frame_id").alias("n_frames")
-    )
+    sym = cnt.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("actor1").alias("actor"),
+                    F.col("actor2").alias("partner"),
+                ),
+                F.struct(
+                    F.col("actor2").alias("actor"),
+                    F.col("actor1").alias("partner"),
+                ),
+            )
+        ).alias("ap"),
+        "n_frames",
+    ).select("ap.actor", "ap.partner", "n_frames")
     w = Window.partitionBy("actor").orderBy(F.desc("n_frames"), "partner")
     return (
-        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        sym.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("actor", "rnk", "partner", "n_frames")
         .orderBy("actor", "rnk")
