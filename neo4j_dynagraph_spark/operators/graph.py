@@ -337,12 +337,12 @@ def pagerank(
     each round's join is co-located (no re-shuffle of the big side).
     Columns: actor, rank (rounded 1e-6, desc).
     """
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
     adj = (
-        symmetrize(edges.select("actor1", "actor2").distinct())
-        .join(
-            symmetrize(edges.select("actor1", "actor2").distinct())
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("degree")),
+        sym.join(
+            sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree")),
             "src",
         )
         .localCheckpoint()
@@ -567,7 +567,12 @@ def label_propagation(edges: DataFrame, n_iter: int = 2) -> DataFrame:
 
     if n_iter < 0:
         raise ValueError("n_iter must be non-negative")
-    sym = symmetrize(edges.select("actor1", "actor2").distinct())
+    # checkpoint the symmetrized edge list once: every round joins it,
+    # and without truncation each round's plan re-derives the whole
+    # upstream distinct/symmetrize subtree (n_iter-deep nesting)
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("actor"))
         .distinct()
