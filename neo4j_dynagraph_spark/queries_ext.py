@@ -2719,3 +2719,29 @@ def q_null_model_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         g.groupBy("gap").agg(F.count(F.lit(1)).alias("n")).orderBy("gap")
     )
+
+
+@query(
+    "q_stream_dedup_docs",
+    oracle="""
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+FROM documents GROUP BY md5(text) ORDER BY doc_id
+""",
+)
+def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup: the documents stream drained through
+    the first-seen content-hash filter (foreachBatch + the versioned
+    seen-hash DimensionStore; replay-safe per-batch outputs) — the
+    ingest-edge "have we seen this doc" service, equal to batch exact
+    dedup's min-id survivors when batches arrive in id order
+    (streaming/incremental_dedup.py; multi-batch arrival order and
+    store growth pinned by unit test)."""
+    from neo4j_dynagraph_spark.streaming.incremental_dedup import (
+        stream_dedup_documents,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    out = stream_dedup_documents(
+        spark, f"{sf_dir}/documents.parquet", schema
+    )
+    return out.orderBy("doc_id")

@@ -482,3 +482,45 @@ def test_drain_restart_is_idempotent(spark, tmp_path):
     # watermark stops 10 min before it) and restarts add no duplicates
     got = sorted((r["window"].start, r["count"]) for r in out.collect())
     assert [c for _, c in got] == [3, 3]
+
+
+def test_incremental_dedup_multibatch_first_seen(spark, tmp_path):
+    """Shards arrive one micro-batch at a time: a hash seen in an
+    earlier batch must suppress later duplicates (cross-batch state via
+    the DimensionStore), within-batch dups resolve to min doc_id, and
+    the union of batch outputs equals batch exact dedup."""
+    from neo4j_dynagraph_spark.streaming.incremental_dedup import (
+        stream_dedup_documents,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # shard 0: ids 1-3 (one internal dup pair); shard 1: id 4 dups a
+    # shard-0 text, id 5 is novel; shard 2: id 6 dups shard-1's novel
+    shards = [
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        [(4, "beta"), (5, "gamma")],
+        [(6, "gamma"), (7, "delta")],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"shard_{i}"))
+        # flatten: move part file up so the dir is one flat shard set
+    import glob
+    import os
+    import shutil
+
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        # stagger mtimes so the file source's order matches shard order
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    out = stream_dedup_documents(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == {1, 2, 5, 7}
