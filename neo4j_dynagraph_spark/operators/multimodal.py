@@ -107,6 +107,11 @@ def decode_ppm(payload: bytes) -> dict:
     plane = payload[i : i + width * height * bpp]
     if len(plane) != width * height * bpp:
         raise ValueError("pixel plane shorter than header promises")
+    if len(payload) != i + width * height * bpp:
+        # strict both ways: trailing bytes mean the header lies about
+        # the raster (e.g. a bit-flipped P6 magic reinterpreting an RGB
+        # plane as grayscale) — found by the mutation fuzzer
+        raise ValueError("trailing bytes after the pixel plane")
     return {
         "width": width,
         "height": height,
