@@ -750,3 +750,32 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_neg_logp"),
         )
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist a curated corpus as the loader-ready shard layout: one
+    partition directory per deterministic :func:`train_shards` shard,
+    rows sorted by in-shard position so a sequential file read IS the
+    training order, optional ``maxRecordsPerFile`` so no single file
+    outgrows a loader's memory budget (the knob that matters when one
+    shard is terabytes).
+
+    End of the q_training_mix story: dedup -> quality -> decontam ->
+    pack -> THIS sink; readers glob ``shard=N/`` directories and get
+    the reproducible global permutation with no shuffle at load time.
+    """
+    assigned = docs.join(train_shards(docs, n_shards), "doc_id")
+    writer = (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(out_dir)

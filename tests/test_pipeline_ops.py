@@ -461,3 +461,34 @@ def test_time_shuffle_preserves_multisets(spark):
     # determinism: same input -> identical permutation
     again = time_shuffle(df).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import glob
+
+    from neo4j_dynagraph_spark.operators.text import (
+        train_shards,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, max_records_per_file=7)
+
+    # one directory per shard; file row counts respect the cap
+    shard_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(shard_dirs) == 4
+    for d in shard_dirs:
+        for f in glob.glob(f"{d}/*.parquet"):
+            assert spark.read.parquet(f).count() <= 7
+
+    # read-back equals the deterministic assignment, order reproducible
+    back = spark.read.parquet(out)
+    want = {
+        (r.doc_id, r.shard, r.pos)
+        for r in train_shards(docs, 4).collect()
+    }
+    got = {(r.doc_id, r.shard, r.pos) for r in back.collect()}
+    assert got == want
