@@ -1,0 +1,72 @@
+"""Portable cardinality sketch: k-minimum-values (KMV).
+
+`approx_count_distinct` (HLL++) is the engine-native fast path, but
+its register layout is engine-internal — no independent system can
+verify the estimate, which is why q_approx_distinct is a rows-only
+registry entry. KMV is the portable alternative: hash every value
+with the repo's cross-engine 60-bit hash, keep the k smallest
+normalized hashes per group, and estimate distinct = (k-1) / u_k
+(u_k = the k-th smallest hash mapped into (0,1]; Bar-Yossef et al.'s
+classic estimator). Every step is deterministic arithmetic over a
+portable hash, so a DuckDB oracle replays the ENTIRE sketch and the
+estimate hash-matches — the sketch you reach for when cross-engine
+auditability of the estimate itself matters.
+
+Scale shape: one dedup aggregate on (group, value) — map-side
+combined — then a per-group row_number window over the deduped
+stream and a k-row-per-group aggregate. State is O(k) per group; the
+window partitions by group, so parallelism is the group count (use
+the engine-native HLL when you need a single global count on one
+key — or salt the dedup stage, which is the only corpus-sized step).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from neo4j_dynagraph_spark import functions as dfn
+
+_TWO_60 = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    k: int = 64,
+    seed: str = "kmv:",
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Columns: <group_col>, n_seen (values held by the sketch —
+    min(k, group's distinct count)), est_distinct (the KMV estimate;
+    when the sketch is not full the group's distinct count was
+    observed exactly and is returned as-is), both deterministic.
+    Estimate rounded at 1e-6 (the cross-engine float rule).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # map into (0, 1]: (h + 1) / 2^60 — h is uniform on [0, 2^60)
+    u = (dfn.hash64(F.concat(F.lit(seed), value.cast("string"))) + 1) / F.lit(
+        _TWO_60
+    )
+    vals = df.select(F.col(group_col), u.alias("u")).distinct()
+    w = Window.partitionBy(group_col).orderBy("u")
+    topk = vals.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (
+        topk.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.max(F.when(F.col("rn") == k, F.col("u"))).alias("u_k"),
+        )
+        .select(
+            group_col,
+            F.col("n_seen").cast("long"),
+            F.round(
+                F.when(F.col("u_k").isNotNull(), (F.lit(k) - 1) / F.col("u_k"))
+                .otherwise(F.col("n_seen").cast("double")),
+                6,
+            ).alias("est_distinct"),
+        )
+    )

@@ -2745,3 +2745,59 @@ def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/documents.parquet", schema
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+WITH v AS (SELECT DISTINCT event_type,
+                  (({_H64.format(x="'kmv:' || user_id")}) + 1)
+                    / 1152921504606846976.0 AS u
+           FROM events),
+r AS (SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM v),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,
+             round(CASE WHEN max(CASE WHEN rn = 64 THEN u END) IS NOT NULL
+                        THEN 63 / max(CASE WHEN rn = 64 THEN u END)
+                        ELSE count(*) END, 6) AS est_distinct
+      FROM r WHERE rn <= 64 GROUP BY 1),
+x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1)
+SELECT s.event_type, s.n_seen, s.est_distinct, x.exact_distinct,
+       round(abs(s.est_distinct - x.exact_distinct) / x.exact_distinct, 6)
+         AS rel_err
+FROM s JOIN x USING (event_type) ORDER BY s.event_type
+""",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via the PORTABLE KMV
+    sketch (operators/sketch.py) — the cross-engine-verifiable twin of
+    q_approx_distinct's engine-native HLL: the oracle replays the
+    whole sketch (portable hash -> k smallest -> (k-1)/u_k estimator)
+    and the ESTIMATE ITSELF hash-matches, alongside the exact count
+    and the realized relative error. Use HLL for raw speed on one
+    global key; use KMV when the estimate must be auditable by an
+    independent engine."""
+    from neo4j_dynagraph_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "event_type", F.col("user_id"), k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_seen",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

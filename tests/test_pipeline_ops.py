@@ -492,3 +492,25 @@ def test_write_training_shards_layout(spark, tmp_path):
     }
     got = {(r.doc_id, r.shard, r.pos) for r in back.collect()}
     assert got == want
+
+
+def test_kmv_distinct_matches_python_reference(spark):
+    import hashlib
+
+    from neo4j_dynagraph_spark.operators.sketch import kmv_distinct
+
+    def h(v):
+        return (int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:15], 16) + 1) / float(1 << 60)
+
+    # group "a": 200 distinct (sketch full at k=16); group "b": 5 (exact path)
+    rows = [("a", i) for i in range(200)] * 2 + [("b", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n_seen, r.est_distinct)
+        for r in kmv_distinct(df, "g", F.col("v"), k=16).collect()
+    }
+    ua = sorted(h(v) for v in range(200))
+    assert got["a"] == (16, round(15 / ua[15], 6))
+    assert got["b"] == (5, 5.0)
+    # the estimator should be in the right ballpark (KMV @ k=16 ~ 25% rse)
+    assert 100 < got["a"][1] < 400
