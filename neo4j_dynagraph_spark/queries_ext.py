@@ -2801,3 +2801,60 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_sample_quantiles",
+    oracle=f"""
+WITH s AS (SELECT event_type, value FROM events
+           WHERE ({_H64.format(x="'qs:' || event_id")}) % 20 = 0),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+             quantile_cont(value, 0.5) AS p50_sample
+      FROM s GROUP BY 1),
+x AS (SELECT event_type, quantile_cont(value, 0.5) AS p50_exact
+      FROM events GROUP BY 1)
+SELECT a.event_type, a.n_sample, a.p50_sample, x.p50_exact,
+       round(abs(a.p50_sample - x.p50_exact), 6) AS abs_err
+FROM a JOIN x USING (event_type) ORDER BY a.event_type
+""",
+)
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via DETERMINISTIC hash sampling — the
+    portable, cross-engine-auditable twin of q_approx_quantiles' GK
+    sketch (the same relationship q_kmv_distinct has to HLL): a 5%
+    subset selected by the portable hash (every engine picks the SAME
+    rows — no RNG state, re-runs identical), exact interpolated
+    median over the sample beside the full-data exact, with the
+    realized error. At 100 TB the sample is what you push through the
+    exact percentile; the hash filter is map-side and the sampled
+    aggregate's state is 5% of the group."""
+    import neo4j_dynagraph_spark.functions as dfn
+
+    ev = load_table(spark, sf_dir, "events")
+    samp = ev.where(
+        dfn.hash64(
+            F.concat(F.lit("qs:"), F.col("event_id").cast("string"))
+        )
+        % 20
+        == 0
+    )
+    a = samp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.expr("percentile(value, 0.5)").alias("p50_sample"),
+    )
+    x = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact")
+    )
+    return (
+        a.join(x, "event_type")
+        .select(
+            "event_type",
+            "n_sample",
+            "p50_sample",
+            "p50_exact",
+            F.round(
+                F.abs(F.col("p50_sample") - F.col("p50_exact")), 6
+            ).alias("abs_err"),
+        )
+        .orderBy("event_type")
+    )
