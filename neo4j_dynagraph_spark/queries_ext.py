@@ -2858,3 +2858,58 @@ def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_QUALITY_SQL = """
+f AS (SELECT t.doc_id,
+        ln(1.0 + CAST(len(t.t) AS DOUBLE)) AS f_len,
+        len(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE) AS f_ttr,
+        len(list_filter(t.t, x -> x = 'the' OR x = 'a' OR x = 'of'
+                               OR x = 'and' OR x = 'to'))
+          / CAST(greatest(len(t.t), 1) AS DOUBLE) AS f_stop,
+        len(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+          / CAST(greatest(len(lower(d.text)), 1) AS DOUBLE) AS f_alpha,
+        CAST(list_sum(list_transform(t.t, x -> len(x))) AS DOUBLE)
+          / CAST(len(t.t) AS DOUBLE) AS f_wordlen
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE len(t.t) > 0),
+q AS (SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(-3.0 + 0.6 * f_len + 2.0 * f_ttr
+                   + 4.0 * f_stop + 3.0 * f_alpha + -0.2 * f_wordlen))), 6)
+               AS quality
+      FROM f)
+"""
+
+
+@query(
+    "q_quality_sample",
+    oracle=f"""
+WITH {_TOK_CTE},
+{_QUALITY_SQL}
+SELECT doc_id, quality
+FROM q
+WHERE (({_H64.format(x="'qsamp:' || doc_id")}) + 1) / 1152921504606846976.0
+      < quality
+ORDER BY doc_id
+""",
+)
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic downsampling (the FineWeb-style
+    curriculum knob, completing the mixture family beside the
+    per-source token-budget sampler): each doc is kept with
+    probability equal to its model quality score, decided by the
+    portable hash — p(keep) = quality, zero RNG state, every engine
+    and every re-run selects the IDENTICAL subset. One scan, map-side
+    filter; the oracle replays the quality model AND the coin flip."""
+    import neo4j_dynagraph_spark.functions as dfn
+
+    scored = text.quality_score(_docs(spark, sf_dir))
+    u = (
+        dfn.hash64(F.concat(F.lit("qsamp:"), F.col("doc_id").cast("string")))
+        + 1
+    ) / F.lit(float(1 << 60))
+    return (
+        scored.where(u < F.col("quality"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
