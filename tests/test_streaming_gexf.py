@@ -524,3 +524,76 @@ def test_incremental_dedup_multibatch_first_seen(spark, tmp_path):
     )
     got = {r.doc_id for r in out.collect()}
     assert got == {1, 2, 5, 7}
+
+
+def test_stream_interval_overlap_property_equals_batch(spark, tmp_path):
+    """Randomized stream==batch for the time-range join: arbitrary
+    event types, sub-second offsets, duplicates-in-time, and whichever
+    row happens to carry max ts (the sentinel template) — the drained
+    stream must equal the floored-second batch reference exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_dynagraph_spark.streaming.intervals import (
+        stream_interval_overlap_from_parquet,
+    )
+
+    import datetime as dt
+
+    spell = 300
+    types = ["signup", "purchase", "click"]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        spec=st.lists(
+            st.tuples(
+                st.integers(0, 2),        # type index
+                st.integers(0, 1500),     # offset seconds
+                st.integers(0, 999),      # sub-second millis
+            ),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    def check(spec):
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            (i, base + dt.timedelta(seconds=off, milliseconds=ms), i, types[t])
+            for i, (t, off, ms) in enumerate(spec)
+        ]
+        src = str(
+            tmp_path / f"ev_{abs(hash(tuple(spec))) % 10**9}.parquet"
+        )
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        got = {
+            r.e2: (r.n_overlaps, r.sum_overlap_s)
+            for r in stream_interval_overlap_from_parquet(
+                spark, src, schema, spell_seconds=spell
+            ).collect()
+        }
+        es = {
+            i: int((t - dt.datetime(1970, 1, 1)).total_seconds())
+            for i, t, _, _ in rows
+        }
+        typ = {i: ty for i, _, _, ty in rows}
+        expect = {}
+        for p in [i for i in es if typ[i] == "purchase"]:
+            ov = [
+                min(es[sx], es[p]) + spell - max(es[sx], es[p])
+                for sx in es
+                if typ[sx] == "signup"
+                and es[sx] < es[p] + spell
+                and es[p] < es[sx] + spell
+            ]
+            if ov:
+                expect[p] = (len(ov), sum(ov))
+        assert got == expect
+
+    check()
