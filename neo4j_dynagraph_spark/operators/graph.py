@@ -33,6 +33,14 @@ def symmetrize(edges: DataFrame, a1: str = "actor1", a2: str = "actor2") -> Data
 
     Keeps all other columns. Equivalent of Cypher's `-[]-` undirected
     expansion (e.g. cypher_query_timing.py:119).
+
+    The union evaluates the INPUT subtree once per branch (Spark does
+    no cross-branch CSE), and a downstream consumer that references
+    the result k times multiplies that again — so every iterative
+    caller in this module checkpoints the symmetrized set immediately
+    (measured: LPA at sf1 halved, 30.8 -> 14.3 s). For one-shot
+    endpoint flattening prefer a single explode(array(..)) generator
+    (see `degree`), which scans the subtree once.
     """
     rest = [c for c in edges.columns if c not in (a1, a2)]
     fwd = edges.select(F.col(a1).alias("src"), F.col(a2).alias("dst"), *rest)
