@@ -10,7 +10,10 @@ directory without writing code —
 
 `run` prints up to --limit rows (default 20, the driver never holds
 more); `explain` prints the formatted physical plan (the same text the
-plans_audit/ gate pins, un-normalized).
+plans_audit/ gate pins, un-normalized). The developer-facing twin is
+tools/run_query.py (adds --oracle to print a query's DuckDB SQL and
+per-run timing); this module is the packaged `python -m` entry point
+and adds the discovery `list`.
 """
 
 from __future__ import annotations
