@@ -59,9 +59,19 @@ def _pctl(sorted_samples: list[float], q: float) -> float:
     return sorted_samples[lo] + (sorted_samples[hi] - sorted_samples[lo]) * (pos - lo)
 
 
-# round-6 movers (VERDICT r6): the queries whose medians drifted
-# +15-24% r5->r6 with byte-identical plans — the drift probe set
-DRIFT_PROBES = ["q10_degree", "q_dedup_exact", "q_dedup_minhash", "q_revenue_by_nation"]
+# round-6 movers (VERDICT r6) + round-7 movers (VERDICT r7 nit #2:
+# q9_common_neighbors +16% and q_interval_overlap +15% with unchanged
+# plans): the queries whose medians drifted between rounds — the
+# first/last-in-session probe classifies any future swing on these as
+# environmental vs code
+DRIFT_PROBES = [
+    "q10_degree",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_revenue_by_nation",
+    "q9_common_neighbors",
+    "q_interval_overlap",
+]
 
 
 def _probe(spark, sf_dir: str, n: int = 5) -> dict[str, float]:  # noqa: ANN001

@@ -81,7 +81,10 @@ def interval_overlap_join(
     predicate keeps the pair set exactly-once at any bucket width.
 
     Returns (e1, e2, u1, u2, overlap_s) with
-    overlap_s = min(t2) - max(t1) > 0. `bucket_seconds` defaults to
+    overlap_s = min(t2) - max(t1) > 0. Empty intervals (t2 <= t1 —
+    no instants under the half-open contract) are filtered out of
+    both sides, so the overlap_s > 0 guarantee holds for arbitrary
+    inputs. `bucket_seconds` defaults to
     :func:`auto_bucket_seconds` on the input (the union of both sides
     in the two-relation form — an extra O(1)-output aggregate job;
     pass it explicitly in hot paths or when the width is known, e.g.
@@ -100,7 +103,16 @@ def interval_overlap_join(
     w = F.lit(bucket_seconds)
 
     def bucketed(df: DataFrame) -> DataFrame:
-        return df.select(*cols).withColumn(
+        # half-open [t1, t2) contract: an EMPTY interval (t2 <= t1)
+        # contains no instants, so it can overlap nothing — but the
+        # strict predicates below (a.t1 < b.t2 && b.t1 < a.t2) can
+        # still both hold against it with min(t2) - max(t1) = 0,
+        # violating the documented overlap_s > 0 contract, and
+        # F.sequence(t1 div w, (t2-1) div w) would step DESCENDING.
+        # Filter degenerates out at the scan so arbitrary inputs keep
+        # the contract (all current callers use positive spell
+        # lengths; this is the latent-input guard).
+        return df.select(*cols).filter(F.col(t2) > F.col(t1)).withColumn(
             "_bucket",
             F.explode(
                 F.sequence(

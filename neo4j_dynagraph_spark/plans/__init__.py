@@ -37,8 +37,12 @@ def normalize_plan(s: str) -> str:
     # per session (MapPartitionsRDD[2368] at localCheckpoint at ...:0)
     s = re.sub(r"RDD\[\d+\] at (\w+) at [^,]+", r"RDD[N] at \1 at SITE", s)
     # engine temp dirs (drain sinks, upsert dimension stores) carry
-    # random per-run suffixes / content-hash version dirs
-    s = re.sub(r"/tmp/dynagraph_[^\]\s,]*", "/tmp/dynagraph_PATH", s)
+    # random per-run suffixes / content-hash version dirs; they come
+    # from tempfile.mkdtemp which honors TMPDIR, so match any leading
+    # directory — not just /tmp — and rewrite to one canonical token
+    # prefix class is path chars only — NOT \S, which would eat the
+    # surrounding "[file:" decoration of InMemoryFileIndex nodes
+    s = re.sub(r"[\w./-]*/dynagraph_[^\]\s,]*", "/tmp/dynagraph_PATH", s)
     return s
 
 

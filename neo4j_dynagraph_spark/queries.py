@@ -1895,11 +1895,16 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping replication at <= 2 copies per interval. A true interval
     join as a bucketed hash join instead of a cartesian. Implemented
     by the reusable operators/intervals.py:interval_overlap_join,
-    whose auto-sizer reads the bucket off the data (p99 interval
-    length -> 1800 s here); the emitted pair set is bucket-width
-    INVARIANT (the first-shared-bucket dedup guarantees each
-    overlapping pair exactly once at any width), so the hour-bucket
-    oracle verifies the auto-sized engine run."""
+    the emitted pair set is bucket-width INVARIANT (the
+    first-shared-bucket dedup guarantees each overlapping pair exactly
+    once at any width), so the hour-bucket oracle verifies the engine
+    run at any bucket. The width is passed EXPLICITLY here — the spell
+    length is the module constant SPELL_LEN, so the operator's
+    auto-sizer (an extra O(1)-output percentile job per invocation;
+    its own docstring says 'pass it explicitly in hot paths') would
+    only rediscover the same 1800 s at the cost of a fixed job. The
+    auto-sized path stays covered by the hypothesis bucket-width
+    property test (tests/test_pipeline_ops.py)."""
     from neo4j_dynagraph_spark.operators.intervals import interval_overlap_join
 
     ev = _events(spark, sf_dir)
@@ -1910,7 +1915,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.alias("t1"),
         (es + SPELL_LEN).alias("t2"),
     )
-    return interval_overlap_join(sp)
+    return interval_overlap_join(sp, bucket_seconds=SPELL_LEN)
 
 
 @query(

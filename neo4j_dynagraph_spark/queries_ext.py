@@ -2809,9 +2809,9 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (SELECT event_type, value FROM events
            WHERE ({_H64.format(x="'qs:' || event_id")}) % 20 = 0),
 a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
-             quantile_cont(value, 0.5) AS p50_sample
+             round(quantile_cont(value, 0.5), 6) AS p50_sample
       FROM s GROUP BY 1),
-x AS (SELECT event_type, quantile_cont(value, 0.5) AS p50_exact
+x AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact
       FROM events GROUP BY 1)
 SELECT a.event_type, a.n_sample, a.p50_sample, x.p50_exact,
        round(abs(a.p50_sample - x.p50_exact), 6) AS abs_err
@@ -2838,12 +2838,16 @@ def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 20
         == 0
     )
+    # round(x, 6) on BOTH engines — the repo's cross-engine rule for
+    # every exported double aggregate: Spark percentile vs DuckDB
+    # quantile_cont bit-equality is only established for integer
+    # inputs, so unrounded doubles risk a 1-ulp interpolation gap
     a = samp.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sample"),
-        F.expr("percentile(value, 0.5)").alias("p50_sample"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_sample"),
     )
     x = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50_exact")
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact")
     )
     return (
         a.join(x, "event_type")

@@ -278,7 +278,7 @@ def test_interval_overlap_join_matches_python_reference(spark):
             st.tuples(
                 st.integers(0, 5),        # key (user)
                 st.integers(0, 20_000),   # start second
-                st.integers(1, 9_000),    # length: seconds to 2.5 h
+                st.integers(0, 9_000),    # length: 0 (EMPTY) to 2.5 h
             ),
             min_size=2,
             max_size=25,
@@ -300,7 +300,11 @@ def test_interval_overlap_join_matches_python_reference(spark):
             (i, j, ki, kj, min(e1, e2) - max(s1, s2))
             for i, (ki, s1, e1) in ((i, (k, s, s + ln)) for i, (k, s, ln) in enumerate(spec))
             for j, (kj, s2, e2) in ((j, (k, s, s + ln)) for j, (k, s, ln) in enumerate(spec))
-            if ki < kj and s1 < e2 and s2 < e1
+            # half-open [t1, t2): an EMPTY interval (e == s) contains
+            # no instants, so it overlaps nothing even though the
+            # strict predicates can both hold against it — the
+            # operator filters degenerates, the reference must too
+            if ki < kj and s1 < e2 and s2 < e1 and e1 > s1 and e2 > s2
         )
         assert got == expect
         if bucket is None:

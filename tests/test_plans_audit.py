@@ -58,7 +58,10 @@ def spark_plans():
 def test_plan_audit_current(name, spark_plans):
     s = audit_plan(spark_plans, REGISTRY[name], SF_PLANS)
     if s is None:
-        pytest.skip("streaming runner: no static batch plan")
+        # only reachable for entries pinned in EXPECTED_PLAN_SKIPS
+        # (tools/explain_all.py) — any other raise propagates and
+        # fails this gate instead of skipping
+        pytest.skip(f"{name} pinned in EXPECTED_PLAN_SKIPS")
     path = AUDIT_DIR / f"{name}.txt"
     assert path.exists(), (
         f"no committed plan audit for {name}: run tools/explain_all.py "
