@@ -2166,11 +2166,25 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-recorded). Registration order above follows the source layout,
 # which is not the priority order — so the registry is explicitly
 # reordered here: every SURVEY.md §2-mapped operator family (reference
-# core, ingest, functions, temporal joins, streaming T1-T5, dedup,
-# similarity, text core) sits inside the graded window; the demoted
-# tail is the non-§2 extension surface (TPC-H-style SQL extras,
-# iterative graph extras, redundant variants, multimodal stubs), all
-# still covered by check_parity + unit tests.
+# core, ingest, temporal joins, streaming T1-T5, dedup, similarity,
+# text core) sits inside the graded window; the demoted tail is
+# everything whose driver grade would be redundant with the local
+# 130/130 check_parity run (same protocol, not driver-recorded).
+#
+# ROTATION (round 8): driver-grade coverage should TRACK the registry,
+# not pin the same 50 forever — 80 of 130 rows had never been
+# driver-graded. Ten long-stable scalar/function-surface slots
+# (q_runs, q_dateparts, q_format, q_json_extract, q_window_funcs,
+# q_topk, q_asof_join, q_set_ops, q_dedup_simhash, q_doc_fingerprint —
+# each driver-green for 3+ consecutive rounds, each still proven every
+# round by check_parity at sf0.01) rotate out in favor of the round-7
+# additions with hash-matched oracles: the portable sketch twins
+# (q_kmv_distinct, q_sample_quantiles), the bounded fixpoint twins
+# (q_kcore_bounded, q_ktruss_bounded), the CTE-replayed PageRank, the
+# two-phase-rank null model (q_null_model_gaps), ANN recall grading
+# (q_ann_recall), the two-relation interval join (q_campaign_overlap)
+# with its streaming twin (q_stream_campaign), and the day-over-day
+# graph diff (q_graph_diff).
 
 _GRADE_WINDOW = [
     # reference QUERY1..11 (+ the anchored QUERY11 shape,
@@ -2181,34 +2195,33 @@ _GRADE_WINDOW = [
     "q10_degree", "q11_triangles_hour", "q11_anchored",
     # ingest / frame grid / indexes / run namespace
     "ingest_spells", "q_tumbling_window", "q_minmax_ts", "q_dedup_edges",
-    "q_actor_lookup", "q_text_search", "q_runs", "q_frame_chain",
-    # function surface
-    "q_dateparts", "q_format",
-    # aggregation / sort / set-op / window-function / json surface
-    # (q_approx_quantiles and q_embed_ann_lsh are rows-only by design —
-    # no exact ANSI-SQL oracle exists for approximate sketches — so they
-    # live in the demoted tail with their unit tests + local rows-only
-    # checks, and two fully hash-verified queries take the graded slots.)
-    "q_quantiles", "q_json_extract", "q_window_funcs", "q_topk",
-    # temporal joins without discretization
-    "q_asof_join", "q_asof_keyed", "q_interval_overlap", "q_sessionize",
+    "q_actor_lookup", "q_text_search", "q_frame_chain",
+    # aggregation / quantile surface + the portable sketch twins
+    # (q_approx_quantiles and q_approx_distinct are rows-only by design —
+    # no exact ANSI-SQL oracle exists for engine-native sketches — their
+    # PORTABLE twins hold graded slots instead and the native-vs-twin
+    # agreement is pinned by tests/test_oracle_subset.py)
+    "q_quantiles", "q_kmv_distinct", "q_sample_quantiles",
+    # temporal joins without discretization (+ the two-relation form
+    # and its streaming twin)
+    "q_asof_keyed", "q_interval_overlap", "q_sessionize",
+    "q_campaign_overlap", "q_stream_campaign",
     # streaming (batch-equivalence oracles, SURVEY.md §2.9)
     "q_stream_tumbling", "q_stream_dedup", "q_stream_edges",
     "q_stream_sessions",
     # dedup / curation
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_minhash",
     "q_ngram_jaccard", "q_dedup_pipeline", "q_curate",
-    # similarity / embeddings
+    # similarity / embeddings (+ recall grading)
     "q_embed_topk", "q_dedup_embed", "q_dedup_embed_bucketed",
-    "q_embed_ann_ivf",
-    # set-operation surface (E1/E2) — exactly verifiable, so it holds a
-    # graded slot; the stateful streaming-edge variant it displaced
-    # shares q_stream_edges' oracle verbatim (two slots would verify
-    # identical output sets) and is instead covered by the local
-    # check_parity tail run + the differential unit tests.
-    "q_set_ops",
+    "q_embed_ann_ivf", "q_ann_recall",
+    # iterative-graph surface: replay-oracle PageRank, bounded peel
+    # twins of the fixpoint k-core/k-truss, the shuffled null model,
+    # and the day-over-day diff
+    "q_pagerank", "q_kcore_bounded", "q_ktruss_bounded",
+    "q_null_model_gaps", "q_graph_diff",
     # text core
-    "q_text_stats", "q_token_counts", "q_lang_id", "q_doc_fingerprint",
+    "q_text_stats", "q_token_counts", "q_lang_id",
     "q_tfidf_top_terms",
 ]
 
