@@ -28,6 +28,7 @@ def two_phase_rank(
     bucket: Column,
     order_cols: list,
     rank_col: str = "rank",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Global 1-based dense row rank over ``order_cols``, computed as
     bucket-local row_numbers plus broadcast bucket offsets.
@@ -38,8 +39,36 @@ def two_phase_rank(
     two-phase rank equal the global one. Ties must be broken to a
     total order by the tail of ``order_cols`` or ranks are
     nondeterministic.
+
+    ``group_cols`` restarts the rank per group (the grouped form a
+    per-stratum quota sampler needs): buckets split WITHIN each group,
+    the offset prefix-sum runs per group over the tiny
+    (groups x buckets) count table, and no task ever holds more than
+    one (group, bucket) slice — the same reason the ungrouped form
+    never holds more than one bucket. A plain
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` would sort
+    each ENTIRE group in one task, which at 100 TB with a handful of
+    strata is the one-partition window again, just multiplied by the
+    stratum count.
     """
     d = df.withColumn("_b", bucket)
+    if group_cols:
+        w_local = Window.partitionBy(*group_cols, "_b").orderBy(*order_cols)
+        d = d.withColumn("_rn", F.row_number().over(w_local))
+        cnt = d.groupBy(*group_cols, "_b").agg(F.count(F.lit(1)).alias("_c"))
+        w_off = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = cnt.withColumn(
+            "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+        ).select(*group_cols, "_b", "_off")
+        return (
+            d.join(F.broadcast(off), [*group_cols, "_b"])
+            .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+            .drop("_b", "_rn", "_off")
+        )
     w_local = Window.partitionBy("_b").orderBy(*order_cols)
     d = d.withColumn("_rn", F.row_number().over(w_local))
     cnt = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))

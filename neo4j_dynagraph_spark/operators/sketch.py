@@ -52,6 +52,17 @@ def kmv_distinct(
         _TWO_60
     )
     vals = df.select(F.col(group_col), u.alias("u")).distinct()
+    return kmv_estimate(vals, group_col, k)
+
+
+def kmv_estimate(vals: DataFrame, group_col: str, k: int) -> DataFrame:
+    """n_seen / est_distinct from a (group, u) relation of DISTINCT
+    normalized hashes in (0, 1] — only each group's k smallest matter,
+    so the input may be the full deduped hash stream (kmv_distinct's
+    batch path) or an incrementally-maintained pruned sketch of at
+    most k rows per group (streaming/kmv.py); both yield the
+    identical estimate because KMV merge is exactly 'keep the k
+    smallest of the union'."""
     w = Window.partitionBy(group_col).orderBy("u")
     topk = vals.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     return (

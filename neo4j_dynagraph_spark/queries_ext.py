@@ -2748,6 +2748,43 @@ def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_kmv",
+    oracle=f"""
+WITH v AS (SELECT DISTINCT event_type,
+                  (({_H64.format(x="'kmv:' || user_id")}) + 1)
+                    / 1152921504606846976.0 AS u
+           FROM events),
+r AS (SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM v)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,
+       round(CASE WHEN max(CASE WHEN rn = 64 THEN u END) IS NOT NULL
+                  THEN 63 / max(CASE WHEN rn = 64 THEN u END)
+                  ELSE count(*) END, 6) AS est_distinct
+FROM r WHERE rn <= 64 GROUP BY 1 ORDER BY event_type
+""",
+)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL KMV cardinality sketch: the events stream drained
+    through foreachBatch union-prune merges against an O(k x groups)
+    pruned DimensionStore (streaming/kmv.py) — the mergeable-sketch
+    protocol applied across time. Because KMV merge is exactly 'keep
+    the k smallest of the union' (associative, commutative,
+    idempotent), the drained estimate equals the batch
+    q_kmv_distinct bit-for-bit however the stream is chopped into
+    micro-batches — which is what lets the same DuckDB oracle replay
+    a STREAMING sketch's exact output. Multi-batch arrival order and
+    bounded state are pinned by unit test."""
+    from neo4j_dynagraph_spark.streaming.kmv import stream_kmv_distinct
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = stream_kmv_distinct(
+        spark, f"{sf_dir}/events.parquet", schema, k=64
+    )
+    return out.orderBy("event_type")
+
+
+@query(
     "q_kmv_distinct",
     oracle=f"""
 WITH v AS (SELECT DISTINCT event_type,
@@ -2916,4 +2953,63 @@ def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.where(u < F.col("quality"))
         .select("doc_id", "quality")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id,
+             len(list_filter(t, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_en,
+             len(list_filter(t, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_es,
+             len(list_filter(t, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_de
+      FROM tok),
+l AS (SELECT doc_id,
+             CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'unk'
+                  WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+                  WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM s),
+r AS (SELECT doc_id, pred_lang,
+             row_number() OVER (PARTITION BY pred_lang
+                                ORDER BY ({_H64.format(x="'strat:' || doc_id")}), doc_id) AS rk
+      FROM l)
+SELECT doc_id, pred_lang, rk FROM r WHERE rk <= 25
+ORDER BY pred_lang, rk
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED quota sampling — fixed per-stratum budget (here 25
+    docs per predicted language), the balanced-mixture knob beside the
+    probability (q_quality_sample) and token-budget
+    (q_token_budget_sample) samplers: every stratum contributes at
+    most its quota, chosen by the portable hash order so every engine
+    and re-run picks the IDENTICAL subset. Scale shape: the
+    per-stratum rank is the GROUPED two-phase rank
+    (operators/rank.py) — bucket-local row_numbers plus a broadcast
+    per-(stratum, bucket) offset table — never the one-task-per-
+    stratum window a plain PARTITION BY pred_lang would plan; the
+    oracle replays it with the plain window, which the order-aligned
+    bucket split provably equals."""
+    import neo4j_dynagraph_spark.functions as dfn
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    lang = text.lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+    hk = dfn.hash64(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    )
+    ranked = two_phase_rank(
+        lang.withColumn("_hk", hk),
+        # hash keys are uniform on [0, 2^60): top 8 bits are an
+        # order-aligned 256-way bucket
+        F.expr(f"_hk div {1 << 52}"),
+        [F.col("_hk"), "doc_id"],
+        rank_col="rk",
+        group_cols=["pred_lang"],
+    )
+    return (
+        ranked.where(F.col("rk") <= 25)
+        .select("doc_id", "pred_lang", "rk")
+        .orderBy("pred_lang", "rk")
     )

@@ -52,8 +52,14 @@ class DimensionStore:
         new = batch.select(*self.key_cols).distinct()
         existing = self.read()
         merged = new if existing is None else existing.unionByName(new).distinct()
+        self._commit(merged)
+
+    def _commit(self, df: DataFrame) -> None:
+        """Versioned write + atomic pointer flip — the commit half of
+        the protocol, shared by merge() and subclasses with their own
+        merge semantics (e.g. the pruned KMV sketch store)."""
         version = f"v_{uuid.uuid4().hex[:12]}"
-        merged.write.mode("overwrite").parquet(os.path.join(self.root, version))
+        df.write.mode("overwrite").parquet(os.path.join(self.root, version))
         tmp = tempfile.NamedTemporaryFile(
             "w", dir=self.root, delete=False, suffix=".ptr"
         )

@@ -526,6 +526,67 @@ def test_incremental_dedup_multibatch_first_seen(spark, tmp_path):
     assert got == {1, 2, 5, 7}
 
 
+def test_stream_kmv_multibatch_equals_batch(spark, tmp_path):
+    """The incremental KMV sketch drained one micro-batch at a time
+    must equal the batch kmv_distinct bit-for-bit (KMV merge = keep
+    the k smallest of the union, whatever the batch chopping), and the
+    store must hold at most k rows per group at the end. k=4 with 10+
+    distinct values per group forces real pruning across batches."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.sketch import kmv_distinct
+    from neo4j_dynagraph_spark.streaming.kmv import stream_kmv_distinct
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # 3 shards, 2 groups, overlapping values so cross-batch dedup and
+    # pruning both matter
+    shards = [
+        [("a", v) for v in range(8)] + [("b", v) for v in range(5)],
+        [("a", v) for v in range(4, 14)] + [("b", v) for v in (1, 99)],
+        [("a", 100), ("b", 100), ("b", 0)],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "event_type string, user_id long"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    store_root = str(tmp_path / "kmv_store")
+    streamed = stream_kmv_distinct(
+        spark,
+        str(src),
+        schema,
+        k=4,
+        store_root=store_root,
+        max_files_per_trigger=1,
+    )
+    batch = kmv_distinct(
+        spark.read.parquet(str(src)), "event_type", F.col("user_id"), k=4
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) == 2
+    # bounded state: the committed sketch holds <= k rows per group
+    from neo4j_dynagraph_spark.streaming.kmv import KMVStore
+
+    state = KMVStore(spark, store_root, "event_type", 4).read()
+    per_group = {
+        r.event_type: r.n
+        for r in state.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_group == {"a": 4, "b": 4}
+
+
 def test_stream_interval_overlap_property_equals_batch(spark, tmp_path):
     """Randomized stream==batch for the time-range join: arbitrary
     event types, sub-second offsets, duplicates-in-time, and whichever
