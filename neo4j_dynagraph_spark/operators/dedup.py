@@ -290,3 +290,49 @@ def ngram_jaccard_pairs(
         .where(jac >= threshold)
         .select("d1", "d2", F.round(jac, 6).alias("jac"))
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by 3-gram containment:
+    C = |A∩B| / min(|A|, |B|) — the containment of the smaller
+    shingle set in the larger. Jaccard misses a short doc fully
+    quoted inside a much longer one (|I|/(|A|+|B|-|I|) shrinks with
+    the size gap); containment stays 1.0, which is why boilerplate /
+    quote / superset detection thresholds on C, not J. Same candidate
+    generation as the Jaccard verify (pairs sharing >= 1 shingle
+    within the block — never all-pairs), same scale shape; emits
+    (d1, d2, cont, jac) with jac alongside so downstream policy can
+    distinguish true near-dups (both high) from asymmetric
+    containments (high C, low J)."""
+    sh = shingles_df(docs, text_col)
+    join_keys = [F.col("a.shingle") == F.col("b.shingle"),
+                 F.col("a.doc_id") < F.col("b.doc_id")]
+    if block_col and block_col in sh.columns:
+        join_keys.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), join_keys[0] & join_keys[1] & (join_keys[2] if len(join_keys) > 2 else F.lit(True)))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(na, "d1")
+        .join(nb, "d2")
+        .where(cont >= threshold)
+        .select(
+            "d1",
+            "d2",
+            F.round(cont, 6).alias("cont"),
+            F.round(jac, 6).alias("jac"),
+        )
+    )

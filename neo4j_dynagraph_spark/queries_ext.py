@@ -207,6 +207,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ngram_containment",
+    oracle=f"""
+WITH {_TOK_CTE}, {_SH_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2,
+       round(c / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS cont,
+       round(c / CAST(na.n + nb.n - c AS DOUBLE), 6) AS jac
+FROM inter
+JOIN sz na ON na.doc_id = d1
+JOIN sz nb ON nb.doc_id = d2
+WHERE c / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.9
+ORDER BY d1, d2
+""",
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: 3-gram containment
+    C = |A∩B| / min(|A|, |B|) >= 0.9, with Jaccard alongside. The
+    boilerplate/quote/superset case Jaccard structurally misses — a
+    short doc fully embedded in a long one has C = 1.0 while J
+    shrinks with the size gap — so curation policy thresholds C for
+    containment removal and J for true near-dup collapse. Same
+    blocked candidate generation as q_ngram_jaccard (pairs sharing a
+    shingle within source — never all-pairs)."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), threshold=0.9, block_col="source"
+    ).orderBy("d1", "d2")
+
+
+@query(
     "q_curate",
     oracle=f"""
 WITH {_TOK_CTE},

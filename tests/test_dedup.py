@@ -59,6 +59,33 @@ def test_ngram_jaccard(docs):
     assert not any(3 in k for k in out)
 
 
+def test_ngram_containment_asymmetric(spark):
+    """The case containment exists for: a short doc fully embedded in a
+    much longer one has C = 1.0 while Jaccard shrinks with the size gap
+    below any near-dup threshold — and an unrelated pair passes
+    neither."""
+    long_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, long_text, "s0"),
+        (1, "epsilon zeta eta theta", "s0"),  # contiguous quote of 0
+        (2, "totally unrelated words in some other tiny document", "s0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.d1, r.d2): (r.cont, r.jac)
+        for r in dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert set(got) == {(0, 1)}
+    cont, jac = got[(0, 1)]
+    assert cont == 1.0  # every shingle of the quote appears in the long doc
+    assert jac < 0.5  # Jaccard would have missed it at any dedup threshold
+    # Jaccard pairs at the same inputs: nothing passes 0.5
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
 def test_boilerplate_skew_capped_and_observed(spark):
     # A boilerplate corpus: 40 docs with IDENTICAL text collapse to one
     # signature -> one degenerate bucket per band. The default cap must
