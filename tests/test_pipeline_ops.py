@@ -450,6 +450,54 @@ def test_two_phase_rank_equals_global_row_number(spark):
     assert got == want
 
 
+def test_grouped_two_phase_rank_equals_per_group_row_number(spark):
+    # the grouped form (per-stratum quota sampling) must equal a plain
+    # row_number() OVER (PARTITION BY group ORDER BY ...) — property
+    # test over arbitrary group/bucket/key shapes, including groups
+    # smaller than one bucket and groups spanning many buckets
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        spec=st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y", "z"]),  # group
+                st.integers(0, 99),                # sort key
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        bucket_div=st.sampled_from([1, 10, 50, 200]),
+    )
+    def check(spec, bucket_div):
+        rows = [(g, k, i) for i, (g, k) in enumerate(spec)]
+        df = spark.createDataFrame(rows, "g string, k long, i long")
+        got = {
+            r.i: r.rk
+            for r in two_phase_rank(
+                df,
+                F.expr(f"k div {bucket_div}"),
+                [F.col("k"), "i"],
+                rank_col="rk",
+                group_cols=["g"],
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy("k", "i")
+        want = {
+            r.i: r.rk
+            for r in df.withColumn(
+                "rk", F.row_number().over(w).cast("long")
+            ).collect()
+        }
+        assert got == want
+
+    check()
+
+
 def test_time_shuffle_preserves_multisets(spark):
     from collections import Counter
 
