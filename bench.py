@@ -71,6 +71,9 @@ DRIFT_PROBES = [
     "q_revenue_by_nation",
     "q9_common_neighbors",
     "q_interval_overlap",
+    # r8 mover: swung -30% in r7 then +10% in r8, plans byte-identical
+    # both times — classify the next swing with the instrument
+    "q_training_mix",
 ]
 
 
