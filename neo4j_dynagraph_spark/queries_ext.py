@@ -1876,6 +1876,53 @@ def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_rolling_active",
+    oracle="""
+WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM p),
+c AS (SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day,
+             user_id
+      FROM p),
+w AS (SELECT c.day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM c JOIN days USING (day) GROUP BY 1),
+d AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM p GROUP BY 1)
+SELECT day, dau, wau FROM d JOIN w USING (day) ORDER BY day
+""",
+)
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling activity: per day, DAU and trailing-7-day WAU (distinct
+    users active in [day-6, day]) — the freshness dashboard every
+    activity pipeline runs. Scale shape: distinct (day, user) pairs
+    first (the only corpus-sized aggregate, map-side combined), then
+    each pair EXPLODES into the <= 7 output days it contributes to and
+    the rolling distinct becomes a plain equi-shuffled
+    count(DISTINCT) — no range join (a day-grid x pairs non-equi join
+    would plan BroadcastNestedLoopJoin) and no 7-day window scan per
+    day. The day grid is semi-joined back so partial future windows
+    past the last active day are not emitted."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = p.select("day").distinct()
+    contrib = p.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = p.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").orderBy("day")
+
+
+@query(
     "q_cohort_retention",
     oracle="""
 WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
