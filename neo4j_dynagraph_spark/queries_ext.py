@@ -818,6 +818,56 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_langid_accuracy",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id,
+             len(list_filter(t, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_en,
+             len(list_filter(t, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_es,
+             len(list_filter(t, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_de
+      FROM tok),
+l AS (SELECT doc_id,
+             CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'unk'
+                  WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+                  WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM s)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN l.pred_lang = d.lang THEN 1 END) AS BIGINT)
+         AS n_correct,
+       round(count(CASE WHEN l.pred_lang = d.lang THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM l JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADE the lang-id heuristic against the corpus's ground-truth
+    `lang` column (the same evaluate-your-own-operator pattern as
+    q_ann_recall for ANN): per true language, docs / correct
+    predictions / accuracy. A curation pipeline ships quality signals
+    WITH their measured error — this is the query that produces that
+    number, and the oracle replays classifier + grading end-to-end."""
+    pred = text.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "pred_lang"
+    )
+    truth = _docs(spark, sf_dir).select("doc_id", "lang")
+    hit = F.when(F.col("pred_lang") == F.col("lang"), 1)
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(hit).alias("n_correct"),
+            F.round(
+                F.count(hit) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "q_bpe_pairs",
     oracle=f"""
 WITH {_TOK_CTE},
@@ -1603,6 +1653,57 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure complement of the LSH bucket joins."""
     emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
     return similarity.semantic_dedup(emb, k=8, n_iter=2, threshold=0.4)
+
+
+@query(
+    "q_cluster_purity",
+    oracle=f"""
+WITH {_kmeans_cte(8, 2)},
+j AS (SELECT a.cid, e.label FROM af a JOIN embeddings e USING (vec_id)),
+cl AS (SELECT cid, label, count(*) AS n FROM j GROUP BY 1, 2),
+tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs,
+               CAST(max(n) AS BIGINT) AS n_majority
+        FROM cl GROUP BY 1)
+SELECT CAST(cid AS BIGINT) AS cluster, n_vecs, n_majority,
+       round(n_majority / CAST(n_vecs AS DOUBLE), 6) AS purity
+FROM tot ORDER BY cluster
+""",
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADE the deterministic k-means fit against the embeddings
+    table's ground-truth `label` column: per cluster, size, majority-
+    label count, and purity — the standard unsupervised-clustering
+    evaluation, produced the same evaluate-your-own-operator way as
+    q_ann_recall (ANN) and q_langid_accuracy (lang-id). The oracle
+    replays the ENTIRE fit (the shared _kmeans_cte) plus the grading,
+    so the purity numbers themselves hash-match. Scale: the fit is the
+    map-only broadcast-centroid assignment; grading adds two
+    k-bounded aggregates."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    assigned = similarity.kmeans_fixed(emb, k=8, n_iter=2)
+    labeled = assigned.join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    cl = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cl.groupBy("cluster")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max("n").cast("long").alias("n_majority"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "n_majority",
+            F.round(
+                F.col("n_majority") / F.col("n_vecs").cast("double"), 6
+            ).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
 
 
 @query(
