@@ -658,3 +658,29 @@ def test_stream_interval_overlap_property_equals_batch(spark, tmp_path):
         assert got == expect
 
     check()
+
+
+def test_kmv_store_merge_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivery safety: re-merging the same batch — or
+    a hash the prune already discarded — must leave the sketch state
+    and the estimate unchanged (union + prune is idempotent)."""
+    from neo4j_dynagraph_spark.operators.sketch import kmv_estimate
+    from neo4j_dynagraph_spark.streaming.kmv import KMVStore
+
+    store = KMVStore(spark, str(tmp_path / "store"), "g", k=3)
+    b1 = spark.createDataFrame(
+        [("a", 0.1), ("a", 0.5), ("a", 0.9), ("a", 0.3)], "g string, u double"
+    )
+    store.merge(b1)
+    first = sorted(map(tuple, store.read().collect()))
+    assert first == [("a", 0.1), ("a", 0.3), ("a", 0.5)]  # 0.9 pruned
+    # replay the identical batch
+    store.merge(b1)
+    assert sorted(map(tuple, store.read().collect())) == first
+    # merge a batch containing ONLY an already-pruned hash
+    store.merge(
+        spark.createDataFrame([("a", 0.9)], "g string, u double")
+    )
+    assert sorted(map(tuple, store.read().collect())) == first
+    est = kmv_estimate(store.read(), "g", 3).first()
+    assert est.n_seen == 3
