@@ -269,6 +269,23 @@ def ngram_jaccard_pairs(
     a shingle self-join + group; set sizes joined back; Jaccard =
     |I| / (|A| + |B| - |I|).
     """
+    overlaps = _shingle_pair_overlaps(docs, block_col, text_col)
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return overlaps.where(jac >= threshold).select(
+        "d1", "d2", F.round(jac, 6).alias("jac")
+    )
+
+
+def _shingle_pair_overlaps(
+    docs: DataFrame, block_col: str | None, text_col: str
+) -> DataFrame:
+    """Shared candidate generation for the exact n-gram verifiers:
+    (d1, d2, c, na, nb) for every doc pair sharing >= 1 shingle within
+    the blocking key (all-pairs across 100 TB is never computed) —
+    intersection count via shingle self-join + group, set sizes joined
+    back. Jaccard and containment are different predicates over the
+    SAME relation, so the blocking/size semantics cannot silently
+    diverge between them."""
     sh = shingles_df(docs, text_col)
     join_keys = [F.col("a.shingle") == F.col("b.shingle"),
                  F.col("a.doc_id") < F.col("b.doc_id")]
@@ -283,13 +300,7 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(na, "d1")
-        .join(nb, "d2")
-        .where(jac >= threshold)
-        .select("d1", "d2", F.round(jac, 6).alias("jac"))
-    )
+    return inter.join(na, "d1").join(nb, "d2")
 
 
 def ngram_containment_pairs(
@@ -309,30 +320,12 @@ def ngram_containment_pairs(
     (d1, d2, cont, jac) with jac alongside so downstream policy can
     distinguish true near-dups (both high) from asymmetric
     containments (high C, low J)."""
-    sh = shingles_df(docs, text_col)
-    join_keys = [F.col("a.shingle") == F.col("b.shingle"),
-                 F.col("a.doc_id") < F.col("b.doc_id")]
-    if block_col and block_col in sh.columns:
-        join_keys.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), join_keys[0] & join_keys[1] & (join_keys[2] if len(join_keys) > 2 else F.lit(True)))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    overlaps = _shingle_pair_overlaps(docs, block_col, text_col)
     cont = F.col("c") / F.least(F.col("na"), F.col("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(na, "d1")
-        .join(nb, "d2")
-        .where(cont >= threshold)
-        .select(
-            "d1",
-            "d2",
-            F.round(cont, 6).alias("cont"),
-            F.round(jac, 6).alias("jac"),
-        )
+    return overlaps.where(cont >= threshold).select(
+        "d1",
+        "d2",
+        F.round(cont, 6).alias("cont"),
+        F.round(jac, 6).alias("jac"),
     )

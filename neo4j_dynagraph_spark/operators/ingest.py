@@ -237,6 +237,13 @@ def presence_to_frame_interactions(
     # actors (one cheap O(frames)-output pre-count); without it the
     # whole right side replicates n_salt x, which tools/skew_stress.py
     # measured as a net LOSS on realistic mostly-cold inputs.
+    if salt_hot_threshold is not None and not n_salt:
+        # never a silent no-op: the caller asked for hot-frame
+        # protection; without a salt width it cannot be applied
+        raise ValueError(
+            "salt_hot_threshold requires n_salt — pass the salt width "
+            "(e.g. n_salt=32) or drop the threshold"
+        )
     if n_salt and salt_hot_threshold is not None:
         hot_frames = (
             presence.groupBy("frame_id")

@@ -51,35 +51,39 @@ def two_phase_rank(
     strata is the one-partition window again, just multiplied by the
     stratum count.
     """
+    from functools import reduce
+
+    groups = list(group_cols or [])
+    keys = [*groups, "_b"]
     d = df.withColumn("_b", bucket)
-    if group_cols:
-        w_local = Window.partitionBy(*group_cols, "_b").orderBy(*order_cols)
-        d = d.withColumn("_rn", F.row_number().over(w_local))
-        cnt = d.groupBy(*group_cols, "_b").agg(F.count(F.lit(1)).alias("_c"))
-        w_off = (
-            Window.partitionBy(*group_cols)
-            .orderBy("_b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        off = cnt.withColumn(
-            "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
-        ).select(*group_cols, "_b", "_off")
-        return (
-            d.join(F.broadcast(off), [*group_cols, "_b"])
-            .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
-            .drop("_b", "_rn", "_off")
-        )
-    w_local = Window.partitionBy("_b").orderBy(*order_cols)
+    w_local = Window.partitionBy(*keys).orderBy(*order_cols)
     d = d.withColumn("_rn", F.row_number().over(w_local))
-    cnt = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    cnt = d.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy(*groups).orderBy("_b")
+        if groups
+        else Window.orderBy("_b")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     off = cnt.withColumn(
         "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
-    ).select("_b", "_off")
+    ).select(*keys, "_off")
+    # the offset join must be NULL-SAFE: a plain equi-join silently
+    # DROPS rows whose group key or bucket is NULL (NULL != NULL),
+    # while the plain row_number() window this function promises to
+    # equal ranks the NULL partition like any other — eqNullSafe keeps
+    # the equality for arbitrary inputs (still a broadcast hash join;
+    # null-safe equality is a hash key)
+    off_a = off.select(
+        *[F.col(c).alias(f"_o_{c}") for c in keys], "_off"
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_o_{c}")) for c in keys],
+    )
     return (
-        d.join(F.broadcast(off), "_b")
+        d.join(F.broadcast(off_a), cond)
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_b", "_rn", "_off")
+        .drop("_b", "_rn", "_off", *[f"_o_{c}" for c in keys])
     )
 
 

@@ -257,12 +257,17 @@ def _stage_with_sentinel(
     from pyspark.sql.types import LongType as _Long
 
     stage = tempfile.mkdtemp(prefix="dynagraph_edges_src_")
-    if os.path.isfile(parquet_path):
-        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    # absolute symlink targets: os.symlink stores the string verbatim,
+    # so a relative parquet_path would resolve relative to the temp
+    # dir — a broken link the file source reads as zero files (see
+    # streaming/staging.py)
+    parquet_abs = os.path.abspath(parquet_path)
+    if os.path.isfile(parquet_abs):
+        os.symlink(parquet_abs, os.path.join(stage, os.path.basename(parquet_abs)))
     else:
-        for f in os.listdir(parquet_path):
+        for f in os.listdir(parquet_abs):
             if f.endswith(".parquet"):
-                os.symlink(os.path.join(parquet_path, f), os.path.join(stage, f))
+                os.symlink(os.path.join(parquet_abs, f), os.path.join(stage, f))
     batch_df = spark.read.schema(schema).parquet(parquet_path)
     horizon_s = 7 * 24 * 3600
     last = batch_df.orderBy(F_.col("ts").desc_nulls_last()).limit(1)

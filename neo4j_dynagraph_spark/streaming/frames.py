@@ -109,14 +109,10 @@ def streaming_presence_from_parquet(
     """Bounded-drain runner for stream_presence_dedup (AvailableNow,
     memory sink): drained output == batch distinct presence. The ts
     arrival type is derived from ``schema``, never from the flag."""
-    import os
-
     from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
+    from neo4j_dynagraph_spark.streaming.staging import stage_single_file
 
-    if os.path.isfile(parquet_path):
-        stage = tempfile.mkdtemp(prefix="dynagraph_presence_src_")
-        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
-        parquet_path = stage
+    parquet_path = stage_single_file(parquet_path, "dynagraph_presence_src_")
     stream = spark.readStream.schema(schema).parquet(parquet_path)
     stream = normalize_stream_ts(spark, stream, schema)
     dedup = stream_presence_dedup(stream, delta_seconds)
@@ -149,17 +145,13 @@ def streaming_frame_counts_from_parquet(
     against the batch plan (and the DuckDB oracle). The ts arrival type
     is derived from ``schema``, never from the flag.
     """
-    import os
-
     from neo4j_dynagraph_spark.sources.tables import normalize_stream_ts
+    from neo4j_dynagraph_spark.streaming.staging import stage_single_file
 
     # FileStreamSource requires a directory basePath; when pointed at a
     # single parquet file, stage a symlink inside a temp dir (testdata is
     # read-only — never copied or modified).
-    if os.path.isfile(parquet_path):
-        stage = tempfile.mkdtemp(prefix="dynagraph_stream_src_")
-        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
-        parquet_path = stage
+    parquet_path = stage_single_file(parquet_path)
     reader = spark.readStream.schema(schema)
     stream = reader.parquet(parquet_path)
     stream = normalize_stream_ts(spark, stream, schema)

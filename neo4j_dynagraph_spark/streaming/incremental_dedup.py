@@ -54,15 +54,11 @@ def stream_dedup_documents(
     out_dir = out_dir or tempfile.mkdtemp(prefix="dynagraph_dedup_out_")
     store = DimensionStore(spark, store_root, ["content_hash"])
 
-    if os.path.isfile(docs_path):
-        # the file stream source requires a DIRECTORY; stage single-file
-        # fixtures behind a symlink (no sentinel needed — foreachBatch
-        # has no watermark to push)
-        stage = tempfile.mkdtemp(prefix="dynagraph_dedup_src_")
-        os.symlink(
-            docs_path, os.path.join(stage, os.path.basename(docs_path))
-        )
-        docs_path = stage
+    # stage single-file fixtures behind a symlink (no sentinel needed —
+    # foreachBatch has no watermark to push)
+    from neo4j_dynagraph_spark.streaming.staging import stage_single_file
+
+    docs_path = stage_single_file(docs_path, "dynagraph_dedup_src_")
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

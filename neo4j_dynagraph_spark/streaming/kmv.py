@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.operators.sketch import _TWO_60, kmv_estimate
+from neo4j_dynagraph_spark.streaming.staging import stage_single_file
 from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
 
 
@@ -91,14 +92,8 @@ def stream_kmv_distinct(
     store_root = store_root or tempfile.mkdtemp(prefix="dynagraph_kmv_store_")
     store = KMVStore(spark, store_root, group_col, k)
 
-    if os.path.isfile(events_path):
-        # the file stream source requires a DIRECTORY; no sentinel
-        # needed — foreachBatch has no watermark to push
-        stage = tempfile.mkdtemp(prefix="dynagraph_kmv_src_")
-        os.symlink(
-            events_path, os.path.join(stage, os.path.basename(events_path))
-        )
-        events_path = stage
+    # no sentinel needed — foreachBatch has no watermark to push
+    events_path = stage_single_file(events_path, "dynagraph_kmv_src_")
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -131,7 +126,11 @@ def stream_kmv_distinct(
     q.awaitTermination()
     state = store.read()
     if state is None:  # empty stream: no groups
+        # group column type comes from the INPUT schema — hardcoding
+        # string would diverge from the non-empty result for
+        # non-string group columns
+        gtype = schema[group_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{group_col} string, n_seen bigint, est_distinct double"
+            [], f"{group_col} {gtype}, n_seen bigint, est_distinct double"
         )
     return kmv_estimate(state, group_col, k)

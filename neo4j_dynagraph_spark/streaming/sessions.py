@@ -164,14 +164,12 @@ def stateful_sessions_from_parquet(
     at a directory of time-ordered files with cap 1 forces sessions to
     span micro-batches, exercising the state-carry path.
     """
-    import os
     import tempfile
     import uuid
 
-    if os.path.isfile(parquet_path):
-        stage = tempfile.mkdtemp(prefix="dynagraph_sess_src_")
-        os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
-        parquet_path = stage
+    from neo4j_dynagraph_spark.streaming.staging import stage_single_file
+
+    parquet_path = stage_single_file(parquet_path, "dynagraph_sess_src_")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

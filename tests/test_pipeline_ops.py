@@ -465,7 +465,9 @@ def test_grouped_two_phase_rank_equals_per_group_row_number(spark):
     @given(
         spec=st.lists(
             st.tuples(
-                st.sampled_from(["x", "y", "z"]),  # group
+                # group, INCLUDING NULL — a plain equi-join on the
+                # offset table would silently drop the NULL group
+                st.sampled_from(["x", "y", "z", None]),
                 st.integers(0, 99),                # sort key
             ),
             min_size=1,
