@@ -708,3 +708,74 @@ def k_truss(edges: DataFrame, k: int = 4, max_iterations: int = 30) -> DataFrame
             "Increase max_iterations."
         )
     return e.orderBy("actor1", "actor2")
+
+
+def temporal_path_counts(
+    frame_edges: DataFrame, max_gap_frames: int = 2
+) -> DataFrame:
+    """Time-respecting 2-hop path counts: for every ordered actor pair
+    (src, dst), the number of paths src -> mid -> dst whose second
+    contact happens STRICTLY after the first but within
+    ``max_gap_frames`` frames — the transmission-route primitive of
+    the reference's domain (who could have infected whom via one
+    intermediary; the bounded-hop sibling of
+    :func:`temporal_reachability`'s full fixpoint; ref:
+    README.md dynamic-network motivation).
+
+    Distributed shape: the time window is folded INTO the equi-join
+    key — the first hop is replicated once per allowed gap d in
+    [1, max_gap_frames] (a bounded constant) with key
+    (mid, frame_id + d), the second hop keyed (mid, frame_id), so the
+    plan is a pure hash equi-join on (actor, frame) with NO inequality
+    residual and no hot-actor band scan: a hot mid-actor's rows still
+    spread over all its frames. Edges are distinct-ed per frame first
+    so parallel contact events within one frame count once; both
+    orientations via one struct-explode pass (no union re-scan of the
+    co-presence subtree per branch — see :func:`symmetrize`'s cost
+    note).
+
+    Columns: src, dst, n_paths, earliest_arrival (frame id of the
+    soonest completing second hop).
+    """
+    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    sym = e.select(
+        "frame_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("actor1").alias("a"), F.col("actor2").alias("b")
+                ),
+                F.struct(
+                    F.col("actor2").alias("a"), F.col("actor1").alias("b")
+                ),
+            )
+        ).alias("s"),
+    ).select("frame_id", F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+    hop1 = (
+        sym.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("mid"),
+            F.col("frame_id").alias("f1"),
+        )
+        .withColumn(
+            "_d",
+            F.explode(
+                F.array(
+                    *[F.lit(i) for i in range(1, max_gap_frames + 1)]
+                )
+            ),
+        )
+        .withColumn("f2", F.col("f1") + F.col("_d"))
+    )
+    hop2 = sym.select(
+        F.col("a").alias("mid"),
+        F.col("b").alias("dst"),
+        F.col("frame_id").alias("f2"),
+    )
+    paths = hop1.join(hop2, ["mid", "f2"]).where(
+        F.col("src") != F.col("dst")
+    )
+    return paths.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.min("f2").alias("earliest_arrival"),
+    )

@@ -779,3 +779,70 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(out_dir)
+
+
+def ppl_buckets(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram cross-entropy (:func:`unigram_logprob`), rank WITHIN
+    its language, and split each language into head / middle / tail
+    terciles by rank — the curriculum/quality partition CCNet applies
+    before choosing which slice to train on (head = most fluent under
+    the LM). Per-(lang, tercile) summary: doc count, mean / min / max
+    score.
+
+    Distributed shape: the per-language rank is the GROUPED two-phase
+    rank (operators/rank.py) bucketed on the score's own magnitude
+    (floor(nlp*16) — a monotone coarsening of the sort key, so the
+    bucket split is order-aligned), never a one-task-per-language
+    window; the per-language totals and bucket offsets are broadcast
+    (|langs| x |buckets| rows). Tercile index is pure integer
+    arithmetic ((rk-1)*3 div n), bit-identical in any engine.
+
+    Columns: lang, ppl_tercile (0|1|2), ppl_bucket
+    (head|middle|tail), n_docs, mean_nlp, lo_nlp, hi_nlp.
+    """
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    scored = unigram_logprob(docs, text_col).select(
+        "doc_id", F.col("avg_neg_logp").alias("nlp")
+    )
+    d = docs.select("doc_id", F.col(lang_col).alias("lang")).join(
+        scored, "doc_id"
+    )
+    ranked = two_phase_rank(
+        d,
+        F.floor(F.col("nlp") * 16).cast("long"),
+        [F.col("nlp"), F.col("doc_id")],
+        rank_col="rk",
+        group_cols=["lang"],
+    )
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    b = ranked.join(F.broadcast(n), "lang").withColumn(
+        "ppl_tercile", F.expr("((rk - 1) * 3) div _n").cast("long")
+    )
+    name = (
+        F.when(F.col("ppl_tercile") == 0, F.lit("head"))
+        .when(F.col("ppl_tercile") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        b.groupBy("lang", "ppl_tercile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("nlp"), 6).alias("mean_nlp"),
+            F.min("nlp").alias("lo_nlp"),
+            F.max("nlp").alias("hi_nlp"),
+        )
+        .withColumn("ppl_bucket", name)
+        .select(
+            "lang",
+            "ppl_tercile",
+            "ppl_bucket",
+            "n_docs",
+            "mean_nlp",
+            "lo_nlp",
+            "hi_nlp",
+        )
+    )

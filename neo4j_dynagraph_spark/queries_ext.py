@@ -3194,3 +3194,167 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pred_lang", "rk")
         .orderBy("pred_lang", "rk")
     )
+
+
+@query(
+    "q_ppl_buckets",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT doc_id, unnest(t) AS w FROM tok),
+f AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+tt AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f),
+s AS (SELECT u.doc_id, round(avg(-ln(f.c / tt.total)), 6) AS nlp
+      FROM u JOIN f ON f.w = u.w CROSS JOIN tt GROUP BY 1),
+l AS (SELECT s.doc_id, d.lang, s.nlp
+      FROM s JOIN documents d USING (doc_id)),
+r AS (SELECT lang, nlp,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY nlp, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM l),
+b AS (SELECT lang, nlp, ((rk - 1) * 3) // n AS ppl_tercile FROM r)
+SELECT lang, CAST(ppl_tercile AS BIGINT) AS ppl_tercile,
+       CASE ppl_tercile WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nlp), 6) AS mean_nlp,
+       min(nlp) AS lo_nlp, max(nlp) AS hi_nlp
+FROM b GROUP BY 1, 2, 3 ORDER BY lang, ppl_tercile
+""",
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity partition: every doc
+    scored by corpus unigram cross-entropy (q_unigram_logprob's
+    signal), ranked within its language, split into terciles by rank —
+    the language-stratified quality curriculum CCNet cuts before
+    picking training slices. The per-language rank is the GROUPED
+    two-phase rank bucketed on floor(nlp*16) (order-aligned magnitude
+    buckets — no one-task-per-language window); per-language totals
+    broadcast; the oracle replays rank + tercile arithmetic with the
+    plain window the two-phase form provably equals
+    (operators/text.py:ppl_buckets)."""
+    return text.ppl_buckets(_docs(spark, sf_dir)).orderBy(
+        "lang", "ppl_tercile"
+    )
+
+
+@query(
+    "q_temporal_paths",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1, actor2 FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+paths AS (
+  SELECT h1.actor1 AS src, h2.actor2 AS dst, h2.frame_id AS f2
+  FROM sym h1 JOIN sym h2
+    ON h2.actor1 = h1.actor2
+   AND h2.frame_id BETWEEN h1.frame_id + 1 AND h1.frame_id + 2
+   AND h2.actor2 != h1.actor1)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_paths,
+       min(f2) AS earliest_arrival
+FROM paths GROUP BY 1, 2 ORDER BY src, dst
+""",
+)
+def q_temporal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 2-hop transmission routes on the pinned day:
+    src -> mid -> dst where the second contact is strictly later but
+    within 2 frames of the first — the bounded-hop sibling of
+    q_temporal_reach's fixpoint (who could pass something to whom via
+    one intermediary, the reference's epidemiology motivation). The
+    time window folds INTO the equi-join key (first hop replicated
+    once per allowed gap with key (mid, frame+d)), so the plan is a
+    pure hash join on (actor, frame) with no inequality residual and
+    no hot-actor band scan; the oracle's theta-join BETWEEN replays it
+    (operators/graph.py:temporal_path_counts)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "frame_id", "actor1", "actor2"
+    )
+    return graph.temporal_path_counts(edges, max_gap_frames=2).orderBy(
+        "src", "dst"
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id, source, t, unnest(range(0, len(t), 25)) AS start_tok
+      FROM tok WHERE len(t) > 0),
+c AS (SELECT DISTINCT source,
+             {_H64.format(x="array_to_string(list_slice(t, start_tok + 1, start_tok + 50), ' ')")} AS chunk_hash
+      FROM s WHERE len(t) - start_tok >= 50),
+ch AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(count(*) AS BIGINT) AS n_shared_chunks
+       FROM c a JOIN c b ON a.chunk_hash = b.chunk_hash
+                        AND a.source < b.source
+       GROUP BY 1, 2),
+d AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+tx AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(count(*) AS BIGINT) AS n_shared_texts
+       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT COALESCE(ch.src_a, tx.src_a) AS src_a,
+       COALESCE(ch.src_b, tx.src_b) AS src_b,
+       COALESCE(n_shared_chunks, 0) AS n_shared_chunks,
+       COALESCE(n_shared_texts, 0) AS n_shared_texts
+FROM ch FULL OUTER JOIN tx USING (src_a, src_b)
+ORDER BY 1, 2
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix, two granularities per
+    unordered source pair: shared 50-token chunk fingerprints
+    (boilerplate / repeated-passage leakage, reusing chunk_documents'
+    stride-25 fingerprints) and shared verbatim whole texts (exact-dup
+    leakage, the pairwise view of q_dedup_exact's groups) — the
+    dataset-card numbers that tell you whether crawl slices are
+    independent. Both sides reduce to DISTINCT (fingerprint, source)
+    pairs BEFORE the self-join, so join group sizes are
+    sources-per-fingerprint-bounded and the terminal is
+    |sources|^2-bounded at any corpus size; the two matrices merge
+    with one full-outer join on the tiny pair key."""
+    docs = _docs(spark, sf_dir)
+    ch = text.chunk_documents(docs, window=50, stride=25).where(
+        F.col("n_chunk_tokens") >= 50
+    )
+    cd = (
+        ch.join(docs.select("doc_id", "source"), "doc_id")
+        .select("chunk_hash", "source")
+        .distinct()
+    )
+    d = (
+        docs.select(F.md5(F.col("text")).alias("h"), "source")
+        .distinct()
+    )
+    shared_chunks = (
+        cd.select("chunk_hash", F.col("source").alias("src_a"))
+        .join(
+            cd.select("chunk_hash", F.col("source").alias("src_b")),
+            "chunk_hash",
+        )
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_chunks"))
+    )
+    shared_texts = (
+        d.select("h", F.col("source").alias("src_a"))
+        .join(d.select("h", F.col("source").alias("src_b")), "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
+    )
+    return (
+        shared_chunks.join(shared_texts, ["src_a", "src_b"], "full")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared_chunks", F.lit(0)).alias(
+                "n_shared_chunks"
+            ),
+            F.coalesce("n_shared_texts", F.lit(0)).alias("n_shared_texts"),
+        )
+        .orderBy("src_a", "src_b")
+    )

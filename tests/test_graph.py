@@ -450,3 +450,37 @@ def test_k_truss_cascade(spark):
     k3 = {(r.actor1, r.actor2) for r in graph.k_truss(e, k=3).collect()}
     assert k3 == {(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)}
     assert graph.k_truss(e, k=4).count() == 0
+
+
+def test_temporal_path_counts_hand_graph(spark):
+    # frame edges: (frame, a1, a2). Paths constrained to f2 in
+    # (f1, f1+2]; both orientations of every contact count.
+    e = spark.createDataFrame(
+        [
+            (0, 1, 2),  # 1-2 at frame 0
+            (1, 2, 3),  # 2-3 at frame 1: path 1->2->3 (gap 1)
+            (2, 2, 3),  # 2-3 at frame 2: path 1->2->3 (gap 2)
+            (3, 2, 3),  # 2-3 at frame 3: gap 3 > 2, NOT a path
+            (0, 1, 2),  # duplicate contact in frame 0: distinct-ed away
+        ],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    got = {
+        (r.src, r.dst): (r.n_paths, r.earliest_arrival)
+        for r in graph.temporal_path_counts(e, max_gap_frames=2).collect()
+    }
+    # 1->2->3 via frames (0,1) and (0,2)
+    assert got[(1, 3)] == (2, 1)
+    # 3->2->1 never: the 1-2 contact (frame 0) precedes every 2-3 one
+    assert (3, 1) not in got
+    # every 2-hop continuation out of actor 3 returns to 3 (src==dst,
+    # excluded), so no (3, x) rows at all
+    assert not any(s == 3 for (s, _d) in got)
+
+
+def test_temporal_path_counts_strictly_later(spark):
+    # same-frame second hop must NOT count (strictly later semantics)
+    e = spark.createDataFrame(
+        [(5, 1, 2), (5, 2, 3)], "frame_id long, actor1 long, actor2 long"
+    )
+    assert graph.temporal_path_counts(e, max_gap_frames=2).count() == 0

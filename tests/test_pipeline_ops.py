@@ -568,3 +568,38 @@ def test_kmv_distinct_matches_python_reference(spark):
     assert got["b"] == (5, 5.0)
     # the estimator should be in the right ballpark (KMV @ k=16 ~ 25% rse)
     assert 100 < got["a"][1] < 400
+
+
+def test_ppl_buckets_equals_plain_window_terciles(spark):
+    # the grouped two-phase rank + magnitude bucketing must reproduce
+    # exactly the naive per-lang row_number tercile split
+    rows = [
+        (i, f"lang{i % 2}", " ".join(f"w{j % (3 + i % 7)}" for j in range(10 + i)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from neo4j_dynagraph_spark.operators.text import ppl_buckets, unigram_logprob
+
+    got = {
+        (r.lang, r.ppl_tercile): (r.n_docs, r.ppl_bucket)
+        for r in ppl_buckets(docs).collect()
+    }
+    # naive replay: score, rank per lang in python
+    scored = {
+        r.doc_id: r.avg_neg_logp for r in unigram_logprob(docs).collect()
+    }
+    by_lang = {}
+    for i, lang, _t in rows:
+        by_lang.setdefault(lang, []).append((scored[i], i))
+    want = {}
+    for lang, xs in by_lang.items():
+        xs.sort()
+        n = len(xs)
+        for rk0 in range(n):
+            t = (rk0 * 3) // n
+            key = (lang, t)
+            want[key] = want.get(key, 0) + 1
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(
+        v[1] == ("head", "middle", "tail")[k[1]] for k, v in got.items()
+    )
