@@ -3358,3 +3358,205 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "q_token_pmi",
+    oracle=f"""
+WITH {_TOK_CTE},
+u AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+      FROM tok),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM u),
+cw AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+pr AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS c_ab
+       FROM u a JOIN u b
+         ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+       GROUP BY 1, 2),
+np AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS np FROM pr)
+SELECT w_a, w_b, CAST(c_ab AS BIGINT) AS n_pairs,
+       round(ln((c_ab / np) / ((ca.c / nt) * (cb.c / nt))), 6) AS pmi
+FROM pr
+JOIN cw ca ON ca.w = pr.w_a
+JOIN cw cb ON cb.w = pr.w_b
+CROSS JOIN nt CROSS JOIN np
+WHERE c_ab >= 5
+ORDER BY pmi DESC, w_a, w_b LIMIT 50
+""",
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 skip-gram collocations by pointwise mutual information
+    (window 3, min count 5) — the statistical-association layer above
+    q_bpe_pairs' raw adjacency counts (collocation extraction /
+    tokenizer-merge priors). The window offset folds INTO the
+    equi-join key exactly like q_temporal_paths' frame gap: the left
+    token replicated once per offset d in [1,3] with key
+    (doc_id, pos+d) — a pure hash join, no positional band scan. The
+    unigram marginal table is vocab-bounded and broadcast (the
+    unigram_logprob precedent); totals are 1-row broadcasts; the
+    terminal is TakeOrderedAndProject on the total order
+    (pmi desc, w_a, w_b)."""
+    from neo4j_dynagraph_spark import functions as dfn
+
+    u = (
+        _docs(spark, sf_dir)
+        .select("doc_id", dfn.tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.posexplode("t").alias("pos", "w"))
+    )
+    nt = u.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    cw = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rep = (
+        u.withColumn("_d", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select(
+            "doc_id",
+            F.col("w").alias("w_a"),
+            (F.col("pos") + F.col("_d")).alias("pos"),
+        )
+    )
+    pr = (
+        rep.join(
+            u.select("doc_id", "pos", F.col("w").alias("w_b")),
+            ["doc_id", "pos"],
+        )
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    np_ = pr.agg(F.sum("c_ab").cast("double").alias("np"))
+    ca = cw.select(F.col("w").alias("w_a"), F.col("c").alias("ca"))
+    cb = cw.select(F.col("w").alias("w_b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("np"))
+            / ((F.col("ca") / F.col("nt")) * (F.col("cb") / F.col("nt")))
+        ),
+        6,
+    )
+    return (
+        pr.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "w_a")
+        .join(F.broadcast(cb), "w_b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "w_a",
+            "w_b",
+            F.col("c_ab").cast("long").alias("n_pairs"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w_a", "w_b")
+        .limit(50)
+    )
+
+
+@query(
+    "q_minhash_calibration",
+    oracle=(
+        f"WITH {_TOK_CTE}, {_SH_CTE}, "
+        "hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) || md5('s2:' || shingle) || md5('s3:' || shingle) AS hh FROM sh), "
+        "hs AS (SELECT doc_id, "
+        + ", ".join(
+            f"('0x' || substr(hh, {15 * i + 1}, 15))::BIGINT AS h{i}"
+            for i in range(8)
+        )
+        + " FROM hx), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"min(h{i}) AS h{i}" for i in range(8))
+        + " FROM hs GROUP BY 1), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM sig"
+            for b in range(4)
+        )
+        + "), "
+        "bsz AS (SELECT band, h0, h1, count(*) AS n FROM bands GROUP BY 1, 2, 3), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id "
+        "JOIN bsz ON bsz.band = a.band AND bsz.h0 = a.h0 AND bsz.h1 = a.h1 "
+        "AND bsz.n <= 64), "
+        "est AS (SELECT cand.d1, cand.d2, ("
+        + " + ".join(
+            f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(8)
+        )
+        + ") / 8.0 AS est_jac "
+        "FROM cand JOIN sig sa ON sa.doc_id = cand.d1 "
+        "JOIN sig sb ON sb.doc_id = cand.d2), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT est.d1, est.d2, round(est.est_jac, 6) AS est_jac, "
+        "round(COALESCE(inter.c, 0) / CAST(na.n + nb.n - COALESCE(inter.c, 0) AS DOUBLE), 6) AS jac, "
+        "round(abs(est.est_jac - COALESCE(inter.c, 0) / CAST(na.n + nb.n - COALESCE(inter.c, 0) AS DOUBLE)), 6) AS abs_err "
+        "FROM est "
+        "LEFT JOIN inter ON inter.d1 = est.d1 AND inter.d2 = est.d2 "
+        "JOIN sz na ON na.doc_id = est.d1 "
+        "JOIN sz nb ON nb.doc_id = est.d2 "
+        "ORDER BY est.d1, est.d2"
+    ),
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-grading query: for every LSH candidate pair (the
+    q_dedup_minhash setting — k=8, 4x2 bands, bucket cap 64), the
+    MinHash-ESTIMATED Jaccard (fraction of equal signature components)
+    next to the EXACT 3-gram Jaccard and their absolute error — the
+    calibration evidence that the sketch the 100 TB path trusts tracks
+    the truth the verify stage computes. Exact overlaps are computed
+    only for shingles of docs that appear in a candidate pair
+    (left-semi restriction), so the verify join is candidate-bounded,
+    never corpus-quadratic; the oracle replays signatures, banding,
+    cap, and exact overlap bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles_df(docs)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+    cands = dedup.lsh_candidate_pairs(sigs, rows_per_band=2, max_bucket=64)
+    sa = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)],
+    )
+    est_expr = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    ) / F.lit(8.0)
+    est = (
+        cands.join(sa, "d1").join(sb, "d2").select("d1", "d2", est_expr.alias("est_jac"))
+    )
+    ids = (
+        cands.select(F.col("d1").alias("doc_id"))
+        .union(cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(ids, "doc_id", "left_semi").select("doc_id", "shingle")
+    inter = (
+        sh_c.alias("a")
+        .join(
+            sh_c.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    jac = c0 / (F.col("na") + F.col("nb") - c0)
+    return (
+        est.join(inter, ["d1", "d2"], "left")
+        .join(na, "d1")
+        .join(nb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("est_jac"), 6).alias("est_jac"),
+            F.round(jac, 6).alias("jac"),
+            F.round(F.abs(F.col("est_jac") - jac), 6).alias("abs_err"),
+        )
+        .orderBy("d1", "d2")
+    )
