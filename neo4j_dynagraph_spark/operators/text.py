@@ -846,3 +846,125 @@ def ppl_buckets(
             "hi_nlp",
         )
     )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
+    """Distributed byte-pair-encoding TRAINING: learn the first
+    ``n_merges`` merge rules over the corpus and return the merge
+    table ``(round, left_sym, right_sym, merged, weight)``.
+
+    This is `q_bpe_pairs`' inner statistic iterated with the
+    merge-apply step (the classic Sennrich et al. 2016 algorithm,
+    public knowledge). The scale design is the one that matters at
+    100 TB: after the FIRST aggregation the working set is the
+    distinct-WORD table (vocab-bounded by Heaps' law, ~|V| rows no
+    matter the corpus size), so every merge round runs over |V| rows,
+    never the corpus. Per round:
+
+    - pair statistics: explode adjacent symbol pairs weighted by word
+      frequency -> groupBy(left, right) SUM (map-side partial agg;
+      shuffle volume = symbol-pair vocabulary);
+    - argmax: TakeOrdered(1) with the deterministic tie-break
+      (weight DESC, left_sym, right_sym);
+    - merge-apply: the 1-row winner is BROADCAST back and applied as
+      a JVM ``aggregate`` lambda -- a left-to-right scan that merges
+      leftmost-first non-overlapping occurrences (the merged token is
+      strictly longer than its left part, so a fresh merge can never
+      chain into the next pair within the same round);
+    - ``localCheckpoint`` truncates lineage each round (the k-core /
+      LPA pattern, operators/graph.py:123) -- without it the
+      argmax+apply branches double the plan tree per round.
+
+    No driver-side data materialization: the winners stay DataFrames
+    end-to-end and the result is their union.
+
+    Reference parity: the reference has no trainer; this extends its
+    frequency-statistics surface (cypher_query_timing.py:83-120 style
+    aggregate-over-relationship counts) to the LLM-tokenizer use case.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    words = (
+        tokens_df(docs.repartition(n_part, "doc_id"), text_col)
+        .select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seq = words.select(
+        "word",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("s"),
+    ).localCheckpoint()
+
+    def merge_step(acc, x):
+        # F.get (0-based, null on out-of-range) instead of
+        # element_at(-1): ANSI mode must not raise on the empty
+        # accumulator even though the size() guard makes the branch
+        # unreachable.
+        last = F.get(acc, F.size(acc) - 1)
+        return F.when(
+            (F.size(acc) > 0)
+            & (last == F.col("left_sym"))
+            & (x == F.col("right_sym")),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.col("merged")),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    bests = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            seq.where(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> struct(s[i] AS l, s[i + 1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+            )
+            .agg(F.sum("cnt").cast("long").alias("weight"))
+        )
+        best = (
+            pairs.orderBy(F.desc("weight"), "left_sym", "right_sym")
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "weight",
+            )
+            .localCheckpoint()
+        )
+        bests.append(best)
+        if r < n_merges:
+            seq = (
+                seq.crossJoin(
+                    F.broadcast(
+                        best.select("left_sym", "right_sym", "merged")
+                    )
+                )
+                .select(
+                    "word",
+                    "cnt",
+                    F.aggregate(
+                        "s",
+                        F.expr("CAST(array() AS array<string>)"),
+                        merge_step,
+                    ).alias("s"),
+                )
+                .localCheckpoint()
+            )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("round")

@@ -2247,4 +2247,14 @@ def _apply_grade_window() -> None:
     REGISTRY.update(ordered)
 
 
-_apply_grade_window()
+# Circular-import re-entry guard: when queries_ext is the FIRST module
+# imported (fresh interpreter, `import neo4j_dynagraph_spark.queries_ext`),
+# Python re-enters here with queries_ext still partially initialized, so
+# its registrations are missing at this point. Defer the window (and its
+# load-bearing rename check) to queries_ext's bottom in that case — the
+# check itself always runs exactly once, in whichever module finishes
+# registering last.
+if all(n in REGISTRY for n in _GRADE_WINDOW):
+    _apply_grade_window()
+else:
+    _WINDOW_DEFERRED = True

@@ -3560,3 +3560,121 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+def _bpe_oracle(n: int) -> str:
+    """Unrolled n-round replay of the BPE trainer (the PageRank /
+    k-means replay-oracle pattern): per round, pair statistics over
+    the current symbol sequences, the deterministic argmax, and the
+    leftmost-first non-overlapping merge-apply expressed as a DuckDB
+    list_reduce with an empty-accumulator sentinel."""
+    parts = [
+        _TOK_CTE,
+        "w AS (SELECT u.w AS word, count(*) AS cnt FROM tok, UNNEST(t) AS u(w) GROUP BY 1)",
+        "seq0 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS INT), 1)) AS s FROM w)",
+    ]
+    for r in range(n):
+        parts.append(
+            f"p{r} AS (SELECT s[i] AS l, s[i+1] AS rr, sum(cnt) AS wgt "
+            f"FROM seq{r}, UNNEST(range(1, len(s))) AS u(i) "
+            f"WHERE len(s) >= 2 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT l, rr, l || rr AS m, wgt FROM p{r} "
+            f"ORDER BY wgt DESC, l, rr LIMIT 1)"
+        )
+        if r < n - 1:
+            parts.append(
+                f"seq{r + 1} AS (SELECT word, cnt, "
+                f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+                f"list_transform(s, x -> [x])), "
+                f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = l "
+                f"AND x[1] = rr THEN list_slice(acc, 1, len(acc) - 1) || [m] "
+                f"ELSE acc || x END) AS s FROM seq{r} CROSS JOIN b{r})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, l AS left_sym, rr AS right_sym, m AS merged, "
+        f"CAST(wgt AS BIGINT) AS weight FROM b{r}"
+        for r in range(n)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY round"
+    )
+
+
+@query("q_bpe_train", oracle=_bpe_oracle(8))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING, 8 merge rounds — the flagship
+    iterative text operator: q_bpe_pairs' argmax statistic closed into
+    the full Sennrich-style train loop (pair counts -> deterministic
+    argmax -> broadcast merge-apply -> repeat), all on DataFrames with
+    per-round localCheckpoint lineage truncation. The 100 TB shape:
+    one corpus-scale aggregation up front, then every round runs over
+    the vocab-bounded distinct-WORD table. The oracle replays the
+    entire 8-round fit as unrolled CTEs and the merge table
+    hash-matches."""
+    from neo4j_dynagraph_spark.operators.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+WITH {_TOK_CTE}, {_SH_CTE},
+fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novel_frac
+FROM sh s JOIN fo f USING (shingle)
+GROUP BY 1 ORDER BY s.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the whole corpus in doc_id
+    (= arrival) order: the fraction of a doc's distinct 3-gram
+    shingles whose corpus-wide first occurrence is the doc itself —
+    the incremental-diversity signal a curation pipeline uses to
+    prefer documents that add new content over near-paraphrases
+    (complements q_dedup_*: novelty is graded, not thresholded).
+    Scale shape: min(doc_id) OVER (PARTITION BY shingle) instead of
+    the aggregate-then-self-join form — ONE corpus scan, ONE
+    tokenize pass, ONE shuffle keyed on shingle (the join form would
+    scan+tokenize twice and try to broadcast a corpus-scale
+    distinct-shingle table), then the per-doc agg is doc-keyed.
+    Linear, no all-pairs anywhere; the oracle uses the join form the
+    window provably equals."""
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark.operators.dedup import shingles_df
+
+    sh = shingles_df(_docs(spark, sf_dir)).select("doc_id", "shingle")
+    flagged = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novel_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Finish the deferred grade-window application for the direct-import
+# path (see the guard at the bottom of queries.py).
+from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402
+
+if getattr(_queries_mod, "_WINDOW_DEFERRED", False):
+    _queries_mod._apply_grade_window()

@@ -475,3 +475,69 @@ def test_wav_mutation_fuzz():
         assert d["peak"] >= 0
 
     check()
+
+
+# ------------------------------------------------------------ bpe_train
+
+
+def _bpe(spark, texts, n):
+    from neo4j_dynagraph_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [tuple(r) for r in bpe_train(docs, n_merges=n).collect()]
+
+
+def test_bpe_train_basic_merge(spark):
+    # "abab" x3: pair (a,b) dominates; round 1 merges it, round 2 then
+    # sees ("ab","ab") as the new top pair.
+    rows = _bpe(spark, ["abab abab abab"], 2)
+    assert rows[0] == (1, "a", "b", "ab", 6)
+    assert rows[1] == (2, "ab", "ab", "abab", 3)
+
+
+def test_bpe_train_leftmost_nonoverlapping(spark):
+    # "aaaa": pairs (a,a) at 3 positions but leftmost-first merging
+    # collapses to [aa, aa] (2 merges), never [a, aa, a] or 3.
+    # weight counts OCCURRENCES (3 per word pre-merge), but the apply
+    # step is non-overlapping: round 2's top pair must be (aa, aa).
+    rows = _bpe(spark, ["aaaa aaaa"], 2)
+    assert rows[0][1:4] == ("a", "a", "aa")
+    assert rows[1][1:4] == ("aa", "aa", "aaaa")
+
+
+def test_bpe_train_tie_break_deterministic(spark):
+    # equal weights: (left, right) lexicographic wins — "xy" over "zw"
+    rows = _bpe(spark, ["xy zw"], 1)
+    assert rows[0] == (1, "x", "y", "xy", 1)
+
+
+def test_bpe_train_word_frequency_weighting(spark):
+    # pair weight is occurrence count across word MULTIPLICITY:
+    # "to" appears 5x -> (t,o) weight 5 beats (q,r|rs) from one "qrs".
+    rows = _bpe(spark, ["to to to to to qrs"], 1)
+    assert rows[0] == (1, "t", "o", "to", 5)
+
+
+def test_ngram_novelty_first_doc_wins(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.queries_ext import q_ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s"),
+            (2, "alpha beta gamma delta", "s"),  # verbatim dup: 0 novel
+            (3, "alpha beta gamma zeta eta theta", "s"),  # 1 shared prefix shingle
+        ],
+        "doc_id long, text string, source string",
+    )
+    p = str(tmp_path / "nv")
+    docs.write.parquet(p + "/documents.parquet")
+    out = {r["doc_id"]: r for r in q_ngram_novelty(spark, p).collect()}
+    assert out[1]["n_novel"] == out[1]["n_shingles"] == 2
+    assert out[2]["n_novel"] == 0 and out[2]["novel_frac"] == 0.0
+    # doc 3: shingles = [abg, bgz, gze, zet, eth...]; only "alpha beta gamma"
+    # was seen before
+    assert out[3]["n_shingles"] == 4 and out[3]["n_novel"] == 3

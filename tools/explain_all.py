@@ -39,7 +39,18 @@ def audit_plan(spark, spec, sf_dir):  # noqa: ANN001
     """The normalized formatted plan for one registry entry, or None
     when the entry is in EXPECTED_PLAN_SKIPS and building its
     DataFrame raised. Shared by the CLI writer below and the
-    `pytest -m plans` gate so both produce the identical text."""
+    `pytest -m plans` gate so both produce the identical text.
+
+    Hermetic against session history: queries that persist() a shared
+    subtree at construction time (the k-means assign in q_semdedup)
+    register it in Spark's CacheManager, which substitutes
+    InMemoryRelation into every LATER structurally-equal plan — so a
+    parity run (or a differently-ordered audit) in the same session
+    would flip q_cluster_purity's audited plan. Clearing the cache
+    first makes each audit order-independent; self-persists inside
+    the audited query itself still show (deterministically) as
+    InMemoryTableScan."""
+    spark.catalog.clearCache()
     try:
         df = spec.fn(spark, sf_dir)
     except Exception:
