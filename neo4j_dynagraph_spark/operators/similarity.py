@@ -577,3 +577,104 @@ def semantic_dedup(
         .select(id_col, "cluster", F.col("_dup").isNull().alias("keep"))
         .orderBy(id_col)
     )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Top principal component of an embedding corpus via distributed
+    covariance + power iteration: ``(dim, loading, eigenvalue,
+    var_ratio)``, one row per dimension.
+
+    The 100 TB decomposition (the RowMatrix-gramian shape, public
+    Spark MLlib pattern):
+
+    - per-dim MEAN: posexplode -> groupBy(dim) avg — d rows out, map-side
+      partial agg, then broadcast back as one ordered array;
+    - centered GRAM matrix: each row contributes its d x d outer product
+      via a flattened JVM transform -> explode -> groupBy(i, j) SUM.
+      Shuffle volume is d^2 keys per partition (partial agg), never
+      corpus-scale; the corpus is read ONCE;
+    - POWER ITERATION on the d^2-row gram table: n_iter rounds of
+      matvec (hash join on the contraction index + groupBy sum) and
+      normalization (1-row norm broadcast). All DataFrames end-to-end,
+      localCheckpoint per round (the k-core lineage pattern); no
+      driver-side numerics, so a SQL oracle can replay the fit exactly;
+    - eigenvalue = v'Gv after the last round; var_ratio = lambda /
+      trace(G).
+
+    Deterministic: init vector is all-ones (sign of the result follows
+    from <v0, e1> under identical arithmetic in any replaying engine);
+    exported doubles are rounded by the CALLER per the cross-engine
+    rule.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    u = emb.select(id_col, F.posexplode(vec_col).alias("i", "x"))
+    mean_arr = (
+        u.groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
+        .select(F.transform("sm", lambda s: s["m"]).alias("mv"))
+    )
+    cent = emb.crossJoin(F.broadcast(mean_arr)).select(
+        id_col, F.zip_with(vec_col, "mv", lambda a, b: a - b).alias("c")
+    )
+    gram = (
+        cent.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(c) - 1), "
+                    "i -> transform(sequence(0, size(c) - 1), "
+                    "j -> struct(i AS i, j AS j, c[i] * c[j] AS p))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").alias("g"))
+        .localCheckpoint()
+    )
+    vec = gram.select("i").distinct().select(
+        F.col("i").alias("j"), F.lit(1.0).alias("val")
+    )
+    for _ in range(n_iter):
+        mv = (
+            gram.join(vec, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("val")).alias("val"))
+        )
+        nrm = mv.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n"))
+        vec = (
+            mv.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                (F.col("val") / F.col("n")).alias("val"),
+            )
+            .localCheckpoint()
+        )
+    gv = (
+        gram.join(vec, "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("val")).alias("gval"))
+    )
+    lam = (
+        vec.join(gv, vec["j"] == gv["i"])
+        .agg(F.sum(F.col("val") * F.col("gval")).alias("lam"))
+    )
+    trace = gram.where(F.col("i") == F.col("j")).agg(
+        F.sum("g").alias("tr")
+    )
+    return (
+        vec.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.round("val", 6).alias("loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("tr"), 6).alias("var_ratio"),
+        )
+        .orderBy("dim")
+    )

@@ -205,3 +205,32 @@ def test_semantic_dedup_keep_rule(emb):
         ]
         has_near = any(sim(m, r.vec_id) > thr for m in mates)
         assert r.keep == (not has_near), r
+
+
+def test_pca_top_component_planted_direction(spark):
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators.similarity import pca_top_component
+
+    # all mass along (0.6, 0.8): the top component must recover it
+    # exactly with var_ratio = 1
+    rows = [(i, [0.6 * t, 0.8 * t]) for i, t in enumerate([-2.0, -1.0, 1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {r["dim"]: r for r in pca_top_component(emb, n_iter=10).collect()}
+    assert abs(abs(out[0]["loading"]) - 0.6) < 1e-6
+    assert abs(abs(out[1]["loading"]) - 0.8) < 1e-6
+    # same sign pattern as the generating direction (up to global flip)
+    assert out[0]["loading"] * out[1]["loading"] > 0
+    assert out[0]["var_ratio"] == 1.0
+    # eigenvalue = total variance: sum t^2 = 10 (mean is 0)
+    assert abs(out[0]["eigenvalue"] - 10.0) < 1e-6
+
+
+def test_pca_rejects_bad_iter(spark):
+    import pytest as _pytest
+
+    from neo4j_dynagraph_spark.operators.similarity import pca_top_component
+
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, v array<double>")
+    with _pytest.raises(ValueError):
+        pca_top_component(emb, n_iter=0)
