@@ -30,7 +30,7 @@ Scale design (100 TB corpora):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from neo4j_dynagraph_spark import functions as dfn
 
@@ -328,4 +328,94 @@ def ngram_containment_pairs(
         "d2",
         F.round(cont, 6).alias("cont"),
         F.round(jac, 6).alias("jac"),
+    )
+
+
+def prefix_jaccard_join(
+    docs: DataFrame, threshold: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """Exact token-set Jaccard similarity join via PREFIX FILTERING
+    (the PPJoin family, Xiao et al. 2008 — public knowledge): emits
+    every pair with J(tokens(a), tokens(b)) >= threshold as
+    ``(d1, d2, n1, n2, common, jac)``, with a COMPLETENESS guarantee
+    LSH banding cannot give (MinHash misses true pairs with
+    probability (1 - J^r)^b; prefix filtering misses none).
+
+    How it scales — candidates come from an equi-join, never
+    all-pairs:
+
+    - global document frequency orders the vocabulary rarest-first
+      (df ASC, token): the ordering key is the (df, token) pair
+      itself, so no global rank is materialized;
+    - each doc keeps only its PREFIX — the n - ceil(t*n) + 1 smallest
+      tokens in that order (per-doc window, partitioned by doc_id) —
+      any pair with J >= t must share a prefix token, and prefixes
+      concentrate in RARE tokens, so the token-bucketed self-join
+      explodes far less than a full inverted index;
+    - verification is relational: count shared tokens per surviving
+      pair via the same token-keyed join and apply the exact Jaccard
+      predicate. No arrays are shipped, no UDFs.
+
+    Reference parity: extends q_ngram_jaccard's verify (3-gram
+    blocked candidates, operators/dedup.py above) with the
+    prefix-filter candidate strategy; same output contract.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    toks = (
+        tokens_df(docs, text_col)
+        .select("doc_id", F.explode("t").alias("token"))
+        .distinct()
+    )
+    df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sized = toks.join(df_counts, "token").withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+    prefix = (
+        sized.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+        .where(F.col("pos") <= prefix_len)
+        .select("doc_id", "token", "n")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared_prefix"))
+        .drop("_shared_prefix")
+    )
+    common = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("d1"), "token"), "d1"
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("d2"), "token"),
+            ["d2", "token"],
+        )
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.where(jac >= threshold)
+        .select(
+            "d1",
+            "d2",
+            F.col("n1").cast("long"),
+            F.col("n2").cast("long"),
+            F.col("common").cast("long"),
+            F.round(jac, 6).alias("jac"),
+        )
+        .orderBy("d1", "d2")
     )

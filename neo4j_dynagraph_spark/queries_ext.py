@@ -3672,6 +3672,110 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_prefix",
+    oracle=f"""
+WITH {_TOK_CTE},
+tokd AS (SELECT DISTINCT doc_id, u.w AS token FROM tok, UNNEST(t) AS u(w)),
+dfc AS (SELECT token, count(*) AS df FROM tokd GROUP BY 1),
+sz AS (SELECT doc_id, count(*) AS n FROM tokd GROUP BY 1),
+pr AS (SELECT t.doc_id, t.token, s.n,
+              row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS pos
+       FROM tokd t JOIN dfc d USING (token) JOIN sz s USING (doc_id)),
+pf AS (SELECT doc_id, token, n FROM pr WHERE pos <= n - ceil(0.9 * n) + 1),
+cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2
+         FROM pf a JOIN pf b USING (token) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3, 4),
+cm AS (SELECT c.d1, c.d2, c.n1, c.n2, count(*) AS common
+       FROM cand c
+       JOIN tokd x ON x.doc_id = c.d1
+       JOIN tokd y ON y.doc_id = c.d2 AND y.token = x.token
+       GROUP BY 1, 2, 3, 4)
+SELECT d1, d2, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(common AS BIGINT) AS common,
+       round(common / (n1 + n2 - common), 6) AS jac
+FROM cm WHERE common / (n1 + n2 - common) >= 0.9
+ORDER BY d1, d2
+""",
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard join (t=0.9) via PPJoin-style prefix
+    filtering — the COMPLETE near-dup candidate strategy (MinHash
+    banding misses true pairs with prob (1-J^r)^b; the prefix filter
+    provably misses none at the threshold). Candidates come from an
+    equi-join on each doc's n-ceil(tn)+1 RAREST tokens (global-df
+    order), so buckets concentrate in rare tokens and stay small;
+    verification is a relational shared-token count, no arrays
+    shipped. Output volume is corpus-determined: this generator's
+    small shared vocabulary makes token SETS near-degenerate (9 k
+    pairs at 500 docs even at t=0.9) — the discriminative production
+    setting is 3-gram shingles (q_ngram_jaccard); this entry grades
+    the candidate-generation STRATEGY itself."""
+    from neo4j_dynagraph_spark.operators.dedup import prefix_jaccard_join
+
+    return prefix_jaccard_join(_docs(spark, sf_dir), threshold=0.9)
+
+
+@query(
+    "q_embed_outliers",
+    oracle="""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+u AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+                   FROM base, UNNEST(range(1, len(v) + 1)) AS r(i)),
+m AS (SELECT i, avg(x) AS m FROM u GROUP BY 1),
+d AS MATERIALIZED (SELECT vec_id, sqrt(sum((x - m.m) * (x - m.m))) AS dist
+                   FROM u JOIN m USING (i) GROUP BY 1),
+st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sd FROM d)
+SELECT vec_id, round(dist, 6) AS dist, round((dist - mu) / sd, 6) AS z
+FROM d CROSS JOIN st
+ORDER BY round((dist - mu) / sd, 6) DESC, vec_id LIMIT 20
+""",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by centroid-distance z-score — the
+    curation signal for mislabeled / off-distribution documents
+    (prune-before-train). One pass for the per-dim mean (d-row agg,
+    broadcast back as an ordered array), one JVM zip_with/aggregate
+    projection for each row's distance (no second shuffle of the
+    corpus), a 1-row moment broadcast, and TakeOrdered(20) on the
+    ROUNDED z (deterministic tie-break on vec_id) so cross-engine
+    ulp drift cannot reorder the cut."""
+    from neo4j_dynagraph_spark.operators import similarity as sim
+
+    emb = sim.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    mean_arr = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
+        .select(F.transform("sm", lambda s: s["m"]).alias("mv"))
+    )
+    dist = emb.crossJoin(F.broadcast(mean_arr)).select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "mv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("dist"),
+    )
+    st = dist.agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sd")
+    return (
+        dist.crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(F.desc("z"), "vec_id")
+        .limit(20)
+    )
+
+
 def _pca_oracle(n: int) -> str:
     """Unrolled n-round replay of the power-iteration PCA fit
     (the PageRank/k-means replay-oracle pattern). The multiply-

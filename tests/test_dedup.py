@@ -114,3 +114,47 @@ def test_boilerplate_skew_capped_and_observed(spark):
     assert pairs2.count() == 40 * 39 // 2
     assert obs.get["n_dropped_buckets"] == 0
     assert obs.get["max_bucket_seen"] == 40
+
+
+def test_prefix_jaccard_join_complete_vs_brute_force(spark):
+    """The prefix filter must find EXACTLY the brute-force J >= t set."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators.dedup import prefix_jaccard_join
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",          # J=4/6 with 0
+        "alpha beta gamma delta epsilon",       # exact dup of 0: J=1
+        "omega psi chi phi upsilon",
+        "omega psi chi phi upsilon tau",        # J=5/6 with 3
+        "unrelated words entirely different here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    t = 0.8
+    got = {
+        (r["d1"], r["d2"]): r["jac"]
+        for r in prefix_jaccard_join(docs, threshold=t).collect()
+    }
+    sets = [set(x.split()) for x in texts]
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= t:
+            want[(a, b)] = round(j, 6)
+    assert got == want and (0, 2) in got and got[(0, 2)] == 1.0
+
+
+def test_prefix_jaccard_join_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from neo4j_dynagraph_spark.operators.dedup import prefix_jaccard_join
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    for bad in (0.0, 1.5, -0.2):
+        with _pytest.raises(ValueError):
+            prefix_jaccard_join(docs, threshold=bad)
