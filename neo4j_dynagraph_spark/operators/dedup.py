@@ -419,3 +419,57 @@ def prefix_jaccard_join(
         )
         .orderBy("d1", "d2")
     )
+
+
+def dup_span_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-span statistics — the blocked form of
+    exact-substring deduplication ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022). The suffix-array span
+    match is approximated at word-3-gram granularity: a shingle
+    OCCURRENCE is "duplicated" when the same shingle text appears in
+    at least one OTHER document; a doc's dup_frac is the fraction of
+    its shingle positions covered by such cross-doc spans. Docs that
+    are mostly duplicated spans (boilerplate, mirrored pages) are the
+    removal candidates the paper targets.
+
+    Distributed shape: shingle occurrences are pre-aggregated to
+    (doc_id, shingle, c) — one map-side-combine shuffle keyed by
+    (doc, shingle) — so the cross-doc test and the join-back both run
+    on the DISTINCT occurrence table, not the raw position stream. The
+    shingle-level table (n_docs per shingle) joins back on the shingle
+    key: a standard hash-partitioned equi-join whose keys are md5-
+    uniform, no skew. Nothing is quadratic; nothing is collected.
+
+    Columns: doc_id, source, n_pos (shingle positions),
+    n_dup_pos (positions in cross-doc spans), dup_frac (rounded 1e-6).
+    """
+    toks = tokens_df(docs, text_col).where(F.size("t") >= 3)
+    positions = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(SHINGLE3_EXPR.replace("array_distinct(", "(", 1))
+        ).alias("shingle"),
+    )
+    per_doc = positions.groupBy("doc_id", "source", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # min!=max over doc_id is the constant-state form of
+    # count_distinct(doc_id) > 1 — no distinct-aggregate shuffle.
+    shingle_docs = per_doc.groupBy("shingle").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
+    )
+    return (
+        per_doc.join(shingle_docs, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_pos"),
+            F.sum(F.when(F.col("is_dup"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_pos"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_pos") / F.col("n_pos").cast("double"), 6),
+        )
+    )

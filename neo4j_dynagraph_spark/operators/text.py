@@ -752,6 +752,71 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,  # noqa: ANN001 — a Column predicate selecting target-domain docs
+    n_buckets: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every document by how much its hashed-n-gram feature
+    distribution looks like a TARGET domain versus the RAW corpus.
+    Each token hashes into one of ``n_buckets`` buckets (the paper's
+    hashed n-gram features); two smoothed categorical distributions
+    are fit — p_target over target-domain docs, p_raw over the whole
+    corpus — and a doc's importance weight is the sum over its token
+    instances of ln(p_target[b]/p_raw[b]). High weight = resample into
+    the training mix.
+
+    Distributed shape: ONE tokenize+explode feeds (a) the target
+    bucket counts, (b) the raw bucket counts, and (c) the scoring
+    stream. The two count tables are exactly ``n_buckets`` rows — the
+    log-ratio table is a genuine constant-size BROADCAST (unlike a
+    vocabulary table, it cannot grow with the corpus), so scoring is a
+    map-side join followed by one per-doc aggregate. Nothing in the
+    plan scales worse than the token stream itself.
+
+    Bucketing uses the portable md5 hash64 (functions.hash64) so a SQL
+    oracle replays bucket assignment bit-for-bit. Add-1 smoothing over
+    the bucket alphabet keeps both distributions strictly positive.
+    Cross-engine float rule: the per-doc weight is rounded at 1e-6.
+
+    Columns: doc_id, n_tok, dsir_weight.
+    """
+    is_target = F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
+    u = (
+        docs.select(
+            "doc_id",
+            is_target.alias("_tgt"),
+            F.explode(dfn.tokens(F.col(text_col))).alias("w"),
+        )
+        .withColumn("bkt", F.pmod(dfn.hash64(F.col("w")), F.lit(n_buckets)))
+    )
+    counts = u.groupBy("bkt").agg(
+        F.sum("_tgt").alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cr").cast("double").alias("nr"),
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + n_buckets))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + n_buckets))
+        ).alias("logratio"),
+    )
+    return (
+        u.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(F.sum("logratio"), 6).alias("dsir_weight"),
+        )
+    )
+
+
 def write_training_shards(
     docs: DataFrame,
     out_dir: str,

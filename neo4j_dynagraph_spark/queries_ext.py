@@ -3839,6 +3839,99 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_top_component(emb, n_iter=10)
 
 
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
+u AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+             unnest(t) AS w FROM tok),
+b AS (SELECT doc_id, tgt, ({_H64.format(x="w")}) % 64 AS bkt FROM u),
+c AS (SELECT bkt, sum(tgt) AS ct, count(*) AS cr FROM b GROUP BY 1),
+t2 AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+              CAST(sum(cr) AS DOUBLE) AS nr FROM c),
+r AS (SELECT bkt, ln((ct + 1) / (nt + 64)) - ln((cr + 1) / (nr + 64))
+             AS logratio FROM c CROSS JOIN t2),
+s AS (SELECT b.doc_id, count(*) AS n_tok,
+             round(sum(r.logratio), 6) AS dsir_weight
+      FROM b JOIN r USING (bkt) GROUP BY 1)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, dsir_weight
+FROM s ORDER BY dsir_weight DESC, doc_id LIMIT 50
+""",
+    bench=True,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    bucket distributions for the target domain (lang='en' docs) vs the
+    raw corpus; each doc scored by the summed log-ratio of its token
+    buckets; top-50 by weight are the docs importance-resampling would
+    pull into the mix. The 64-row log-ratio table is a constant-size
+    broadcast, so the scoring join is map-side; the final top-k plans
+    as TakeOrderedAndProject. Oracle replays bucket hashing (portable
+    md5 hash64 mod 64), both smoothed distributions, and the per-doc
+    sum, bit-for-bit at 1e-6."""
+    docs = _docs(spark, sf_dir)
+    w = text.dsir_weights(docs, F.col("lang") == "en", n_buckets=64)
+    return (
+        w.orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_tok", "dsir_weight")
+    )
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, source, {_TOK} AS t FROM documents),
+tk AS (SELECT doc_id, source, t FROM tok WHERE len(t) >= 3),
+sp AS (SELECT doc_id, source,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM tk, UNNEST(range(1, len(t) - 1)) AS u(i)),
+ds AS (SELECT doc_id, source, shingle, count(*) AS c
+       FROM sp GROUP BY 1, 2, 3),
+sd AS (SELECT shingle, min(doc_id) <> max(doc_id) AS is_dup
+       FROM ds GROUP BY 1),
+pd AS (SELECT doc_id, source, sum(c) AS n_pos,
+              sum(CASE WHEN is_dup THEN c ELSE 0 END) AS n_dup_pos
+       FROM ds JOIN sd USING (shingle) GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(round(n_dup_pos / CAST(n_pos AS DOUBLE), 6)), 6)
+           AS avg_dup_frac,
+       CAST(sum(CASE WHEN n_dup_pos / CAST(n_pos AS DOUBLE) >= 0.2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM pd GROUP BY 1 ORDER BY source
+""",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-span audit (Lee et al. 2022's exact-
+    substring dedup, blocked at word-3-gram granularity): per source,
+    how many docs, the mean fraction of shingle positions covered by
+    spans that also appear in another document, and how many docs
+    cross the 20% removal threshold. The occurrence table is
+    pre-aggregated to (doc, shingle, count) before the cross-doc test,
+    so both the shingle-level aggregate and the join-back run on
+    distinct occurrences — never the raw position stream twice. Oracle
+    replays shingling, the min!=max cross-doc test, and both
+    aggregates."""
+    stats = dedup.dup_span_stats(_docs(spark, sf_dir))
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.sum(
+                F.when(
+                    F.col("n_dup_pos") / F.col("n_pos").cast("double")
+                    >= 0.2,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
 # Finish the deferred grade-window application for the direct-import
 # path (see the guard at the bottom of queries.py).
 from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402

@@ -158,3 +158,30 @@ def test_prefix_jaccard_join_rejects_bad_threshold(spark):
     for bad in (0.0, 1.5, -0.2):
         with _pytest.raises(ValueError):
             prefix_jaccard_join(docs, threshold=bad)
+
+
+def test_dup_span_stats_planted(spark):
+    rows = [
+        # 0 and 1 identical -> every span cross-doc duplicated
+        (0, "alpha beta gamma delta epsilon zeta", "s0"),
+        (1, "alpha beta gamma delta epsilon zeta", "s0"),
+        # 2 shares its first 3-gram with 0/1, rest unique
+        (2, "alpha beta gamma unique tail words here", "s1"),
+        # 3 fully unique
+        (3, "nothing here matches any other document at all", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in dedup.dup_span_stats(docs).collect()}
+    assert out[0].dup_frac == 1.0 and out[1].dup_frac == 1.0
+    assert out[3].dup_frac == 0.0
+    # doc 2: 5 shingle positions, exactly 1 ("alpha beta gamma") duplicated
+    assert out[2].n_pos == 5 and out[2].n_dup_pos == 1
+    assert out[2].dup_frac == 0.2
+
+
+def test_dup_span_stats_intra_doc_repeat_not_dup(spark):
+    # a shingle repeated WITHIN one doc only is not cross-doc duplicated
+    rows = [(0, "x y z x y z", "s0"), (1, "totally different words here", "s0")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in dedup.dup_span_stats(docs).collect()}
+    assert out[0].n_dup_pos == 0 and out[0].dup_frac == 0.0

@@ -603,3 +603,28 @@ def test_ppl_buckets_equals_plain_window_terciles(spark):
     assert all(
         v[1] == ("head", "middle", "tail")[k[1]] for k, v in got.items()
     )
+
+
+def test_dsir_weights_prefers_target_vocab(spark):
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    rows = [
+        # target domain speaks aa/bb/cc; raw-only docs speak xx/yy/zz
+        (0, "aa bb cc aa bb cc", "en"),
+        (1, "aa cc bb aa cc bb", "en"),
+        (2, "xx yy zz xx yy zz", "de"),
+        (3, "aa bb cc aa bb cc", "de"),  # raw doc with target-like text
+        (4, "xx yy zz xx zz yy", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in text_ops.dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    # target-vocab docs outrank raw-only docs regardless of their own label
+    assert w[3] > w[2] and w[0] > w[4]
+    # identical token multisets get identical weights
+    assert w[0] == w[1] == w[3]
+    assert all(r is not None for r in w.values()) and len(w) == 5
