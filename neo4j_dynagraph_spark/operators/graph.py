@@ -779,3 +779,60 @@ def temporal_path_counts(
         F.count(F.lit(1)).cast("long").alias("n_paths"),
         F.min("f2").alias("earliest_arrival"),
     )
+
+
+def widest_paths(
+    weighted_edges: DataFrame, anchor: int, hops: int = 3
+) -> DataFrame:
+    """Bounded widest-path (max-bottleneck) search from one anchor:
+    for every actor reachable within ``hops`` undirected hops, the
+    maximum over paths of the MINIMUM edge weight along the path — the
+    "how strong is the strongest corridor" question (epidemic/bandwidth
+    framing of the reference's contact graph; the weighted sibling of
+    :func:`temporal_path_counts`'s unweighted hop search). Input is the
+    canonical per-pair aggregated graph (actor1, actor2, weight) with
+    an INTEGER weight (e.g. co-present frame count), so the min/max
+    algebra is exact in every engine — no float relaxation drift.
+
+    Correctness of the pruned frontier: widths compose only through
+    least(width, edge_w), which is monotone in width — so keeping just
+    the per-node MAX width at each ring dominates every extension any
+    discarded width could make. The frontier is therefore O(nodes)
+    per round, never O(paths).
+
+    Scale shape per round: one hash equi-join of the O(nodes) frontier
+    against the symmetrized edge table on the node key, one map-side-
+    combined max-aggregate. The edge table is localCheckpointed once
+    (symmetrize's union re-derives its subtree per reference
+    otherwise); a ``hops``-round search is ``hops`` joins, no
+    fixpoint, so an unrolled SQL CTE replays it exactly.
+
+    Columns: actor, width (bottleneck weight of the best path),
+    anchor excluded.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    sym = symmetrize(weighted_edges).localCheckpoint()
+    frontier = (
+        sym.where(F.col("src") == anchor)
+        .groupBy(F.col("dst").alias("actor"))
+        .agg(F.max("weight").alias("width"))
+    )
+    best = frontier
+    for _ in range(hops - 1):
+        nxt = (
+            frontier.join(sym, frontier["actor"] == sym["src"])
+            .select(
+                F.col("dst").alias("actor"),
+                F.least(F.col("width"), F.col("weight")).alias("width"),
+            )
+            .groupBy("actor")
+            .agg(F.max("width").alias("width"))
+        )
+        frontier = nxt
+        best = (
+            best.unionByName(nxt)
+            .groupBy("actor")
+            .agg(F.max("width").alias("width"))
+        )
+    return best.where(F.col("actor") != anchor)

@@ -678,3 +678,63 @@ def pca_top_component(
         )
         .orderBy("dim")
     )
+
+
+def knn_label_accuracy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """k-NN majority-vote label prediction for a FIXED anchor set —
+    the label-quality / embedding-quality grading query of a training
+    pipeline (does the embedding space cluster by label?): each anchor
+    vector's label is predicted as the most frequent label among its k
+    exact-cosine nearest neighbors (ties -> smaller label), then
+    checked against its true label.
+
+    Inputs: ``corpus`` (vec_id, v), ``queries`` (qid, qv) — a
+    CONSTANT-size anchor set, broadcast, so the scoring pass is one
+    linear corpus scan regardless of SF — and ``labels``
+    (vec_id, label).
+
+    Scale shape: brute_force_topk's broadcast scan + a qid-keyed rank
+    window (|Q| keys), one broadcast label join on the k·|Q| neighbor
+    rows, one vote count, one argmax window — everything after the
+    scan is O(k·|Q|), driver-free.
+
+    Columns: vec_id, true_label, pred_label, n_votes, correct.
+    """
+    from pyspark.sql import Window
+
+    nn = brute_force_topk(corpus, queries, k=k)
+    # broadcast the O(k·|Q|) neighbor set INTO the corpus-sized label
+    # table (never the reverse): one more linear scan, no big build side
+    votes = (
+        labels.select(F.col("vec_id").alias("cid"), "label")
+        .join(F.broadcast(nn), "cid")
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    return (
+        labels.withColumnRenamed("label", "true_label")
+        .join(F.broadcast(pred), "vec_id")
+        .select(
+            "vec_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )

@@ -23,10 +23,12 @@ from neo4j_dynagraph_spark.operators import (
     text,
 )
 from neo4j_dynagraph_spark.queries import (
+    ACTOR1,
     _EDGES_FROM_P,
     _FID,
     DELTA,
     SPELL_LEN,
+    _edges,
     _presence_sql,
     query,
 )
@@ -3930,6 +3932,94 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_widest_paths",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e0 AS ({_EDGES_FROM_P}),
+pw AS (SELECT actor1, actor2, count(*) AS w FROM e0 GROUP BY 1, 2),
+sym AS (SELECT actor1 AS src, actor2 AS dst, w FROM pw
+        UNION ALL SELECT actor2, actor1, w FROM pw),
+d1 AS (SELECT dst AS actor, max(w) AS width FROM sym
+       WHERE src = {ACTOR1} GROUP BY 1),
+d2 AS (SELECT s.dst AS actor, max(least(d1.width, s.w)) AS width
+       FROM d1 JOIN sym s ON s.src = d1.actor GROUP BY 1),
+d3 AS (SELECT s.dst AS actor, max(least(d2.width, s.w)) AS width
+       FROM d2 JOIN sym s ON s.src = d2.actor GROUP BY 1),
+u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+      UNION ALL SELECT * FROM d3)
+SELECT actor, CAST(max(width) AS BIGINT) AS width
+FROM u WHERE actor != {ACTOR1} GROUP BY 1 ORDER BY actor
+""",
+)
+def q_widest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded widest-path (max-bottleneck) search from actor 1 over
+    the co-present-frame-count graph, 3 undirected hops: for each
+    reachable actor, the strongest corridor's weakest link — the
+    weighted transmission-capacity sibling of q_temporal_paths.
+    Integer weights (frame counts) keep the min/max algebra exact in
+    every engine; the pruned O(nodes) frontier provably dominates
+    (least is monotone), so a 3-level unrolled CTE replays the search
+    ring-for-ring."""
+    pw = (
+        _edges(spark, sf_dir)
+        .groupBy("actor1", "actor2")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return (
+        graph.widest_paths(pw, anchor=ACTOR1, hops=3)
+        .select("actor", F.col("width").cast("long").alias("width"))
+        .orderBy("actor")
+    )
+
+
+@query(
+    "q_knn_accuracy",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM base WHERE vec_id < 20),
+pairs AS (SELECT qid, vec_id AS cid, qe, embedding AS ce
+          FROM base CROSS JOIN q WHERE vec_id != qid),
+un AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x,
+              CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+dots AS (SELECT qid, cid, sum(x*y) AS d, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM un GROUP BY 1, 2),
+sims AS (SELECT qid, cid, d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims),
+nn AS (SELECT qid, cid FROM ranked WHERE rank <= 10),
+votes AS (SELECT nn.qid, b.label, count(*) AS n_votes
+          FROM nn JOIN base b ON b.vec_id = nn.cid GROUP BY 1, 2),
+pred AS (SELECT qid, label AS pred_label, n_votes,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY n_votes DESC, label) AS rk
+         FROM votes)
+SELECT p.qid AS vec_id, b.label AS true_label, p.pred_label,
+       CAST(p.n_votes AS BIGINT) AS n_votes,
+       (p.pred_label = b.label) AS correct
+FROM pred p JOIN base b ON b.vec_id = p.qid
+WHERE p.rk = 1 ORDER BY vec_id
+""",
+)
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label accuracy for the 20 anchor vectors
+    vec_id<20, k=10 exact cosine — grades whether the embedding space
+    clusters by its ground-truth label (the embedding-quality gate a
+    training pipeline runs before trusting semantic dedup / ANN
+    retrieval on those vectors). Constant anchor set -> one broadcast
+    linear corpus scan; everything downstream is O(k*|Q|). Oracle
+    replays neighbors, votes, the smaller-label tie-break, and the
+    grading."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return similarity.knn_label_accuracy(emb, queries_df, labels, k=10)
 
 
 # Finish the deferred grade-window application for the direct-import

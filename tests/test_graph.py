@@ -484,3 +484,22 @@ def test_temporal_path_counts_strictly_later(spark):
         [(5, 1, 2), (5, 2, 3)], "frame_id long, actor1 long, actor2 long"
     )
     assert graph.temporal_path_counts(e, max_gap_frames=2).count() == 0
+
+
+def test_widest_paths_two_hop_beats_direct(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from neo4j_dynagraph_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        # direct 1-3 edge is narrow (1); the 1-2-3 corridor bottlenecks at 8
+        [(1, 2, 10), (2, 3, 8), (1, 3, 1), (3, 4, 5)],
+        "actor1 long, actor2 long, weight long",
+    )
+    out = {r.actor: r.width for r in graph.widest_paths(edges, anchor=1, hops=3).collect()}
+    assert out == {2: 10, 3: 8, 4: 5}
+    # one hop: only direct neighbors, direct widths
+    out1 = {r.actor: r.width for r in graph.widest_paths(edges, anchor=1, hops=1).collect()}
+    assert out1 == {2: 10, 3: 1}
+    # anchor never appears in its own result
+    assert 1 not in out and 1 not in out1

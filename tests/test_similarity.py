@@ -234,3 +234,31 @@ def test_pca_rejects_bad_iter(spark):
     emb = spark.createDataFrame([(0, [1.0])], "vec_id long, v array<double>")
     with _pytest.raises(ValueError):
         pca_top_component(emb, n_iter=0)
+
+
+def test_knn_label_accuracy_clean_clusters(spark):
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators import similarity
+
+    # two tight clusters: label 0 near (1,0), label 1 near (0,1)
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * (i - 6), 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, label int"
+    )
+    corpus = emb.select("vec_id", "v")
+    queries = emb.where(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    labels = emb.select("vec_id", "label")
+    out = {
+        r.vec_id: r
+        for r in similarity.knn_label_accuracy(corpus, queries, labels, k=3).collect()
+    }
+    assert out[0].pred_label == 0 and out[0].correct
+    assert out[7].pred_label == 1 and out[7].correct
+    assert out[0].n_votes == 3  # all 3 neighbors from its own cluster
