@@ -738,3 +738,66 @@ def knn_label_accuracy(
         )
         .orderBy("vec_id")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    labels: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k nearest-by-cosine candidates whose label DIFFERS from the
+    anchor's — the negatives that sit closest to the decision boundary
+    and carry the most gradient signal (in-batch-negatives literature,
+    e.g. DPR/SimCLR practice). Same-label neighbors are excluded
+    BEFORE ranking, so rank r is "r-th hardest negative".
+
+    Inputs: ``corpus`` (vec_id, v), ``queries`` (qid, qv) — constant
+    anchor set, broadcast — ``labels`` (vec_id, label).
+
+    Scale shape: labels attach to the corpus by the vec_id key (column
+    projection, no second scan table); the anchor side carries its own
+    label in the broadcast closure; one linear scan scores and
+    filters, then a qid-keyed rank window over the surviving rows.
+
+    Columns: qid, anchor_label, rank, cid, neg_label, sim.
+    """
+    from pyspark.sql import Window
+
+    q = (
+        queries.join(
+            labels.select(
+                F.col("vec_id").alias("qid"),
+                F.col("label").alias("anchor_label"),
+            ),
+            "qid",
+        )
+        .select("qid", "qv", "anchor_label", F.expr(_NORM.format(c="qv")).alias("qn"))
+    )
+    c = corpus.join(labels, "vec_id").select(
+        F.col("vec_id").alias("cid"),
+        F.col("v"),
+        F.col("label").alias("neg_label"),
+        F.expr(_NORM.format(c="v")).alias("cn"),
+    )
+    sim = (F.expr(_DOT) / (F.col("qn") * F.col("cn"))).alias("sim_raw")
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("cid") != F.col("qid"))
+        & (F.col("neg_label") != F.col("anchor_label")),
+    ).select("qid", "anchor_label", "cid", "neg_label", sim)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "anchor_label",
+            "rank",
+            "cid",
+            "neg_label",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+        .orderBy("qid", "rank")
+    )

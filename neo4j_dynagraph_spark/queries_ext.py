@@ -4022,6 +4022,109 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_accuracy(emb, queries_df, labels, k=10)
 
 
+@query(
+    "q_event_outliers",
+    oracle="""
+WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+           FROM events GROUP BY 1),
+j AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)),
+m2 AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+       FROM j GROUP BY 1)
+SELECT j.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       any_value(j.med) AS med, any_value(m2.mad) AS mad,
+       CAST(sum(CASE WHEN j.dev > 4.4478 * m2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(max(j.dev), 6) AS max_dev
+FROM j JOIN m2 USING (event_type)
+GROUP BY 1 ORDER BY event_type
+""",
+)
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier audit of event values per type:
+    |value - median| > 3 * 1.4826 * MAD (the 4.4478 literal, identical
+    in both engines) flags values a z-score rule would miss whenever
+    the mean/stddev are themselves dragged by the outliers. Two
+    percentile aggregates with the per-type stats tables re-attached
+    by BROADCAST (event-type cardinality is bounded); med/mad are
+    rounded at 1e-6 BEFORE the threshold compare so every engine flags
+    the identical rows. At 100 TB swap the exact percentile for the
+    GK sketch / hash-sample twin (q_approx_quantiles /
+    q_sample_quantiles) — the flagging pass is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    m = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    j = ev.join(F.broadcast(m), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    m2 = j.groupBy("event_type").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        j.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > 4.4478 * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("dev"), 6).alias("max_dev"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, label AS anchor_label
+      FROM base WHERE vec_id < 10),
+pairs AS (SELECT q.qid, q.anchor_label, b.vec_id AS cid,
+                 b.label AS neg_label, q.qe, b.embedding AS ce
+          FROM base b CROSS JOIN q
+          WHERE b.vec_id != q.qid AND b.label != q.anchor_label),
+un AS (SELECT qid, anchor_label, cid, neg_label,
+              CAST(unnest(qe) AS DOUBLE) AS x,
+              CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+dots AS (SELECT qid, anchor_label, cid, neg_label, sum(x*y) AS d,
+                sum(x*x) AS nx, sum(y*y) AS ny FROM un GROUP BY 1, 2, 3, 4),
+sims AS (SELECT qid, anchor_label, cid, neg_label,
+                d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, anchor_label, cid, neg_label, sim_raw,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims)
+SELECT qid, anchor_label, rank, cid, neg_label, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    10 anchor vectors, the 5 nearest-by-cosine candidates whose label
+    DIFFERS from the anchor's — the boundary-hugging negatives that
+    carry the most gradient signal (DPR/SimCLR practice). Same-label
+    rows are excluded BEFORE ranking, labels ride the corpus scan as a
+    projected column (no second scan), anchors + their labels travel
+    in the broadcast closure. Oracle replays scoring, the label
+    filter, and the rank cut."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return similarity.hard_negatives(
+        emb.select("vec_id", "v"), queries_df, labels, k=5
+    )
+
+
 # Finish the deferred grade-window application for the direct-import
 # path (see the guard at the bottom of queries.py).
 from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402

@@ -628,3 +628,22 @@ def test_dsir_weights_prefers_target_vocab(spark):
     # identical token multisets get identical weights
     assert w[0] == w[1] == w[3]
     assert all(r is not None for r in w.values()) and len(w) == 5
+
+
+def test_event_outliers_flags_planted_extreme(spark):
+    from neo4j_dynagraph_spark.queries import REGISTRY
+    import os, tempfile
+
+    # build a tiny events parquet: 20 tight values + one wild outlier
+    import pyspark.sql.functions as F
+    rows = [(i, "a", 10.0 + 0.01 * (i % 5)) for i in range(20)]
+    rows.append((20, "a", 500.0))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    with tempfile.TemporaryDirectory(prefix="dynagraph_ev") as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = REGISTRY["q_event_outliers"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 21 and r.n_outliers == 1
+    assert abs(r.med - 10.02) < 1e-9
+    assert r.max_dev == 489.98

@@ -262,3 +262,23 @@ def test_knn_label_accuracy_clean_clusters(spark):
     assert out[0].pred_label == 0 and out[0].correct
     assert out[7].pred_label == 1 and out[7].correct
     assert out[0].n_votes == 3  # all 3 neighbors from its own cluster
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators import similarity
+
+    rows = [(i, [1.0, 0.01 * i], 0) for i in range(4)]
+    rows += [(i, [0.01 * (i - 4), 1.0], 1) for i in range(4, 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>, label int")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    out = similarity.hard_negatives(
+        emb.select("vec_id", "v"), queries, emb.select("vec_id", "label"), k=3
+    ).collect()
+    assert len(out) == 3
+    assert all(r.neg_label == 1 and r.anchor_label == 0 for r in out)
+    # hardest negative = the label-1 vector with the largest x component
+    assert out[0].cid == 7
