@@ -913,40 +913,17 @@ def ppl_buckets(
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
-    """Distributed byte-pair-encoding TRAINING: learn the first
-    ``n_merges`` merge rules over the corpus and return the merge
-    table ``(round, left_sym, right_sym, merged, weight)``.
-
-    This is `q_bpe_pairs`' inner statistic iterated with the
-    merge-apply step (the classic Sennrich et al. 2016 algorithm,
-    public knowledge). The scale design is the one that matters at
-    100 TB: after the FIRST aggregation the working set is the
-    distinct-WORD table (vocab-bounded by Heaps' law, ~|V| rows no
-    matter the corpus size), so every merge round runs over |V| rows,
-    never the corpus. Per round:
-
-    - pair statistics: explode adjacent symbol pairs weighted by word
-      frequency -> groupBy(left, right) SUM (map-side partial agg;
-      shuffle volume = symbol-pair vocabulary);
-    - argmax: TakeOrdered(1) with the deterministic tie-break
-      (weight DESC, left_sym, right_sym);
-    - merge-apply: the 1-row winner is BROADCAST back and applied as
-      a JVM ``aggregate`` lambda -- a left-to-right scan that merges
-      leftmost-first non-overlapping occurrences (the merged token is
-      strictly longer than its left part, so a fresh merge can never
-      chain into the next pair within the same round);
-    - ``localCheckpoint`` truncates lineage each round (the k-core /
-      LPA pattern, operators/graph.py:123) -- without it the
-      argmax+apply branches double the plan tree per round.
-
-    No driver-side data materialization: the winners stay DataFrames
-    end-to-end and the result is their union.
-
-    Reference parity: the reference has no trainer; this extends its
-    frequency-statistics surface (cypher_query_timing.py:83-120 style
-    aggregate-over-relationship counts) to the LLM-tokenizer use case.
-    """
+def _bpe_fit(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    apply_last: bool,
+):
+    """Shared BPE fit loop: returns (merge_table, final word-symbol
+    sequences). ``apply_last=False`` skips applying the last round's
+    merge (training only needs the rule); ``apply_last=True`` applies
+    every learned rule so the returned seq IS the encoded vocabulary
+    (what :func:`bpe_encode` consumes)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -1011,7 +988,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
             .localCheckpoint()
         )
         bests.append(best)
-        if r < n_merges:
+        if r < n_merges or apply_last:
             seq = (
                 seq.crossJoin(
                     F.broadcast(
@@ -1032,4 +1009,76 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
-    return out.orderBy("round")
+    return out.orderBy("round"), seq
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
+    """Distributed byte-pair-encoding TRAINING: learn the first
+    ``n_merges`` merge rules over the corpus and return the merge
+    table ``(round, left_sym, right_sym, merged, weight)``.
+
+    This is `q_bpe_pairs`' inner statistic iterated with the
+    merge-apply step (the classic Sennrich et al. 2016 algorithm,
+    public knowledge). The scale design is the one that matters at
+    100 TB: after the FIRST aggregation the working set is the
+    distinct-WORD table (vocab-bounded by Heaps' law, ~|V| rows no
+    matter the corpus size), so every merge round runs over |V| rows,
+    never the corpus. Per round:
+
+    - pair statistics: explode adjacent symbol pairs weighted by word
+      frequency -> groupBy(left, right) SUM (map-side partial agg;
+      shuffle volume = symbol-pair vocabulary);
+    - argmax: TakeOrdered(1) with the deterministic tie-break
+      (weight DESC, left_sym, right_sym);
+    - merge-apply: the 1-row winner is BROADCAST back and applied as
+      a JVM ``aggregate`` lambda -- a left-to-right scan that merges
+      leftmost-first non-overlapping occurrences (the merged token is
+      strictly longer than its left part, so a fresh merge can never
+      chain into the next pair within the same round);
+    - ``localCheckpoint`` truncates lineage each round (the k-core /
+      LPA pattern, operators/graph.py:123) -- without it the
+      argmax+apply branches double the plan tree per round.
+
+    No driver-side data materialization: the winners stay DataFrames
+    end-to-end and the result is their union.
+
+    Reference parity: the reference has no trainer; this extends its
+    frequency-statistics surface (cypher_query_timing.py:83-120 style
+    aggregate-over-relationship counts) to the LLM-tokenizer use case.
+    """
+    return _bpe_fit(docs, n_merges, text_col, apply_last=False)[0]
+
+
+def bpe_encode(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distributed byte-pair-encoding ENCODE: train ``n_merges``
+    rules (:func:`bpe_train`'s exact fit) and APPLY every rule, then
+    tokenize the corpus with the resulting subword vocabulary — the
+    closing half of the tokenizer loop (Sennrich et al. 2016; what a
+    training pipeline runs to budget tokens before packing).
+
+    Scale shape: the fit and the apply both run on the distinct-WORD
+    table (vocab-bounded, Heaps' law), so the corpus is touched
+    exactly twice — once for the word-frequency aggregate, once for
+    the final doc-level join — and the encoded vocabulary
+    (word -> symbol count) joins back by BROADCAST (same stance as
+    :func:`unigram_logprob`'s frequency table: vocab-bounded, never
+    corpus-sized).
+
+    Columns: doc_id, source, n_words, n_bpe_tokens (symbol count of
+    the doc under the learned vocabulary).
+    """
+    _, seq = _bpe_fit(docs, n_merges, text_col, apply_last=True)
+    enc = seq.select("word", F.size("s").cast("long").alias("n_sym"))
+    u = tokens_df(docs, text_col).select(
+        "doc_id", "source", F.explode("t").alias("word")
+    )
+    return (
+        u.join(F.broadcast(enc), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -3607,6 +3607,83 @@ def _bpe_oracle(n: int) -> str:
     )
 
 
+def _bpe_encode_oracle(n: int) -> str:
+    """Unrolled replay of _bpe_fit(apply_last=True) + the corpus
+    encode: n training rounds, EVERY merge applied (so seq{n} is the
+    encoded vocabulary), then the per-source token-budget summary."""
+    parts = [
+        _TOK_CTE,
+        "w AS (SELECT u.w AS word, count(*) AS cnt FROM tok, UNNEST(t) AS u(w) GROUP BY 1)",
+        "seq0 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS INT), 1)) AS s FROM w)",
+    ]
+    for r in range(n):
+        parts.append(
+            f"p{r} AS (SELECT s[i] AS l, s[i+1] AS rr, sum(cnt) AS wgt "
+            f"FROM seq{r}, UNNEST(range(1, len(s))) AS u(i) "
+            f"WHERE len(s) >= 2 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT l, rr, l || rr AS m, wgt FROM p{r} "
+            f"ORDER BY wgt DESC, l, rr LIMIT 1)"
+        )
+        parts.append(
+            f"seq{r + 1} AS (SELECT word, cnt, "
+            f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"list_transform(s, x -> [x])), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = l "
+            f"AND x[1] = rr THEN list_slice(acc, 1, len(acc) - 1) || [m] "
+            f"ELSE acc || x END) AS s FROM seq{r} CROSS JOIN b{r})"
+        )
+    parts.append(
+        f"enc AS (SELECT word, CAST(len(s) AS BIGINT) AS n_sym FROM seq{n})"
+    )
+    parts.append(
+        "u AS (SELECT doc_id, source, uu.w AS word FROM tok, UNNEST(t) AS uu(w))"
+    )
+    parts.append(
+        "d AS (SELECT source, doc_id, count(*) AS n_words, sum(n_sym) AS n_bpe "
+        "FROM u JOIN enc USING (word) GROUP BY 1, 2)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(sum(n_bpe) / CAST(sum(n_words) AS DOUBLE), 6) AS sym_per_word
+FROM d GROUP BY 1 ORDER BY source"""
+    )
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(8))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODE — the closing half of q_bpe_train's loop:
+    the 8 learned merge rules are ALL applied on the vocab-bounded
+    word table, then the corpus is re-tokenized under the resulting
+    subword vocabulary and summarized per source (docs, whitespace
+    words, BPE symbols, symbols-per-word) — the token-budget number a
+    pipeline needs before packing. The oracle replays the entire fit
+    AND the encode as unrolled CTEs; the per-source budget
+    hash-matches."""
+    enc = text.bpe_encode(_docs(spark, sf_dir), n_merges=8)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("sym_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("q_bpe_train", oracle=_bpe_oracle(8))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer TRAINING, 8 merge rounds — the flagship

@@ -647,3 +647,25 @@ def test_event_outliers_flags_planted_extreme(spark):
     assert r.n_events == 21 and r.n_outliers == 1
     assert abs(r.med - 10.02) < 1e-9
     assert r.max_dev == 489.98
+
+
+def test_bpe_encode_compresses_and_preserves_word_count(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    rows = [
+        (0, "banana bandana banana", "s0"),
+        (1, "banana banana bandana bandana", "s0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in text_ops.bpe_encode(docs, n_merges=4).collect()}
+    assert out[0].n_words == 3 and out[1].n_words == 4
+    # every word starts at len(word) symbols; 4 merges must shrink them
+    assert out[0].n_bpe_tokens < 6 + 7 + 6
+    assert out[1].n_bpe_tokens < 2 * 6 + 2 * 7
+    # encode of the same word is consistent across docs:
+    # doc1 = doc0 + one banana + one bandana - nothing else
+    per_word_0 = out[0].n_bpe_tokens
+    # doc0 = 2*banana + 1*bandana ; doc1 = 2*banana + 2*bandana
+    # so doc1 - doc0 = encoded(bandana)
+    enc_bandana = out[1].n_bpe_tokens - per_word_0
+    assert enc_bandana >= 1
