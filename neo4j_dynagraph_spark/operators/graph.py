@@ -737,6 +737,20 @@ def temporal_path_counts(
     Columns: src, dst, n_paths, earliest_arrival (frame id of the
     soonest completing second hop).
     """
+    paths = _temporal_2hop_paths(frame_edges, max_gap_frames)
+    return paths.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.min("f2").alias("earliest_arrival"),
+    )
+
+
+def _temporal_2hop_paths(
+    frame_edges: DataFrame, max_gap_frames: int
+) -> DataFrame:
+    """Shared time-respecting 2-hop path stream (src, mid, dst, f1,
+    f2): the window-in-join-key construction documented on
+    :func:`temporal_path_counts`; consumed by it and by
+    :func:`broker_counts`."""
     e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
     sym = e.select(
         "frame_id",
@@ -772,12 +786,32 @@ def temporal_path_counts(
         F.col("b").alias("dst"),
         F.col("frame_id").alias("f2"),
     )
-    paths = hop1.join(hop2, ["mid", "f2"]).where(
+    return hop1.join(hop2, ["mid", "f2"]).where(
         F.col("src") != F.col("dst")
     )
-    return paths.groupBy("src", "dst").agg(
+
+
+def broker_counts(
+    frame_edges: DataFrame, max_gap_frames: int = 2
+) -> DataFrame:
+    """Temporal brokerage centrality: for each actor, how many
+    time-respecting 2-hop transmission paths pass THROUGH it as the
+    intermediary, and how many distinct (src, dst) routes those paths
+    realize — the bounded, exactly-countable core of betweenness on a
+    temporal contact graph (who sits on the corridors; the
+    reference's epidemiology framing asks exactly this of hubs).
+    Same window-in-join-key plan as :func:`temporal_path_counts` —
+    pure hash equi-join on (actor, frame), no inequality residual —
+    with the aggregate keyed by the intermediary instead of the
+    endpoint pair.
+
+    Columns: actor (the broker), n_paths, n_routes (distinct
+    src->dst pairs brokered).
+    """
+    paths = _temporal_2hop_paths(frame_edges, max_gap_frames)
+    return paths.groupBy(F.col("mid").alias("actor")).agg(
         F.count(F.lit(1)).cast("long").alias("n_paths"),
-        F.min("f2").alias("earliest_arrival"),
+        F.count_distinct(F.struct("src", "dst")).cast("long").alias("n_routes"),
     )
 
 

@@ -3280,6 +3280,40 @@ def q_temporal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_broker_actors",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1, actor2 FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+paths AS (
+  SELECT h1.actor1 AS src, h1.actor2 AS mid, h2.actor2 AS dst
+  FROM sym h1 JOIN sym h2
+    ON h2.actor1 = h1.actor2
+   AND h2.frame_id BETWEEN h1.frame_id + 1 AND h1.frame_id + 2
+   AND h2.actor2 != h1.actor1)
+SELECT mid AS actor, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT (src, dst)) AS BIGINT) AS n_routes
+FROM paths GROUP BY 1 ORDER BY actor
+""",
+)
+def q_broker_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal brokerage centrality on the pinned day: per actor, the
+    time-respecting 2-hop paths routed THROUGH it and the distinct
+    src->dst routes those realize — the countable core of temporal
+    betweenness (which hubs sit on the transmission corridors). Shares
+    q_temporal_paths' window-in-join-key path stream (pure hash
+    equi-join on (actor, frame)); only the aggregate key differs
+    (intermediary, not endpoint pair)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "frame_id", "actor1", "actor2"
+    )
+    return graph.broker_counts(edges, max_gap_frames=2).orderBy("actor")
+
+
+@query(
     "q_source_overlap",
     oracle=f"""
 WITH {_TOK_CTE},

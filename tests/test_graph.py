@@ -503,3 +503,19 @@ def test_widest_paths_two_hop_beats_direct(spark):
     assert out1 == {2: 10, 3: 1}
     # anchor never appears in its own result
     assert 1 not in out and 1 not in out1
+
+
+def test_broker_counts_identifies_the_intermediary(spark):
+    from neo4j_dynagraph_spark.operators import graph
+
+    # 1-2 at frame 0, 2-3 at frame 1: actor 2 brokers 1->3 (and 3->1
+    # needs 3-2 then 2-1 in order: 2-3@1 then 1-2@? no later frame, so
+    # only the forward route exists)
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 3)], "frame_id long, actor1 long, actor2 long"
+    )
+    out = {r.actor: r for r in graph.broker_counts(edges, max_gap_frames=2).collect()}
+    assert 2 in out
+    assert out[2].n_paths == 1 and out[2].n_routes == 1
+    # endpoints broker nothing
+    assert 1 not in out and 3 not in out
