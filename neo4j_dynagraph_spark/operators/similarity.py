@@ -801,3 +801,64 @@ def hard_negatives(
         )
         .orderBy("qid", "rank")
     )
+
+
+def cooccurrence_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+    k: int = 30,
+) -> DataFrame:
+    """Item-item co-occurrence cosine similarity over basket data —
+    the bipartite-projection primitive behind "customers who bought X
+    also bought Y" and, in a training-data pipeline, behind grouping
+    documents that co-occur in the same session/crawl.
+
+    cosine(i, j) = n(i, j) / sqrt(n(i) * n(j)) over DISTINCT
+    basket membership.
+
+    Scale shape: the self-join is keyed on the basket id, so the pair
+    stream is sum-of-squared-basket-sizes — LINEAR when basket sizes
+    are bounded (TPC-H orders hold ~4 lineitems; real carts are
+    bounded by policy caps). Per-item marginals are an item-dimension
+    table (vocab-bounded by Heaps-like sparsity) re-attached by
+    BROADCAST, so only the pair aggregation shuffles. Nothing is
+    quadratic in the item or basket count.
+
+    Columns: item1, item2 (item1 < item2), n_co, cosine (round 6).
+    """
+    m = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    marg = m.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = m.alias("a")
+    bdf = m.alias("b")
+    co = (
+        a.join(bdf, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item1"), F.col("b.item").alias("item2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .where(F.col("n_co") >= min_co)
+    )
+    out = (
+        co.join(F.broadcast(marg.withColumnRenamed("n", "n1")),
+                co.item1 == F.col("item"))
+        .drop("item")
+        .join(F.broadcast(marg.withColumnRenamed("n", "n2")),
+              F.col("item2") == F.col("item"))
+        .drop("item")
+        .select(
+            "item1",
+            "item2",
+            "n_co",
+            F.round(
+                F.col("n_co")
+                / F.sqrt(F.col("n1").cast("double") * F.col("n2")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return out.orderBy(F.desc("cosine"), "item1", "item2").limit(k)

@@ -1082,3 +1082,73 @@ def bpe_encode(
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking (Robertson/Sparck Jones probabilistic relevance)
+    of every document against a fixed query term set — the retrieval
+    scorer the reference's Lucene fulltext index
+    (load_gexf_to_neo4j.py:148) implies but its equality probe never
+    exposes; completes the search surface begun by
+    :func:`search_all_terms` (boolean AND) and TF-IDF.
+
+    Scale shape: per-term tf and doc length are computed as NARROW
+    array expressions (``size(filter(t, ...))``) — no explode, no
+    shuffle; the corpus stats (N, avgdl, per-term df) reduce to ONE
+    broadcast row, so scoring is a map-side projection over the
+    corpus scan. Only the final top-k pays an exchange, and it plans
+    as TakeOrderedAndProject. At 100 TB this is scan + one scalar agg.
+
+    idf uses the BM25+ always-positive form ln(1 + (N-df+.5)/(df+.5)).
+    Columns: doc_id, n_hit (query terms present), bm25 (round 6).
+    """
+    toked = tokens_df(docs, text_col)
+    per_doc = toked.select(
+        "doc_id",
+        F.size("t").cast("double").alias("dl"),
+        *[
+            F.expr(f"size(filter(t, x -> x = '{t}'))")
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    hit = F.lit(0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + F.when(
+            tf > 0, idf * tf * F.lit(k1 + 1.0) / denom
+        ).otherwise(F.lit(0.0))
+        hit = hit + (tf > 0).cast("int")
+    return (
+        scored.where(hit > 0)
+        .select(
+            "doc_id",
+            hit.alias("n_hit"),
+            F.round(score, 6).alias("bm25"),
+        )
+    )

@@ -4236,6 +4236,89 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("merge", "spark", "vector")
+
+
+def _bm25_tf_sql(i: int, t: str) -> str:
+    return (
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+    )
+
+
+def _bm25_term_sql(i: int) -> str:
+    # k1=1.2, b=0.75; literals via repr() so both engines parse the
+    # exact doubles the Spark side uses (queries_ext._BM25_TERMS note)
+    return (
+        f"CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* tf{i} * 2.2 / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)) "
+        f"ELSE 0.0 END"
+    )
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+pd AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       {", ".join(_bm25_tf_sql(i, t) for i, t in enumerate(_BM25_TERMS))}
+       FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+       {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+       FROM pd)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS)))} AS INTEGER) AS n_hit,
+       round({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+FROM pd, st
+WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {merge, spark, vector} — the ranked
+    retrieval scorer completing the search surface (boolean AND
+    `q_text_search`, TF-IDF `q_tfidf_top_terms`); the reference's
+    Lucene index (load_gexf_to_neo4j.py:148) ranks with the same
+    probabilistic-relevance family. Per-term tf and doc length are
+    narrow array expressions (no explode), corpus stats reduce to ONE
+    broadcast row, scoring is a map-side projection, and the top-20
+    plans as TakeOrderedAndProject — at 100 TB: scan + scalar agg.
+    Oracle replays tf/df/avgdl and the BM25+ idf arithmetic."""
+    return (
+        text.bm25_scores(_docs(spark, sf_dir), list(_BM25_TERMS))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_copurchase",
+    oracle="""
+WITH m AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+mg AS (SELECT item, count(*) AS n FROM m GROUP BY 1),
+co AS (SELECT a.item AS item1, b.item AS item2, count(*) AS n_co
+       FROM m a JOIN m b ON a.bk = b.bk AND a.item < b.item
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item1, item2, CAST(n_co AS BIGINT) AS n_co,
+       round(n_co / sqrt(CAST(g1.n AS DOUBLE) * g2.n), 6) AS cosine
+FROM co JOIN mg g1 ON co.item1 = g1.item JOIN mg g2 ON co.item2 = g2.item
+ORDER BY cosine DESC, item1, item2 LIMIT 30
+""",
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase cosine top-30 over order baskets — the
+    bipartite projection ("bought X also bought Y") on lineitem.
+    The pair stream is keyed on the ORDER id, so its volume is
+    sum-of-squared-basket-sizes (TPC-H baskets are ~4 rows — linear);
+    item marginals re-attach by broadcast; only the pair aggregation
+    shuffles. Oracle replays the distinct-membership projection and
+    the cosine arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return similarity.cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", min_co=2, k=30
+    )
+
+
 # Finish the deferred grade-window application for the direct-import
 # path (see the guard at the bottom of queries.py).
 from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402

@@ -282,3 +282,44 @@ def test_hard_negatives_excludes_same_label(spark):
     assert all(r.neg_label == 1 and r.anchor_label == 0 for r in out)
     # hardest negative = the label-1 vector with the largest x component
     assert out[0].cid == 7
+
+
+def test_cooccurrence_topk_basic(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from neo4j_dynagraph_spark.operators import similarity
+
+    # baskets: {A,B,C} x2 shares A-B twice; C appears once with each
+    rows = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (3, "A"),  # duplicate membership must not inflate counts
+    ]
+    df = spark.createDataFrame(rows, "bk int, item string")
+    out = {
+        (r.item1, r.item2): r
+        for r in similarity.cooccurrence_topk(df, "bk", "item", min_co=2, k=10).collect()
+    }
+    # n(A)=3, n(B)=2, n(C)=2; co(A,B)=2, co(A,C)=2, co(B,C)=1 (< min_co)
+    assert set(out) == {("A", "B"), ("A", "C")}
+    ab = out[("A", "B")]
+    assert ab.n_co == 2
+    assert abs(ab.cosine - 2 / (3 * 2) ** 0.5) < 1e-6
+
+
+def test_cooccurrence_topk_k_cut_deterministic(spark):
+    from neo4j_dynagraph_spark.operators import similarity
+
+    # two pairs with IDENTICAL cosine — the k=1 cut must break ties
+    # on (item1, item2), not partition luck
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "C"), (3, "D"),
+        (4, "C"), (4, "D"),
+    ]
+    df = spark.createDataFrame(rows, "bk int, item string")
+    out = similarity.cooccurrence_topk(df, "bk", "item", min_co=2, k=1).collect()
+    assert len(out) == 1
+    assert (out[0].item1, out[0].item2) == ("A", "B")

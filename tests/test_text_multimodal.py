@@ -541,3 +541,59 @@ def test_ngram_novelty_first_doc_wins(spark, tmp_path):
     # doc 3: shingles = [abg, bgz, gze, zet, eth...]; only "alpha beta gamma"
     # was seen before
     assert out[3]["n_shingles"] == 4 and out[3]["n_novel"] == 3
+
+
+def test_bm25_ranks_higher_tf_higher(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine only once here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.bm25_scores(docs, ["spark"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no query term
+    assert out[1].bm25 > out[2].bm25
+    assert out[1].n_hit == 1 and out[2].n_hit == 1
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    # 'common' in every doc, 'rare' in one: equal tf, rare must
+    # dominate the score of the doc holding both
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare pad pad"),
+            (2, "common pad pad pad"),
+            (3, "common pad pad pad"),
+            (4, "common pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_ops.bm25_scores(docs, ["common", "rare"]).collect()
+    }
+    assert out[1].n_hit == 2
+    # subtracting doc 2's all-common score isolates the rare term's
+    # contribution, which must exceed the common term's
+    assert out[1].bm25 > 2 * out[2].bm25
+
+
+def test_bm25_length_normalization(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    # same tf, longer doc scores lower (b=0.75 length penalty)
+    docs = spark.createDataFrame(
+        [
+            (1, "term short"),
+            (2, "term " + " ".join(["pad"] * 30)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.bm25_scores(docs, ["term"]).collect()}
+    assert out[1].bm25 > out[2].bm25
