@@ -473,3 +473,70 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("n_dup_pos") / F.col("n_pos").cast("double"), 6),
         )
     )
+
+
+def remove_dup_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ACT half of :func:`dup_span_stats`: rewrite every document
+    with its cross-document duplicated spans REMOVED (Lee et al.
+    2022's ExactSubstr deduplication, blocked at word-3-gram
+    granularity — a token is dropped when any 3-gram span covering it
+    also appears in another document). The rebuilt text is exported
+    as an md5 so the rewrite itself is verified bit-for-bit
+    cross-engine (same stance as vocab_prune's rebuild terminal).
+
+    Distributed shape: the duplicated-shingle test reuses the
+    min!=max constant-state trick on the distinct (doc, shingle)
+    table; each doc's dup-span START LIST is one collect_set
+    aggregation (bounded by doc length — never corpus state); the
+    rewrite is a single JVM array expression (coverage test + filter
+    + rebuild) over the doc's token array — map-side, no Python.
+
+    Columns: doc_id, n_tokens, n_removed, removed_frac (round 6),
+    rebuilt_md5.
+    """
+    toks = tokens_df(docs, text_col).select("doc_id", "t")
+    sh = toks.where(F.size("t") >= 3).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("i", "shingle"),
+    )
+    dup = (
+        sh.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
+        .where("is_dup")
+    )
+    starts = (
+        sh.join(dup, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    r = toks.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce("starts", F.expr("array()")).alias("starts"),
+    )
+    kept = F.expr(
+        "transform(filter(sequence(0, size(t) - 1), "
+        "i -> NOT exists(starts, s -> s <= i AND i <= s + 2)), "
+        "i -> t[i])"
+    )
+    return (
+        r.where(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+            F.round(
+                (F.size("t") - F.size(kept))
+                / F.size("t").cast("double"),
+                6,
+            ).alias("removed_frac"),
+            F.md5(F.concat_ws(" ", kept)).alias("rebuilt_md5"),
+        )
+    )

@@ -870,3 +870,141 @@ def widest_paths(
             .agg(F.max("width").alias("width"))
         )
     return best.where(F.col("actor") != anchor)
+
+
+def triadic_closure(e1: DataFrame, e2: DataFrame) -> DataFrame:
+    """Temporal triadic closure: of the OPEN wedges in snapshot 1
+    (pairs with a common neighbor but no direct edge), what fraction
+    are edges in snapshot 2 — the link-prediction baseline and the
+    classic tie-formation statistic of dynamic social networks
+    (the process the reference's frame chain exists to expose,
+    BaseTimeline.java's next-frame walk).
+
+    Inputs are canonical (actor1 < actor2) edge snapshots. The wedge
+    stream is generated per CENTER via the symmetrized self-join, kept
+    as DISTINCT endpoint pairs (map-side combine collapses the
+    per-center duplication before the shuffle), then one anti-join
+    (open = not already an edge) and one semi-join (closed = edge in
+    snapshot 2). Output is a single row — n_open_wedges, n_closed,
+    closure_rate — so the terminal is O(1) at any scale.
+
+    Dense-regime boundary: wedge volume is Σ_b deg(b)²/2. On the
+    generator's SATURATED sf1 hour graph (SCALE.md's dense-graph
+    boundary note) that is ~1.3e9 generated rows before the combine —
+    the same Θ as one k-truss support round, and like it, linear-time
+    degree/k-core analyses are the right tool past that density.
+    """
+    d1 = e1.select("actor1", "actor2").distinct()
+    # explode both orientations once (single scan), like `degree`
+    sym = d1.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("actor1").alias("src"), F.col("actor2").alias("dst")
+                ),
+                F.struct(
+                    F.col("actor2").alias("src"), F.col("actor1").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    wedges = (
+        s1.join(s2, F.col("s1.src") == F.col("s2.src"))
+        .where(F.col("s1.dst") < F.col("s2.dst"))
+        .select(
+            F.col("s1.dst").alias("actor1"), F.col("s2.dst").alias("actor2")
+        )
+        .distinct()
+    )
+    open_w = wedges.join(d1, ["actor1", "actor2"], "left_anti")
+    closed = open_w.join(
+        e2.select("actor1", "actor2").distinct(),
+        ["actor1", "actor2"],
+        "left_semi",
+    )
+    n_open = open_w.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_open_wedges")
+    )
+    n_closed = closed.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_closed")
+    )
+    return (
+        n_open.crossJoin(n_closed)
+        .select(
+            F.col("n_open_wedges").cast("long"),
+            F.col("n_closed").cast("long"),
+            F.round(
+                F.col("n_closed")
+                / F.greatest(F.col("n_open_wedges"), F.lit(1)).cast("double"),
+                6,
+            ).alias("closure_rate"),
+        )
+    )
+
+
+def negative_edges(
+    edges: DataFrame, n_seeds: int = 2, k: int = 100
+) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction
+    training: for every node, ``n_seeds`` pseudo-random partners drawn
+    by the portable hash over the node-index space, minus any pair
+    that IS an edge — the non-edge side of a (positive, negative)
+    contrastive training set, reproducible bit-for-bit in any engine
+    (no RNG state, no rejection loop).
+
+    Scale shape: the node index is the TWO-PHASE rank over the actor
+    dimension (operators/rank.py — no one-partition window even when
+    the node table is data-sized); candidate partners come from one
+    broadcast join against that index on the hashed position; the
+    known-edge exclusion is a single anti-join on the canonical pair
+    key. Everything is node- or edge-linear.
+
+    Columns: actor1, actor2 (canonical, deduped, proven non-edges),
+    first k by (actor1, actor2).
+    """
+    from neo4j_dynagraph_spark import functions as dfn
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    d = edges.select("actor1", "actor2").distinct()
+    actors = (
+        d.select(
+            F.explode(F.array("actor1", "actor2")).alias("actor")
+        ).distinct()
+    )
+    idx = two_phase_rank(
+        actors,
+        bucket=F.floor(F.col("actor") / 1024),
+        order_cols=[F.col("actor")],
+        rank_col="rank",
+    ).select("actor", (F.col("rank") - 1).alias("idx"))
+    nrow = actors.agg(F.count(F.lit(1)).alias("n_actors"))
+    cands = None
+    src = idx.crossJoin(F.broadcast(nrow))
+    for s in range(n_seeds):
+        c = src.select(
+            F.col("actor").alias("a"),
+            F.pmod(
+                dfn.hash64(
+                    F.concat(F.lit(f"neg{s}:"), F.col("actor").cast("string"))
+                ),
+                F.col("n_actors"),
+            ).alias("j"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    tgt = idx.select(F.col("actor").alias("b"), F.col("idx").alias("j"))
+    pairs = (
+        cands.join(F.broadcast(tgt), "j")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("actor1"),
+            F.greatest("a", "b").alias("actor2"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.join(d, ["actor1", "actor2"], "left_anti")
+        .orderBy("actor1", "actor2")
+        .limit(k)
+    )

@@ -1152,3 +1152,230 @@ def bm25_scores(
             F.round(score, 6).alias("bm25"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source resampling (the multilingual-mixture
+    rule of XLM/mT5: sample source s with probability ∝ share_s^α,
+    α < 1 flattening the mix toward small sources). Downsample-only:
+    per-source keep rates are normalized so the most-boosted source
+    keeps everything, and each doc flips the portable hash coin
+    against its source's ROUNDED rate — zero RNG state, identical
+    subsets in every engine and every re-run.
+
+    Scale shape: per-source counts are one map-side-combined agg; the
+    rate table is |sources| rows, broadcast back onto the corpus scan,
+    so the keep decision is a map-side filter. Two corpus passes total
+    (counts, then filter+count) — inherent, since the rates derive
+    from the counts.
+
+    Columns per source: n_docs, share, target_share, keep_rate
+    (round 6), n_kept.
+    """
+    c = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("pa"),
+    )
+    r = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        (F.col("n") / F.col("total")).alias("share"),
+        (F.pow(F.col("n").cast("double"), F.lit(alpha)) / F.col("pa")).alias(
+            "target"
+        ),
+    )
+    mx = r.agg(F.max(F.col("target") / F.col("share")).alias("mr"))
+    rt = r.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n",
+        "share",
+        "target",
+        F.round((F.col("target") / F.col("share")) / F.col("mr"), 6).alias(
+            "rate"
+        ),
+    )
+    u = (
+        dfn.hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+        + 1
+    ) / F.lit(float(1 << 60))
+    kept = (
+        docs.select("doc_id", F.col(source_col).alias("source"))
+        .join(F.broadcast(rt.select("source", "rate")), "source")
+        .where(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        rt.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round("share", 6).alias("share"),
+            F.round("target", 6).alias("target_share"),
+            F.col("rate").alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def es_weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 50,
+    salt: str = "ws:",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    exponential keys: each row draws the portable-hash uniform
+    u ∈ (0, 1] and ranks by ln(u)/w (monotone in u^(1/w)); the top-k
+    by key IS a w-weighted sample without replacement. Zero RNG
+    state — the sample is a pure function of (doc_id, weight), so
+    every engine and re-run selects the identical rows.
+
+    Scale shape: one narrow projection over the scan plus a
+    TakeOrderedAndProject top-k — no shuffle beyond the k-row
+    collect; the 100 TB form of "give me 10k docs sampled by token
+    count" without a global sort.
+
+    Columns: doc_id, weight, es_key (round 9; ties broken by doc_id).
+    """
+    u = (
+        dfn.hash64(
+            F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    return (
+        docs.where(w > 0)
+        .select(
+            "doc_id",
+            F.col(weight_col).alias("weight"),
+            F.round(F.log(u) / w, 9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(k)
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    n_words: int = 1024,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-size twin
+    of :func:`decontaminate`'s broadcast-distinct semi-join. The
+    benchmark n-gram set is folded into an ``n_words``-row bit table
+    (63 usable bits per signed 64-bit word, so ``1 << bit`` never
+    touches the sign bit in any engine); training grams probe it with
+    ``n_hashes`` portable hashes. At 100 TB the distinct benchmark
+    n-gram table can reach GBs — the Bloom side stays KBs regardless
+    of benchmark size, at the price of a measurable false-positive
+    rate (one-sided: NEVER misses a true overlap, so it is safe as a
+    prefilter for the exact check or as a conservative drop rule).
+
+    The bit table is built by ``bit_or`` aggregation and re-attached
+    by BROADCAST, so probing is map-side; the only shuffles are the
+    per-gram and per-doc aggregations (map-side combined).
+
+    Returns one row per FLAGGED training doc: doc_id, n_bloom_hits
+    (distinct grams whose ``n_hashes`` bits are all set),
+    n_doc_ngrams, hit_ratio (round 6).
+    """
+    m = n_words * 63
+
+    def grams(df: DataFrame) -> DataFrame:
+        toked = df.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
+        g = F.expr(
+            f"transform(sequence(0, size(t) - {n}), "
+            f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+        )
+        return (
+            toked.where(F.size("t") >= n)
+            .select("doc_id", F.explode(g).alias("gram"))
+            .distinct()
+        )
+
+    def probes(df: DataFrame) -> DataFrame:
+        out = df
+        for i in range(n_hashes):
+            out = out.withColumn(
+                f"p{i}",
+                F.pmod(
+                    dfn.hash64(F.concat(F.lit(f"b{i}:"), F.col("gram"))),
+                    F.lit(m),
+                ),
+            )
+        return out
+
+    bloom = (
+        probes(benchmark.select("doc_id", F.col(text_col)).transform(grams))
+        .select(
+            F.explode(
+                F.array(*[F.col(f"p{i}") for i in range(n_hashes)])
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 63).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    tp = probes(grams(train))
+    probe_rows = tp.select(
+        "doc_id",
+        "gram",
+        F.explode(
+            F.array(*[F.col(f"p{i}") for i in range(n_hashes)])
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "gram",
+        (F.col("pos") / 63).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
+    )
+    gram_hits = (
+        probe_rows.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            "gram",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            )
+            .cast("int")
+            .alias("bit_set"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(
+            (F.sum("bit_set") == n_hashes).cast("int").alias("in_bloom")
+        )
+    )
+    return (
+        gram_hits.groupBy("doc_id")
+        .agg(
+            F.sum("in_bloom").cast("long").alias("n_bloom_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_doc_ngrams"),
+        )
+        .where(F.col("n_bloom_hits") > 0)
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            "n_doc_ngrams",
+            F.round(
+                F.col("n_bloom_hits") / F.col("n_doc_ngrams").cast("double"),
+                6,
+            ).alias("hit_ratio"),
+        )
+    )

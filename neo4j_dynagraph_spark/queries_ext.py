@@ -4319,6 +4319,301 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, sum(pow(n, 0.5)) AS pa FROM c),
+r AS (SELECT source, n, n / total AS share, pow(n, 0.5) / pa AS target
+      FROM c, t),
+mx AS (SELECT max(target / share) AS mr FROM r),
+rt AS (SELECT source, n, share, target,
+       round((target / share) / mr, 6) AS rate FROM r, mx),
+k AS (SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN rt ON d.source = rt.source
+      WHERE ({_H64.format(x="'temp:' || d.doc_id")} + 1)
+            / 1152921504606846976.0 < rate
+      GROUP BY 1)
+SELECT rt.source, CAST(rt.n AS BIGINT) AS n_docs,
+       round(rt.share, 6) AS share,
+       round(rt.target, 6) AS target_share,
+       rt.rate AS keep_rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rt LEFT JOIN k ON rt.source = k.source ORDER BY rt.source
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source resampling (α=0.5, the XLM/mT5
+    multilingual-mixture rule): per-source keep rates ∝ share^α /
+    share, normalized downsample-only, each doc decided by the
+    portable hash coin against the ROUNDED rate — the deterministic
+    twin of multinomial source sampling, completing the mixture
+    family beside the token-budget / quality / stratified samplers.
+    The rate table is |sources| rows broadcast onto the corpus scan;
+    the keep decision is map-side. Oracle replays counts, the α-power
+    shares, the normalization, and every coin flip."""
+    return text.temperature_mix(_docs(spark, sf_dir), alpha=0.5)
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+SELECT doc_id, n_chars AS weight,
+       round(ln(({_H64.format(x="'ws:' || doc_id")} + 1)
+                / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE), 9) AS es_key
+FROM documents WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id LIMIT 50
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis exponential keys): top-50 docs by ln(u)/n_chars with u
+    the portable-hash uniform — p(selected) ∝ n_chars, no RNG state,
+    identical sample in every engine/run. One narrow projection +
+    TakeOrderedAndProject; the 100 TB "sample 10k docs by token
+    count" without a global sort. Oracle replays key arithmetic and
+    the rank cut."""
+    return text.es_weighted_sample(
+        _docs(spark, sf_dir), "n_chars", k=50, salt="ws:"
+    )
+
+
+def _bloom_probe_sql(alias: str) -> str:
+    return ", ".join(
+        _H64.format(x=f"'b{i}:' || {alias}.gram") + f" % 64512 AS h{i}"
+        for i in range(4)
+    )
+
+
+@query(
+    "q_bloom_decontam",
+    oracle=f"""
+WITH {_TOK_CTE},
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+      FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4),
+bg AS (SELECT {_bloom_probe_sql('g')} FROM g WHERE doc_id % 97 = 0),
+bh AS (SELECT unnest([h0, h1, h2, h3]) AS pos FROM bg),
+bloom AS (SELECT pos // 63 AS word,
+                 bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
+          FROM bh GROUP BY 1),
+tg AS (SELECT doc_id, gram, {_bloom_probe_sql('g')}
+       FROM g WHERE doc_id % 97 != 0),
+tp AS (SELECT doc_id, gram, unnest([h0, h1, h2, h3]) AS pos FROM tg),
+pr AS (SELECT doc_id, gram, pos // 63 AS word,
+              1::BIGINT << CAST(pos % 63 AS INTEGER) AS mask FROM tp),
+gh AS (SELECT doc_id, gram,
+              CASE WHEN sum(CASE WHEN (coalesce(b.bits, 0) & mask) <> 0
+                                 THEN 1 ELSE 0 END) = 4
+                   THEN 1 ELSE 0 END AS in_bloom
+       FROM pr LEFT JOIN bloom b ON pr.word = b.word GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(in_bloom) AS BIGINT) AS n_bloom_hits,
+       CAST(count(*) AS BIGINT) AS n_doc_ngrams,
+       round(sum(in_bloom) / CAST(count(*) AS DOUBLE), 6) AS hit_ratio
+FROM gh GROUP BY 1 HAVING sum(in_bloom) > 0 ORDER BY doc_id
+""",
+)
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination over the SAME benchmark split as
+    `q_decontam` (doc_id % 97, word 4-grams) — the constant-size scale
+    twin: the benchmark n-gram set folds into a 1024-word / 63-bit
+    portable Bloom table (8 KB broadcast regardless of benchmark
+    size), probed map-side with 4 portable hashes. One-sided error:
+    never misses a true overlap (test-pinned superset of q_decontam);
+    false positives are the price and are measured by comparing the
+    two queries' flag counts. Oracle replays hashing, the bit_or
+    fold, and every probe."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return text.bloom_decontaminate(train, bench, n=4).orderBy("doc_id")
+
+
+@query(
+    "q_triadic_closure",
+    oracle=f"""
+WITH p1 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)=10")}),
+p2 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)=11")}),
+e1 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p1 p1").replace("p p2", "p1 p2")})),
+e2 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p2 p1").replace("p p2", "p2 p2")})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e1
+        UNION ALL SELECT actor2, actor1 FROM e1),
+w AS (SELECT DISTINCT s1.dst AS actor1, s2.dst AS actor2
+      FROM sym s1 JOIN sym s2
+      ON s1.src = s2.src AND s1.dst < s2.dst),
+o AS (SELECT w.actor1, w.actor2 FROM w
+      LEFT JOIN e1 ON e1.actor1 = w.actor1 AND e1.actor2 = w.actor2
+      WHERE e1.actor1 IS NULL),
+cl AS (SELECT o.actor1 FROM o
+       JOIN e2 ON e2.actor1 = o.actor1 AND e2.actor2 = o.actor2)
+SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS n_open_wedges,
+       CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_closed,
+       round(CAST((SELECT count(*) FROM cl) AS DOUBLE)
+             / greatest((SELECT count(*) FROM o), 1), 6) AS closure_rate
+""",
+)
+def q_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal triadic closure, hour 10 → hour 11 on the pinned day:
+    of the open wedges (common neighbor, no direct edge) in the hour-10
+    contact graph, what fraction are edges an hour later — the
+    link-prediction baseline / tie-formation statistic. Wedges stream
+    per center and collapse to DISTINCT pairs map-side; one anti-join
+    (openness) + one semi-join (closure); O(1)-row terminal. Oracle
+    replays wedge generation and both joins."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e1 = qmod._edges(spark, sf_dir, qmod._hour_filter(10, 11))
+    e2 = qmod._edges(spark, sf_dir, qmod._hour_filter(11, 12))
+    return graph.triadic_closure(e1, e2)
+
+
+@query(
+    "q_link_negatives",
+    oracle=f"""
+WITH p AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+a AS (SELECT DISTINCT actor FROM
+      (SELECT actor1 AS actor FROM e UNION ALL SELECT actor2 FROM e)),
+i AS (SELECT actor, row_number() OVER (ORDER BY actor) - 1 AS idx FROM a),
+nn AS (SELECT count(*) AS n_actors FROM a),
+c AS (SELECT i.actor AS a,
+             {_H64.format(x="'neg0:' || i.actor")} % n_actors AS j
+      FROM i, nn
+      UNION ALL
+      SELECT i.actor,
+             {_H64.format(x="'neg1:' || i.actor")} % n_actors
+      FROM i, nn),
+p2 AS (SELECT DISTINCT least(c.a, t.actor) AS actor1,
+              greatest(c.a, t.actor) AS actor2
+       FROM c JOIN i t ON t.idx = c.j WHERE c.a <> t.actor)
+SELECT p2.actor1, p2.actor2
+FROM p2 LEFT JOIN e ON e.actor1 = p2.actor1 AND e.actor2 = p2.actor2
+WHERE e.actor1 IS NULL
+ORDER BY p2.actor1, p2.actor2 LIMIT 100
+""",
+)
+def q_link_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-edge sampling on the pinned-day contact graph: two
+    hash-seeded pseudo-random partners per node over the two-phase
+    node index, minus real edges — the deterministic non-edge side of
+    a link-prediction training set (the positives being the edges
+    themselves). No RNG state, no rejection loop, no one-partition
+    window; the exclusion is one anti-join on the canonical pair key.
+    Oracle replays the index, both hash draws, and the exclusion."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    lo = qmod._utc_ns(qmod.YEAR, qmod.MONTH, qmod.DAY)
+    e = qmod._edges(
+        spark, sf_dir, qmod._ns_range(lo, lo + 86400 * 1_000_000_000)
+    )
+    return graph.negative_edges(e, n_seeds=2, k=100)
+
+
+@query(
+    "q_quality_calibration",
+    oracle=f"""
+WITH {_TOK_CTE},
+{_QUALITY_SQL},
+g AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS grams
+      FROM tok),
+lab AS (SELECT doc_id,
+               CASE WHEN n > 0 AND
+                    (1.0 - len(list_distinct(grams)) / CAST(n AS DOUBLE)) > 0.2
+                    THEN 0.0 ELSE 1.0 END AS pos
+        FROM g),
+j AS (SELECT q.doc_id, q.quality, lab.pos,
+             CAST(least(floor(q.quality * 10), 9) AS INTEGER) AS bin
+      FROM q JOIN lab ON q.doc_id = lab.doc_id)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality), 6) AS avg_conf,
+       round(avg(pos), 6) AS frac_pos,
+       round(abs(avg(quality) - avg(pos)), 6) AS abs_gap
+FROM j GROUP BY 1 ORDER BY bin
+""",
+)
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the quality model (reliability diagram /
+    ECE binning): docs bucketed by predicted-quality decile, each bin
+    reporting mean confidence vs the empirical rate of passing the
+    Gopher repetition filter — the standard check before a model
+    score gates a 100 TB corpus (a mis-calibrated score silently
+    shifts the kept-token mix). Two narrow per-doc projections joined
+    on doc_id, one 10-row aggregate; ECE is the n-weighted mean of
+    abs_gap. Oracle replays the quality logistic, the repetition
+    label, and the binning."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs).select("doc_id", "quality")
+    r = text.repetition_stats(docs).select(
+        "doc_id",
+        F.when(F.col("flag_repetitive"), F.lit(0.0))
+        .otherwise(F.lit(1.0))
+        .alias("pos"),
+    )
+    j = q.join(r, "doc_id")
+    return (
+        j.groupBy(
+            F.least(F.floor(F.col("quality") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_conf"),
+            F.round(F.avg("pos"), 6).alias("frac_pos"),
+            F.round(F.abs(F.avg("quality") - F.avg("pos")), 6).alias(
+                "abs_gap"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_span_removal",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, i - 1 AS i,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM tok, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+dup AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM sh)
+        GROUP BY shingle HAVING min(doc_id) <> max(doc_id)),
+st AS (SELECT doc_id, list(DISTINCT i) AS starts
+       FROM sh JOIN dup USING (shingle) GROUP BY 1),
+r AS (SELECT tok.doc_id, t, coalesce(st.starts, []) AS starts
+      FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id
+      WHERE len(t) > 0),
+k AS (SELECT doc_id, t,
+             list_filter(range(0, len(t)),
+                         i -> NOT len(list_filter(starts,
+                              s -> s <= i AND i <= s + 2)) > 0) AS keep_idx
+      FROM r)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(keep_idx) AS BIGINT) AS n_removed,
+       round((len(t) - len(keep_idx)) / CAST(len(t) AS DOUBLE), 6)
+           AS removed_frac,
+       md5(coalesce(array_to_string(list_transform(keep_idx, i -> t[i+1]),
+                                    ' '), '')) AS rebuilt_md5
+FROM k ORDER BY doc_id
+""",
+)
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (the act half of `q_dup_spans`'
+    audit, Lee et al. 2022 blocked at word 3-grams): every doc
+    rewritten with tokens dropped wherever a covering 3-gram also
+    appears in another document; the rebuilt text is verified by md5
+    terminal (vocab_prune's rebuild stance). Dup test is the min!=max
+    constant-state trick; per-doc start lists are one collect_set
+    (doc-length-bounded); the rewrite is a single JVM array
+    expression. Oracle replays shingling, coverage, and the rebuild
+    byte-for-byte."""
+    return dedup.remove_dup_spans(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # Finish the deferred grade-window application for the direct-import
 # path (see the guard at the bottom of queries.py).
 from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402

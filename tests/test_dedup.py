@@ -185,3 +185,52 @@ def test_dup_span_stats_intra_doc_repeat_not_dup(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {r.doc_id: r for r in dedup.dup_span_stats(docs).collect()}
     assert out[0].n_dup_pos == 0 and out[0].dup_frac == 0.0
+
+
+def test_remove_dup_spans_rewrites_only_cross_doc(spark):
+    import hashlib
+
+    from neo4j_dynagraph_spark.operators import dedup
+
+    # docs 1 and 2 share the span "alpha beta gamma"; doc 3 is clean.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta alpha beta gamma eta"),
+            (3, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(docs).collect()}
+    # doc 1: positions 0-2 covered -> tokens 0,1,2 dropped
+    assert out[1].n_removed == 3
+    assert (
+        out[1].rebuilt_md5
+        == hashlib.md5(b"delta epsilon").hexdigest()
+    )
+    # doc 2: span starts at 1 -> tokens 1,2,3 dropped
+    assert out[2].n_removed == 3
+    assert out[2].rebuilt_md5 == hashlib.md5(b"zeta eta").hexdigest()
+    # doc 3 untouched, rebuild == original tokens
+    assert out[3].n_removed == 0
+    assert (
+        out[3].rebuilt_md5
+        == hashlib.md5(b"one two three four five").hexdigest()
+    )
+
+
+def test_remove_dup_spans_within_doc_repeat_not_removed(spark):
+    from neo4j_dynagraph_spark.operators import dedup
+
+    # the repeated 3-gram lives in ONE doc only -> cross-doc test says
+    # keep (within-doc repetition is q_repetition's job, not dedup's)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),
+            (2, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(docs).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 0

@@ -519,3 +519,68 @@ def test_broker_counts_identifies_the_intermediary(spark):
     assert out[2].n_paths == 1 and out[2].n_routes == 1
     # endpoints broker nothing
     assert 1 not in out and 3 not in out
+
+
+def test_triadic_closure_counts(spark):
+    from neo4j_dynagraph_spark.operators import graph
+
+    # snapshot 1: path 1-2-3 plus edge 3-4 -> wedges (1,3),(2,4); (1,3)
+    # and (2,4) are open (no direct edge). snapshot 2 closes (1,3) only.
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "actor1 int, actor2 int"
+    )
+    e2 = spark.createDataFrame([(1, 3), (9, 10)], "actor1 int, actor2 int")
+    out = graph.triadic_closure(e1, e2).collect()[0]
+    assert out.n_open_wedges == 2
+    assert out.n_closed == 1
+    assert abs(out.closure_rate - 0.5) < 1e-9
+
+
+def test_triadic_closure_excludes_existing_edges(spark):
+    from neo4j_dynagraph_spark.operators import graph
+
+    # triangle 1-2-3: every wedge is already closed in snapshot 1 ->
+    # zero open wedges, rate 0 (guarded division)
+    e1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "actor1 int, actor2 int"
+    )
+    e2 = spark.createDataFrame([(1, 2)], "actor1 int, actor2 int")
+    out = graph.triadic_closure(e1, e2).collect()[0]
+    assert out.n_open_wedges == 0
+    assert out.n_closed == 0
+    assert out.closure_rate == 0.0
+
+
+def test_negative_edges_excludes_real_edges(spark):
+    from neo4j_dynagraph_spark.operators import graph
+
+    # near-complete graph on 5 nodes missing only (1,5),(2,4): every
+    # sampled negative must be one of the two true non-edges
+    all_pairs = [
+        (a, b) for a in range(1, 6) for b in range(a + 1, 6)
+    ]
+    missing = {(1, 5), (2, 4)}
+    e = spark.createDataFrame(
+        [p for p in all_pairs if p not in missing], "actor1 int, actor2 int"
+    )
+    out = {
+        (r.actor1, r.actor2)
+        for r in graph.negative_edges(e, n_seeds=4, k=100).collect()
+    }
+    assert out <= missing
+    # deterministic across runs
+    out2 = {
+        (r.actor1, r.actor2)
+        for r in graph.negative_edges(e, n_seeds=4, k=100).collect()
+    }
+    assert out == out2
+
+
+def test_negative_edges_no_self_pairs(spark):
+    from neo4j_dynagraph_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "actor1 int, actor2 int"
+    )
+    for r in graph.negative_edges(e, n_seeds=8, k=1000).collect():
+        assert r.actor1 < r.actor2

@@ -597,3 +597,98 @@ def test_bm25_length_normalization(spark):
     )
     out = {r.doc_id: r for r in text_ops.bm25_scores(docs, ["term"]).collect()}
     assert out[1].bm25 > out[2].bm25
+
+
+def test_temperature_mix_flattens_toward_small_sources(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    rows = [(i, "x", "big") for i in range(90)]
+    rows += [(1000 + i, "x", "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in text_ops.temperature_mix(docs, alpha=0.5).collect()}
+    assert out["big"].n_docs == 90 and out["small"].n_docs == 10
+    # alpha=0.5 boosts the small source most -> its rate is exactly 1
+    assert out["small"].keep_rate == 1.0
+    assert out["big"].keep_rate < 1.0
+    # target shares flatten: small's target > its raw share
+    assert out["small"].target_share > out["small"].share
+    assert out["big"].target_share < out["big"].share
+    assert 0 <= out["big"].n_kept <= 90
+    # rate arithmetic: big keeps ~ rate fraction (hash coin is uniform)
+    assert out["small"].n_kept >= 9  # rate 1.0 keeps all but u==1 edge
+
+
+def test_temperature_mix_alpha_one_keeps_everything(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    rows = [(i, "x", "a") for i in range(20)]
+    rows += [(100 + i, "x", "b") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in text_ops.temperature_mix(docs, alpha=1.0).collect()}
+    # alpha=1 -> target == share -> every rate is 1 -> no downsampling
+    for r in out.values():
+        assert r.keep_rate == 1.0
+        assert r.n_kept == r.n_docs
+
+
+def test_es_weighted_sample_prefers_heavy_rows(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    # one row with overwhelming weight among featherweights: ES keys
+    # are ln(u)/w, so w=10^9 pushes its key ~0 and it must be sampled
+    rows = [(0, 10**9)] + [(i, 1) for i in range(1, 200)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = text_ops.es_weighted_sample(docs, "n_chars", k=5).collect()
+    assert len(out) == 5
+    assert out[0].doc_id == 0  # heaviest row wins the top key
+    # zero/negative weights are excluded, never sampled
+    docs2 = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 10)], "doc_id long, n_chars long"
+    )
+    out2 = text_ops.es_weighted_sample(docs2, "n_chars", k=5).collect()
+    assert [r.doc_id for r in out2] == [3]
+
+
+def test_es_weighted_sample_deterministic(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, 10 + i) for i in range(100)], "doc_id long, n_chars long"
+    )
+    a = [r.doc_id for r in text_ops.es_weighted_sample(docs, "n_chars", k=10).collect()]
+    b = [r.doc_id for r in text_ops.es_weighted_sample(docs, "n_chars", k=10).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_bloom_decontam_superset_of_exact(spark):
+    """One-sided error: the Bloom filter NEVER misses a true overlap —
+    every doc q_decontam flags must be bloom-flagged with at least as
+    many hits; extra bloom flags are the (measurable) FP price."""
+    from neo4j_dynagraph_spark.operators import text as text_ops
+    from neo4j_dynagraph_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    exact = {
+        r.doc_id: r.n_hit_ngrams
+        for r in text_ops.decontaminate(train, bench, n=4).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_bloom_hits
+        for r in text_ops.bloom_decontaminate(train, bench, n=4).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n_exact in exact.items():
+        assert bloom[d] >= n_exact
+
+
+def test_bloom_decontam_empty_benchmark_flags_nothing(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    assert text_ops.bloom_decontaminate(train, bench, n=4).count() == 0
