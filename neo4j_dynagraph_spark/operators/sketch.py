@@ -81,3 +81,78 @@ def kmv_estimate(vals: DataFrame, group_col: str, k: int) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+def cms_table(tokens: DataFrame, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-Min sketch counter table over a token stream — the
+    portable frequency sketch joining KMV (cardinality) and the
+    hash-sample quantiles: d hash rows x w counters, built with the
+    repo's cross-engine hash so an independent SQL engine replays
+    every counter. CMS guarantees estimate >= true count (one-sided,
+    like the Bloom filter's membership error).
+
+    One pass: each occurrence explodes into its d (row, col) cells in
+    a single generator, then ONE groupBy — map-side combine collapses
+    to <= d*w cells per partition, so the shuffle is sketch-sized
+    (d*w rows), never stream-sized. At 100 TB this is the frequency
+    table you can afford to broadcast when the true vocabulary can't.
+
+    Input: DataFrame with a ``token`` column, one row per occurrence.
+    Columns: r, c, cnt.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    dfn.hash64(
+                        F.concat(F.lit(f"cms{r}:"), F.col("token"))
+                    ),
+                    F.lit(w),
+                ).alias("c"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        tokens.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    tokens: DataFrame, probe: DataFrame, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """CMS point estimates for the tokens in ``probe`` (a small table
+    with a ``token`` column): est = min over the d rows of the
+    token's counter. The d*w sketch re-attaches by BROADCAST, so the
+    probe is map-side. Columns: token, cms_est.
+    """
+    sk = cms_table(tokens, d, w)
+    probes = probe.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            dfn.hash64(
+                                F.concat(
+                                    F.lit(f"cms{r}:"), F.col("token")
+                                )
+                            ),
+                            F.lit(w),
+                        ).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "cell.r", "cell.c")
+    return (
+        probes.join(F.broadcast(sk), ["r", "c"])
+        .groupBy("token")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )

@@ -1270,7 +1270,7 @@ def bloom_decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = 4,
-    n_words: int = 1024,
+    n_words: int = 32768,
     n_hashes: int = 4,
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination — the constant-size twin
@@ -1278,7 +1278,12 @@ def bloom_decontaminate(
     benchmark n-gram set is folded into an ``n_words``-row bit table
     (63 usable bits per signed 64-bit word, so ``1 << bit`` never
     touches the sign bit in any engine); training grams probe it with
-    ``n_hashes`` portable hashes. At 100 TB the distinct benchmark
+    ``n_hashes`` portable hashes. Size m = 63*n_words to the expected
+    benchmark gram count: the default 2.06 M bits holds ~10^5 grams at
+    ~0.1% FP ((1-e^(-kn/m))^k); an sf1 probe of a 64 Kb variant
+    measured it SATURATING to ~100% FP — correctly replayed by the
+    oracle, uselessly conservative as a filter — hence the 32 Kword
+    default (a 256 KB broadcast, still nothing). At 100 TB the distinct benchmark
     n-gram table can reach GBs — the Bloom side stays KBs regardless
     of benchmark size, at the price of a measurable false-positive
     rate (one-sided: NEVER misses a true overlap, so it is safe as a
@@ -1378,4 +1383,76 @@ def bloom_decontaminate(
                 6,
             ).alias("hit_ratio"),
         )
+    )
+
+
+def hrw_shard_migration(docs: DataFrame, n_small: int = 8) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding vs hash-mod, graded
+    on the property that matters operationally: how many documents
+    MOVE when the shard count grows n -> n+1. HRW moves ~1/(n+1) of
+    the corpus (only docs whose new shard wins the hash tournament);
+    hash-mod moves ~n/(n+1) — the difference between a rebalance that
+    touches 11% of 100 TB and one that rewrites 89% of it.
+
+    Deterministic: shard assignment is the portable-hash tournament
+    (arg-max of hash64('hrw{s}:' || doc_id) over shards), so both
+    engines assign identical shards. One explode (n+1 rows per doc)
+    + one groupBy; the comparison aggregate is 2 rows.
+
+    Columns: scheme ('hrw' | 'mod'), n_docs, n_moved,
+    moved_frac (round 6).
+    """
+    n_big = n_small + 1
+    seeds = F.explode(
+        F.array(*[F.lit(s) for s in range(n_big)])
+    ).alias("s")
+    hs = docs.select("doc_id", seeds).select(
+        "doc_id",
+        "s",
+        dfn.hash64(
+            F.concat(
+                F.lit("hrw"),
+                F.col("s").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    hrw = hs.groupBy("doc_id").agg(
+        F.max_by(
+            "s", F.when(F.col("s") < n_small, F.col("h")).otherwise(F.lit(-1))
+        ).alias("shard_small"),
+        F.max_by("s", "h").alias("shard_big"),
+    )
+    mod_h = dfn.hash64(
+        F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+    )
+    mod = docs.select(
+        "doc_id",
+        F.pmod(mod_h, F.lit(n_small)).alias("shard_small"),
+        F.pmod(mod_h, F.lit(n_big)).alias("shard_big"),
+    )
+
+    def summarize(df: DataFrame, scheme: str) -> DataFrame:
+        return df.agg(
+            F.lit(scheme).alias("scheme"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("shard_small") != F.col("shard_big")).cast("long")
+            ).alias("n_moved"),
+            F.round(
+                F.sum(
+                    (F.col("shard_small") != F.col("shard_big")).cast(
+                        "double"
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("moved_frac"),
+        )
+
+    return (
+        summarize(hrw, "hrw")
+        .unionByName(summarize(mod, "mod"))
+        .orderBy("scheme")
     )

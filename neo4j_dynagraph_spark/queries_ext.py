@@ -4258,6 +4258,7 @@ def _bm25_term_sql(i: int) -> str:
 
 @query(
     "q_bm25_search",
+    bench=True,
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
 pd AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
@@ -4381,7 +4382,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bloom_probe_sql(alias: str) -> str:
     return ", ".join(
-        _H64.format(x=f"'b{i}:' || {alias}.gram") + f" % 64512 AS h{i}"
+        _H64.format(x=f"'b{i}:' || {alias}.gram") + f" % 2064384 AS h{i}"
         for i in range(4)
     )
 
@@ -4417,9 +4418,11 @@ FROM gh GROUP BY 1 HAVING sum(in_bloom) > 0 ORDER BY doc_id
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination over the SAME benchmark split as
     `q_decontam` (doc_id % 97, word 4-grams) — the constant-size scale
-    twin: the benchmark n-gram set folds into a 1024-word / 63-bit
-    portable Bloom table (8 KB broadcast regardless of benchmark
-    size), probed map-side with 4 portable hashes. One-sided error:
+    twin: the benchmark n-gram set folds into a 32768-word / 63-bit
+    portable Bloom table (256 KB broadcast regardless of benchmark
+    size; ~0.1% FP at the sf1 benchmark's ~10^5 grams — an sf1 probe
+    measured the 64 Kb variant SATURATED at ~100% FP, see the
+    operator docstring), probed map-side with 4 portable hashes. One-sided error:
     never misses a true overlap (test-pinned superset of q_decontam);
     false positives are the price and are measured by comparing the
     two queries' flag counts. Oracle replays hashing, the bit_or
@@ -4575,6 +4578,7 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_span_removal",
+    bench=True,
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
 sh AS (SELECT doc_id, i - 1 AS i,
@@ -4612,6 +4616,313 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression. Oracle replays shingling, coverage, and the rebuild
     byte-for-byte."""
     return dedup.remove_dup_spans(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_node_features",
+    oracle=f"""
+WITH pd AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15")}),
+act AS (SELECT actor, count(*) AS n_frames, sum(n_events) AS n_events
+        FROM pd GROUP BY 1),
+ed AS (SELECT DISTINCT actor1, actor2
+       FROM ({_EDGES_FROM_P.replace("p p1", "pd p1").replace("p p2", "pd p2")})),
+part AS (SELECT actor, count(*) AS day_partners FROM (
+           SELECT actor1 AS actor FROM ed
+           UNION ALL SELECT actor2 FROM ed) GROUP BY 1),
+ph AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)=10")}),
+eh AS (SELECT DISTINCT actor1, actor2
+       FROM ({_EDGES_FROM_P.replace("p p1", "ph p1").replace("p p2", "ph p2")})),
+tri AS (SELECT e1.actor1 AS a, e1.actor2 AS b, e2.actor2 AS c
+        FROM eh e1
+        JOIN eh e2 ON e1.actor2 = e2.actor1
+        JOIN eh e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2),
+tc AS (SELECT actor, count(*) AS n_tri FROM (
+         SELECT a AS actor FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1),
+degh AS (SELECT actor, count(*) AS hour_degree FROM (
+           SELECT actor1 AS actor FROM eh
+           UNION ALL SELECT actor2 FROM eh) GROUP BY 1)
+SELECT act.actor, CAST(act.n_frames AS BIGINT) AS n_frames,
+       CAST(act.n_events AS BIGINT) AS n_events,
+       CAST(COALESCE(part.day_partners, 0) AS BIGINT) AS day_partners,
+       CAST(COALESCE(degh.hour_degree, 0) AS BIGINT) AS hour_degree,
+       round(CASE WHEN COALESCE(degh.hour_degree, 0) >= 2
+                  THEN 2.0 * COALESCE(tc.n_tri, 0)
+                       / (degh.hour_degree * (degh.hour_degree - 1))
+                  ELSE 0.0 END, 6) AS hour_coeff
+FROM act
+LEFT JOIN part ON part.actor = act.actor
+LEFT JOIN degh ON degh.actor = act.actor
+LEFT JOIN tc ON tc.actor = act.actor
+ORDER BY act.actor
+""",
+)
+def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-actor structural FEATURE TABLE on the pinned day — the
+    graph-ML feature store a link-prediction / node-classification
+    pipeline trains on (pairs with `q_link_negatives`' labels):
+    day-level activity (frames active, events, distinct partners) plus
+    hour-graph topology (degree, local clustering coefficient). Every
+    feature is an aggregate over the shared pruned presence/edge
+    subtrees; the assembly is three left joins on the actor key, all
+    shuffles actor-partitioned, nothing quadratic beyond the bounded
+    hour-graph triangle join (QUERY11's shape). Oracle replays every
+    feature and the joins."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    lo = qmod._utc_ns(qmod.YEAR, qmod.MONTH, qmod.DAY)
+    day = qmod._ns_range(lo, lo + 86400 * 1_000_000_000)
+    pres_day = qmod._presence(spark, sf_dir, day)
+    act = pres_day.groupBy("actor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    day_edges = (
+        qmod._edges(spark, sf_dir, day).select("actor1", "actor2").distinct()
+    )
+    part = (
+        day_edges.select(
+            F.explode(F.array("actor1", "actor2")).alias("actor")
+        )
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).cast("long").alias("day_partners"))
+    )
+    eh = (
+        qmod._edges(spark, sf_dir, qmod._hour_filter(qmod.HOUR, qmod.HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    tri = graph.triangles(eh)
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    degh = (
+        eh.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("hour_degree"))
+    )
+    hd = F.coalesce(F.col("hour_degree"), F.lit(0))
+    return (
+        act.join(part, "actor", "left")
+        .join(degh, "actor", "left")
+        .join(tc, "actor", "left")
+        .select(
+            "actor",
+            "n_frames",
+            "n_events",
+            F.coalesce("day_partners", F.lit(0)).cast("long").alias(
+                "day_partners"
+            ),
+            hd.cast("long").alias("hour_degree"),
+            F.round(
+                F.when(
+                    hd >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("hour_degree") * (F.col("hour_degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("hour_coeff"),
+        )
+        .orderBy("actor")
+    )
+
+
+@query(
+    "q_cms_freq",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT unnest(t) AS token FROM tok),
+freq AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
+top AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 20),
+cells AS (SELECT r, {_H64.format(x="'cms' || r || ':' || token")} % 1024 AS c,
+                 count(*) AS cnt
+          FROM u, UNNEST([0, 1, 2, 3]) AS sd(r) GROUP BY 1, 2),
+pr AS (SELECT token, r,
+              {_H64.format(x="'cms' || r || ':' || token")} % 1024 AS c
+       FROM top, UNNEST([0, 1, 2, 3]) AS sd(r)),
+est AS (SELECT pr.token, min(cells.cnt) AS cms_est
+        FROM pr JOIN cells ON cells.r = pr.r AND cells.c = pr.c
+        GROUP BY 1)
+SELECT top.token, CAST(top.cnt AS BIGINT) AS exact_cnt,
+       CAST(est.cms_est AS BIGINT) AS cms_est,
+       CAST(est.cms_est - top.cnt AS BIGINT) AS overshoot
+FROM top JOIN est USING (token) ORDER BY exact_cnt DESC, top.token
+""",
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates graded against exact
+    counts for the top-20 tokens — the third portable sketch beside
+    KMV (cardinality) and hash-sample quantiles: d=4 x w=1024
+    counters built in ONE pass whose shuffle is sketch-sized (map-side
+    combine collapses to <= d*w cells per partition), probed by
+    broadcast. CMS's one-sided guarantee (est >= exact) is pinned by
+    unit test; the overshoot column measures the realized error.
+    Oracle replays every counter and every probe."""
+    from neo4j_dynagraph_spark.operators.sketch import cms_estimates
+
+    occ = text.tokens_df(_docs(spark, sf_dir)).select(
+        F.explode("t").alias("token")
+    )
+    top = (
+        text.token_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+    est = cms_estimates(occ, top.select("token"))
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("long").alias("overshoot"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+@query(
+    "q_hrw_shards",
+    oracle=f"""
+WITH sd AS (SELECT unnest(range(0, 9)) AS s),
+hs AS (SELECT doc_id, s,
+              {_H64.format(x="'hrw' || s || ':' || doc_id")} AS h
+       FROM documents, sd),
+hrw AS (SELECT doc_id,
+               arg_max(s, CASE WHEN s < 8 THEN h ELSE -1 END) AS shard_small,
+               arg_max(s, h) AS shard_big
+        FROM hs GROUP BY 1),
+md AS (SELECT doc_id,
+              {_H64.format(x="'shard:' || doc_id")} % 8 AS shard_small,
+              {_H64.format(x="'shard:' || doc_id")} % 9 AS shard_big
+       FROM documents),
+a AS (SELECT 'hrw' AS scheme, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN shard_small <> shard_big THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved,
+             round(sum(CASE WHEN shard_small <> shard_big THEN 1.0
+                            ELSE 0.0 END) / count(*), 6) AS moved_frac
+      FROM hrw
+      UNION ALL
+      SELECT 'mod', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN shard_small <> shard_big THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             round(sum(CASE WHEN shard_small <> shard_big THEN 1.0
+                            ELSE 0.0 END) / count(*), 6)
+      FROM md)
+SELECT * FROM a ORDER BY scheme
+""",
+)
+def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) sharding vs hash-mod, graded on resharding
+    cost 8 -> 9 shards: HRW moves ~1/9 of the corpus (only docs whose
+    NEW shard wins the hash tournament), hash-mod moves ~8/9 — at
+    100 TB the difference between an 11% rebalance and an 89%
+    rewrite; `q_train_shards`' mod layout is the static-shard-count
+    fast path, this is the elastic one. Deterministic portable-hash
+    tournament, one explode + one groupBy, 2-row terminal. Oracle
+    replays every tournament and both mod assignments."""
+    return text.hrw_shard_migration(_docs(spark, sf_dir), n_small=8)
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+pd AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       {", ".join(_bm25_tf_sql(i, t) for i, t in enumerate(_BM25_TERMS))}
+       FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+       {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+       FROM pd)
+, sc AS (SELECT doc_id,
+       round({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 6) AS bm25,
+       tf0 + tf1 + tf2 AS tf_sum
+FROM pd, st
+WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))})
+, ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                AS rank_bm25
+         FROM (SELECT doc_id, bm25 FROM sc
+               ORDER BY bm25 DESC, doc_id LIMIT 100))
+, rb AS (SELECT doc_id, row_number() OVER (ORDER BY tf_sum DESC, doc_id)
+                AS rank_tf
+         FROM (SELECT doc_id, tf_sum FROM sc
+               ORDER BY tf_sum DESC, doc_id LIMIT 100))
+SELECT doc_id,
+       CAST(ra.rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rb.rank_tf AS BIGINT) AS rank_tf,
+       round(1.0 / (60 + ra.rank_bm25) + 1.0 / (60 + rb.rank_tf), 6)
+           AS rrf
+FROM ra JOIN rb USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 20
+""",
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings —
+    BM25 and raw term-frequency — over the {merge, spark, vector}
+    query: the standard zero-tuning way to merge heterogeneous
+    rankers (lexical + semantic in production; two lexical scorers
+    here so the oracle replays both ends). Each ranker is cut to its
+    top-100 FIRST (TakeOrderedAndProject), so the rank windows run on
+    k-bounded lists, never the corpus; the fusion join is 100x100
+    keyed on doc_id. Docs in both lists fuse; the top-20 by RRF is
+    the answer."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    # tf_sum comes from the same narrow per-term arithmetic as
+    # bm25_scores (shared scan subtree)
+    toked = text.tokens_df(docs).select(
+        "doc_id",
+        sum(
+            (
+                F.expr(f"size(filter(t, x -> x = '{t}'))").cast("double")
+                for t in _BM25_TERMS
+            ),
+            F.lit(0.0),
+        ).alias("tf_sum"),
+    )
+    base = text.bm25_scores(docs, list(_BM25_TERMS)).join(toked, "doc_id")
+    ra = (
+        base.orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "rank_bm25",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_bm25")
+    )
+    rb = (
+        base.orderBy(F.desc("tf_sum"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "rank_tf",
+            F.row_number().over(
+                Window.orderBy(F.desc("tf_sum"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_tf")
+    )
+    return (
+        ra.join(rb, "doc_id")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_tf",
+            F.round(
+                F.lit(1.0) / (F.lit(60) + F.col("rank_bm25"))
+                + F.lit(1.0) / (F.lit(60) + F.col("rank_tf")),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
 
 
 # Finish the deferred grade-window application for the direct-import

@@ -692,3 +692,32 @@ def test_bloom_decontam_empty_benchmark_flags_nothing(spark):
     )
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert text_ops.bloom_decontaminate(train, bench, n=4).count() == 0
+
+
+def test_cms_never_underestimates(spark):
+    from neo4j_dynagraph_spark.operators.sketch import cms_estimates
+
+    rows = [("the",)] * 50 + [("a",)] * 20 + [("rare",)] * 3
+    occ = spark.createDataFrame(rows, "token string")
+    probe = spark.createDataFrame(
+        [("the",), ("a",), ("rare",)], "token string"
+    )
+    est = {r.token: r.cms_est for r in cms_estimates(occ, probe).collect()}
+    assert est["the"] >= 50 and est["a"] >= 20 and est["rare"] >= 3
+    # with 3 tokens in a 4x1024 sketch there are no collisions:
+    # estimates are exact
+    assert est == {"the": 50, "a": 20, "rare": 3}
+
+
+def test_hrw_moves_less_than_mod(spark):
+    from neo4j_dynagraph_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = {r.scheme: r for r in text_ops.hrw_shard_migration(docs, 8).collect()}
+    # HRW: ~1/9 of docs move on 8 -> 9; mod: ~8/9 move
+    assert 0.05 < out["hrw"].moved_frac < 0.20
+    assert out["mod"].moved_frac > 0.75
+    assert out["hrw"].n_moved < out["mod"].n_moved
+    assert out["hrw"].n_docs == out["mod"].n_docs == 2000
