@@ -4578,7 +4578,6 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_span_removal",
-    bench=True,
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
 sh AS (SELECT doc_id, i - 1 AS i,
@@ -4922,6 +4921,193 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
+    )
+
+
+@query(
+    "q_stream_corpus_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+pd AS (SELECT CAST(len(t) AS BIGINT) AS dl,
+       {", ".join(f"CASE WHEN len(list_filter(t, x -> x = '{t}')) > 0 THEN 1 ELSE 0 END AS hit{i}" for i, t in enumerate(_BM25_TERMS))}
+       FROM tok),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) AS tok_sum,
+              {", ".join(f"CAST(sum(hit{i}) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+       FROM pd)
+SELECT * FROM (
+  {" UNION ALL ".join(f"SELECT '{t}' AS term, df{i} AS df, n_docs, round(tok_sum / CAST(n_docs AS DOUBLE), 6) AS avgdl FROM st" for i, t in enumerate(_BM25_TERMS))}
+) ORDER BY term
+""",
+)
+def q_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus statistics for retrieval scoring: the
+    documents stream drained through foreachBatch partial-aggregate
+    commits keyed by (batch_id, key) — plain counters are NOT
+    idempotent under re-delivery (unlike KMV's union-prune), so
+    exactly-once comes from each batch OVERWRITING its own partial
+    rows in the versioned store (streaming/corpus_stats.py); the
+    readable stats are the sum over batch partials. Integer counter
+    sums are associative/commutative, so the drained N / avgdl /
+    per-term df equal the batch aggregate bit-for-bit under any
+    micro-batch chopping — the same oracle shape q_bm25_search's
+    stats row replays. Multi-batch equality and replay idempotence
+    are pinned by unit test."""
+    from neo4j_dynagraph_spark.streaming.corpus_stats import (
+        stream_corpus_stats,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_corpus_stats(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        schema,
+        list(_BM25_TERMS),
+    )
+
+
+@query(
+    "q_train_split",
+    oracle=f"""
+WITH s AS (SELECT source,
+                  CASE WHEN ({_H64.format(x="'split:' || doc_id")} + 1)
+                            / 1152921504606846976.0 < 0.8 THEN 'train'
+                       WHEN ({_H64.format(x="'split:' || doc_id")} + 1)
+                            / 1152921504606846976.0 < 0.9 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY source)
+                             AS DOUBLE), 6) AS frac
+FROM s GROUP BY 1, 2 ORDER BY source, split
+""",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by the portable
+    hash coin — the reproducible holdout assignment every training
+    pipeline needs: no RNG state, stable under re-runs, re-shards, and
+    engine changes, and any doc's split is recomputable from its id
+    alone (no assignment table to store or join at 100 TB). Output is
+    the per-source split audit (counts + realized fractions). Oracle
+    replays every coin flip."""
+    import neo4j_dynagraph_spark.functions as dfn
+    from pyspark.sql import Window
+
+    u = (
+        dfn.hash64(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        + 1
+    ) / F.lit(float(1 << 60))
+    s = _docs(spark, sf_dir).select(
+        "source",
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    counts = s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # the per-source total is a window over <= 3 rows per source on
+    # the already-aggregated table — dimension-sized, not corpus-sized
+    w = Window.partitionBy("source")
+    return (
+        counts.select(
+            "source",
+            "split",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+            ).alias("frac"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def _rfm_rank_sql(measure: str, order: str, name: str) -> str:
+    """Quintile via explicit row_number arithmetic (NOT ntile — its
+    remainder distribution is engine-defined; floor((rn-1)*5/N)+1 is
+    exact everywhere)."""
+    return (
+        f"SELECT o_custkey, CAST(floor((row_number() OVER "
+        f"(ORDER BY {measure} {order}, o_custkey) - 1) * 5 "
+        f"/ CAST(nc AS DOUBLE)) + 1 AS INTEGER) AS {name} FROM cust, n"
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+WITH cust AS (SELECT o_custkey,
+                     max(o_orderdate) AS last_order,
+                     count(*) AS n_orders,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+              FROM orders GROUP BY 1),
+n AS (SELECT count(*) AS nc FROM cust),
+r AS ({_rfm_rank_sql("last_order", "DESC", "r_score")}),
+f AS ({_rfm_rank_sql("n_orders", "DESC", "f_score")}),
+m AS ({_rfm_rank_sql("spend", "DESC", "m_score")})
+SELECT r.r_score, f.f_score, m.m_score,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM r JOIN f USING (o_custkey) JOIN m USING (o_custkey)
+GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles; quintile 1 = best) — the classic value-segmentation
+    cube. Each quintile comes from the TWO-PHASE distributed rank
+    (operators/rank.py) over the customer dimension, never a
+    one-partition window, with explicit floor((rn-1)*5/N) bucket
+    arithmetic instead of engine-defined ntile remainders — which is
+    what lets the plain-window oracle replay every assignment. The
+    terminal is the <=125-row segment cube. Monetary ranks on the
+    DECIMAL-exact spend."""
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    nrow = cust.agg(F.count(F.lit(1)).cast("double").alias("nc"))
+
+    def quintile(measure, bucket, name: str) -> DataFrame:  # noqa: ANN001
+        # rank ASCENDING on a numeric proxy where smaller = better
+        # (== the oracle's DESC rank on the raw measure), with an
+        # order-aligned COARSE bucket so the offset table stays tiny
+        # (two_phase_rank's contract: a monotone coarsening of the
+        # first sort key, never the data-sized key itself)
+        ranked = two_phase_rank(
+            cust.select("o_custkey", measure.alias("_m")),
+            bucket=bucket,
+            order_cols=[F.col("_m"), F.col("o_custkey")],
+            rank_col="rn",
+        )
+        return ranked.crossJoin(F.broadcast(nrow)).select(
+            "o_custkey",
+            (
+                F.floor((F.col("rn") - 1) * 5 / F.col("nc")) + 1
+            )
+            .cast("int")
+            .alias(name),
+        )
+
+    m_col = F.col("_m")  # bucket expressions resolve against the
+    # (o_custkey, _m) projection two_phase_rank actually receives
+    r = quintile(
+        -F.unix_timestamp("last_order"), F.floor(m_col / 86400), "r_score"
+    )
+    f = quintile(-F.col("n_orders"), m_col, "f_score")
+    m = quintile(-F.col("spend"), F.floor(m_col / 1000), "m_score")
+    return (
+        r.join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
     )
 
 

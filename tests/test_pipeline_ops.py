@@ -669,3 +669,69 @@ def test_bpe_encode_compresses_and_preserves_word_count(spark):
     # so doc1 - doc0 = encoded(bandana)
     enc_bandana = out[1].n_bpe_tokens - per_word_0
     assert enc_bandana >= 1
+
+
+def test_train_split_partitions_every_doc_once(spark):
+    from neo4j_dynagraph_spark.queries import REGISTRY
+
+    out = REGISTRY["q_train_split"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, {})[r.split] = r
+    for source, splits in by_source.items():
+        # fractions sum to 1 within rounding; train dominates
+        total_frac = sum(r.frac for r in splits.values())
+        assert abs(total_frac - 1.0) < 1e-4
+        if sum(r.n_docs for r in splits.values()) >= 50:
+            assert splits["train"].frac > 0.6
+
+
+def test_rfm_quintile_arithmetic(spark):
+    """10 customers, one order each, strictly increasing spend and
+    recency -> every quintile holds exactly 2 customers and the
+    orderings are opposite for 'best' semantics."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from neo4j_dynagraph_spark.queries import REGISTRY
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    rows = []
+    for i in range(10):
+        rows.append(
+            (
+                100 + i,
+                i + 1,
+                "O",
+                float(1000 * (i + 1)),
+                dt.datetime(2024, 1, 1 + i),
+                "1-URGENT",
+            )
+        )
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="dynagraph_rfm_fixture_")
+    sf = os.path.join(d, "sf")
+    os.makedirs(sf)
+    orders.write.parquet(os.path.join(sf, "orders.parquet"))
+    out = REGISTRY["q_rfm_segments"].fn(spark, sf).collect()
+    # customer i: spend rank DESC -> cust 10 best monetary; recency
+    # DESC -> cust 10 best recency; every quintile has 2 customers
+    seg = {(r.r_score, r.f_score, r.m_score): r.n_customers for r in out}
+    assert sum(seg.values()) == 10
+    # spend and recency are aligned in this fixture: r==m everywhere
+    assert all(r == m for (r, f, m) in seg)
+    # all have 1 order -> f_score spreads only by the custkey
+    # tie-break, still 2 per quintile
+    from collections import Counter
+
+    rc = Counter()
+    for (r, f, m), n in seg.items():
+        rc[r] += n
+    assert rc == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}

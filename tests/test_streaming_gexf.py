@@ -684,3 +684,70 @@ def test_kmv_store_merge_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, store.read().collect())) == first
     est = kmv_estimate(store.read(), "g", 3).first()
     assert est.n_seen == 3
+
+
+def test_stream_corpus_stats_multibatch_equals_batch(spark, tmp_path):
+    """Chop the corpus into 3 files, drain one file per trigger: the
+    summed partials must equal the single-batch drain AND the batch
+    aggregate, and re-merging a batch's partials (re-delivery) must
+    not change the totals."""
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.streaming.corpus_stats import (
+        CounterStore,
+        stream_corpus_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge vector pipeline"),
+            (2, "spark spark only"),
+            (3, "nothing here"),
+            (4, "vector merge"),
+            (5, "plain words again"),
+            (6, "spark again"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    terms = ["merge", "spark", "vector"]
+
+    multi = {
+        r.term: r
+        for r in stream_corpus_stats(
+            spark, src, schema, terms, max_files_per_trigger=1
+        ).collect()
+    }
+    single = {
+        r.term: r
+        for r in stream_corpus_stats(spark, src, schema, terms).collect()
+    }
+    assert multi.keys() == single.keys() == set(terms)
+    for t in terms:
+        assert (multi[t].df, multi[t].n_docs, multi[t].avgdl) == (
+            single[t].df,
+            single[t].n_docs,
+            single[t].avgdl,
+        )
+    # batch truth
+    assert multi["spark"].df == 3
+    assert multi["merge"].df == 2
+    assert multi["vector"].df == 2
+    assert multi["spark"].n_docs == 6
+
+    # replay idempotence: re-merging identical partials for an
+    # existing batch_id leaves the store unchanged
+    store = CounterStore(spark, str(tmp_path / "store"))
+    rows = spark.createDataFrame(
+        [(0, "#corpus", 5, 50, 0), (0, "spark", 0, 0, 2)],
+        "batch_id long, key string, cnt_docs long, cnt_toks long, cnt_df long",
+    )
+    store.merge(rows)
+    store.merge(rows)  # re-delivery
+    state = store.read()
+    assert state.count() == 2
+    assert (
+        state.agg(F.sum("cnt_docs")).collect()[0][0] == 5
+    )  # not doubled
