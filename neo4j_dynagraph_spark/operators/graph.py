@@ -1008,3 +1008,107 @@ def negative_edges(
         .orderBy("actor1", "actor2")
         .limit(k)
     )
+
+
+def _wedge_pairs(edges: DataFrame) -> DataFrame:
+    """Per-center ordered wedge stream (center, actor1 < actor2) from a
+    canonical edge set — the shared generator for triadic closure,
+    Adamic-Adar, and neighbor-set Jaccard."""
+    d = edges.select("actor1", "actor2").distinct()
+    sym = d.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("actor1").alias("src"), F.col("actor2").alias("dst")
+                ),
+                F.struct(
+                    F.col("actor2").alias("src"), F.col("actor1").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    s1 = sym.alias("s1")
+    s2 = sym.alias("s2")
+    return (
+        s1.join(s2, F.col("s1.src") == F.col("s2.src"))
+        .where(F.col("s1.dst") < F.col("s2.dst"))
+        .select(
+            F.col("s1.src").alias("center"),
+            F.col("s1.dst").alias("actor1"),
+            F.col("s2.dst").alias("actor2"),
+        )
+    )
+
+
+def adamic_adar(edges: DataFrame, k: int = 30) -> DataFrame:
+    """Adamic–Adar link prediction (Neo4j GDS
+    `gds.alpha.linkprediction.adamicAdar` parity): for NON-edge pairs
+    sharing neighbors, score = Σ_z 1/ln(deg(z)) over common neighbors
+    z — rare mutual friends count more. Wedge centers always have
+    degree >= 2, so ln(deg) >= ln 2 (no division hazard).
+
+    Shape: the wedge stream joins the broadcast degree dimension on
+    the CENTER key, aggregates per endpoint pair (map-side combined),
+    anti-joins the known edges, and terminates in TakeOrderedAndProject.
+    Columns: actor1, actor2, n_common, aa_score (round 6), top k.
+    """
+    d = edges.select("actor1", "actor2").distinct()
+    deg = degree(d).select(
+        F.col("actor").alias("center"), F.col("degree").alias("cdeg")
+    )
+    w = _wedge_pairs(d).join(F.broadcast(deg), "center")
+    scores = (
+        w.groupBy("actor1", "actor2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("cdeg").cast("double"))), 6
+            ).alias("aa_score"),
+        )
+        .join(d, ["actor1", "actor2"], "left_anti")
+    )
+    return scores.orderBy(
+        F.desc("aa_score"), "actor1", "actor2"
+    ).limit(k)
+
+
+def neighbor_jaccard(
+    edges: DataFrame, k: int = 30, min_common: int = 2
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity (Neo4j GDS `gds.nodeSimilarity`
+    parity): J(a, b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for pairs sharing
+    at least ``min_common`` neighbors — structural role similarity
+    over the contact graph. The intersection count is the wedge-pair
+    aggregate; union size = deg(a) + deg(b) − common (no second pass);
+    degrees re-attach by broadcast. Includes pairs that are themselves
+    edges (GDS semantics — similarity, not link prediction).
+    Columns: actor1, actor2, n_common, jaccard (round 6), top k.
+    """
+    d = edges.select("actor1", "actor2").distinct()
+    deg = degree(d)
+    common = (
+        _wedge_pairs(d)
+        .groupBy("actor1", "actor2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    d1 = deg.select(F.col("actor").alias("actor1"), F.col("degree").alias("deg1"))
+    d2 = deg.select(F.col("actor").alias("actor2"), F.col("degree").alias("deg2"))
+    return (
+        common.join(F.broadcast(d1), "actor1")
+        .join(F.broadcast(d2), "actor2")
+        .select(
+            "actor1",
+            "actor2",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (
+                    F.col("deg1") + F.col("deg2") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "actor1", "actor2")
+        .limit(k)
+    )

@@ -4436,8 +4436,8 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_triadic_closure",
     oracle=f"""
-WITH p1 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)=10")}),
-p2 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)=11")}),
+WITH p1 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)>=9 AND hour(ts)<11")}),
+p2 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)>=11 AND hour(ts)<13")}),
 e1 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p1 p1").replace("p p2", "p1 p2")})),
 e2 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p2 p1").replace("p p2", "p2 p2")})),
 sym AS (SELECT actor1 AS src, actor2 AS dst FROM e1
@@ -4457,17 +4457,21 @@ SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS n_open_wedges,
 """,
 )
 def q_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal triadic closure, hour 10 → hour 11 on the pinned day:
-    of the open wedges (common neighbor, no direct edge) in the hour-10
-    contact graph, what fraction are edges an hour later — the
+    """Temporal triadic closure, window [9,11) → [11,13) on the pinned
+    day: of the open wedges (common neighbor, no direct edge) in the
+    morning contact graph, what fraction are edges in the next window.
+    NOTE the window must span >= 2 frames: a single DELTA-wide frame
+    graph is a disjoint union of cliques (every co-present pair IS an
+    edge), so it has ZERO open wedges by construction — measured, then
+    re-scoped — the
     link-prediction baseline / tie-formation statistic. Wedges stream
     per center and collapse to DISTINCT pairs map-side; one anti-join
     (openness) + one semi-join (closure); O(1)-row terminal. Oracle
     replays wedge generation and both joins."""
     from neo4j_dynagraph_spark import queries as qmod
 
-    e1 = qmod._edges(spark, sf_dir, qmod._hour_filter(10, 11))
-    e2 = qmod._edges(spark, sf_dir, qmod._hour_filter(11, 12))
+    e1 = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 11))
+    e2 = qmod._edges(spark, sf_dir, qmod._hour_filter(11, 13))
     return graph.triadic_closure(e1, e2)
 
 
@@ -5109,6 +5113,75 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+_HOUR_P = "WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)>=9 AND hour(ts)<11"
+_WEDGE_CTES = f"""p AS ({{p}}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+deg AS (SELECT src AS center, count(*) AS cdeg FROM sym GROUP BY 1),
+w AS (SELECT s1.src AS center, s1.dst AS actor1, s2.dst AS actor2
+      FROM sym s1 JOIN sym s2
+      ON s1.src = s2.src AND s1.dst < s2.dst)"""
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+WITH {_WEDGE_CTES.format(p=_presence_sql(_HOUR_P))},
+sc AS (SELECT w.actor1, w.actor2,
+              CAST(count(*) AS BIGINT) AS n_common,
+              round(sum(1.0 / ln(CAST(deg.cdeg AS DOUBLE))), 6) AS aa_score
+       FROM w JOIN deg ON deg.center = w.center
+       GROUP BY 1, 2),
+ne AS (SELECT sc.* FROM sc
+       LEFT JOIN e ON e.actor1 = sc.actor1 AND e.actor2 = sc.actor2
+       WHERE e.actor1 IS NULL)
+SELECT actor1, actor2, n_common, aa_score
+FROM ne ORDER BY aa_score DESC, actor1, actor2 LIMIT 30
+""",
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the pinned day's [9,11) two-frame window (a single frame is a clique — zero non-edge wedges) (Neo4j GDS
+    `linkprediction.adamicAdar` parity — the engine's domain is a
+    Neo4j graph store): top-30 NON-edge pairs by Σ 1/ln(deg) over
+    common neighbors, the score that feeds `q_link_negatives`' /
+    `q_node_features`' training set. Wedge stream + broadcast degree
+    dim + one pair aggregate + anti-join; TakeOrderedAndProject
+    terminal. Oracle replays wedges, weights, and the rank cut."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 11))
+    return graph.adamic_adar(e, k=30)
+
+
+@query(
+    "q_node_similarity",
+    oracle=f"""
+WITH {_WEDGE_CTES.format(p=_presence_sql(_HOUR_P))},
+cm AS (SELECT actor1, actor2, CAST(count(*) AS BIGINT) AS n_common
+       FROM w GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT cm.actor1, cm.actor2, cm.n_common,
+       round(cm.n_common / CAST(d1.cdeg + d2.cdeg - cm.n_common AS DOUBLE),
+             6) AS jaccard
+FROM cm JOIN deg d1 ON d1.center = cm.actor1
+JOIN deg d2 ON d2.center = cm.actor2
+ORDER BY jaccard DESC, cm.actor1, cm.actor2 LIMIT 30
+""",
+)
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard node similarity on the pinned day's [9,11) two-frame window (single-frame cliques make J degenerate at 1.0)
+    (Neo4j GDS `nodeSimilarity` parity): top-30 pairs by
+    |N∩| / |N∪|, union size derived as deg+deg−common so the
+    intersection aggregate is the only corpus-sized pass; degrees
+    re-attach by broadcast. Structural-role similarity — includes
+    pairs that are themselves edges, per GDS semantics. Oracle
+    replays the wedge counts and the Jaccard arithmetic."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 11))
+    return graph.neighbor_jaccard(e, k=30, min_common=2)
 
 
 # Finish the deferred grade-window application for the direct-import

@@ -584,3 +584,49 @@ def test_negative_edges_no_self_pairs(spark):
     )
     for r in graph.negative_edges(e, n_seeds=8, k=1000).collect():
         assert r.actor1 < r.actor2
+
+
+def test_adamic_adar_scores_and_excludes_edges(spark):
+    from neo4j_dynagraph_spark.operators import graph
+    import math
+
+    # path 1-2-3 plus 2-4: non-edges through center 2 (deg 3):
+    # (1,3),(1,4),(3,4) each score 1/ln(3); 1-3 ALSO wedge via... no
+    # other centers. Edge (1,2) etc. must not appear.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "actor1 int, actor2 int"
+    )
+    out = {(r.actor1, r.actor2): r for r in graph.adamic_adar(e, k=10).collect()}
+    assert set(out) == {(1, 3), (1, 4), (3, 4)}
+    for r in out.values():
+        assert r.n_common == 1
+        assert abs(r.aa_score - 1 / math.log(3)) < 1e-6
+
+
+def test_neighbor_jaccard_arithmetic(spark):
+    from neo4j_dynagraph_spark.operators import graph
+
+    # N(1)={2,3}, N(4)={2,3}: J(1,4) = 2/(2+2-2) = 1.0
+    # N(2)={1,4}, N(3)={1,4}: J(2,3) = 1.0 as well
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "actor1 int, actor2 int"
+    )
+    out = {
+        (r.actor1, r.actor2): r
+        for r in graph.neighbor_jaccard(e, k=10, min_common=2).collect()
+    }
+    assert set(out) == {(1, 4), (2, 3)}
+    for r in out.values():
+        assert r.n_common == 2 and abs(r.jaccard - 1.0) < 1e-9
+
+
+def test_triadic_closure_single_frame_clique_degenerate(spark):
+    """The case that forced the re-scope: a clique (one frame's
+    co-presence graph) has zero open wedges by construction."""
+    from neo4j_dynagraph_spark.operators import graph
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    e1 = spark.createDataFrame(clique, "actor1 int, actor2 int")
+    e2 = spark.createDataFrame([(1, 2)], "actor1 int, actor2 int")
+    out = graph.triadic_closure(e1, e2).collect()[0]
+    assert out.n_open_wedges == 0
