@@ -5184,6 +5184,82 @@ def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.neighbor_jaccard(e, k=30, min_common=2)
 
 
+@query(
+    "q_copurchase_rules",
+    oracle="""
+WITH m AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n_baskets FROM m),
+mg AS (SELECT item, count(*) AS n FROM m GROUP BY 1),
+co AS (SELECT a.item AS ante, b.item AS cons, count(*) AS n_co
+       FROM m a JOIN m b ON a.bk = b.bk AND a.item <> b.item
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT co.ante, co.cons, CAST(co.n_co AS BIGINT) AS n_co,
+       round(co.n_co / nb.n_baskets, 6) AS support,
+       round(co.n_co / CAST(g1.n AS DOUBLE), 6) AS confidence,
+       round((co.n_co / CAST(g1.n AS DOUBLE))
+             / (g2.n / nb.n_baskets), 6) AS lift
+FROM co JOIN mg g1 ON co.ante = g1.item
+JOIN mg g2 ON co.cons = g2.item, nb
+ORDER BY lift DESC, ante, cons LIMIT 20
+""",
+)
+def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (a-priori 2-itemsets):
+    for each ordered pair antecedent → consequent with co-support >=
+    2, classic support / confidence / lift — `q_copurchase`'s cosine
+    ranks symmetric affinity, lift ranks DIRECTIONAL surprise over
+    the independence baseline. Same linear basket-keyed pair stream;
+    marginals and the 1-row basket count attach by broadcast; top-20
+    as TakeOrderedAndProject. Oracle replays all three metrics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = m.agg(
+        F.countDistinct("bk").cast("double").alias("n_baskets")
+    )
+    mg = m.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = m.alias("a")
+    b = m.alias("b")
+    co = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .where(F.col("n_co") >= 2)
+    )
+    out = (
+        co.join(
+            F.broadcast(mg.withColumnRenamed("n", "n1")),
+            co.ante == F.col("item"),
+        )
+        .drop("item")
+        .join(
+            F.broadcast(mg.withColumnRenamed("n", "n2")),
+            F.col("cons") == F.col("item"),
+        )
+        .drop("item")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "n_co",
+            F.round(F.col("n_co") / F.col("n_baskets"), 6).alias("support"),
+            F.round(
+                F.col("n_co") / F.col("n1").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_co") / F.col("n1").cast("double"))
+                / (F.col("n2") / F.col("n_baskets")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "ante", "cons").limit(20)
+
+
 # Finish the deferred grade-window application for the direct-import
 # path (see the guard at the bottom of queries.py).
 from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402
