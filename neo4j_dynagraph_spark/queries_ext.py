@@ -5260,6 +5260,125 @@ def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("lift"), "ante", "cons").limit(20)
 
 
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id,
+             len(list_filter(t, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_en,
+             len(list_filter(t, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_es,
+             len(list_filter(t, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_de
+      FROM tok),
+l AS (SELECT doc_id,
+             CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'unk'
+                  WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+                  WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM s),
+cm AS (SELECT d.lang AS true_lang, l.pred_lang, count(*) AS n
+       FROM l JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n_docs,
+       round(n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+           AS row_frac
+FROM cm ORDER BY true_lang, pred_lang
+""",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the finer-grained companion to
+    `q_langid_accuracy`'s per-language accuracy: which true language
+    is mistaken for which prediction (incl. the 'unk' abstention
+    column), row-normalized so each cell reads as P(pred | true). The
+    matrix is |langs|² rows; the normalizing window runs over that
+    already-aggregated table, never the corpus. Oracle replays the
+    classifier and the normalization."""
+    from pyspark.sql import Window
+
+    pred = text.lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+    truth = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    cm = (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return (
+        cm.select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+            ).alias("row_frac"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@query(
+    "q_token_zipf",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT unnest(t) AS token FROM tok),
+freq AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
+top AS (SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM (SELECT token, cnt FROM freq
+              ORDER BY cnt DESC, token LIMIT 1000)),
+xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       FROM top),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+FROM st
+""",
+)
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 tokens: closed-form
+    least-squares slope of ln(freq) on ln(rank) — the corpus-health
+    statistic dataset cards report (natural text sits near −1;
+    strong deviation flags boilerplate or synthetic text). The vocab
+    aggregate is the only corpus-sized pass; the rank window runs on
+    the k-bounded top-1000 list (q_rank_fusion's stance) and the fit
+    is one scalar aggregate. Oracle replays the regression algebra."""
+    from pyspark.sql import Window
+
+    top = (
+        text.token_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(1000)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "token")),
+        )
+    )
+    xy = top.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    st = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
 # Finish the deferred grade-window application for the direct-import
 # path (see the guard at the bottom of queries.py).
 from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402
