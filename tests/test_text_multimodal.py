@@ -721,3 +721,39 @@ def test_hrw_moves_less_than_mod(spark):
     assert out["mod"].moved_frac > 0.75
     assert out["hrw"].n_moved < out["mod"].n_moved
     assert out["hrw"].n_docs == out["mod"].n_docs == 2000
+
+
+def test_token_zipf_recovers_power_law(spark):
+    """A corpus built with freq(rank k) = 1024/k must fit slope ~ -1."""
+    from neo4j_dynagraph_spark.queries import REGISTRY
+    import os, tempfile
+
+    words = []
+    for k in range(1, 33):
+        words += [f"tok{k:02d}"] * (1024 // k)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    d = tempfile.mkdtemp(prefix="dynagraph_zipf_fixture_")
+    sf = os.path.join(d, "sf")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = REGISTRY["q_token_zipf"].fn(spark, sf).collect()[0]
+    assert out.n_tokens == 32
+    # integer truncation of 1024/k bends the tail slightly; the fit
+    # must still sit on the power law
+    assert -1.05 < out.zipf_slope < -0.95
+
+
+def test_lang_confusion_rows_normalize(spark):
+    from neo4j_dynagraph_spark.queries import REGISTRY
+
+    out = REGISTRY["q_lang_confusion"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_true = {}
+    for r in out:
+        by_true.setdefault(r.true_lang, []).append(r)
+    for true_lang, rows in by_true.items():
+        assert abs(sum(r.row_frac for r in rows) - 1.0) < 1e-4
+        assert all(r.n_docs > 0 for r in rows)
