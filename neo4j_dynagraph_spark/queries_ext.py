@@ -5379,6 +5379,56 @@ def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_gini_length",
+    oracle="""
+WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+           FROM documents),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+              sum(rnk * x) AS srx FROM r)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       round(sx / n, 6) AS mean_chars,
+       round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM st
+""",
+)
+def q_gini_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length (char mass) — the
+    inequality statistic a mixture designer reads before weighting
+    sources (a corpus where 1% of docs hold half the tokens packs and
+    dedups very differently from a uniform one). Computed by the
+    rank-weighted closed form G = 2Σ(r·x)/(nΣx) − (n+1)/n on the
+    TWO-PHASE distributed rank (operators/rank.py — no one-partition
+    window over the data-sized doc table), then one scalar aggregate.
+    Oracle replays the rank with the plain window it provably
+    equals."""
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    ranked = two_phase_rank(
+        docs,
+        bucket=F.floor(F.col("n_chars") / 64),
+        order_cols=[F.col("n_chars"), F.col("doc_id")],
+        rank_col="rnk",
+    )
+    x = F.col("n_chars").cast("double")
+    st = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(F.col("rnk") * x).alias("srx"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_chars"),
+        F.round(
+            F.lit(2.0) * F.col("srx") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # Finish the deferred grade-window application for the direct-import
 # path (see the guard at the bottom of queries.py).
 from neo4j_dynagraph_spark import queries as _queries_mod  # noqa: E402

@@ -735,3 +735,25 @@ def test_rfm_quintile_arithmetic(spark):
     for (r, f, m), n in seg.items():
         rc[r] += n
     assert rc == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_gini_length_extremes(spark):
+    """Equal lengths -> G = 0; one doc holding ~all mass -> G -> 1."""
+    import os, tempfile
+
+    from neo4j_dynagraph_spark.queries import REGISTRY
+
+    def run(rows):
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        )
+        d = tempfile.mkdtemp(prefix="dynagraph_gini_fixture_")
+        sf = os.path.join(d, "sf")
+        os.makedirs(sf)
+        docs.write.parquet(os.path.join(sf, "documents.parquet"))
+        return REGISTRY["q_gini_length"].fn(spark, sf).collect()[0]
+
+    eq = run([(i, "x", 100) for i in range(10)])
+    assert abs(eq.gini) < 1e-9
+    skew = run([(i, "x", 1) for i in range(9)] + [(9, "x", 100000)])
+    assert skew.gini > 0.85
