@@ -13,7 +13,21 @@ can be judged against measured noise. Prints ONE JSON line:
     {"metric": "...", "value": <sum of per-query medians, sec>,
      "unit": "sec", "queries": {name: median_sec, ...},
      "spread": {name: {"p5": s, "p95": s}, ...},
-     "drift": {name: {"first": s, "last": s}, ...}, "sf": <sf>}
+     "drift": {name: {"first": s, "last": s}, ...},
+     "position_effect": {name: ratio_or_null, ...}, "sf": <sf>}
+
+Sampling is INTERLEAVED (round 9): instead of taking all N samples of
+a query back-to-back at a fixed session position — which let
+intra-session accumulation (JVM heap/GC, shuffle temp files)
+masquerade as a per-query regression for late-positioned queries
+(VERDICT r8: q_interval_overlap drifted 3.30 -> 4.28 s within one
+session) — the harness runs N rotated passes over the whole headline
+list, so every query's samples are spread across the session and each
+pass starts at a shifted offset. Per query, position_effect =
+median(second-half-of-session samples) / median(first-half samples):
+~1.0 means position-insensitive; >1 quantifies exactly how much that
+query pays per unit of session age (null for the N=3 heavy queries —
+too few samples to split).
 
 The full payload is ALSO written to BENCH_local.json beside this file
 (committed per round): the driver captures only a tail of stdout, and
@@ -104,31 +118,54 @@ def main() -> None:
     first = _probe(spark, sf_dir)
     print(f"# drift probe (first-in-session): {first}", file=sys.stderr)
 
+    names = list(bench_queries())
+    n_per: dict[str, int] = {}
+    # warm-up pass: JVM JIT + page cache, and classifies the heavy
+    # queries (streaming drains, the full interval self-join), which
+    # run N=3 to keep total bench wall bounded
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).toPandas()
+        warm = time.perf_counter() - t0
+        n_per[name] = 3 if warm > 5.0 else runs
+
+    # interleaved measurement: N rotated passes over the whole list
+    # (see module docstring) — samples carry their pass index so the
+    # position_effect split below is by session age, not sample rank
+    per_q: dict[str, list[tuple[int, float]]] = {n: [] for n in names}
+    for p in range(max(n_per.values())):
+        shift = p % len(names)
+        for name in names[shift:] + names[:shift]:
+            if p >= n_per[name]:
+                continue
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).toPandas()
+            per_q[name].append((p, time.perf_counter() - t0))
+
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name in bench_queries():
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).toPandas()  # warm-up: JVM JIT + page cache
-        warm = time.perf_counter() - t0
-        # heavy queries (streaming drains, the full interval self-join)
-        # run N=3: keeps total bench wall bounded while still yielding a
-        # median; the cheap majority keeps the full N for tight spreads
-        n = 3 if warm > 5.0 else runs
-        samples = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
+    position_effect: dict[str, float | None] = {}
+    for name in names:
+        tagged = per_q[name]
+        samples = sorted(t for _, t in tagged)
         timings[name] = round(statistics.median(samples), 4)
         spread[name] = {
             "p5": round(_pctl(samples, 0.05), 4),
             "p95": round(_pctl(samples, 0.95), 4),
         }
+        if len(tagged) >= 6:
+            half = max(p for p, _ in tagged) / 2
+            early = [t for p, t in tagged if p <= half]
+            late = [t for p, t in tagged if p > half]
+            position_effect[name] = round(
+                statistics.median(late) / statistics.median(early), 4
+            )
+        else:
+            position_effect[name] = None
         print(
             f"# {name}: {timings[name]:.3f}s "
-            f"[p5 {spread[name]['p5']:.3f}, p95 {spread[name]['p95']:.3f}]",
+            f"[p5 {spread[name]['p5']:.3f}, p95 {spread[name]['p95']:.3f}, "
+            f"pos {position_effect[name]}]",
             file=sys.stderr,
         )
 
@@ -139,7 +176,7 @@ def main() -> None:
     payload = {
         "metric": "sum of per-query median wall seconds, "
         f"{len(timings)} headline queries, N={runs} "
-        "(N=3 when warm-up >5s) with p5/p95 "
+        "(N=3 when warm-up >5s), interleaved rotated passes, with p5/p95 "
         "(protocol: cypher_query_timing.py:217-239)",
         "value": total,
         "unit": "sec",
@@ -148,6 +185,7 @@ def main() -> None:
         "drift": {
             n: {"first": first[n], "last": last[n]} for n in first if n in last
         },
+        "position_effect": position_effect,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # durable copy: the driver records only a stdout tail, which a

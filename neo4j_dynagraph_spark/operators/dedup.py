@@ -34,10 +34,13 @@ from pyspark.sql import DataFrame, Window
 
 from neo4j_dynagraph_spark import functions as dfn
 
-SHINGLE3_EXPR = (
-    "array_distinct(transform(sequence(1, size(t) - 2), "
-    "i -> concat_ws(' ', t[i-1], t[i], t[i+1])))"
+# Positional (per-offset, duplicates kept) word-3-gram expression; the
+# distinct form below is DERIVED from it so the two can never drift.
+SHINGLE3_POSITIONAL_EXPR = (
+    "transform(sequence(1, size(t) - 2), "
+    "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
 )
+SHINGLE3_EXPR = f"array_distinct({SHINGLE3_POSITIONAL_EXPR})"
 
 
 def tokens_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -447,9 +450,7 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     positions = toks.select(
         "doc_id",
         "source",
-        F.explode(
-            F.expr(SHINGLE3_EXPR.replace("array_distinct(", "(", 1))
-        ).alias("shingle"),
+        F.explode(F.expr(SHINGLE3_POSITIONAL_EXPR)).alias("shingle"),
     )
     per_doc = positions.groupBy("doc_id", "source", "shingle").agg(
         F.count(F.lit(1)).alias("c")
@@ -538,5 +539,96 @@ def remove_dup_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 6,
             ).alias("removed_frac"),
             F.md5(F.concat_ws(" ", kept)).alias("rebuilt_md5"),
+        )
+    )
+
+
+def exact_dup_spans(
+    docs: DataFrame, span: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """True exact-substring duplicated spans (Lee et al. 2022's
+    ExactSubstr dedup at its published granularity): maximal runs of
+    tokens, at least ``span`` (default 50) long, that appear verbatim
+    in at least one OTHER document. Upgrades :func:`dup_span_stats`'
+    3-gram blocking — there, adjacent duplicated shingles are counted
+    independently and short incidental 3-grams alias across docs; here
+    a position is duplicated only when a full 50-token window through
+    it matches, and overlapping duplicated windows are MERGED into
+    maximal spans, which is exactly the suffix-array semantics for
+    spans >= span tokens (every 50-token window inside a duplicated
+    span is itself duplicated; no shorter match can fire).
+
+    The suffix array the paper builds is a single-machine structure;
+    the DataFrame-native equivalent is a stride-1 rolling fingerprint:
+    one row per token position (linear in corpus tokens), hashed with
+    the portable hash64 so any engine reproduces the fingerprints
+    bit-for-bit.
+
+    Distributed shape: the window stream is a narrow
+    explode+slice+hash projection (no shuffle); the cross-doc test is
+    one map-side-combined groupBy on the uniform 60-bit hash with the
+    constant-state min!=max trick (never count_distinct); dup starts
+    come back via one semi-join on that key; span merging is a lag +
+    running-sum window PARTITIONED BY doc — per-doc state, bounded by
+    doc length, parallel across docs. Nothing is quadratic; nothing
+    is collected.
+
+    Columns: doc_id, source, span_start, span_end (inclusive token
+    offsets, 0-based), span_len.
+    """
+    if span < 2:
+        raise ValueError("span must be >= 2")
+    toks = tokens_df(docs, text_col).where(F.size("t") >= span)
+    wins = toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(f"sequence(0, size(t) - {span})")).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        "start",
+        dfn.hash64(
+            F.concat_ws(" ", F.expr(f"slice(t, start + 1, {span})"))
+        ).alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
+        .where("is_dup")
+        .select("h")
+    )
+    starts = wins.join(dup, "h", "semi").select("doc_id", "source", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    isl = (
+        starts.withColumn(
+            # contiguous (gap == 1) extends the island; anything else —
+            # including the NULL lag on the first row — breaks
+            "brk",
+            F.when(
+                F.col("start") - F.lag("start").over(w) == 1, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "source", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + F.lit(span - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
         )
     )

@@ -957,9 +957,11 @@ def negative_edges(
     Scale shape: the node index is the TWO-PHASE rank over the actor
     dimension (operators/rank.py — no one-partition window even when
     the node table is data-sized); candidate partners come from one
-    broadcast join against that index on the hashed position; the
-    known-edge exclusion is a single anti-join on the canonical pair
-    key. Everything is node- or edge-linear.
+    equi-join against that index on the hashed position — NO forced
+    broadcast hint, since the index is O(V) and data-sized, so AQE
+    broadcasts only when V is actually small; the known-edge exclusion
+    is a single anti-join on the canonical pair key. Everything is
+    node- or edge-linear.
 
     Columns: actor1, actor2 (canonical, deduped, proven non-edges),
     first k by (actor1, actor2).
@@ -993,9 +995,12 @@ def negative_edges(
             ).alias("j"),
         )
         cands = c if cands is None else cands.unionByName(c)
+    # tgt is the FULL node index — O(V), data-cardinality-bound — so no
+    # forced broadcast hint; the join is a plain equi-join on the dense
+    # index j and AQE broadcasts only when V is actually small.
     tgt = idx.select(F.col("actor").alias("b"), F.col("idx").alias("j"))
     pairs = (
-        cands.join(F.broadcast(tgt), "j")
+        cands.join(tgt, "j")
         .where(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("actor1"),

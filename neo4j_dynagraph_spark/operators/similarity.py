@@ -822,8 +822,9 @@ def cooccurrence_topk(
     stream is sum-of-squared-basket-sizes — LINEAR when basket sizes
     are bounded (TPC-H orders hold ~4 lineitems; real carts are
     bounded by policy caps). Per-item marginals are an item-dimension
-    table (vocab-bounded by Heaps-like sparsity) re-attached by
-    BROADCAST, so only the pair aggregation shuffles. Nothing is
+    table whose cardinality grows with the data (l_partkey ∝ SF), so
+    the re-attach join carries NO forced broadcast hint — AQE
+    broadcasts it when small and shuffles otherwise. Nothing is
     quadratic in the item or basket count.
 
     Columns: item1, item2 (item1 < item2), n_co, cosine (round 6).
@@ -843,11 +844,17 @@ def cooccurrence_topk(
         .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
         .where(F.col("n_co") >= min_co)
     )
+    # No forced broadcast hint: the marginal table is ITEM-cardinality
+    # (TPC-H l_partkey grows linearly with SF — billions of items at
+    # 100 TB), and a forced hint overrides the planner's size check, so
+    # it would fail at the driver instead of degrading. AQE broadcasts
+    # it when it is actually small and falls back to a shuffled hash
+    # join otherwise.
     out = (
-        co.join(F.broadcast(marg.withColumnRenamed("n", "n1")),
+        co.join(marg.withColumnRenamed("n", "n1"),
                 co.item1 == F.col("item"))
         .drop("item")
-        .join(F.broadcast(marg.withColumnRenamed("n", "n2")),
+        .join(marg.withColumnRenamed("n", "n2"),
               F.col("item2") == F.col("item"))
         .drop("item")
         .select(

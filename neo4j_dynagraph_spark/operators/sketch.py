@@ -151,8 +151,17 @@ def cms_estimates(
             )
         ).alias("cell"),
     ).select("token", "cell.r", "cell.c")
+    # LEFT join + coalesce-to-0: a probe token hashing to a cell with no
+    # counter row has a true CMS count of 0 there, and the per-token min
+    # must see that 0 — an inner join would silently drop fully-unseen
+    # tokens and OVERestimate partially-unseen ones from their present
+    # cells only.
     return (
-        probes.join(F.broadcast(sk), ["r", "c"])
+        probes.join(F.broadcast(sk), ["r", "c"], "left")
         .groupBy("token")
-        .agg(F.min("cnt").cast("long").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
     )

@@ -1113,7 +1113,14 @@ def bm25_scores(
         "doc_id",
         F.size("t").cast("double").alias("dl"),
         *[
-            F.expr(f"size(filter(t, x -> x = '{t}'))")
+            # Column API, not an interpolated SQL lambda: terms are
+            # caller-supplied, and f"x = '{t}'" would break (or inject
+            # into the plan) on a term containing a quote. Single-arg
+            # lambda only — a second (even defaulted) parameter makes
+            # pyspark pass the ARRAY INDEX as that argument. F.filter
+            # invokes the lambda eagerly, so the loop-var capture is
+            # bound at construction.
+            F.size(F.filter(F.col("t"), lambda x: x == F.lit(t)))
             .cast("double")
             .alias(f"tf{i}")
             for i, t in enumerate(terms)

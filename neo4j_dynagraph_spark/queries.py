@@ -2185,6 +2185,24 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (q_ann_recall), the two-relation interval join (q_campaign_overlap)
 # with its streaming twin (q_stream_campaign), and the day-over-day
 # graph diff (q_graph_diff).
+#
+# ROTATION (round 9): thirteen rows driver-green for 3+ consecutive
+# rounds and re-proven every round by the full-registry parity gate
+# (q_tumbling_window, q_minmax_ts, q_dedup_edges, q_actor_lookup,
+# q_text_search, q_frame_chain, q_quantiles, q_sessionize,
+# q_dedup_exact, q_ngram_jaccard, q_embed_topk, q_dedup_embed,
+# q_tfidf_top_terms) rotate out in favor of the round-8 additions with
+# hash-matched oracles — BM25 retrieval (q_bm25_search), DSIR
+# importance weights (q_dsir_weights), the replay-oracle BPE trainer
+# (q_bpe_train), token PMI collocations (q_token_pmi), the
+# no-false-negative prefix-filtered Jaccard join (q_dedup_prefix),
+# distributed PCA (q_embed_pca), Adamic-Adar + neighbor-Jaccard
+# (q_adamic_adar, q_node_similarity — now also pinned non-empty by the
+# planted-graph fixture in tests/test_planted_parity.py), association
+# rules (q_copurchase_rules), stratified quota sampling
+# (q_stratified_sample), the incremental streaming KMV (q_stream_kmv),
+# temporal 2-hop paths (q_temporal_paths) — and the round-9 exact-
+# substring span audit (q_dup_spans_exact).
 
 _GRADE_WINDOW = [
     # reference QUERY1..11 (+ the anchored QUERY11 shape,
@@ -2193,36 +2211,41 @@ _GRADE_WINDOW = [
     "q4_actor_frame_counts", "q5_active_actors", "q6_active_days",
     "q7_neighbors", "q8_neighbors_on_day", "q9_common_neighbors",
     "q10_degree", "q11_triangles_hour", "q11_anchored",
-    # ingest / frame grid / indexes / run namespace
-    "ingest_spells", "q_tumbling_window", "q_minmax_ts", "q_dedup_edges",
-    "q_actor_lookup", "q_text_search", "q_frame_chain",
-    # aggregation / quantile surface + the portable sketch twins
-    # (q_approx_quantiles and q_approx_distinct are rows-only by design —
-    # no exact ANSI-SQL oracle exists for engine-native sketches — their
-    # PORTABLE twins hold graded slots instead and the native-vs-twin
-    # agreement is pinned by tests/test_oracle_subset.py)
-    "q_quantiles", "q_kmv_distinct", "q_sample_quantiles",
+    # ingest / frame grid
+    "ingest_spells",
+    # sketch surface: the portable twins (q_approx_quantiles and
+    # q_approx_distinct are rows-only by design — no exact ANSI-SQL
+    # oracle exists for engine-native sketches — their PORTABLE twins
+    # hold graded slots instead and the native-vs-twin agreement is
+    # pinned by tests/test_oracle_subset.py); q_stream_kmv is the
+    # multi-batch incremental form, bit-equal to the batch KMV
+    "q_kmv_distinct", "q_sample_quantiles", "q_stream_kmv",
     # temporal joins without discretization (+ the two-relation form
     # and its streaming twin)
-    "q_asof_keyed", "q_interval_overlap", "q_sessionize",
+    "q_asof_keyed", "q_interval_overlap",
     "q_campaign_overlap", "q_stream_campaign",
     # streaming (batch-equivalence oracles, SURVEY.md §2.9)
     "q_stream_tumbling", "q_stream_dedup", "q_stream_edges",
     "q_stream_sessions",
-    # dedup / curation
-    "q_dedup_exact", "q_dedup_minhash",
-    "q_ngram_jaccard", "q_dedup_pipeline", "q_curate",
-    # similarity / embeddings (+ recall grading)
-    "q_embed_topk", "q_dedup_embed", "q_dedup_embed_bucketed",
-    "q_embed_ann_ivf", "q_ann_recall",
+    # dedup / curation (q_dedup_prefix is the no-false-negative
+    # candidate strategy; q_dup_spans_exact the round-9 exact-substring
+    # span audit)
+    "q_dedup_minhash", "q_dedup_prefix", "q_dup_spans_exact",
+    "q_dedup_pipeline", "q_curate", "q_stratified_sample",
+    # similarity / embeddings (+ recall grading, distributed PCA)
+    "q_dedup_embed_bucketed",
+    "q_embed_ann_ivf", "q_ann_recall", "q_embed_pca",
     # iterative-graph surface: replay-oracle PageRank, bounded peel
     # twins of the fixpoint k-core/k-truss, the shuffled null model,
-    # and the day-over-day diff
+    # the day-over-day diff, link-prediction scores, temporal paths,
+    # association rules
     "q_pagerank", "q_kcore_bounded", "q_ktruss_bounded",
     "q_null_model_gaps", "q_graph_diff",
-    # text core
+    "q_adamic_adar", "q_node_similarity", "q_temporal_paths",
+    "q_copurchase_rules",
+    # text / tokenizer / retrieval core
     "q_text_stats", "q_token_counts", "q_lang_id",
-    "q_tfidf_top_terms",
+    "q_bm25_search", "q_token_pmi", "q_bpe_train", "q_dsir_weights",
 ]
 
 

@@ -4046,6 +4046,62 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dup_spans_exact",
+    bench=True,
+    oracle=f"""
+WITH {_TOK_CTE},
+tk AS (SELECT doc_id, source, t FROM tok WHERE len(t) >= 50),
+ws AS (SELECT doc_id, source, i AS start,
+              {_H64.format(x="array_to_string(list_slice(t, i + 1, i + 50), ' ')")} AS h
+       FROM tk, UNNEST(range(0, len(t) - 49)) AS u(i)),
+dp AS (SELECT h FROM ws GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+st AS (SELECT doc_id, source, start,
+              CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) = 1
+                   THEN 0 ELSE 1 END AS brk
+       FROM ws WHERE h IN (SELECT h FROM dp)),
+isl AS (SELECT doc_id, source, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        FROM st),
+sp AS (SELECT doc_id, source, island,
+              min(start) AS s, max(start) + 49 AS e
+       FROM isl GROUP BY 1, 2, 3)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_spanned,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s + 1) AS BIGINT) AS n_span_tokens,
+       round(avg(e - s + 1), 6) AS avg_span_len,
+       CAST(max(e - s + 1) AS BIGINT) AS max_span_len
+FROM sp GROUP BY 1 ORDER BY source
+""",
+)
+def q_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE exact-substring dedup audit (Lee et al. 2022 at its
+    published >= 50-token granularity), upgrading `q_dup_spans`'
+    3-gram blocking: stride-1 rolling 50-token fingerprints (one row
+    per token position — linear), cross-doc test via the constant-
+    state min!=max trick on the uniform 60-bit hash, overlapping dup
+    windows merged into MAXIMAL spans by a per-doc lag/running-sum
+    window (per-doc state only). Per source: docs with >= 1 span, span
+    count, tokens covered, mean and max span length — the numbers the
+    paper's suffix-array pass reports, with identical semantics for
+    spans >= 50 tokens. Oracle replays the fingerprint stream, the
+    cross-doc test, and the island merge with the same window
+    functions."""
+    spans = dedup.exact_dup_spans(_docs(spark, sf_dir), span=50)
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs_spanned"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("span_len").cast("long").alias("n_span_tokens"),
+            F.round(F.avg("span_len"), 6).alias("avg_span_len"),
+            F.max("span_len").cast("long").alias("max_span_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_widest_paths",
     oracle=f"""
 WITH p AS ({_presence_sql()}),
@@ -4311,7 +4367,8 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite projection ("bought X also bought Y") on lineitem.
     The pair stream is keyed on the ORDER id, so its volume is
     sum-of-squared-basket-sizes (TPC-H baskets are ~4 rows — linear);
-    item marginals re-attach by broadcast; only the pair aggregation
+    item marginals re-attach by an AQE-chosen join (no forced hint —
+    item cardinality grows with SF); only the pair aggregation
     shuffles. Oracle replays the distinct-membership projection and
     the cosine arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -4882,7 +4939,11 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         sum(
             (
-                F.expr(f"size(filter(t, x -> x = '{t}'))").cast("double")
+                # Column API (quote-safe; mirrors bm25_scores) —
+                # single-arg lambda, evaluated eagerly per iteration
+                F.size(
+                    F.filter(F.col("t"), lambda x: x == F.lit(t))
+                ).cast("double")
                 for t in _BM25_TERMS
             ),
             F.lit(0.0),
@@ -5230,14 +5291,17 @@ def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
         .where(F.col("n_co") >= 2)
     )
+    # Item marginals are data-cardinality-bound (l_partkey ∝ SF), so no
+    # forced broadcast hint — AQE picks broadcast when small, shuffle
+    # otherwise. nb stays hinted: it is a 1-row aggregate.
     out = (
         co.join(
-            F.broadcast(mg.withColumnRenamed("n", "n1")),
+            mg.withColumnRenamed("n", "n1"),
             co.ante == F.col("item"),
         )
         .drop("item")
         .join(
-            F.broadcast(mg.withColumnRenamed("n", "n2")),
+            mg.withColumnRenamed("n", "n2"),
             F.col("cons") == F.col("item"),
         )
         .drop("item")

@@ -91,7 +91,11 @@ def stream_corpus_stats(
         per_doc = toked.select(
             F.size("t").cast("long").alias("dl"),
             *[
-                (F.expr(f"size(filter(t, x -> x = '{t}'))") > 0)
+                # Column API (quote-safe for caller-supplied terms);
+                # single-arg lambda — a 2nd param would receive the
+                # array index. F.filter evaluates it eagerly per loop
+                # iteration, so the closure capture is correct.
+                (F.size(F.filter(F.col("t"), lambda x: x == F.lit(t))) > 0)
                 .cast("long")
                 .alias(f"hit{i}")
                 for i, t in enumerate(terms)

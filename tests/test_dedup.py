@@ -234,3 +234,60 @@ def test_remove_dup_spans_within_doc_repeat_not_removed(spark):
     out = {r.doc_id: r for r in dedup.remove_dup_spans(docs).collect()}
     assert out[1].n_removed == 0
     assert out[2].n_removed == 0
+
+
+def test_exact_dup_spans_merges_maximal_spans(spark):
+    # shared 7-token block S inside two otherwise-different docs;
+    # span=5 -> dup window starts {5,6,7} / {2,3,4} merge into ONE
+    # maximal span of exactly len(S)=7 in each doc
+    s = "s1 s2 s3 s4 s5 s6 s7"
+    rows = [
+        (0, f"u1 u2 u3 u4 u5 {s} t1 t2", "s0"),
+        (1, f"w1 w2 {s} v1", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in dedup.exact_dup_spans(docs, span=5).collect()}
+    assert len(out) == 2
+    assert (out[0].span_start, out[0].span_end, out[0].span_len) == (5, 11, 7)
+    assert (out[1].span_start, out[1].span_end, out[1].span_len) == (2, 8, 7)
+
+
+def test_exact_dup_spans_separate_islands_stay_separate(spark):
+    # two shared 5-token blocks A and B with a unique 3-token gap in
+    # doc 0; doc 1 carries A, doc 2 carries B -> doc 0 reports TWO
+    # spans (the bridge windows contain unique tokens, so no window
+    # spans the gap)
+    a = "a1 a2 a3 a4 a5"
+    b = "b1 b2 b3 b4 b5"
+    rows = [
+        (0, f"{a} g1 g2 g3 {b}", "s0"),
+        (1, f"x1 {a} x2 x3 x4", "s1"),
+        (2, f"y1 y2 y3 y4 {b}", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.exact_dup_spans(docs, span=5).collect()
+        if r.doc_id == 0
+    )
+    assert spans == [(0, 4), (8, 12)]
+
+
+def test_exact_dup_spans_within_doc_repeat_not_flagged(spark):
+    # a block repeated twice WITHIN one doc (min==max doc) is not a
+    # cross-doc span
+    a = "r1 r2 r3 r4 r5"
+    rows = [
+        (0, f"{a} q1 q2 {a}", "s0"),
+        (1, "entirely different words all the way through here", "s0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert dedup.exact_dup_spans(docs, span=5).count() == 0
+
+
+def test_exact_dup_spans_rejects_bad_span(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "a b", "s")], "doc_id long, text string, source string")
+    with _pytest.raises(ValueError):
+        dedup.exact_dup_spans(docs, span=1)

@@ -1,0 +1,69 @@
+"""Planted-graph query+oracle parity (default suite, fast).
+
+The sf0.001 parity fixture happens to give q_adamic_adar /
+q_node_similarity ZERO rows (both engines agree, so the opt-in parity
+gate passes without exercising their scoring / tie-break / anti-join
+logic). This fixture plants a 2-frame co-presence graph with a known
+non-empty answer and runs the SAME driver protocol (compare_query), so
+the query+oracle pair — not just the operator — is proven on real rows
+in every default test run.
+
+Planted graph (frame = pinned-day hour, DELTA=3600):
+  hour 9  : users {1, 2, 4}  -> clique edges (1,2) (1,4) (2,4)
+  hour 10 : users {3, 2, 4}  -> clique edges (2,3) (3,4) (2,4)
+Non-edge pair (1,3) has common neighbors {2,4}: the single Adamic-Adar
+row; node-similarity (min_common=2) returns (1,3) and the edge (2,4).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from neo4j_dynagraph_spark.queries import REGISTRY
+from tools.check_parity import compare_query
+
+
+@pytest.fixture(scope="module")
+def planted_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted_events")
+    rows = []
+    eid = 0
+    for hour, users in ((9, (1, 2, 4)), (10, (3, 2, 4))):
+        for u in users:
+            rows.append(
+                (eid, pd.Timestamp(2024, 1, 15, hour, 5), u, "view", 1.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    # match the driver testdata's physical type (TIMESTAMP_MICROS, naive)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def planted_duck(planted_sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{planted_sf_dir}/events.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    ("name", "expect_rows"),
+    [("q_adamic_adar", 1), ("q_node_similarity", 2)],
+)
+def test_planted_graph_query_oracle_nonempty(
+    name, expect_rows, spark, planted_sf_dir, planted_duck
+):
+    problems, n_rows = compare_query(
+        spark, planted_duck, REGISTRY[name], planted_sf_dir
+    )
+    assert not problems, f"{name}: " + "; ".join(problems)
+    assert n_rows == expect_rows

@@ -757,3 +757,19 @@ def test_lang_confusion_rows_normalize(spark):
     for true_lang, rows in by_true.items():
         assert abs(sum(r.row_frac for r in rows) - 1.0) < 1e-4
         assert all(r.n_docs > 0 for r in rows)
+
+
+def test_bm25_quoted_term_is_safe(spark):
+    # caller-supplied terms go through the Column API, not an
+    # interpolated SQL lambda: a term containing a quote must neither
+    # error nor inject; it simply never matches (the tokenizer strips
+    # punctuation, so no token can contain ')
+    from neo4j_dynagraph_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "o brien wrote the key paper"), (2, "another doc entirely")],
+        "doc_id long, text string",
+    )
+    assert t.bm25_scores(docs, ["o'brien"]).count() == 0
+    out = t.bm25_scores(docs, ["o'brien", "key"]).collect()
+    assert [r.doc_id for r in out] == [1] and out[0].n_hit == 1
