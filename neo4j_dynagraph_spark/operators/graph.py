@@ -190,36 +190,6 @@ def k_core_rounds(edges: DataFrame, k: int = 2, rounds: int = 2) -> DataFrame:
     )
 
 
-def triangles_via_graphframes(edges: DataFrame) -> DataFrame:
-    """Optional GraphFrames motif backend for triangles (SURVEY.md §7.1:
-    'if the runtime has the GraphFrames jar, expose it as an optional
-    backend; never a required dependency'). Falls back with a clear
-    error when the package/jar is absent — the native `triangles()`
-    self-join is the always-available path and the one benchmarks use.
-    """
-    try:
-        from graphframes import GraphFrame  # type: ignore[import-not-found]
-    except ImportError as ex:  # pragma: no cover - jar not in this env
-        raise ImportError(
-            "graphframes is not installed in this runtime; use "
-            "graph.triangles() (equivalent results, tested) or add the "
-            "graphframes jar + pip package to enable the motif backend"
-        ) from ex
-    e = edges.select("actor1", "actor2").distinct()
-    v = (
-        e.selectExpr("actor1 AS id")
-        .union(e.selectExpr("actor2 AS id"))
-        .distinct()
-    )
-    g = GraphFrame(v, e.selectExpr("actor1 AS src", "actor2 AS dst"))
-    motif = g.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
-    return (
-        motif.selectExpr("a.id AS a", "b.id AS b", "c.id AS c")
-        .where("a < b AND b < c")
-        .orderBy("a", "b", "c")
-    )
-
-
 def temporal_reachability(
     edges: DataFrame, source: int, max_iterations: int = 30
 ) -> DataFrame:

@@ -1,0 +1,919 @@
+"""Graph family: LPA, k-core/k-truss, contact matrices, temporal paths,
+link prediction, node features, null models.
+
+Split from the former single-file queries_ext.py (round 9); blocks are
+verbatim. Registered into the shared REGISTRY on import via @query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_dynagraph_spark.operators import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
+from neo4j_dynagraph_spark.queries import (  # noqa: F401
+    ACTOR1,
+    _EDGES_FROM_P,
+    _FID,
+    DAY,
+    DELTA,
+    HOUR,
+    MONTH,
+    SPELL_LEN,
+    YEAR,
+    _edges,
+    _presence_sql,
+    query,
+)
+from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
+
+from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
+    _BM25_TERMS,
+    _DAY_WHERE,
+    _H64,
+    _SH_CTE,
+    _TOK,
+    _TOK_CTE,
+    _bm25_term_sql,
+    _bm25_tf_sql,
+    _docs,
+)
+
+
+def _lpa_cte(n_iter: int) -> str:
+    """DuckDB replay of graph.label_propagation: n_iter chained CTEs,
+    each one synchronous round (neighbor-label count, argmax with
+    smallest-label tie-break)."""
+    parts = [
+        "sym AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e)",
+        "l0 AS (SELECT DISTINCT src AS actor, src AS community FROM sym)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"l{i} AS (SELECT src AS actor, community FROM (\n"
+            f"  SELECT s.src, l.community, count(*) AS n,\n"
+            f"         row_number() OVER (PARTITION BY s.src\n"
+            f"           ORDER BY count(*) DESC, l.community) AS rk\n"
+            f"  FROM sym s JOIN l{i - 1} l ON l.actor = s.dst\n"
+            f"  GROUP BY s.src, l.community) WHERE rk = 1)"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "q_communities_lpa",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+{_lpa_cte(2)}
+SELECT actor, community FROM l2 ORDER BY actor
+""",
+)
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the hour-pruned contact graph via
+    deterministic fixed-round synchronous label propagation
+    (operators/graph.py:label_propagation): 2 rounds, min-label
+    tie-break, no RNG — so the oracle replays the propagation
+    round-for-round and the driver hash-checks the full community
+    assignment, the same verify-the-whole-fit stance as q_semdedup's
+    k-means."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = (
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    return graph.label_propagation(edges, n_iter=2).orderBy("actor")
+
+
+@query("q_ktruss")
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the full-range interaction graph: the maximal edge
+    set where every edge closes >= 2 triangles inside the subgraph —
+    the edge-level cohesion core beside q_kcore's node-level one.
+    Iterative support peeling to the unique fixpoint
+    (operators/graph.py:k_truss) — no ANSI-SQL oracle (rows-only
+    check); the fixpoint semantics are pinned by a pure-Python peeling
+    differential in tests/test_graph.py, and the bounded peel is
+    hash-matched against an unrolled CTE oracle (q_ktruss_bounded).
+    Full range (not the pinned hour) so every fixture SF — including
+    sf0.001, where hour 10 has no co-presence at all — yields rows for
+    the rows-only gate."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = (
+        qmod._edges(spark, sf_dir).select("actor1", "actor2").distinct()
+    )
+    return graph.k_truss(edges, k=4)
+
+
+def _ktruss_cte(k: int, rounds: int) -> str:
+    """Unrolled bounded k-truss peel as DuckDB CTE blocks: per round,
+    enumerate canonical triangles a<b<c on the surviving edge set,
+    count per-edge support by unioning each triangle's three edges,
+    and keep edges clearing k-2 — the SQL twin of
+    operators/graph.py:_truss_peel_round, one CTE triple per round
+    (the unrolled-fit oracle pattern of ``_kmeans_cte`` /
+    ``_pagerank_cte``)."""
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    blocks = [
+        f"p AS ({_presence_sql(day)})",
+        f"e0 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+    ]
+    for i in range(rounds):
+        blocks += [
+            f"t{i} AS (SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c "
+            f"FROM e{i} x JOIN e{i} y ON y.actor1 = x.actor2 "
+            f"JOIN e{i} z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2)",
+            f"s{i} AS (SELECT actor1, actor2, count(*) AS support FROM ("
+            f"SELECT a AS actor1, b AS actor2 FROM t{i} "
+            f"UNION ALL SELECT a, c FROM t{i} "
+            f"UNION ALL SELECT b, c FROM t{i}) GROUP BY 1, 2)",
+            f"e{i + 1} AS (SELECT e.actor1, e.actor2 FROM e{i} e "
+            f"JOIN s{i} s ON s.actor1 = e.actor1 AND s.actor2 = e.actor2 "
+            f"WHERE s.support >= {k - 2})",
+        ]
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_ktruss_bounded",
+    oracle=f"""
+WITH {_ktruss_cte(18, 2)}
+SELECT actor1, actor2 FROM e2 ORDER BY 1, 2
+""",
+)
+def q_ktruss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded support-peel rounds toward the 18-truss of the
+    pinned-day interaction graph (k=18 drives a REAL cascade at
+    sf0.01: 1723 -> 263 edges across the two rounds, so the oracle
+    verifies non-trivial peeling, not a fixed-point no-op) — the
+    deterministic fixed-round form
+    of q_ktruss (no fixpoint loop), so the DuckDB oracle replays BOTH
+    peel rounds as an unrolled CTE and the surviving edge set
+    hash-matches exactly. The fixpoint production API stays
+    :func:`operators.graph.k_truss` (q_ktruss, rows-only +
+    pure-Python differential); this entry pins the per-round peel
+    semantics cross-engine."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "actor1", "actor2"
+    )
+    return graph.k_truss_rounds(edges, k=18, rounds=2)
+
+
+def _kcore_cte(k: int, rounds: int) -> str:
+    """Unrolled bounded k-core peel as DuckDB CTE blocks: per round,
+    count degrees on the symmetrized survivor edges, keep nodes
+    clearing k, and restrict edges to kept endpoints — the SQL twin of
+    operators/graph.py:k_core_rounds, one CTE pair per round (the
+    unrolled-fit oracle pattern of ``_ktruss_cte`` /
+    ``_pagerank_cte``)."""
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    blocks = [
+        f"p AS ({_presence_sql(day)})",
+        f"e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        "s0 AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e)",
+    ]
+    for i in range(rounds):
+        blocks += [
+            f"d{i} AS (SELECT src, count(*) AS degree FROM s{i} GROUP BY 1)",
+            f"k{i} AS (SELECT src FROM d{i} WHERE degree >= {k})",
+            f"s{i + 1} AS (SELECT s.src, s.dst FROM s{i} s "
+            f"JOIN k{i} a ON a.src = s.src JOIN k{i} b ON b.src = s.dst)",
+        ]
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_kcore_bounded",
+    oracle=f"""
+WITH {_kcore_cte(18, 2)}
+SELECT src AS actor, CAST(count(*) AS BIGINT) AS degree
+FROM s2 GROUP BY 1 ORDER BY 1
+""",
+)
+def q_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded degree-peel rounds toward the 18-core of the
+    pinned-day interaction graph — the deterministic fixed-round form
+    of q_kcore (no fixpoint loop), so the DuckDB oracle replays BOTH
+    peel rounds as an unrolled CTE and the surviving (actor, degree)
+    set hash-matches exactly. The fixpoint production API stays
+    :func:`operators.graph.k_core` (q_kcore, rows-only + cascade unit
+    tests); this entry pins the per-round peel semantics cross-engine,
+    upgrading the k-core family from rows-only to hash-matched — the
+    node-level twin of q_ktruss_bounded."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "actor1", "actor2"
+    )
+    return graph.k_core_rounds(edges, k=18, rounds=2)
+
+
+@query(
+    "q_contact_matrix",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS ({_EDGES_FROM_P}),
+j AS (SELECT e.actor1, e.actor2,
+             c1.c_mktsegment AS g1, c2.c_mktsegment AS g2
+      FROM e JOIN customer c1 ON c1.c_custkey = e.actor1
+             JOIN customer c2 ON c2.c_custkey = e.actor2),
+m AS (SELECT least(g1, g2) AS seg_a, greatest(g1, g2) AS seg_b,
+             actor1, actor2 FROM j)
+SELECT seg_a, seg_b,
+       CAST(count(*) AS BIGINT) AS n_contacts,
+       CAST(count(DISTINCT (actor1, actor2)) AS BIGINT) AS n_pairs
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    bench=True,
+)
+def q_contact_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-x-group contact matrix of the pinned day — the
+    SocioPatterns headline analysis (contact matrices between
+    classes/departments, e.g. the school / hospital-ward studies the
+    reference's data model serves; ref: README.md dataset description)
+    re-expressed on the star schema: frame-level co-presence edges,
+    each endpoint joined to its customer segment via the BROADCAST
+    dimension, aggregated into an unordered segment-pair matrix with
+    both contact instances (frame-pair co-presences) and distinct
+    actor pairs per cell. One agg shuffle over ~|segments|^2 keys; the
+    dimension joins are broadcast so the edge stream never shuffles
+    for them."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "actor1", "actor2"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("actor"), F.col("c_mktsegment").alias("seg")
+    )
+    j = (
+        edges.join(
+            F.broadcast(
+                cust.select(
+                    F.col("actor").alias("actor1"), F.col("seg").alias("g1")
+                )
+            ),
+            "actor1",
+        )
+        .join(
+            F.broadcast(
+                cust.select(
+                    F.col("actor").alias("actor2"), F.col("seg").alias("g2")
+                )
+            ),
+            "actor2",
+        )
+    )
+    return (
+        j.select(
+            F.least("g1", "g2").alias("seg_a"),
+            F.greatest("g1", "g2").alias("seg_b"),
+            "actor1",
+            "actor2",
+        )
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_contacts"),
+            F.countDistinct("actor1", "actor2").alias("n_pairs"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+@query(
+    "q_degree_dist",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src FROM e UNION ALL SELECT actor2 FROM e),
+deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_actors
+FROM deg GROUP BY 1 ORDER BY 1
+""",
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the full-range interaction graph — the
+    first plot of every contact-network paper (how many actors have
+    k distinct partners). Two cascaded aggregations: per-actor degree
+    over the distinct symmetrized edge set, then a histogram over the
+    (at most |actors|-sized) degree table — output is
+    O(max degree), a fixed-size terminal at any corpus scale.
+    Symmetrization via explode(array(..)) rather than a union so the
+    edge subtree (presence agg + frame self-join + distinct) is
+    scanned ONCE, not duplicated per union branch."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir).select("actor1", "actor2").distinct()
+    sym = e.select(F.explode(F.array("actor1", "actor2")).alias("src"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_actors"))
+        .orderBy("degree")
+    )
+
+
+@query(
+    "q_graph_diff",
+    oracle=f"""
+WITH p1 AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")}),
+p2 AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY + 1}")}),
+e1 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p1 p1").replace("p p2", "p1 p2")})),
+e2 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p2 p1").replace("p p2", "p2 p2")})),
+st AS (SELECT CASE WHEN e2.actor1 IS NULL THEN 'removed'
+                   WHEN e1.actor1 IS NULL THEN 'added'
+                   ELSE 'stable' END AS status
+       FROM e1 FULL OUTER JOIN e2 USING (actor1, actor2))
+SELECT status, CAST(count(*) AS BIGINT) AS n_edges
+FROM st GROUP BY 1 ORDER BY 1
+""",
+)
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day network evolution: the distinct edge sets of two
+    consecutive days full-outer-joined into added / removed / stable
+    counts — the SocioPatterns snapshot-comparison analysis (which
+    contacts persist across days) as one co-partitioned join: both
+    edge sets shuffle on the same (actor1, actor2) key, the histogram
+    terminal is 3 rows at any scale."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    def day_edges(day: int) -> DataFrame:
+        lo = qmod._utc_ns(qmod.YEAR, qmod.MONTH, day)
+        flt = qmod._ns_range(lo, lo + 86400 * 1_000_000_000)
+        return (
+            qmod._edges(spark, sf_dir, flt).select("actor1", "actor2").distinct()
+        )
+
+    e1 = day_edges(qmod.DAY).withColumn("_in1", F.lit(1))
+    e2 = day_edges(qmod.DAY + 1).withColumn("_in2", F.lit(1))
+    st = e1.join(e2, ["actor1", "actor2"], "full").select(
+        F.when(F.col("_in2").isNull(), F.lit("removed"))
+        .when(F.col("_in1").isNull(), F.lit("added"))
+        .otherwise(F.lit("stable"))
+        .alias("status")
+    )
+    return (
+        st.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "q_topk_per_actor",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS ({_EDGES_FROM_P}),
+sym AS (SELECT actor1 AS actor, actor2 AS partner, frame_id FROM e
+        UNION ALL SELECT actor2, actor1, frame_id FROM e),
+cnt AS (SELECT actor, partner, count(DISTINCT frame_id) AS n_frames
+        FROM sym GROUP BY 1, 2),
+rk AS (SELECT actor, partner, n_frames,
+              row_number() OVER (PARTITION BY actor
+                                 ORDER BY n_frames DESC, partner) AS rnk
+       FROM cnt)
+SELECT actor, CAST(rnk AS BIGINT) AS rnk, partner, n_frames
+FROM rk WHERE rnk <= 3 ORDER BY actor, rnk
+""",
+)
+def q_topk_per_actor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: each actor's top-3 co-presence partners by
+    shared-frame count, deterministic tie-break (count desc, partner
+    asc). The grouped-top-k operator the global q_topk
+    (TakeOrderedAndProject) can't express. Shape matters at scale:
+    the frame-distinct count aggregates the (large) interaction stream
+    ONCE on canonical pairs, and only the |pairs|-sized count table is
+    symmetrized — via explode(array(..)), not a union, so the
+    expensive pair subtree isn't duplicated per branch (a union here
+    measured 390 s vs 9 s at sf1). Then one row_number window
+    partitioned by actor."""
+    from neo4j_dynagraph_spark import queries as qmod
+    from pyspark.sql import Window
+
+    e = qmod._edges(spark, sf_dir)
+    # presence_to_frame_interactions emits exactly one row per
+    # (frame, pair) — the presence input is an aggregate keyed by
+    # (frame, actor) — so the distinct-frame count is a plain count,
+    # sparing count_distinct's second aggregation pass
+    cnt = e.groupBy("actor1", "actor2").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    sym = cnt.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("actor1").alias("actor"),
+                    F.col("actor2").alias("partner"),
+                ),
+                F.struct(
+                    F.col("actor2").alias("actor"),
+                    F.col("actor1").alias("partner"),
+                ),
+            )
+        ).alias("ap"),
+        "n_frames",
+    ).select("ap.actor", "ap.partner", "n_frames")
+    w = Window.partitionBy("actor").orderBy(F.desc("n_frames"), "partner")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("actor", "rnk", "partner", "n_frames")
+        .orderBy("actor", "rnk")
+    )
+
+
+@query(
+    "q_null_model_gaps",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+h AS (SELECT frame_id, actor1, actor2,
+             {_H64.format(x="'null:' || frame_id || '_' || actor1 || '_' || actor2")} AS hk
+      FROM e),
+ra AS (SELECT actor1, actor2,
+              row_number() OVER (ORDER BY hk, frame_id, actor1, actor2) AS r
+       FROM h),
+rb AS (SELECT frame_id,
+              row_number() OVER (ORDER BY frame_id, actor1, actor2) AS r
+       FROM e),
+nm AS (SELECT DISTINCT ra.actor1, ra.actor2, rb.frame_id
+       FROM ra JOIN rb USING (r)),
+g AS (SELECT frame_id - lag(frame_id) OVER (PARTITION BY actor1, actor2
+                                            ORDER BY frame_id) AS gap
+      FROM nm)
+SELECT gap, CAST(count(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+""",
+)
+def q_null_model_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-shuffled null model of the pinned day's interaction stream
+    (the SocioPatterns baseline that separates real temporal structure
+    from contact frequencies): the frame multiset and per-pair
+    occurrence counts are preserved while frame assignments are
+    permuted by a DETERMINISTIC pseudorandom rank join
+    (operators/rank.py:time_shuffle — two two-phase distributed global
+    ranks, no one-partition window in the engine), then the inter-
+    contact gap histogram of the shuffled stream. Compare with
+    q_intercontact's real-stream gaps to read off the burstiness
+    excess. The oracle replays the permutation with two plain
+    row_number windows — bit-identical because order-aligned bucketed
+    ranking equals the global rank by construction."""
+    from neo4j_dynagraph_spark.operators.rank import time_shuffle
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = (
+        qmod._edges(spark, sf_dir, qmod._day_filter())
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    nm = time_shuffle(e).distinct()
+    w = Window.partitionBy("actor1", "actor2").orderBy("frame_id")
+    g = nm.select(
+        (F.col("frame_id") - F.lag("frame_id").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return (
+        g.groupBy("gap").agg(F.count(F.lit(1)).alias("n")).orderBy("gap")
+    )
+
+
+@query(
+    "q_temporal_paths",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1, actor2 FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+paths AS (
+  SELECT h1.actor1 AS src, h2.actor2 AS dst, h2.frame_id AS f2
+  FROM sym h1 JOIN sym h2
+    ON h2.actor1 = h1.actor2
+   AND h2.frame_id BETWEEN h1.frame_id + 1 AND h1.frame_id + 2
+   AND h2.actor2 != h1.actor1)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n_paths,
+       min(f2) AS earliest_arrival
+FROM paths GROUP BY 1, 2 ORDER BY src, dst
+""",
+)
+def q_temporal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 2-hop transmission routes on the pinned day:
+    src -> mid -> dst where the second contact is strictly later but
+    within 2 frames of the first — the bounded-hop sibling of
+    q_temporal_reach's fixpoint (who could pass something to whom via
+    one intermediary, the reference's epidemiology motivation). The
+    time window folds INTO the equi-join key (first hop replicated
+    once per allowed gap with key (mid, frame+d)), so the plan is a
+    pure hash join on (actor, frame) with no inequality residual and
+    no hot-actor band scan; the oracle's theta-join BETWEEN replays it
+    (operators/graph.py:temporal_path_counts)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "frame_id", "actor1", "actor2"
+    )
+    return graph.temporal_path_counts(edges, max_gap_frames=2).orderBy(
+        "src", "dst"
+    )
+
+
+@query(
+    "q_broker_actors",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1, actor2 FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+paths AS (
+  SELECT h1.actor1 AS src, h1.actor2 AS mid, h2.actor2 AS dst
+  FROM sym h1 JOIN sym h2
+    ON h2.actor1 = h1.actor2
+   AND h2.frame_id BETWEEN h1.frame_id + 1 AND h1.frame_id + 2
+   AND h2.actor2 != h1.actor1)
+SELECT mid AS actor, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT (src, dst)) AS BIGINT) AS n_routes
+FROM paths GROUP BY 1 ORDER BY actor
+""",
+)
+def q_broker_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal brokerage centrality on the pinned day: per actor, the
+    time-respecting 2-hop paths routed THROUGH it and the distinct
+    src->dst routes those realize — the countable core of temporal
+    betweenness (which hubs sit on the transmission corridors). Shares
+    q_temporal_paths' window-in-join-key path stream (pure hash
+    equi-join on (actor, frame)); only the aggregate key differs
+    (intermediary, not endpoint pair)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "frame_id", "actor1", "actor2"
+    )
+    return graph.broker_counts(edges, max_gap_frames=2).orderBy("actor")
+
+
+@query(
+    "q_widest_paths",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e0 AS ({_EDGES_FROM_P}),
+pw AS (SELECT actor1, actor2, count(*) AS w FROM e0 GROUP BY 1, 2),
+sym AS (SELECT actor1 AS src, actor2 AS dst, w FROM pw
+        UNION ALL SELECT actor2, actor1, w FROM pw),
+d1 AS (SELECT dst AS actor, max(w) AS width FROM sym
+       WHERE src = {ACTOR1} GROUP BY 1),
+d2 AS (SELECT s.dst AS actor, max(least(d1.width, s.w)) AS width
+       FROM d1 JOIN sym s ON s.src = d1.actor GROUP BY 1),
+d3 AS (SELECT s.dst AS actor, max(least(d2.width, s.w)) AS width
+       FROM d2 JOIN sym s ON s.src = d2.actor GROUP BY 1),
+u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+      UNION ALL SELECT * FROM d3)
+SELECT actor, CAST(max(width) AS BIGINT) AS width
+FROM u WHERE actor != {ACTOR1} GROUP BY 1 ORDER BY actor
+""",
+)
+def q_widest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded widest-path (max-bottleneck) search from actor 1 over
+    the co-present-frame-count graph, 3 undirected hops: for each
+    reachable actor, the strongest corridor's weakest link — the
+    weighted transmission-capacity sibling of q_temporal_paths.
+    Integer weights (frame counts) keep the min/max algebra exact in
+    every engine; the pruned O(nodes) frontier provably dominates
+    (least is monotone), so a 3-level unrolled CTE replays the search
+    ring-for-ring."""
+    pw = (
+        _edges(spark, sf_dir)
+        .groupBy("actor1", "actor2")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return (
+        graph.widest_paths(pw, anchor=ACTOR1, hops=3)
+        .select("actor", F.col("width").cast("long").alias("width"))
+        .orderBy("actor")
+    )
+
+
+@query(
+    "q_triadic_closure",
+    oracle=f"""
+WITH p1 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)>=9 AND hour(ts)<11")}),
+p2 AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)>=11 AND hour(ts)<13")}),
+e1 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p1 p1").replace("p p2", "p1 p2")})),
+e2 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P.replace("p p1", "p2 p1").replace("p p2", "p2 p2")})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e1
+        UNION ALL SELECT actor2, actor1 FROM e1),
+w AS (SELECT DISTINCT s1.dst AS actor1, s2.dst AS actor2
+      FROM sym s1 JOIN sym s2
+      ON s1.src = s2.src AND s1.dst < s2.dst),
+o AS (SELECT w.actor1, w.actor2 FROM w
+      LEFT JOIN e1 ON e1.actor1 = w.actor1 AND e1.actor2 = w.actor2
+      WHERE e1.actor1 IS NULL),
+cl AS (SELECT o.actor1 FROM o
+       JOIN e2 ON e2.actor1 = o.actor1 AND e2.actor2 = o.actor2)
+SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS n_open_wedges,
+       CAST((SELECT count(*) FROM cl) AS BIGINT) AS n_closed,
+       round(CAST((SELECT count(*) FROM cl) AS DOUBLE)
+             / greatest((SELECT count(*) FROM o), 1), 6) AS closure_rate
+""",
+)
+def q_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal triadic closure, window [9,11) → [11,13) on the pinned
+    day: of the open wedges (common neighbor, no direct edge) in the
+    morning contact graph, what fraction are edges in the next window.
+    NOTE the window must span >= 2 frames: a single DELTA-wide frame
+    graph is a disjoint union of cliques (every co-present pair IS an
+    edge), so it has ZERO open wedges by construction — measured, then
+    re-scoped — the
+    link-prediction baseline / tie-formation statistic. Wedges stream
+    per center and collapse to DISTINCT pairs map-side; one anti-join
+    (openness) + one semi-join (closure); O(1)-row terminal. Oracle
+    replays wedge generation and both joins."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e1 = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 11))
+    e2 = qmod._edges(spark, sf_dir, qmod._hour_filter(11, 13))
+    return graph.triadic_closure(e1, e2)
+
+
+@query(
+    "q_link_negatives",
+    oracle=f"""
+WITH p AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+a AS (SELECT DISTINCT actor FROM
+      (SELECT actor1 AS actor FROM e UNION ALL SELECT actor2 FROM e)),
+i AS (SELECT actor, row_number() OVER (ORDER BY actor) - 1 AS idx FROM a),
+nn AS (SELECT count(*) AS n_actors FROM a),
+c AS (SELECT i.actor AS a,
+             {_H64.format(x="'neg0:' || i.actor")} % n_actors AS j
+      FROM i, nn
+      UNION ALL
+      SELECT i.actor,
+             {_H64.format(x="'neg1:' || i.actor")} % n_actors
+      FROM i, nn),
+p2 AS (SELECT DISTINCT least(c.a, t.actor) AS actor1,
+              greatest(c.a, t.actor) AS actor2
+       FROM c JOIN i t ON t.idx = c.j WHERE c.a <> t.actor)
+SELECT p2.actor1, p2.actor2
+FROM p2 LEFT JOIN e ON e.actor1 = p2.actor1 AND e.actor2 = p2.actor2
+WHERE e.actor1 IS NULL
+ORDER BY p2.actor1, p2.actor2 LIMIT 100
+""",
+)
+def q_link_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-edge sampling on the pinned-day contact graph: two
+    hash-seeded pseudo-random partners per node over the two-phase
+    node index, minus real edges — the deterministic non-edge side of
+    a link-prediction training set (the positives being the edges
+    themselves). No RNG state, no rejection loop, no one-partition
+    window; the exclusion is one anti-join on the canonical pair key.
+    Oracle replays the index, both hash draws, and the exclusion."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    lo = qmod._utc_ns(qmod.YEAR, qmod.MONTH, qmod.DAY)
+    e = qmod._edges(
+        spark, sf_dir, qmod._ns_range(lo, lo + 86400 * 1_000_000_000)
+    )
+    return graph.negative_edges(e, n_seeds=2, k=100)
+
+
+@query(
+    "q_node_features",
+    oracle=f"""
+WITH pd AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15")}),
+act AS (SELECT actor, count(*) AS n_frames, sum(n_events) AS n_events
+        FROM pd GROUP BY 1),
+ed AS (SELECT DISTINCT actor1, actor2
+       FROM ({_EDGES_FROM_P.replace("p p1", "pd p1").replace("p p2", "pd p2")})),
+part AS (SELECT actor, count(*) AS day_partners FROM (
+           SELECT actor1 AS actor FROM ed
+           UNION ALL SELECT actor2 FROM ed) GROUP BY 1),
+ph AS ({_presence_sql("WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)=10")}),
+eh AS (SELECT DISTINCT actor1, actor2
+       FROM ({_EDGES_FROM_P.replace("p p1", "ph p1").replace("p p2", "ph p2")})),
+tri AS (SELECT e1.actor1 AS a, e1.actor2 AS b, e2.actor2 AS c
+        FROM eh e1
+        JOIN eh e2 ON e1.actor2 = e2.actor1
+        JOIN eh e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2),
+tc AS (SELECT actor, count(*) AS n_tri FROM (
+         SELECT a AS actor FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1),
+degh AS (SELECT actor, count(*) AS hour_degree FROM (
+           SELECT actor1 AS actor FROM eh
+           UNION ALL SELECT actor2 FROM eh) GROUP BY 1)
+SELECT act.actor, CAST(act.n_frames AS BIGINT) AS n_frames,
+       CAST(act.n_events AS BIGINT) AS n_events,
+       CAST(COALESCE(part.day_partners, 0) AS BIGINT) AS day_partners,
+       CAST(COALESCE(degh.hour_degree, 0) AS BIGINT) AS hour_degree,
+       round(CASE WHEN COALESCE(degh.hour_degree, 0) >= 2
+                  THEN 2.0 * COALESCE(tc.n_tri, 0)
+                       / (degh.hour_degree * (degh.hour_degree - 1))
+                  ELSE 0.0 END, 6) AS hour_coeff
+FROM act
+LEFT JOIN part ON part.actor = act.actor
+LEFT JOIN degh ON degh.actor = act.actor
+LEFT JOIN tc ON tc.actor = act.actor
+ORDER BY act.actor
+""",
+)
+def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-actor structural FEATURE TABLE on the pinned day — the
+    graph-ML feature store a link-prediction / node-classification
+    pipeline trains on (pairs with `q_link_negatives`' labels):
+    day-level activity (frames active, events, distinct partners) plus
+    hour-graph topology (degree, local clustering coefficient). Every
+    feature is an aggregate over the shared pruned presence/edge
+    subtrees; the assembly is three left joins on the actor key, all
+    shuffles actor-partitioned, nothing quadratic beyond the bounded
+    hour-graph triangle join (QUERY11's shape). Oracle replays every
+    feature and the joins."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    lo = qmod._utc_ns(qmod.YEAR, qmod.MONTH, qmod.DAY)
+    day = qmod._ns_range(lo, lo + 86400 * 1_000_000_000)
+    pres_day = qmod._presence(spark, sf_dir, day)
+    act = pres_day.groupBy("actor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+    day_edges = (
+        qmod._edges(spark, sf_dir, day).select("actor1", "actor2").distinct()
+    )
+    part = (
+        day_edges.select(
+            F.explode(F.array("actor1", "actor2")).alias("actor")
+        )
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).cast("long").alias("day_partners"))
+    )
+    eh = (
+        qmod._edges(spark, sf_dir, qmod._hour_filter(qmod.HOUR, qmod.HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+    )
+    tri = graph.triangles(eh)
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    degh = (
+        eh.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("hour_degree"))
+    )
+    hd = F.coalesce(F.col("hour_degree"), F.lit(0))
+    return (
+        act.join(part, "actor", "left")
+        .join(degh, "actor", "left")
+        .join(tc, "actor", "left")
+        .select(
+            "actor",
+            "n_frames",
+            "n_events",
+            F.coalesce("day_partners", F.lit(0)).cast("long").alias(
+                "day_partners"
+            ),
+            hd.cast("long").alias("hour_degree"),
+            F.round(
+                F.when(
+                    hd >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("hour_degree") * (F.col("hour_degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("hour_coeff"),
+        )
+        .orderBy("actor")
+    )
+
+
+_HOUR_P = "WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)>=9 AND hour(ts)<11"
+_WEDGE_CTES = f"""p AS ({{p}}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+deg AS (SELECT src AS center, count(*) AS cdeg FROM sym GROUP BY 1),
+w AS (SELECT s1.src AS center, s1.dst AS actor1, s2.dst AS actor2
+      FROM sym s1 JOIN sym s2
+      ON s1.src = s2.src AND s1.dst < s2.dst)"""
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+WITH {_WEDGE_CTES.format(p=_presence_sql(_HOUR_P))},
+sc AS (SELECT w.actor1, w.actor2,
+              CAST(count(*) AS BIGINT) AS n_common,
+              round(sum(1.0 / ln(CAST(deg.cdeg AS DOUBLE))), 6) AS aa_score
+       FROM w JOIN deg ON deg.center = w.center
+       GROUP BY 1, 2),
+ne AS (SELECT sc.* FROM sc
+       LEFT JOIN e ON e.actor1 = sc.actor1 AND e.actor2 = sc.actor2
+       WHERE e.actor1 IS NULL)
+SELECT actor1, actor2, n_common, aa_score
+FROM ne ORDER BY aa_score DESC, actor1, actor2 LIMIT 30
+""",
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the pinned day's [9,11) two-frame window (a single frame is a clique — zero non-edge wedges) (Neo4j GDS
+    `linkprediction.adamicAdar` parity — the engine's domain is a
+    Neo4j graph store): top-30 NON-edge pairs by Σ 1/ln(deg) over
+    common neighbors, the score that feeds `q_link_negatives`' /
+    `q_node_features`' training set. Wedge stream + broadcast degree
+    dim + one pair aggregate + anti-join; TakeOrderedAndProject
+    terminal. Oracle replays wedges, weights, and the rank cut."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 11))
+    return graph.adamic_adar(e, k=30)
+
+
+@query(
+    "q_node_similarity",
+    oracle=f"""
+WITH {_WEDGE_CTES.format(p=_presence_sql(_HOUR_P))},
+cm AS (SELECT actor1, actor2, CAST(count(*) AS BIGINT) AS n_common
+       FROM w GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT cm.actor1, cm.actor2, cm.n_common,
+       round(cm.n_common / CAST(d1.cdeg + d2.cdeg - cm.n_common AS DOUBLE),
+             6) AS jaccard
+FROM cm JOIN deg d1 ON d1.center = cm.actor1
+JOIN deg d2 ON d2.center = cm.actor2
+ORDER BY jaccard DESC, cm.actor1, cm.actor2 LIMIT 30
+""",
+)
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard node similarity on the pinned day's [9,11) two-frame window (single-frame cliques make J degenerate at 1.0)
+    (Neo4j GDS `nodeSimilarity` parity): top-30 pairs by
+    |N∩| / |N∪|, union size derived as deg+deg−common so the
+    intersection aggregate is the only corpus-sized pass; degrees
+    re-attach by broadcast. Structural-role similarity — includes
+    pairs that are themselves edges, per GDS semantics. Oracle
+    replays the wedge counts and the Jaccard arithmetic."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 11))
+    return graph.neighbor_jaccard(e, k=30, min_common=2)
+
+
+@query(
+    "q_activity_rhythm",
+    oracle="""
+WITH c AS (SELECT CAST(isodow(ts) AS INTEGER) AS dow,
+                  CAST(hour(ts) AS INTEGER) AS hod,
+                  count(*) AS n_events,
+                  count(DISTINCT user_id) AS n_actors
+           FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n_events) AS DOUBLE) AS total FROM c)
+SELECT dow, hod, CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_actors AS BIGINT) AS n_actors,
+       round(n_events / total, 6) AS frac
+FROM c, t ORDER BY dow, hod
+""",
+)
+def q_activity_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity rhythm — the SocioPatterns
+    temporal-heatmap analysis (the daily/weekly contact cycle their
+    deployments publish; the reference's datepart traversal,
+    load_gexf_to_neo4j.py's Y/M/D timeline levels, exists to serve
+    exactly this cut). One pass, one ≤168-cell aggregate, the corpus
+    total re-attached as a 1-row broadcast. ISO day-of-week (Mon=1)
+    in both engines: Spark's dayofweek() is Sun=1, so the query maps
+    it explicitly rather than trusting dialect defaults."""
+    ev = load_table(spark, sf_dir, "events")
+    # ISO dow: Spark dayofweek is 1=Sunday..7=Saturday -> Mon=1..Sun=7
+    iso = (F.dayofweek("ts") + 5) % 7 + 1
+    c = ev.groupBy(
+        iso.cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_actors"),
+    )
+    t = c.agg(F.sum("n_events").cast("double").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            "n_actors",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("frac"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -1,0 +1,801 @@
+"""Embedding similarity family: cosine top-k, LSH/IVF ANN, recall grading,
+k-means twins, PCA, kNN, co-occurrence.
+
+Split from the former single-file queries_ext.py (round 9); blocks are
+verbatim. Registered into the shared REGISTRY on import via @query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_dynagraph_spark.operators import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
+from neo4j_dynagraph_spark.queries import (  # noqa: F401
+    ACTOR1,
+    _EDGES_FROM_P,
+    _FID,
+    DAY,
+    DELTA,
+    HOUR,
+    MONTH,
+    SPELL_LEN,
+    YEAR,
+    _edges,
+    _presence_sql,
+    query,
+)
+from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
+
+from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
+    _BM25_TERMS,
+    _DAY_WHERE,
+    _H64,
+    _SH_CTE,
+    _TOK,
+    _TOK_CTE,
+    _bm25_term_sql,
+    _bm25_tf_sql,
+    _docs,
+)
+
+
+# ------------------------------------------------------------ similarity
+
+
+@query(
+    "q_embed_topk",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM base WHERE vec_id < 5),
+pairs AS (SELECT qid, vec_id AS cid, qe, embedding AS ce
+          FROM base CROSS JOIN q WHERE vec_id != qid),
+un AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+       FROM pairs),
+dots AS (SELECT qid, cid, sum(x*y) AS d, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM un GROUP BY 1, 2),
+sims AS (SELECT qid, cid, d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, cid, sim_raw,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims)
+SELECT qid, rank, cid, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+    bench=True,
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<5 — the exact
+    ANN baseline. JVM-side zip_with/aggregate dot products; broadcast
+    query side."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.brute_force_topk(emb, queries_df, k=5)
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ae, b.embedding AS be
+          FROM base a JOIN base b ON a.vec_id < b.vec_id),
+un AS (SELECT id1, id2, CAST(unnest(ae) AS DOUBLE) AS x, CAST(unnest(be) AS DOUBLE) AS y
+       FROM pairs),
+d AS (SELECT id1, id2, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+      FROM un GROUP BY 1, 2),
+s AS (SELECT id1, id2, dot / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM d)
+SELECT id1, id2, round(sim_raw, 6) AS sim FROM s
+WHERE sim_raw > 0.4 ORDER BY id1, id2
+""",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim > 0.4, canonical
+    id1 < id2) — the semantic-dedup complement to MinHash/SimHash.
+    Exact all-pairs: the within-block VERIFY primitive, quadratic by
+    construction — q_dedup_embed_bucketed is the corpus-scale path."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+def _hyperplane_bucket_sql(n_planes: int, table: int = 0) -> str:
+    """DuckDB replay of similarity.hyperplane_buckets: plane p's weight
+    for dim d is (hash64('{seed}{p}d{d}') % 2001 - 1000) / 1000 (60-bit
+    hash, integer modulo in both engines), bucket = packed sign bits of
+    the projections; `table` selects the independent per-LSH-table hash
+    family (table 0 keeps the historical 'p{p}d' seeds)."""
+    seed = f"t{table}p" if table else "p"
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            "list_sum(list_transform(range(len(e)), d -> e[d+1] * "
+            f"((('0x' || substr(md5('{seed}{p}d' || d), 1, 15))::BIGINT % 2001 - 1000)"
+            " / 1000.0)))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "q_dedup_embed_bucketed",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({_hyperplane_bucket_sql(4)}) AS bucket FROM base),
+pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2, a.e AS ae, c.e AS ce
+          FROM b a JOIN b c ON a.vec_id < c.vec_id AND a.bucket = c.bucket),
+un AS (SELECT id1, id2, unnest(ae) AS x, unnest(ce) AS y FROM pairs),
+d AS (SELECT id1, id2, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+      FROM un GROUP BY 1, 2),
+s AS (SELECT id1, id2, dot / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM d)
+SELECT id1, id2, round(sim_raw, 6) AS sim FROM s
+WHERE sim_raw > 0.4 ORDER BY id1, id2
+""",
+    bench=True,
+)
+def q_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH buckets (4 planes) + exact
+    within-bucket verify — the 100 TB path: the bucket equi-join
+    replaces q_dedup_embed's all-pairs cross product, so candidate work
+    scales with bucket occupancy, not |corpus|^2. The deterministic
+    hash-derived hyperplanes are replayed in SQL, so the driver checks
+    the WHOLE approximate pipeline (bucketing included) bit-for-bit;
+    candidates ⊆ exact and the recall floor are asserted in tests."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    return similarity.cosine_near_dup_pairs(
+        emb, threshold=0.4, use_buckets=True, n_planes=4
+    )
+
+
+@query(
+    "q_embed_ann_ivf",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM base WHERE vec_id < 32),
+-- home cell of every corpus vector (argmax cosine to the codebook)
+ap AS (SELECT b.vec_id, c.cent_id, b.embedding AS be, c.ce
+       FROM base b CROSS JOIN cent c),
+au AS (SELECT vec_id, cent_id, CAST(unnest(be) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+       FROM ap),
+ad AS (SELECT vec_id, cent_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+       FROM au GROUP BY 1, 2),
+ar AS (SELECT vec_id, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+       FROM ad),
+cells AS (SELECT vec_id AS cid, cent_id AS cell FROM ar WHERE rk = 1),
+probes AS (SELECT vec_id AS qid, cent_id AS cell FROM ar WHERE rk <= 4 AND vec_id < 5),
+cand AS (SELECT p.qid, c.cid FROM probes p JOIN cells c USING (cell) WHERE c.cid != p.qid),
+cu AS (SELECT cand.qid, cand.cid,
+              CAST(unnest(q.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+       FROM cand JOIN base q ON q.vec_id = cand.qid JOIN base b ON b.vec_id = cand.cid),
+cs AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim_raw
+       FROM cu GROUP BY 1, 2),
+ranked AS (SELECT qid, cid, sim_raw,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rank
+           FROM cs)
+SELECT qid, rank, cid, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (32 deterministic seed centroids, nprobe=4, k=5): coarse
+    assign -> probe nearest cells -> exact re-rank within cells. The
+    codebook is reproducible in SQL, so unlike the hyperplane-LSH
+    variant this approximate index is fully oracle-checked."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=32, nprobe=4)
+
+
+@query(
+    "q_embed_ann_lsh",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+lb0 AS (SELECT vec_id, ({_hyperplane_bucket_sql(8, 0)}) AS bucket FROM base),
+lb1 AS (SELECT vec_id, ({_hyperplane_bucket_sql(8, 1)}) AS bucket FROM base),
+cand AS (
+  SELECT DISTINCT qq.vec_id AS qid, c.vec_id AS cid
+  FROM lb0 qq JOIN lb0 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id
+  UNION
+  SELECT DISTINCT qq.vec_id, c.vec_id
+  FROM lb1 qq JOIN lb1 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id),
+un AS (SELECT cand.qid, cand.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM cand JOIN base qq ON qq.vec_id = cand.qid
+       JOIN base b ON b.vec_id = cand.cid),
+dots AS (SELECT qid, cid, sum(x*y) AS d, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM un GROUP BY 1, 2),
+sims AS (SELECT qid, cid, d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, cid, sim_raw,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims)
+SELECT qid, rank, cid, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via deterministic random-hyperplane LSH buckets
+    (8 planes x 2 tables, OR-amplified) + exact re-rank over deduped
+    candidates. The DuckDB oracle replays BOTH hash families'
+    bucketings (`_hyperplane_bucket_sql` per table), the OR-union
+    candidate set, and the exact re-rank — upgrading this entry from
+    rows-only to hash-matched; recall vs q_embed_topk and the
+    multi-table recall gain are additionally asserted in tests."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.lsh_bucketed_topk(emb, queries_df, k=5, n_planes=8, n_tables=2)
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 5),
+-- exact cosine top-10 (the ground truth)
+xp AS (SELECT q.qid, b.vec_id AS cid, q.qe, b.e AS ce
+       FROM base b CROSS JOIN q WHERE b.vec_id != q.qid),
+xu AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM xp),
+xd AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+       FROM xu GROUP BY 1, 2),
+xr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM xd),
+exact AS (SELECT qid, cid FROM xr WHERE rk <= 10),
+-- IVF top-10 (32 seed centroids, nprobe=4): coarse assign -> probe -> re-rank
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 32),
+ap AS (SELECT b.vec_id, c.cent_id, b.e AS be, c.ce FROM base b CROSS JOIN cent c),
+au AS (SELECT vec_id, cent_id, unnest(be) AS x, unnest(ce) AS y FROM ap),
+ad AS (SELECT vec_id, cent_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+       FROM au GROUP BY 1, 2),
+ar AS (SELECT vec_id, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+       FROM ad),
+cells AS (SELECT vec_id AS cid, cent_id AS cell FROM ar WHERE rk = 1),
+probes AS (SELECT vec_id AS qid, cent_id AS cell FROM ar WHERE rk <= 4 AND vec_id < 5),
+icand AS (SELECT DISTINCT p.qid, c.cid FROM probes p JOIN cells c USING (cell)
+          WHERE c.cid != p.qid),
+iu AS (SELECT icand.qid, icand.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM icand JOIN base qq ON qq.vec_id = icand.qid
+       JOIN base b ON b.vec_id = icand.cid),
+idd AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+        FROM iu GROUP BY 1, 2),
+ir AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM idd),
+ivf AS (SELECT qid, cid FROM ir WHERE rk <= 10),
+-- hyperplane-LSH top-10 (4 planes x 2 OR-amplified tables) -> re-rank
+lb0 AS (SELECT vec_id, ({_hyperplane_bucket_sql(4, 0)}) AS bucket FROM base),
+lb1 AS (SELECT vec_id, ({_hyperplane_bucket_sql(4, 1)}) AS bucket FROM base),
+lcand AS (
+  SELECT DISTINCT qq.vec_id AS qid, c.vec_id AS cid
+  FROM lb0 qq JOIN lb0 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id
+  UNION
+  SELECT DISTINCT qq.vec_id, c.vec_id
+  FROM lb1 qq JOIN lb1 c ON c.bucket = qq.bucket
+  WHERE qq.vec_id < 5 AND c.vec_id != qq.vec_id),
+lu AS (SELECT lcand.qid, lcand.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM lcand JOIN base qq ON qq.vec_id = lcand.qid
+       JOIN base b ON b.vec_id = lcand.cid),
+ld AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+       FROM lu GROUP BY 1, 2),
+lr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM ld),
+lsh AS (SELECT qid, cid FROM lr WHERE rk <= 10),
+-- recall@10 per (method, query)
+m AS (SELECT 'ivf' AS method, qid, cid FROM ivf
+      UNION ALL SELECT 'lsh', qid, cid FROM lsh),
+methods AS (SELECT unnest(['ivf', 'lsh']) AS method),
+ex2 AS (SELECT method, qid, cid FROM exact CROSS JOIN methods)
+SELECT x.method, x.qid,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(m.cid) AS BIGINT) AS n_hit,
+       round(count(m.cid) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ex2 x LEFT JOIN m ON m.method = x.method AND m.qid = x.qid AND m.cid = x.cid
+GROUP BY 1, 2 ORDER BY x.method, x.qid
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two approximate indexes (IVF nprobe=4 and
+    4-plane x 2-table hyperplane LSH — 16 buckets, the recall-biased
+    setting the unit tests also pin) against the exact cosine top-10
+    — computed entirely as DataFrame joins and aggregates (no collect):
+    per (method, query) the overlap of the approximate and exact result
+    sets over the exact set size. At 100 TB recall-vs-cost IS the ANN
+    operator's spec, so the quality metric ships as a first-class
+    query; both index pipelines are deterministic (seed centroids,
+    hash-derived hyperplanes), so the oracle replays ground truth, both
+    indexes, AND the recall arithmetic end-to-end."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    exact = similarity.brute_force_topk(emb, queries_df, k=10).select("qid", "cid")
+    approx = {
+        "ivf": similarity.ivf_topk(
+            emb, queries_df, k=10, n_centroids=32, nprobe=4
+        ).select("qid", "cid"),
+        "lsh": similarity.lsh_bucketed_topk(
+            emb, queries_df, k=10, n_planes=4, n_tables=2
+        ).select("qid", "cid"),
+    }
+    n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    parts = []
+    for name, adf in approx.items():
+        n_hit = (
+            exact.join(adf, ["qid", "cid"], "semi")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            n_exact.join(n_hit, "qid", "left").select(
+                F.lit(name).alias("method"),
+                "qid",
+                "n_exact",
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.withColumn(
+        "recall", F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6)
+    ).orderBy("method", "qid")
+
+
+def _kmeans_cte(k: int = 8, n_iter: int = 2) -> str:
+    """DuckDB replay of similarity.kmeans_fixed: deterministic init
+    (k smallest vec_ids), n_iter unrolled Lloyd rounds, distances and
+    centroid components rounded at 1e-9 exactly as the Spark side.
+    Ends with `af` = the final assignment (vec_id, cid)."""
+    parts = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, e AS cv "
+        f"FROM (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT {k}))",
+    ]
+    dist = (
+        "round(list_sum(list_transform(range(len(b.e)), "
+        "i -> (b.e[i+1] - c.cv[i+1]) * (b.e[i+1] - c.cv[i+1]))), 9)"
+    )
+    for it in range(n_iter):
+        parts.append(
+            f"d{it} AS (SELECT b.vec_id, c.cid, {dist} AS d2 "
+            f"FROM base b CROSS JOIN c{it} c)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk "
+            f"FROM d{it}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"u{it} AS (SELECT a.cid, t.i AS pos, round(avg(b.e[t.i]), 9) AS m "
+            f"FROM a{it} a JOIN base b USING (vec_id), "
+            "UNNEST(range(1, len(b.e) + 1)) AS t(i) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT cid, list(m ORDER BY pos) AS cv "
+            f"FROM u{it} GROUP BY cid)"
+        )
+    parts.append(
+        f"df AS (SELECT b.vec_id, c.cid, {dist} AS d2 "
+        f"FROM base b CROSS JOIN c{n_iter} c)"
+    )
+    parts.append(
+        "af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk "
+        "FROM df) WHERE rk = 1)"
+    )
+    return ",\n".join(parts)
+
+
+@query(
+    "q_semdedup",
+    bench=True,
+    oracle=f"""
+WITH {_kmeans_cte(8, 2)},
+p AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+      FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+pu AS (SELECT p.id1, p.id2, unnest(b1.e) AS xx, unnest(b2.e) AS yy
+       FROM p JOIN base b1 ON b1.vec_id = p.id1
+              JOIN base b2 ON b2.vec_id = p.id2),
+ps AS (SELECT id1, id2,
+              sum(xx*yy) / (sqrt(sum(xx*xx)) * sqrt(sum(yy*yy))) AS sim_raw
+       FROM pu GROUP BY 1, 2),
+dup AS (SELECT DISTINCT id2 FROM ps WHERE sim_raw > 0.4)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, (d.id2 IS NULL) AS keep
+FROM af a LEFT JOIN dup d ON a.vec_id = d.id2 ORDER BY a.vec_id
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic fixed-round
+    k-means (k=8, 2 Lloyd rounds, init = smallest vec_ids) clusters
+    the corpus; within each cluster, vectors with a lower-id
+    cluster-mate above cosine 0.4 are dropped (earliest-id survivor).
+    The ENTIRE fit is replayed by the oracle — the driver hash-checks
+    the clustering, not just the final keep bits. Pair work is bounded
+    by the cluster equi-join (~(n/k)^2 per cluster), the learned-
+    structure complement of the LSH bucket joins."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    return similarity.semantic_dedup(emb, k=8, n_iter=2, threshold=0.4)
+
+
+@query(
+    "q_cluster_purity",
+    oracle=f"""
+WITH {_kmeans_cte(8, 2)},
+j AS (SELECT a.cid, e.label FROM af a JOIN embeddings e USING (vec_id)),
+cl AS (SELECT cid, label, count(*) AS n FROM j GROUP BY 1, 2),
+tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_vecs,
+               CAST(max(n) AS BIGINT) AS n_majority
+        FROM cl GROUP BY 1)
+SELECT CAST(cid AS BIGINT) AS cluster, n_vecs, n_majority,
+       round(n_majority / CAST(n_vecs AS DOUBLE), 6) AS purity
+FROM tot ORDER BY cluster
+""",
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADE the deterministic k-means fit against the embeddings
+    table's ground-truth `label` column: per cluster, size, majority-
+    label count, and purity — the standard unsupervised-clustering
+    evaluation, produced the same evaluate-your-own-operator way as
+    q_ann_recall (ANN) and q_langid_accuracy (lang-id). The oracle
+    replays the ENTIRE fit (the shared _kmeans_cte) plus the grading,
+    so the purity numbers themselves hash-match. Scale: the fit is the
+    map-only broadcast-centroid assignment; grading adds two
+    k-bounded aggregates."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    assigned = similarity.kmeans_fixed(emb, k=8, n_iter=2)
+    labeled = assigned.join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    cl = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cl.groupBy("cluster")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.max("n").cast("long").alias("n_majority"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            "n_majority",
+            F.round(
+                F.col("n_majority") / F.col("n_vecs").cast("double"), 6
+            ).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "q_embed_outliers",
+    oracle="""
+WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+u AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+                   FROM base, UNNEST(range(1, len(v) + 1)) AS r(i)),
+m AS (SELECT i, avg(x) AS m FROM u GROUP BY 1),
+d AS MATERIALIZED (SELECT vec_id, sqrt(sum((x - m.m) * (x - m.m))) AS dist
+                   FROM u JOIN m USING (i) GROUP BY 1),
+st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sd FROM d)
+SELECT vec_id, round(dist, 6) AS dist, round((dist - mu) / sd, 6) AS z
+FROM d CROSS JOIN st
+ORDER BY round((dist - mu) / sd, 6) DESC, vec_id LIMIT 20
+""",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by centroid-distance z-score — the
+    curation signal for mislabeled / off-distribution documents
+    (prune-before-train). One pass for the per-dim mean (d-row agg,
+    broadcast back as an ordered array), one JVM zip_with/aggregate
+    projection for each row's distance (no second shuffle of the
+    corpus), a 1-row moment broadcast, and TakeOrdered(20) on the
+    ROUNDED z (deterministic tie-break on vec_id) so cross-engine
+    ulp drift cannot reorder the cut."""
+    from neo4j_dynagraph_spark.operators import similarity as sim
+
+    emb = sim.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    mean_arr = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
+        .select(F.transform("sm", lambda s: s["m"]).alias("mv"))
+    )
+    dist = emb.crossJoin(F.broadcast(mean_arr)).select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "mv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("dist"),
+    )
+    st = dist.agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sd")
+    return (
+        dist.crossJoin(F.broadcast(st))
+        .select(
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy(F.desc("z"), "vec_id")
+        .limit(20)
+    )
+
+
+def _pca_oracle(n: int) -> str:
+    """Unrolled n-round replay of the power-iteration PCA fit
+    (the PageRank/k-means replay-oracle pattern). The multiply-
+    referenced CTEs (gram, per-round matvec, per-round vector) are
+    AS MATERIALIZED: DuckDB would otherwise INLINE each one per
+    reference, and since every round references the previous round's
+    vector twice the expansion is exponential -- the inlined tree
+    re-opened the source parquet thousands of times (observed as
+    'Too many open files') before producing a row."""
+    parts = [
+        "base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "u AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INT) AS i, "
+        "v[CAST(i AS INT)] AS x FROM base, UNNEST(range(1, len(v) + 1)) AS r(i))",
+        "m AS (SELECT i, avg(x) AS m FROM u GROUP BY 1)",
+        "c AS MATERIALIZED (SELECT vec_id, u.i, x - m.m AS cx FROM u JOIN m USING (i))",
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.cx * b.cx) AS g "
+        "FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2)",
+        "v0 AS (SELECT DISTINCT i AS j, 1.0 AS val FROM g)",
+    ]
+    for r in range(1, n + 1):
+        parts.append(
+            f"mv{r} AS MATERIALIZED (SELECT g.i, sum(g.g * v.val) AS val "
+            f"FROM g JOIN v{r - 1} v ON g.j = v.j GROUP BY 1)"
+        )
+        parts.append(f"n{r} AS (SELECT sqrt(sum(val * val)) AS n FROM mv{r})")
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT i AS j, val / n AS val "
+            f"FROM mv{r} CROSS JOIN n{r})"
+        )
+    parts.append(
+        f"gv AS (SELECT g.i, sum(g.g * v.val) AS gval FROM g "
+        f"JOIN v{n} v ON g.j = v.j GROUP BY 1)"
+    )
+    parts.append(
+        f"lam AS (SELECT sum(v.val * gv.gval) AS lam FROM v{n} v "
+        f"JOIN gv ON v.j = gv.i)"
+    )
+    parts.append("tr AS (SELECT sum(g) AS tr FROM g WHERE i = j)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(v{n}.j AS INT) AS dim, round(v{n}.val, 6) AS loading, "
+        f"round(lam, 6) AS eigenvalue, round(lam / tr, 6) AS var_ratio "
+        f"FROM v{n} CROSS JOIN lam CROSS JOIN tr ORDER BY dim"
+    )
+
+
+@query("q_embed_pca", oracle=_pca_oracle(10))
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: distributed
+    mean-centered gram matrix (outer-product explode with map-side
+    partial agg -- shuffle is d^2 keys, corpus read ONCE) + a 10-round
+    power iteration run entirely as DataFrames (matvec joins on the
+    d^2-row gram table, 1-row norm broadcasts, localCheckpoint per
+    round). Returns (dim, loading, eigenvalue, var_ratio). The whole
+    fit is replayed by the unrolled-CTE oracle and hash-matches --
+    loading vector, eigenvalue, and explained-variance ratio."""
+    from neo4j_dynagraph_spark.operators import similarity as sim
+
+    emb = sim.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    return sim.pca_top_component(emb, n_iter=10)
+
+
+@query(
+    "q_knn_accuracy",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM base WHERE vec_id < 20),
+pairs AS (SELECT qid, vec_id AS cid, qe, embedding AS ce
+          FROM base CROSS JOIN q WHERE vec_id != qid),
+un AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x,
+              CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+dots AS (SELECT qid, cid, sum(x*y) AS d, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM un GROUP BY 1, 2),
+sims AS (SELECT qid, cid, d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims),
+nn AS (SELECT qid, cid FROM ranked WHERE rank <= 10),
+votes AS (SELECT nn.qid, b.label, count(*) AS n_votes
+          FROM nn JOIN base b ON b.vec_id = nn.cid GROUP BY 1, 2),
+pred AS (SELECT qid, label AS pred_label, n_votes,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY n_votes DESC, label) AS rk
+         FROM votes)
+SELECT p.qid AS vec_id, b.label AS true_label, p.pred_label,
+       CAST(p.n_votes AS BIGINT) AS n_votes,
+       (p.pred_label = b.label) AS correct
+FROM pred p JOIN base b ON b.vec_id = p.qid
+WHERE p.rk = 1 ORDER BY vec_id
+""",
+)
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label accuracy for the 20 anchor vectors
+    vec_id<20, k=10 exact cosine — grades whether the embedding space
+    clusters by its ground-truth label (the embedding-quality gate a
+    training pipeline runs before trusting semantic dedup / ANN
+    retrieval on those vectors). Constant anchor set -> one broadcast
+    linear corpus scan; everything downstream is O(k*|Q|). Oracle
+    replays neighbors, votes, the smaller-label tie-break, and the
+    grading."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return similarity.knn_label_accuracy(emb, queries_df, labels, k=10)
+
+
+@query(
+    "q_hard_negatives",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, label AS anchor_label
+      FROM base WHERE vec_id < 10),
+pairs AS (SELECT q.qid, q.anchor_label, b.vec_id AS cid,
+                 b.label AS neg_label, q.qe, b.embedding AS ce
+          FROM base b CROSS JOIN q
+          WHERE b.vec_id != q.qid AND b.label != q.anchor_label),
+un AS (SELECT qid, anchor_label, cid, neg_label,
+              CAST(unnest(qe) AS DOUBLE) AS x,
+              CAST(unnest(ce) AS DOUBLE) AS y FROM pairs),
+dots AS (SELECT qid, anchor_label, cid, neg_label, sum(x*y) AS d,
+                sum(x*x) AS nx, sum(y*y) AS ny FROM un GROUP BY 1, 2, 3, 4),
+sims AS (SELECT qid, anchor_label, cid, neg_label,
+                d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, anchor_label, cid, neg_label, sim_raw,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims)
+SELECT qid, anchor_label, rank, cid, neg_label, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    10 anchor vectors, the 5 nearest-by-cosine candidates whose label
+    DIFFERS from the anchor's — the boundary-hugging negatives that
+    carry the most gradient signal (DPR/SimCLR practice). Same-label
+    rows are excluded BEFORE ranking, labels ride the corpus scan as a
+    projected column (no second scan), anchors + their labels travel
+    in the broadcast closure. Oracle replays scoring, the label
+    filter, and the rank cut."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return similarity.hard_negatives(
+        emb.select("vec_id", "v"), queries_df, labels, k=5
+    )
+
+
+@query(
+    "q_copurchase",
+    oracle="""
+WITH m AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+mg AS (SELECT item, count(*) AS n FROM m GROUP BY 1),
+co AS (SELECT a.item AS item1, b.item AS item2, count(*) AS n_co
+       FROM m a JOIN m b ON a.bk = b.bk AND a.item < b.item
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item1, item2, CAST(n_co AS BIGINT) AS n_co,
+       round(n_co / sqrt(CAST(g1.n AS DOUBLE) * g2.n), 6) AS cosine
+FROM co JOIN mg g1 ON co.item1 = g1.item JOIN mg g2 ON co.item2 = g2.item
+ORDER BY cosine DESC, item1, item2 LIMIT 30
+""",
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase cosine top-30 over order baskets — the
+    bipartite projection ("bought X also bought Y") on lineitem.
+    The pair stream is keyed on the ORDER id, so its volume is
+    sum-of-squared-basket-sizes (TPC-H baskets are ~4 rows — linear);
+    item marginals re-attach by an AQE-chosen join (no forced hint —
+    item cardinality grows with SF); only the pair aggregation
+    shuffles. Oracle replays the distinct-membership projection and
+    the cosine arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return similarity.cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", min_co=2, k=30
+    )
+
+
+@query(
+    "q_copurchase_rules",
+    oracle="""
+WITH m AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n_baskets FROM m),
+mg AS (SELECT item, count(*) AS n FROM m GROUP BY 1),
+co AS (SELECT a.item AS ante, b.item AS cons, count(*) AS n_co
+       FROM m a JOIN m b ON a.bk = b.bk AND a.item <> b.item
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT co.ante, co.cons, CAST(co.n_co AS BIGINT) AS n_co,
+       round(co.n_co / nb.n_baskets, 6) AS support,
+       round(co.n_co / CAST(g1.n AS DOUBLE), 6) AS confidence,
+       round((co.n_co / CAST(g1.n AS DOUBLE))
+             / (g2.n / nb.n_baskets), 6) AS lift
+FROM co JOIN mg g1 ON co.ante = g1.item
+JOIN mg g2 ON co.cons = g2.item, nb
+ORDER BY lift DESC, ante, cons LIMIT 20
+""",
+)
+def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (a-priori 2-itemsets):
+    for each ordered pair antecedent → consequent with co-support >=
+    2, classic support / confidence / lift — `q_copurchase`'s cosine
+    ranks symmetric affinity, lift ranks DIRECTIONAL surprise over
+    the independence baseline. Same linear basket-keyed pair stream;
+    marginals and the 1-row basket count attach by broadcast; top-20
+    as TakeOrderedAndProject. Oracle replays all three metrics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = m.agg(
+        F.countDistinct("bk").cast("double").alias("n_baskets")
+    )
+    mg = m.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = m.alias("a")
+    b = m.alias("b")
+    co = (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .where(F.col("n_co") >= 2)
+    )
+    # Item marginals are data-cardinality-bound (l_partkey ∝ SF), so no
+    # forced broadcast hint — AQE picks broadcast when small, shuffle
+    # otherwise. nb stays hinted: it is a 1-row aggregate.
+    out = (
+        co.join(
+            mg.withColumnRenamed("n", "n1"),
+            co.ante == F.col("item"),
+        )
+        .drop("item")
+        .join(
+            mg.withColumnRenamed("n", "n2"),
+            F.col("cons") == F.col("item"),
+        )
+        .drop("item")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "n_co",
+            F.round(F.col("n_co") / F.col("n_baskets"), 6).alias("support"),
+            F.round(
+                F.col("n_co") / F.col("n1").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_co") / F.col("n1").cast("double"))
+                / (F.col("n2") / F.col("n_baskets")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "ante", "cons").limit(20)

@@ -1,0 +1,396 @@
+"""Streaming family: tumbling/sliding frames, watermark dedup, stateful
+edge builders, sessions, incremental KMV and corpus stats.
+
+Split from the former single-file queries_ext.py (round 9); blocks are
+verbatim. Registered into the shared REGISTRY on import via @query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_dynagraph_spark.operators import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
+from neo4j_dynagraph_spark.queries import (  # noqa: F401
+    ACTOR1,
+    _EDGES_FROM_P,
+    _FID,
+    DAY,
+    DELTA,
+    HOUR,
+    MONTH,
+    SPELL_LEN,
+    YEAR,
+    _edges,
+    _presence_sql,
+    query,
+)
+from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
+
+from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
+    _BM25_TERMS,
+    _DAY_WHERE,
+    _H64,
+    _SH_CTE,
+    _TOK,
+    _TOK_CTE,
+    _bm25_term_sql,
+    _bm25_tf_sql,
+    _docs,
+)
+
+from neo4j_dynagraph_spark.streaming import (  # noqa: F401
+    stateful_sessions_from_parquet,
+    streaming_frame_counts_from_parquet,
+)
+
+
+# ------------------------------------------------------------- streaming
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT CAST(floor(epoch(ts)/{DELTA}) AS BIGINT)*{DELTA} AS window_start,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM events GROUP BY 1 ORDER BY window_start
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming parity (T1/T2): the tumbling-window count run
+    as a bounded stream (Trigger.AvailableNow, memory sink) must equal
+    the batch aggregation — verified against the batch-SQL oracle."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_frame_counts_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        raw_schema,
+        delta_seconds=DELTA,
+    )
+    return result.orderBy("window_start")
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+WITH w0 AS (SELECT CAST(floor(epoch(ts)/{DELTA}) AS BIGINT)*{DELTA} AS w, value
+            FROM events),
+ex AS (SELECT unnest([w, w - {DELTA}]) AS window_start, value FROM w0)
+SELECT window_start, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+FROM ex GROUP BY 1 ORDER BY window_start
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window as a bounded stream: length 2*DELTA,
+    slide DELTA — each event lands in exactly two windows. Absent from
+    the reference (SURVEY.md §2.9 'no sliding windows'); the oracle
+    replays the window expansion with unnest([w, w-DELTA])."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_frame_counts_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        raw_schema,
+        delta_seconds=2 * DELTA,
+        slide_seconds=DELTA,
+    )
+    return result.orderBy("window_start")
+
+
+@query(
+    "q_stream_dedup",
+    oracle=f"""
+SELECT DISTINCT {_FID} AS frame_id, user_id AS actor
+FROM events ORDER BY frame_id, actor
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): first
+    sighting of each (frame, actor) presence pair, state bounded by
+    the watermark horizon. Drained == the batch DISTINCT — which is
+    the oracle."""
+    from neo4j_dynagraph_spark.streaming.frames import (
+        streaming_presence_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_presence_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA
+    )
+    return result.orderBy("frame_id", "actor")
+
+
+@query(
+    "q_stream_edges",
+    oracle=f"""
+WITH p AS ({_presence_sql()})
+SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
+ORDER BY frame_id, actor1, actor2
+""",
+)
+def q_stream_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming co-presence edges: watermarked stream-stream self-join
+    of the events stream on the frame grid, chained into a windowed
+    pair-count aggregation (two stateful operators). Drained, it must
+    equal the batch presence_to_frame_interactions — the oracle IS the
+    batch SQL. This is the incremental form of the engine's core
+    ingest operator (load_gexf_to_neo4j.py:241-249)."""
+    from neo4j_dynagraph_spark.streaming.edges import (
+        streaming_frame_edges_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_frame_edges_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA
+    )
+    return result
+
+
+@query(
+    "q_stream_edges_stateful",
+    oracle=f"""
+WITH p AS ({_presence_sql()})
+SELECT frame_id, actor1, actor2, weight FROM ({_EDGES_FROM_P})
+ORDER BY frame_id, actor1, actor2
+""",
+    bench=True,
+)
+def q_stream_edges_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful production path for streaming co-presence edges
+    (applyInPandasWithState keyed by frame, streaming/edges.py): state
+    is the per-frame actor->count map — O(actors-per-frame), never
+    O(events) or O(pairs) — and the pair expansion happens only at the
+    event-time-timeout flush. This is the skew-robust form for 100 TB
+    streams (the join form's state is O(events in the watermark
+    horizon)). Hot-frame cap unset here so a fully-drained run equals
+    the batch edge set exactly — the same batch SQL oracle as
+    q_stream_edges; the cap semantics are differentially tested in
+    tests/test_streaming_gexf.py."""
+    from neo4j_dynagraph_spark.streaming.edges import (
+        stateful_frame_edges_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = stateful_frame_edges_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA
+    )
+    return result
+
+
+@query(
+    "q_stream_degree",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+s AS (SELECT actor1 AS actor FROM e UNION ALL SELECT actor2 FROM e)
+SELECT actor, CAST(count(*) AS BIGINT) AS degree
+FROM s GROUP BY 1 ORDER BY actor
+""",
+)
+def q_stream_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY10 as an incrementally-maintained materialized view: the
+    finalized co-presence edge stream drains through foreachBatch into
+    a versioned canonical-pair dimension (merge-on-key, idempotent
+    replays, atomic pointer-flip — streaming/upsert.py), and degree is
+    a read of that dimension — the streaming answer to recomputing
+    q10's full-range distinct from scratch. (The dependency-free store
+    rewrites the merged table per commit; on a deployment the same
+    foreachBatch body targets a Delta/Iceberg MERGE, making each
+    commit O(batch) — the pattern, commit atomicity, and idempotence
+    are what this verifies.) The oracle is q10's batch SQL."""
+    from neo4j_dynagraph_spark.streaming.edges import (
+        streaming_degree_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = streaming_degree_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, DELTA
+    )
+    return result.orderBy("actor")
+
+
+@query(
+    "q_stream_sessions",
+    oracle=f"""
+WITH o AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, ts
+           FROM events),
+g AS (SELECT user_id, event_id, es,
+             CASE WHEN lag(es) OVER w IS NULL
+                       OR es - lag(es) OVER w >= {SPELL_LEN}
+                  THEN 1 ELSE 0 END AS brk
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+s AS (SELECT user_id, es,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY es, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, min(es) AS session_start,
+       max(es) AS session_end, count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): gap
+    sessionizer. Mid-stream, only CLOSED sessions are emitted; trailing
+    sessions close via event-time timeout once the bounded stream
+    drains and the watermark passes. A fully-drained stream therefore
+    equals the batch sessionization exactly — the oracle is that batch
+    formulation (gap granularity: whole seconds, matching the state's
+    epoch-second carry)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    result = stateful_sessions_from_parquet(
+        spark,
+        f"{sf_dir}/events.parquet",
+        raw_schema,
+        gap_seconds=SPELL_LEN,
+    )
+    return result.orderBy("user_id", "session_start")
+
+
+@query(
+    "q_stream_campaign",
+    oracle=f"""
+WITH s AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t1,
+                  CAST(floor(epoch(ts)) AS BIGINT) + {SPELL_LEN} AS t2
+           FROM events WHERE event_type = 'signup'),
+pu AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t1,
+              CAST(floor(epoch(ts)) AS BIGINT) + {SPELL_LEN} AS t2
+       FROM events WHERE event_type = 'purchase')
+SELECT pu.event_id AS e2,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(s.t2, pu.t2) - greatest(s.t1, pu.t1)) AS BIGINT)
+         AS sum_overlap_s
+FROM pu JOIN s ON s.t1 < pu.t2 AND pu.t1 < s.t2
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_stream_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING two-relation interval join: signup-spell exposure per
+    purchase spell as a watermarked stream-stream TIME-RANGE join
+    (state bounded by watermark + spell horizon on each side) chained
+    into a windowed per-purchase aggregation — the incremental twin of
+    q_campaign_overlap, drained with Trigger.AvailableNow through the
+    distributed file sink. The oracle IS the batch SQL: stream ==
+    batch for the full two-stateful-operator chain
+    (streaming/intervals.py)."""
+    from neo4j_dynagraph_spark.streaming.intervals import (
+        stream_interval_overlap_from_parquet,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    res = stream_interval_overlap_from_parquet(
+        spark, f"{sf_dir}/events.parquet", raw_schema, spell_seconds=SPELL_LEN
+    )
+    return res.orderBy("e2")
+
+
+@query(
+    "q_stream_dedup_docs",
+    oracle="""
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+FROM documents GROUP BY md5(text) ORDER BY doc_id
+""",
+)
+def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup: the documents stream drained through
+    the first-seen content-hash filter (foreachBatch + the versioned
+    seen-hash DimensionStore; replay-safe per-batch outputs) — the
+    ingest-edge "have we seen this doc" service, equal to batch exact
+    dedup's min-id survivors when batches arrive in id order
+    (streaming/incremental_dedup.py; multi-batch arrival order and
+    store growth pinned by unit test)."""
+    from neo4j_dynagraph_spark.streaming.incremental_dedup import (
+        stream_dedup_documents,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    out = stream_dedup_documents(
+        spark, f"{sf_dir}/documents.parquet", schema
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "q_stream_kmv",
+    oracle=f"""
+WITH v AS (SELECT DISTINCT event_type,
+                  (({_H64.format(x="'kmv:' || user_id")}) + 1)
+                    / 1152921504606846976.0 AS u
+           FROM events),
+r AS (SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM v)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen,
+       round(CASE WHEN max(CASE WHEN rn = 64 THEN u END) IS NOT NULL
+                  THEN 63 / max(CASE WHEN rn = 64 THEN u END)
+                  ELSE count(*) END, 6) AS est_distinct
+FROM r WHERE rn <= 64 GROUP BY 1 ORDER BY event_type
+""",
+)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL KMV cardinality sketch: the events stream drained
+    through foreachBatch union-prune merges against an O(k x groups)
+    pruned DimensionStore (streaming/kmv.py) — the mergeable-sketch
+    protocol applied across time. Because KMV merge is exactly 'keep
+    the k smallest of the union' (associative, commutative,
+    idempotent), the drained estimate equals the batch
+    q_kmv_distinct bit-for-bit however the stream is chopped into
+    micro-batches — which is what lets the same DuckDB oracle replay
+    a STREAMING sketch's exact output. Multi-batch arrival order and
+    bounded state are pinned by unit test."""
+    from neo4j_dynagraph_spark.streaming.kmv import stream_kmv_distinct
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out = stream_kmv_distinct(
+        spark, f"{sf_dir}/events.parquet", schema, k=64
+    )
+    return out.orderBy("event_type")
+
+
+@query(
+    "q_stream_corpus_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+pd AS (SELECT CAST(len(t) AS BIGINT) AS dl,
+       {", ".join(f"CASE WHEN len(list_filter(t, x -> x = '{t}')) > 0 THEN 1 ELSE 0 END AS hit{i}" for i, t in enumerate(_BM25_TERMS))}
+       FROM tok),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dl) AS BIGINT) AS tok_sum,
+              {", ".join(f"CAST(sum(hit{i}) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
+       FROM pd)
+SELECT * FROM (
+  {" UNION ALL ".join(f"SELECT '{t}' AS term, df{i} AS df, n_docs, round(tok_sum / CAST(n_docs AS DOUBLE), 6) AS avgdl FROM st" for i, t in enumerate(_BM25_TERMS))}
+) ORDER BY term
+""",
+)
+def q_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus statistics for retrieval scoring: the
+    documents stream drained through foreachBatch partial-aggregate
+    commits keyed by (batch_id, key) — plain counters are NOT
+    idempotent under re-delivery (unlike KMV's union-prune), so
+    exactly-once comes from each batch OVERWRITING its own partial
+    rows in the versioned store (streaming/corpus_stats.py); the
+    readable stats are the sum over batch partials. Integer counter
+    sums are associative/commutative, so the drained N / avgdl /
+    per-term df equal the batch aggregate bit-for-bit under any
+    micro-batch chopping — the same oracle shape q_bm25_search's
+    stats row replays. Multi-batch equality and replay idempotence
+    are pinned by unit test."""
+    from neo4j_dynagraph_spark.streaming.corpus_stats import (
+        stream_corpus_stats,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_corpus_stats(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        schema,
+        list(_BM25_TERMS),
+    )

@@ -1,0 +1,1223 @@
+"""Text / tokenizer / retrieval family: corpus stats, lang-id, BPE,
+TF-IDF, BM25, rank fusion, Zipf/Gini analytics.
+
+Split from the former single-file queries_ext.py (round 9); blocks are
+verbatim. Registered into the shared REGISTRY on import via @query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from neo4j_dynagraph_spark.operators import (  # noqa: F401
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
+from neo4j_dynagraph_spark.queries import (  # noqa: F401
+    ACTOR1,
+    _EDGES_FROM_P,
+    _FID,
+    DAY,
+    DELTA,
+    HOUR,
+    MONTH,
+    SPELL_LEN,
+    YEAR,
+    _edges,
+    _presence_sql,
+    query,
+)
+from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
+
+from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
+    _BM25_TERMS,
+    _DAY_WHERE,
+    _H64,
+    _SH_CTE,
+    _TOK,
+    _TOK_CTE,
+    _bm25_term_sql,
+    _bm25_tf_sql,
+    _docs,
+)
+
+
+# ----------------------------------------------------------------- text
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+WITH {_TOK_CTE}
+SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+       round(len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS ttr,
+       round(len(list_filter(t, x -> x = 'the' OR x = 'a')) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stop_ratio
+FROM tok WHERE len(t) > 0 ORDER BY doc_id
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score stats per doc: token counts, type-token ratio,
+    stopword ratio."""
+    return text.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_token_counts",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9'']+|\\s+'
+            )) AS BIGINT) AS bpe_tokens,
+       CAST(length(lower(text)) AS BIGINT) AS n_chars,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting metrics: whitespace tokens vs BPE-style
+    pre-tokens (GPT-2-shape regex, RE2-safe so both engines tokenize
+    identically), chars, bytes."""
+    return text.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_lang_stats",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents GROUP BY 1 ORDER BY lang
+""",
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by language tag."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_token_freq",
+    oracle=f"""
+WITH {_TOK_CTE},
+tu AS (SELECT unnest(t) AS token FROM tok)
+SELECT token, count(*) AS cnt FROM tu GROUP BY 1
+ORDER BY cnt DESC, token LIMIT 20
+""",
+    bench=True,
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies (explode + count + top-k)."""
+    return (
+        text.token_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+WITH {_TOK_CTE}, {_SH_CTE}
+SELECT doc_id, min({_H64.format(x="shingle")}) AS fingerprint, count(*) AS n_shingles
+FROM sh GROUP BY 1 ORDER BY doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash fingerprint per document."""
+    return text.doc_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id,
+             len(list_filter(t, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_en,
+             len(list_filter(t, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_es,
+             len(list_filter(t, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_de
+      FROM tok)
+SELECT doc_id,
+       CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'unk'
+            WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+            ELSE 'de' END AS pred_lang,
+       round(greatest(score_en, score_es, score_de), 6) AS best_score
+FROM s ORDER BY doc_id
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language-ID (deterministic tie-break:
+    en before es before de)."""
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_langid_accuracy",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id,
+             len(list_filter(t, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_en,
+             len(list_filter(t, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_es,
+             len(list_filter(t, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_de
+      FROM tok),
+l AS (SELECT doc_id,
+             CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'unk'
+                  WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+                  WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM s)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN l.pred_lang = d.lang THEN 1 END) AS BIGINT)
+         AS n_correct,
+       round(count(CASE WHEN l.pred_lang = d.lang THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM l JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADE the lang-id heuristic against the corpus's ground-truth
+    `lang` column (the same evaluate-your-own-operator pattern as
+    q_ann_recall for ANN): per true language, docs / correct
+    predictions / accuracy. A curation pipeline ships quality signals
+    WITH their measured error — this is the query that produces that
+    number, and the oracle replays classifier + grading end-to-end."""
+    pred = text.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "pred_lang"
+    )
+    truth = _docs(spark, sf_dir).select("doc_id", "lang")
+    hit = F.when(F.col("pred_lang") == F.col("lang"), 1)
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(hit).alias("n_correct"),
+            F.round(
+                F.count(hit) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+WITH {_TOK_CTE},
+pairs AS (SELECT t[i] || ' ' || t[i+1] AS pair
+          FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner statistic: corpus-wide adjacent-token
+    pair frequencies, top-20 (each merge round of byte-pair encoding
+    picks argmax of exactly this table). JVM array lambda builds the
+    pair list per doc, explode + count with map-side partial
+    aggregation — shuffle volume is ~pair-vocabulary, not corpus —
+    and TakeOrdered for the top-k. A full BPE trainer is this query
+    iterated with a merge-apply step."""
+    from neo4j_dynagraph_spark import functions as dfn
+
+    toked = _docs(spark, sf_dir).select(
+        "doc_id", dfn.tokens(F.col("text")).alias("t")
+    )
+    pairs = (
+        toked.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> concat_ws(' ', t[i], t[i+1]))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "q_repetition",
+    oracle=f"""
+WITH {_TOK_CTE},
+g AS (SELECT doc_id, greatest(len(t) - 2, 0) AS n,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS grams
+      FROM tok)
+SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN n > 0
+                  THEN 1.0 - len(list_distinct(grams)) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rep_ratio,
+       CASE WHEN n > 0
+            THEN (1.0 - len(list_distinct(grams)) / CAST(n AS DOUBLE)) > 0.2
+            ELSE FALSE END AS flag_repetitive
+FROM g ORDER BY doc_id
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter (public C4/Gopher
+    curation rule): fraction of word 3-grams repeating an earlier
+    3-gram in the same doc. Boilerplate and looping generations score
+    high. Pure JVM array lambdas — one narrow projection, no shuffle;
+    the oracle replays the 3-gram arithmetic with DuckDB list
+    functions. NOTE: flag threshold compare happens pre-round in BOTH
+    engines so the hash can't straddle a rounding boundary."""
+    return text.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_pii_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+       (len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["email"]}'))
+        + len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["ipv4"]}'))
+        + len(regexp_extract_all(lower(text), '{text.PII_PATTERNS["phone"]}'))) > 0 AS has_pii
+FROM documents ORDER BY doc_id
+""",
+)
+def q_pii_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII pattern counting (emails / IPv4 / phone-shaped
+    strings) — the redaction-or-drop signal of a public curation
+    pipeline. regexp_count JVM-side over lowercased text; the patterns
+    are chosen to parse and match identically under Java regex (Spark)
+    and RE2 (DuckDB), so the oracle replays them verbatim."""
+    return text.pii_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+WITH {_TOK_CTE},
+tu AS (SELECT doc_id, unnest(t) AS token FROM tok),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tu GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tu) d
+       GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, token,
+                  round(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS tfidf
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+ranked AS (SELECT doc_id, token, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rk
+           FROM scored)
+SELECT doc_id, token, tfidf, rk FROM ranked
+WHERE rk <= 3 AND doc_id < 50 ORDER BY doc_id, rk
+""",
+    bench=True,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF without MLlib: tf (per-doc counts) join df (document
+    frequency) with a broadcast 1-row corpus size; top-3 terms per doc
+    for the first 50 docs. Classic two-aggregate + rank-window shape —
+    the whole pipeline stays in JVM expressions."""
+    tu = (
+        dedup.tokens_df(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("t").alias("token"))
+    )
+    tf = tu.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tu.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    # corpus size as a broadcast 1-row aggregate: construction stays
+    # fully lazy (no eager driver count()), one job at action time
+    n = _docs(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ------------------------------------------------- round-6 pipeline ops
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+WITH {_TOK_CTE},
+u AS (SELECT doc_id, unnest(t) AS token FROM tok),
+c AS (SELECT doc_id, token, count(*) AS tf FROM u GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(log2(sum(tf)) - sum(tf * log2(tf)) / sum(tf), 6) AS entropy,
+       round(CASE WHEN count(*) > 1
+                  THEN (log2(sum(tf)) - sum(tf * log2(tf)) / sum(tf))
+                       / log2(count(*))
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM c GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy — the information-density
+    quality score (low = templated/repetitive text). Two map-side-
+    combined groupBys; shuffle volume ~per-doc vocabulary."""
+    return text.token_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id, t, unnest(range(0, len(t), 25)) AS start_tok
+      FROM tok WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(start_tok / 25 AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(least(50, len(t) - start_tok) AS BIGINT) AS n_chunk_tokens,
+       {_H64.format(x="array_to_string(list_slice(t, start_tok + 1, start_tok + 50), ' ')")} AS chunk_hash
+FROM s ORDER BY doc_id, chunk_idx
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 50, stride 25) with
+    stable ids + portable chunk fingerprints — context-window prep for
+    training / RAG indexing. Narrow projection + explode, no shuffle;
+    the oracle re-slices with list_slice and replays hash64."""
+    return text.chunk_documents(
+        _docs(spark, sf_dir), window=50, stride=25
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+WITH r AS (SELECT doc_id, lower(text) AS low,
+  regexp_replace(regexp_replace(regexp_replace(lower(text),
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+    '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g'),
+    '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS red
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(low, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(low, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(low, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT) AS n_phone,
+  CAST(length(red) AS BIGINT) AS redacted_len,
+  {_H64.format(x="red")} AS redacted_hash
+FROM r ORDER BY doc_id
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII redaction (write path of q_pii_count): typed
+    placeholders substituted JVM-side in a fixed pattern order; the
+    redacted text is exported as portable hash64 + length so the
+    oracle verifies the EXACT redacted bytes without shipping them."""
+    return text.redact_pii(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_BURST_SIG = "sqrt(greatest(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps), 0.0))"
+
+
+@query(
+    "q_burstiness",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+g AS (SELECT actor1, actor2,
+             frame_id - lag(frame_id) OVER (PARTITION BY actor1, actor2
+                                            ORDER BY frame_id) AS gap
+      FROM e),
+a AS (SELECT actor1, actor2, count(*) AS n_gaps,
+             sum(gap) AS s1, sum(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY 1, 2)
+SELECT actor1, actor2, n_gaps,
+       round(({_BURST_SIG} - s1 / n_gaps) / ({_BURST_SIG} + s1 / n_gaps), 6)
+         AS burstiness
+FROM a WHERE n_gaps >= 2 ORDER BY actor1, actor2
+""",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each
+    pair's inter-contact gaps (operators/graph.py:burstiness) — the
+    temporal-heterogeneity statistic of the SocioPatterns literature,
+    computed from exact integer moment sums in the same one-exchange
+    window+agg shape as q_intercontact; the oracle replays the exact
+    expression so the rounded double matches bit-for-bit."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.burstiness(qmod._edges(spark, sf_dir))
+
+
+@query(
+    "q_corpus_report",
+    oracle=f"""
+WITH {_TOK_CTE},
+f AS (SELECT t.doc_id,
+        CAST(len(t.t) AS BIGINT) AS n_tokens,
+        ln(1.0 + CAST(len(t.t) AS DOUBLE)) AS f_len,
+        len(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE) AS f_ttr,
+        len(list_filter(t.t, x -> x = 'the' OR x = 'a' OR x = 'of'
+                               OR x = 'and' OR x = 'to'))
+          / CAST(greatest(len(t.t), 1) AS DOUBLE) AS f_stop,
+        len(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+          / CAST(greatest(len(lower(d.text)), 1) AS DOUBLE) AS f_alpha,
+        CAST(list_sum(list_transform(t.t, x -> len(x))) AS DOUBLE)
+          / CAST(len(t.t) AS DOUBLE) AS f_wordlen
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE len(t.t) > 0),
+q AS (SELECT doc_id, n_tokens,
+             round(1.0 / (1.0 + exp(-(-3.0 + 0.6 * f_len + 2.0 * f_ttr
+                   + 4.0 * f_stop + 3.0 * f_alpha + -0.2 * f_wordlen))), 6)
+               AS quality
+      FROM f),
+k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1),
+fl AS (SELECT d.doc_id, d.source, d.lang, d.doc_id != k.keep_id AS is_dup
+       FROM documents d JOIN k ON md5(d.text) = k.h)
+SELECT fl.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(q.n_tokens), 0) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_exact_dups,
+       round(CAST(count(CASE WHEN is_dup THEN 1 END) AS DOUBLE) / count(*), 6)
+         AS dup_rate,
+       round(avg(q.quality), 6) AS mean_quality,
+       CAST(count(DISTINCT fl.lang) AS BIGINT) AS n_langs
+FROM fl LEFT JOIN q USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card report: doc and token counts, exact-dup
+    rate (global content-hash groups, min-id survivor), mean model
+    quality, and language spread — the one-scan summary a data-mixing
+    decision reads. Composes quality_score (codegen projection) with a
+    content-hash self-grouping; everything aggregates map-side before
+    the per-source shuffle. The rounded per-doc qualities average
+    safely across partition orders (double drift ~1e-16 against a 1e-6
+    rounding grid)."""
+    docs = _docs(spark, sf_dir)
+    qs = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    d = docs.withColumn("_h", F.md5("text"))
+    k = d.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    flags = d.join(k, "_h").select(
+        "doc_id",
+        "source",
+        "lang",
+        (F.col("doc_id") != F.col("_keep")).alias("is_dup"),
+    )
+    return (
+        flags.join(qs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_exact_dups"),
+            F.round(
+                F.count(F.when(F.col("is_dup"), 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_vocab_prune",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w FROM tok),
+f AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+v AS (SELECT w FROM f ORDER BY c DESC, w LIMIT 20),
+r AS (SELECT u.doc_id, u.pos,
+             CASE WHEN v.w IS NULL THEN '<unk>' ELSE u.w END AS w2,
+             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS unk
+      FROM u LEFT JOIN v ON v.w = u.w)
+SELECT doc_id, md5(string_agg(w2, ' ' ORDER BY pos)) AS text_hash,
+       CAST(sum(unk) AS BIGINT) AS n_unk,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM r GROUP BY 1 ORDER BY doc_id
+""",
+    bench=True,
+)
+def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary OOV collapse: rebuild every document keeping
+    only the global top-20 tokens (deterministic count-desc,
+    token-asc selection), all others replaced by '<unk>' — classic
+    count-model / tokenizer-training preprocessing. Hash-terminal:
+    (doc_id, md5 of the rebuilt token stream, n_unk, n_tokens), so the
+    oracle verifies the EXACT reconstructed text of every document
+    while the output stays fixed-width per doc
+    (operators/text.py:vocab_prune)."""
+    return text.vocab_prune(_docs(spark, sf_dir), top_k=20).orderBy("doc_id")
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT doc_id, unnest(t) AS w FROM tok),
+f AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+tt AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f)
+SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(f.c / tt.total)), 6) AS avg_neg_logp
+FROM u JOIN f ON f.w = u.w CROSS JOIN tt
+GROUP BY 1 ORDER BY u.doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: per-doc average -ln p(w) under the
+    corpus unigram distribution (the CCNet/KenLM-style filter signal —
+    q_token_entropy's corpus-relative twin). One explode feeds both
+    the vocab-sized frequency aggregate and the scoring stream; the
+    frequency and 1-row-total joins are broadcast
+    (operators/text.py:unigram_logprob)."""
+    return text.unigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id, source, t, unnest(range(0, len(t), 25)) AS start_tok
+      FROM tok WHERE len(t) > 0),
+c AS (SELECT DISTINCT source,
+             {_H64.format(x="array_to_string(list_slice(t, start_tok + 1, start_tok + 50), ' ')")} AS chunk_hash
+      FROM s WHERE len(t) - start_tok >= 50),
+ch AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(count(*) AS BIGINT) AS n_shared_chunks
+       FROM c a JOIN c b ON a.chunk_hash = b.chunk_hash
+                        AND a.source < b.source
+       GROUP BY 1, 2),
+d AS (SELECT DISTINCT md5(text) AS h, source FROM documents),
+tx AS (SELECT a.source AS src_a, b.source AS src_b,
+              CAST(count(*) AS BIGINT) AS n_shared_texts
+       FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT COALESCE(ch.src_a, tx.src_a) AS src_a,
+       COALESCE(ch.src_b, tx.src_b) AS src_b,
+       COALESCE(n_shared_chunks, 0) AS n_shared_chunks,
+       COALESCE(n_shared_texts, 0) AS n_shared_texts
+FROM ch FULL OUTER JOIN tx USING (src_a, src_b)
+ORDER BY 1, 2
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix, two granularities per
+    unordered source pair: shared 50-token chunk fingerprints
+    (boilerplate / repeated-passage leakage, reusing chunk_documents'
+    stride-25 fingerprints) and shared verbatim whole texts (exact-dup
+    leakage, the pairwise view of q_dedup_exact's groups) — the
+    dataset-card numbers that tell you whether crawl slices are
+    independent. Both sides reduce to DISTINCT (fingerprint, source)
+    pairs BEFORE the self-join, so join group sizes are
+    sources-per-fingerprint-bounded and the terminal is
+    |sources|^2-bounded at any corpus size; the two matrices merge
+    with one full-outer join on the tiny pair key."""
+    docs = _docs(spark, sf_dir)
+    ch = text.chunk_documents(docs, window=50, stride=25).where(
+        F.col("n_chunk_tokens") >= 50
+    )
+    cd = (
+        ch.join(docs.select("doc_id", "source"), "doc_id")
+        .select("chunk_hash", "source")
+        .distinct()
+    )
+    d = (
+        docs.select(F.md5(F.col("text")).alias("h"), "source")
+        .distinct()
+    )
+    shared_chunks = (
+        cd.select("chunk_hash", F.col("source").alias("src_a"))
+        .join(
+            cd.select("chunk_hash", F.col("source").alias("src_b")),
+            "chunk_hash",
+        )
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_chunks"))
+    )
+    shared_texts = (
+        d.select("h", F.col("source").alias("src_a"))
+        .join(d.select("h", F.col("source").alias("src_b")), "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
+    )
+    return (
+        shared_chunks.join(shared_texts, ["src_a", "src_b"], "full")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared_chunks", F.lit(0)).alias(
+                "n_shared_chunks"
+            ),
+            F.coalesce("n_shared_texts", F.lit(0)).alias("n_shared_texts"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "q_token_pmi",
+    oracle=f"""
+WITH {_TOK_CTE},
+u AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+      FROM tok),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM u),
+cw AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+pr AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS c_ab
+       FROM u a JOIN u b
+         ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+       GROUP BY 1, 2),
+np AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS np FROM pr)
+SELECT w_a, w_b, CAST(c_ab AS BIGINT) AS n_pairs,
+       round(ln((c_ab / np) / ((ca.c / nt) * (cb.c / nt))), 6) AS pmi
+FROM pr
+JOIN cw ca ON ca.w = pr.w_a
+JOIN cw cb ON cb.w = pr.w_b
+CROSS JOIN nt CROSS JOIN np
+WHERE c_ab >= 5
+ORDER BY pmi DESC, w_a, w_b LIMIT 50
+""",
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 skip-gram collocations by pointwise mutual information
+    (window 3, min count 5) — the statistical-association layer above
+    q_bpe_pairs' raw adjacency counts (collocation extraction /
+    tokenizer-merge priors). The window offset folds INTO the
+    equi-join key exactly like q_temporal_paths' frame gap: the left
+    token replicated once per offset d in [1,3] with key
+    (doc_id, pos+d) — a pure hash join, no positional band scan. The
+    unigram marginal table is vocab-bounded and broadcast (the
+    unigram_logprob precedent); totals are 1-row broadcasts; the
+    terminal is TakeOrderedAndProject on the total order
+    (pmi desc, w_a, w_b)."""
+    from neo4j_dynagraph_spark import functions as dfn
+
+    u = (
+        _docs(spark, sf_dir)
+        .select("doc_id", dfn.tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.posexplode("t").alias("pos", "w"))
+    )
+    nt = u.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    cw = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rep = (
+        u.withColumn("_d", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select(
+            "doc_id",
+            F.col("w").alias("w_a"),
+            (F.col("pos") + F.col("_d")).alias("pos"),
+        )
+    )
+    pr = (
+        rep.join(
+            u.select("doc_id", "pos", F.col("w").alias("w_b")),
+            ["doc_id", "pos"],
+        )
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    np_ = pr.agg(F.sum("c_ab").cast("double").alias("np"))
+    ca = cw.select(F.col("w").alias("w_a"), F.col("c").alias("ca"))
+    cb = cw.select(F.col("w").alias("w_b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("np"))
+            / ((F.col("ca") / F.col("nt")) * (F.col("cb") / F.col("nt")))
+        ),
+        6,
+    )
+    return (
+        pr.where(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "w_a")
+        .join(F.broadcast(cb), "w_b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "w_a",
+            "w_b",
+            F.col("c_ab").cast("long").alias("n_pairs"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w_a", "w_b")
+        .limit(50)
+    )
+
+
+def _bpe_oracle(n: int) -> str:
+    """Unrolled n-round replay of the BPE trainer (the PageRank /
+    k-means replay-oracle pattern): per round, pair statistics over
+    the current symbol sequences, the deterministic argmax, and the
+    leftmost-first non-overlapping merge-apply expressed as a DuckDB
+    list_reduce with an empty-accumulator sentinel."""
+    parts = [
+        _TOK_CTE,
+        "w AS (SELECT u.w AS word, count(*) AS cnt FROM tok, UNNEST(t) AS u(w) GROUP BY 1)",
+        "seq0 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS INT), 1)) AS s FROM w)",
+    ]
+    for r in range(n):
+        parts.append(
+            f"p{r} AS (SELECT s[i] AS l, s[i+1] AS rr, sum(cnt) AS wgt "
+            f"FROM seq{r}, UNNEST(range(1, len(s))) AS u(i) "
+            f"WHERE len(s) >= 2 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT l, rr, l || rr AS m, wgt FROM p{r} "
+            f"ORDER BY wgt DESC, l, rr LIMIT 1)"
+        )
+        if r < n - 1:
+            parts.append(
+                f"seq{r + 1} AS (SELECT word, cnt, "
+                f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+                f"list_transform(s, x -> [x])), "
+                f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = l "
+                f"AND x[1] = rr THEN list_slice(acc, 1, len(acc) - 1) || [m] "
+                f"ELSE acc || x END) AS s FROM seq{r} CROSS JOIN b{r})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, l AS left_sym, rr AS right_sym, m AS merged, "
+        f"CAST(wgt AS BIGINT) AS weight FROM b{r}"
+        for r in range(n)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY round"
+    )
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    """Unrolled replay of _bpe_fit(apply_last=True) + the corpus
+    encode: n training rounds, EVERY merge applied (so seq{n} is the
+    encoded vocabulary), then the per-source token-budget summary."""
+    parts = [
+        _TOK_CTE,
+        "w AS (SELECT u.w AS word, count(*) AS cnt FROM tok, UNNEST(t) AS u(w) GROUP BY 1)",
+        "seq0 AS (SELECT word, cnt, list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS INT), 1)) AS s FROM w)",
+    ]
+    for r in range(n):
+        parts.append(
+            f"p{r} AS (SELECT s[i] AS l, s[i+1] AS rr, sum(cnt) AS wgt "
+            f"FROM seq{r}, UNNEST(range(1, len(s))) AS u(i) "
+            f"WHERE len(s) >= 2 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT l, rr, l || rr AS m, wgt FROM p{r} "
+            f"ORDER BY wgt DESC, l, rr LIMIT 1)"
+        )
+        parts.append(
+            f"seq{r + 1} AS (SELECT word, cnt, "
+            f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+            f"list_transform(s, x -> [x])), "
+            f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = l "
+            f"AND x[1] = rr THEN list_slice(acc, 1, len(acc) - 1) || [m] "
+            f"ELSE acc || x END) AS s FROM seq{r} CROSS JOIN b{r})"
+        )
+    parts.append(
+        f"enc AS (SELECT word, CAST(len(s) AS BIGINT) AS n_sym FROM seq{n})"
+    )
+    parts.append(
+        "u AS (SELECT doc_id, source, uu.w AS word FROM tok, UNNEST(t) AS uu(w))"
+    )
+    parts.append(
+        "d AS (SELECT source, doc_id, count(*) AS n_words, sum(n_sym) AS n_bpe "
+        "FROM u JOIN enc USING (word) GROUP BY 1, 2)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(sum(n_bpe) / CAST(sum(n_words) AS DOUBLE), 6) AS sym_per_word
+FROM d GROUP BY 1 ORDER BY source"""
+    )
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(8))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer ENCODE — the closing half of q_bpe_train's loop:
+    the 8 learned merge rules are ALL applied on the vocab-bounded
+    word table, then the corpus is re-tokenized under the resulting
+    subword vocabulary and summarized per source (docs, whitespace
+    words, BPE symbols, symbols-per-word) — the token-budget number a
+    pipeline needs before packing. The oracle replays the entire fit
+    AND the encode as unrolled CTEs; the per-source budget
+    hash-matches."""
+    enc = text.bpe_encode(_docs(spark, sf_dir), n_merges=8)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("sym_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("q_bpe_train", oracle=_bpe_oracle(8))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING, 8 merge rounds — the flagship
+    iterative text operator: q_bpe_pairs' argmax statistic closed into
+    the full Sennrich-style train loop (pair counts -> deterministic
+    argmax -> broadcast merge-apply -> repeat), all on DataFrames with
+    per-round localCheckpoint lineage truncation. The 100 TB shape:
+    one corpus-scale aggregation up front, then every round runs over
+    the vocab-bounded distinct-WORD table. The oracle replays the
+    entire 8-round fit as unrolled CTEs and the merge table
+    hash-matches."""
+    from neo4j_dynagraph_spark.operators.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+@query(
+    "q_bm25_search",
+    bench=True,
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+pd AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       {", ".join(_bm25_tf_sql(i, t) for i, t in enumerate(_BM25_TERMS))}
+       FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+       {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+       FROM pd)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS)))} AS INTEGER) AS n_hit,
+       round({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 6) AS bm25
+FROM pd, st
+WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {merge, spark, vector} — the ranked
+    retrieval scorer completing the search surface (boolean AND
+    `q_text_search`, TF-IDF `q_tfidf_top_terms`); the reference's
+    Lucene index (load_gexf_to_neo4j.py:148) ranks with the same
+    probabilistic-relevance family. Per-term tf and doc length are
+    narrow array expressions (no explode), corpus stats reduce to ONE
+    broadcast row, scoring is a map-side projection, and the top-20
+    plans as TakeOrderedAndProject — at 100 TB: scan + scalar agg.
+    Oracle replays tf/df/avgdl and the BM25+ idf arithmetic."""
+    return (
+        text.bm25_scores(_docs(spark, sf_dir), list(_BM25_TERMS))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_rank_fusion",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+pd AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+       {", ".join(_bm25_tf_sql(i, t) for i, t in enumerate(_BM25_TERMS))}
+       FROM tok),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+       {", ".join(f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}" for i in range(len(_BM25_TERMS)))}
+       FROM pd)
+, sc AS (SELECT doc_id,
+       round({" + ".join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 6) AS bm25,
+       tf0 + tf1 + tf2 AS tf_sum
+FROM pd, st
+WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))})
+, ra AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                AS rank_bm25
+         FROM (SELECT doc_id, bm25 FROM sc
+               ORDER BY bm25 DESC, doc_id LIMIT 100))
+, rb AS (SELECT doc_id, row_number() OVER (ORDER BY tf_sum DESC, doc_id)
+                AS rank_tf
+         FROM (SELECT doc_id, tf_sum FROM sc
+               ORDER BY tf_sum DESC, doc_id LIMIT 100))
+SELECT doc_id,
+       CAST(ra.rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rb.rank_tf AS BIGINT) AS rank_tf,
+       round(1.0 / (60 + ra.rank_bm25) + 1.0 / (60 + rb.rank_tf), 6)
+           AS rrf
+FROM ra JOIN rb USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 20
+""",
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings —
+    BM25 and raw term-frequency — over the {merge, spark, vector}
+    query: the standard zero-tuning way to merge heterogeneous
+    rankers (lexical + semantic in production; two lexical scorers
+    here so the oracle replays both ends). Each ranker is cut to its
+    top-100 FIRST (TakeOrderedAndProject), so the rank windows run on
+    k-bounded lists, never the corpus; the fusion join is 100x100
+    keyed on doc_id. Docs in both lists fuse; the top-20 by RRF is
+    the answer."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    # tf_sum comes from the same narrow per-term arithmetic as
+    # bm25_scores (shared scan subtree)
+    toked = text.tokens_df(docs).select(
+        "doc_id",
+        sum(
+            (
+                # Column API (quote-safe; mirrors bm25_scores) —
+                # single-arg lambda, evaluated eagerly per iteration
+                F.size(
+                    F.filter(F.col("t"), lambda x: x == F.lit(t))
+                ).cast("double")
+                for t in _BM25_TERMS
+            ),
+            F.lit(0.0),
+        ).alias("tf_sum"),
+    )
+    base = text.bm25_scores(docs, list(_BM25_TERMS)).join(toked, "doc_id")
+    ra = (
+        base.orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "rank_bm25",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_bm25")
+    )
+    rb = (
+        base.orderBy(F.desc("tf_sum"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "rank_tf",
+            F.row_number().over(
+                Window.orderBy(F.desc("tf_sum"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_tf")
+    )
+    return (
+        ra.join(rb, "doc_id")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_tf",
+            F.round(
+                F.lit(1.0) / (F.lit(60) + F.col("rank_bm25"))
+                + F.lit(1.0) / (F.lit(60) + F.col("rank_tf")),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+WITH {_TOK_CTE},
+s AS (SELECT doc_id,
+             len(list_filter(t, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_en,
+             len(list_filter(t, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_es,
+             len(list_filter(t, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) / CAST(greatest(len(t),1) AS DOUBLE) AS score_de
+      FROM tok),
+l AS (SELECT doc_id,
+             CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'unk'
+                  WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+                  WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+                  ELSE 'de' END AS pred_lang
+      FROM s),
+cm AS (SELECT d.lang AS true_lang, l.pred_lang, count(*) AS n
+       FROM l JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n_docs,
+       round(n / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6)
+           AS row_frac
+FROM cm ORDER BY true_lang, pred_lang
+""",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX — the finer-grained companion to
+    `q_langid_accuracy`'s per-language accuracy: which true language
+    is mistaken for which prediction (incl. the 'unk' abstention
+    column), row-normalized so each cell reads as P(pred | true). The
+    matrix is |langs|² rows; the normalizing window runs over that
+    already-aggregated table, never the corpus. Oracle replays the
+    classifier and the normalization."""
+    from pyspark.sql import Window
+
+    pred = text.lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+    truth = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    cm = (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return (
+        cm.select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+            ).alias("row_frac"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@query(
+    "q_token_zipf",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT unnest(t) AS token FROM tok),
+freq AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
+top AS (SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM (SELECT token, cnt FROM freq
+              ORDER BY cnt DESC, token LIMIT 1000)),
+xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       FROM top),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+FROM st
+""",
+)
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 tokens: closed-form
+    least-squares slope of ln(freq) on ln(rank) — the corpus-health
+    statistic dataset cards report (natural text sits near −1;
+    strong deviation flags boilerplate or synthetic text). The vocab
+    aggregate is the only corpus-sized pass; the rank window runs on
+    the k-bounded top-1000 list (q_rank_fusion's stance) and the fit
+    is one scalar aggregate. Oracle replays the regression algebra."""
+    from pyspark.sql import Window
+
+    top = (
+        text.token_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(1000)
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "token")),
+        )
+    )
+    xy = top.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    st = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "q_gini_length",
+    oracle="""
+WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+           FROM documents),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+              sum(rnk * x) AS srx FROM r)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       round(sx / n, 6) AS mean_chars,
+       round(2.0 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM st
+""",
+)
+def q_gini_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length (char mass) — the
+    inequality statistic a mixture designer reads before weighting
+    sources (a corpus where 1% of docs hold half the tokens packs and
+    dedups very differently from a uniform one). Computed by the
+    rank-weighted closed form G = 2Σ(r·x)/(nΣx) − (n+1)/n on the
+    TWO-PHASE distributed rank (operators/rank.py — no one-partition
+    window over the data-sized doc table), then one scalar aggregate.
+    Oracle replays the rank with the plain window it provably
+    equals."""
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    ranked = two_phase_rank(
+        docs,
+        bucket=F.floor(F.col("n_chars") / 64),
+        order_cols=[F.col("n_chars"), F.col("doc_id")],
+        rank_col="rnk",
+    )
+    x = F.col("n_chars").cast("double")
+    st = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(F.col("rnk") * x).alias("srx"),
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_chars"),
+        F.round(
+            F.lit(2.0) * F.col("srx") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -137,76 +137,6 @@ def test_temporal_reach_subset_of_component(spark):
     assert all(comp[a] == src_comp for a in reach)
 
 
-def test_graphframes_backend_gated(edges):
-    """Without the jar, the optional backend must fail with actionable
-    guidance, never a bare ModuleNotFoundError mid-plan."""
-    try:
-        import graphframes  # noqa: F401
-
-        have = True
-    except ImportError:
-        have = False
-    if have:
-        got = [(r.a, r.b, r.c) for r in graph.triangles_via_graphframes(edges).collect()]
-        want = [(r.a, r.b, r.c) for r in graph.triangles(edges).collect()]
-        assert got == want
-    else:
-        import pytest
-
-        with pytest.raises(ImportError, match="graph.triangles"):
-            graph.triangles_via_graphframes(edges)
-
-
-def test_graphframes_backend_plumbing_via_stub(edges, monkeypatch):
-    """Execute the backend's post-import plumbing (vertex derivation,
-    motif projection, a<b<c canonicalization, ordering) against a
-    faithful in-process stub of the public GraphFrames API — the jar is
-    absent in this container, so without the stub those lines would
-    have zero coverage forever. The stub's find() implements the
-    documented motif semantics (one row per edge-tuple binding, struct
-    columns named by the motif variables) as plain DataFrame joins;
-    result must equal the native self-join triangles()."""
-    import sys
-    import types
-
-    import pyspark.sql.functions as F
-
-    class _StubGraphFrame:
-        def __init__(self, v, e):
-            self.v, self.e = v, e
-
-        def find(self, motif):
-            assert motif == "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"
-            ab = self.e.select(
-                F.col("src").alias("_a"), F.col("dst").alias("_b")
-            )
-            bc = self.e.select(
-                F.col("src").alias("_b"), F.col("dst").alias("_c")
-            )
-            ac = self.e.select(
-                F.col("src").alias("_a"), F.col("dst").alias("_c")
-            )
-            return (
-                ab.join(bc, "_b")
-                .join(ac, ["_a", "_c"])
-                .select(
-                    F.struct(F.col("_a").alias("id")).alias("a"),
-                    F.struct(F.col("_b").alias("id")).alias("b"),
-                    F.struct(F.col("_c").alias("id")).alias("c"),
-                )
-            )
-
-    mod = types.ModuleType("graphframes")
-    mod.GraphFrame = _StubGraphFrame
-    monkeypatch.setitem(sys.modules, "graphframes", mod)
-    got = [
-        (r.a, r.b, r.c)
-        for r in graph.triangles_via_graphframes(edges).collect()
-    ]
-    want = [(r.a, r.b, r.c) for r in graph.triangles(edges).collect()]
-    assert got == want and got == [(1, 2, 3)]
-
-
 def test_k_core_peels_cascade(spark):
     """Clique of 4 (a 3-core) with a pendant path: the path must peel
     away ENTIRELY under k=3 — including node 5, whose degree only drops
