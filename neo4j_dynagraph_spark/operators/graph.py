@@ -1087,3 +1087,69 @@ def neighbor_jaccard(
         .orderBy(F.desc("jaccard"), "actor1", "actor2")
         .limit(k)
     )
+
+
+def triangle_formation_spans(frame_edges: DataFrame) -> DataFrame:
+    """Temporal-motif analysis of triangle FORMATION (the undirected
+    form of Paranjape et al. 2017's delta-temporal triangle motifs):
+    for every triangle a < b < c in an (already time-restricted) frame
+    edge stream, take each pair's FIRST co-presence frame; triangles
+    whose three first-frames are pairwise distinct have a well-defined
+    formation order, and their formation span (last first-frame minus
+    first first-frame, in frames) is the closure-delay statistic —
+    how many frames a wedge stays open before the third edge arrives.
+
+    Input: (frame_id, actor1, actor2) canonical per-frame edges.
+    Output: one row per span value — (span, n_triangles), plus span
+    -1 counting the degenerate triangles (two or three pairs first
+    seen in the same frame: cliques born whole), so the rows partition
+    the full triangle set and the terminal is O(window frames). The
+    sentinel is -1 rather than NULL so exported rows stay totally
+    orderable in any cross-engine comparator.
+
+    Scale shape: the pair stream reduces to FIRST-frame-per-pair with
+    one map-side-combined min aggregate (|pairs| rows, never the raw
+    stream through the joins); the three-way join is QUERY11's
+    canonical a<b<c shape on that reduced set, with no forced
+    broadcast hint — the window-restricted pair set is small at test
+    SFs (AQE broadcasts it) and the joins degrade to shuffled hash
+    joins on the pair keys when a window is genuinely huge. The span
+    histogram is a frames-bounded aggregate.
+    """
+    fp = (
+        frame_edges.groupBy("actor1", "actor2")
+        .agg(F.min("frame_id").alias("f"))
+    )
+    e1 = fp.select(
+        F.col("actor1").alias("a"), F.col("actor2").alias("b"),
+        F.col("f").alias("fab"),
+    )
+    e2 = fp.select(
+        F.col("actor1").alias("b"), F.col("actor2").alias("c"),
+        F.col("f").alias("fbc"),
+    )
+    e3 = fp.select(
+        F.col("actor1").alias("a"), F.col("actor2").alias("c"),
+        F.col("f").alias("fac"),
+    )
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.expr("array(fab, fbc, fac)").alias("fs"),
+        )
+        .select(
+            F.when(
+                F.expr("size(array_distinct(fs))") == 3,
+                F.expr("array_max(fs) - array_min(fs)"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("span")
+        )
+    )
+    return (
+        tri.groupBy("span")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("span")
+    )

@@ -869,3 +869,306 @@ def cooccurrence_topk(
         )
     )
     return out.orderBy(F.desc("cosine"), "item1", "item2").limit(k)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each d-dim vector
+    into ``m`` contiguous subvectors and train an independent k-means
+    codebook per subspace — the vector-compression half of the IVF-PQ
+    index that makes billion-scale ANN fit in memory (m log2(k) bits
+    per vector instead of 4d bytes).
+
+    Same determinism contract as :func:`kmeans_fixed` (which this
+    generalizes to per-subspace grouped Lloyd): init from the k
+    smallest ids PER SUBSPACE, a FIXED number of rounds, every centroid
+    component and distance rounded at 1e-9 — no RNG, no convergence
+    action, no stored model, so an ANSI-SQL oracle replays the whole
+    fit and the driver hash-checks it.
+
+    Scale shape: the subvector table is m rows per vector (narrow
+    explode — no shuffle); per round, assignment joins the broadcast
+    (j -> centroid list) map and takes array_min per row (map-only,
+    O(n·m·k·d/m) = O(n·k·d) JVM work), and the update shuffles only
+    (j, cid, pos) partial sums — volume m·k·d/m = k·d, corpus-size-
+    independent. Requires d % m == 0 (raises otherwise — checked
+    lazily per row so the contract also holds for ragged inputs).
+
+    Output: (j, cid, cv) — subspace index 0..m-1, centroid id 1..k,
+    centroid subvector.
+    """
+    if m <= 0 or k <= 0 or n_iter < 0:
+        raise ValueError("m and k must be positive, n_iter non-negative")
+    from pyspark.sql import Window
+
+    sub = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"),
+            F.col(vec_col).alias("_fv"),
+        )
+        .select(
+            id_col,
+            "j",
+            F.expr(
+                f"CASE WHEN size(_fv) % {m} != 0 THEN "
+                f"raise_error('pq: dim not divisible by m={m}') "
+                f"ELSE slice(_fv, j * (size(_fv) DIV {m}) + 1, "
+                f"size(_fv) DIV {m}) END"
+            ).alias("_sv"),
+        )
+    )
+    w = Window.partitionBy("j").orderBy(id_col)
+    cent = (
+        sub.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("j", F.col("rn").cast("long").alias("cid"), F.col("_sv").alias("_cv"))
+    )
+    best = (
+        "array_min(transform(cents, c -> struct("
+        "round(aggregate(zip_with(_sv, c._cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 9) AS d2, "
+        "c.cid AS cid)))"
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        cents = c.groupBy("j").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(cid, _cv))), "
+                "s -> struct(s.cid AS cid, s._cv AS _cv))"
+            ).alias("cents")
+        )
+        return (
+            sub.join(F.broadcast(cents), "j")
+            .select(id_col, "j", "_sv", F.expr(best).alias("_best"))
+            .select(id_col, "j", "_sv", F.col("_best.cid").alias("cid"))
+        )
+
+    for _ in range(n_iter):
+        cent = (
+            assign(cent)
+            .select("j", "cid", F.posexplode("_sv").alias("pos", "x"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("mu"))
+            .groupBy("j", "cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)"
+                ).alias("_cv")
+            )
+        )
+    return cent.select("j", "cid", F.col("_cv").alias("cv"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """PQ-encode every vector against trained codebooks: each row of
+    the output is one (vector, subspace, nearest-centroid) triple —
+    the row form of the m-byte PQ code. Assignment is map-only against
+    the broadcast (j -> centroid list) map, distances rounded 1e-9
+    with cid as the deterministic tie-break (identical to training
+    assignment, so re-encoding the training set is idempotent).
+    """
+    sub = corpus.select(
+        F.col(id_col),
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"),
+        F.col(vec_col).alias("_fv"),
+    ).select(
+        id_col,
+        "j",
+        F.expr(
+            f"slice(_fv, j * (size(_fv) DIV {m}) + 1, size(_fv) DIV {m})"
+        ).alias("_sv"),
+    )
+    cents = codebooks.groupBy("j").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(cid, cv))), "
+            "s -> struct(s.cid AS cid, s.cv AS _cv))"
+        ).alias("cents")
+    )
+    best = (
+        "array_min(transform(cents, c -> struct("
+        "round(aggregate(zip_with(_sv, c._cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 9) AS d2, "
+        "c.cid AS cid)))"
+    )
+    return (
+        sub.join(F.broadcast(cents), "j")
+        .select(id_col, "j", F.expr(best).alias("_best"))
+        .select(id_col, "j", F.col("_best.cid").alias("cid"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: the
+    query keeps its EXACT subvectors; each corpus vector is represented
+    only by its m centroid ids, and the approximate squared distance is
+    the sum of m table lookups d2(q_j, centroid[j, code_j]).
+
+    This is the read-path shape that matters at 100 TB: after encoding,
+    a query never touches corpus FLOATS — it scans the m-int code table
+    (32x smaller than float32 vectors at m=8/k=256) and sums
+    pre-computed per-(j, cid) distances, i.e. one broadcast of an
+    m·k-row table per query batch and a map-side lookup-join keyed on
+    (j, cid). The final top-k is a per-query window over the summed
+    codes — TakeOrdered-sized, never corpus-sized output.
+
+    Output: (qid, rank, cid, adc_d2) — rank 1..topk by ascending
+    approximate distance (ties by cid); adc_d2 rounded 1e-6 for the
+    cross-engine export (per-cell distances round at 1e-9 first,
+    matching the training arithmetic).
+    """
+    from pyspark.sql import Window
+
+    books = pq_codebooks(corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
+    qsub = queries.select(
+        F.col("qid"),
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"),
+        F.col("qv").alias("_fv"),
+    ).select(
+        "qid",
+        "j",
+        F.expr(
+            f"slice(_fv, j * (size(_fv) DIV {m}) + 1, size(_fv) DIV {m})"
+        ).alias("_sv"),
+    )
+    # per-(query, j, cid) distance table: m*k rows per query, broadcast
+    table = qsub.join(F.broadcast(books), "j").select(
+        "qid",
+        "j",
+        "cid",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(_sv, cv, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            9,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("qid").orderBy("adc_raw", "cid")
+    return (
+        codes.join(F.broadcast(table), ["j", "cid"])
+        .where(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", F.col(id_col).alias("cid"))
+        .agg(F.sum("d2").alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("qid", "rank", "cid", F.round("adc_raw", 6).alias("adc_d2"))
+        .orderBy("qid", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition that IS the
+    billion-scale ANN index layout (FAISS's IVFADC, Jégou et al. 2011
+    §V): a coarse IVF quantizer prunes the search to ``nprobe`` of
+    ``n_centroids`` cells (at rest: partition pruning — a probe reads
+    nprobe/C of the data), and within the probed cells candidates are
+    scored by PQ asymmetric distance over their m-int codes (in
+    flight: the scan touches compressed codes, never corpus floats).
+
+    Both codebooks are deterministic (IVF: the first n_centroids
+    corpus vectors, as ivf_topk; PQ: the grouped-Lloyd fit of
+    pq_codebooks), so the ENTIRE index — coarse assign, probe set,
+    code assignment, ADC arithmetic — replays in ANSI SQL and
+    hash-checks cross-engine.
+
+    Scale shape: cell assignment and probing are map-only against the
+    broadcast coarse codebook; the candidate set is one equi-join on
+    the cell key (pre-partition the corpus by cell at rest and it is
+    co-located); scoring is a broadcast (qid, j, cid)->d2 lookup join
+    plus an m-row sum per candidate; the top-k is a per-query window.
+    Output: (qid, rank, cid, adc_d2) — as pq_adc_topk, but scanning
+    only the probed cells.
+    """
+    from pyspark.sql import Window
+
+    centroids = corpus.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("cand_id"), "cell"
+    )
+    probes = ivf_assign(
+        queries.select(F.col("qid").alias(id_col), F.col("qv").alias(vec_col)),
+        centroids,
+        id_col,
+        vec_col,
+        nprobe=nprobe,
+    ).select(F.col(id_col).alias("qid"), "cell")
+    books = pq_codebooks(
+        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
+    qsub = queries.select(
+        F.col("qid"),
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"),
+        F.col("qv").alias("_fv"),
+    ).select(
+        "qid",
+        "j",
+        F.expr(
+            f"slice(_fv, j * (size(_fv) DIV {m}) + 1, size(_fv) DIV {m})"
+        ).alias("_sv"),
+    )
+    table = qsub.join(F.broadcast(books), "j").select(
+        "qid",
+        "j",
+        "cid",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(_sv, cv, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            9,
+        ).alias("d2"),
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .where(F.col("cand_id") != F.col("qid"))
+        .select("qid", "cand_id")
+    )
+    w = Window.partitionBy("qid").orderBy("adc_raw", "cid")
+    return (
+        cand.join(codes, cand.cand_id == codes[id_col])
+        .join(F.broadcast(table), ["qid", "j", "cid"])
+        .groupBy("qid", F.col("cand_id").alias("cid"))
+        .agg(F.sum("d2").alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("qid", "rank", "cid", F.round("adc_raw", 6).alias("adc_d2"))
+        .orderBy("qid", "rank")
+    )

@@ -842,3 +842,45 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression. Oracle replays shingling, coverage, and the rebuild
     byte-for-byte."""
     return dedup.remove_dup_spans(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@query(
+    "q_span_removal_exact",
+    oracle=f"""
+WITH {_TOK_CTE},
+wk AS (SELECT doc_id, i AS start,
+              {_H64.format(x="array_to_string(list_slice(t, i + 1, i + 50), ' ')")} AS h
+       FROM tok, UNNEST(range(0, len(t) - 49)) AS u(i) WHERE len(t) >= 50),
+dp AS (SELECT h FROM wk GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+st AS (SELECT doc_id, list(DISTINCT start) AS starts
+       FROM wk WHERE h IN (SELECT h FROM dp) GROUP BY 1),
+r AS (SELECT tok.doc_id, t, coalesce(st.starts, []) AS starts
+      FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id
+      WHERE len(t) > 0),
+k AS (SELECT doc_id, t,
+             list_filter(range(0, len(t)),
+                         i -> NOT len(list_filter(starts,
+                              s -> s <= i AND i <= s + 49)) > 0) AS keep_idx
+      FROM r)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(keep_idx) AS BIGINT) AS n_removed,
+       round((len(t) - len(keep_idx)) / CAST(len(t) AS DOUBLE), 6)
+           AS removed_frac,
+       md5(coalesce(array_to_string(list_transform(keep_idx, i -> t[i+1]),
+                                    ' '), '')) AS rebuilt_md5
+FROM k ORDER BY doc_id
+""",
+)
+def q_span_removal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal at Lee et al. 2022's published
+    >= 50-token granularity (the act half of `q_dup_spans_exact`'s
+    audit, completing the pair the 3-gram-blocked `q_span_removal`
+    approximates): every doc rewritten with tokens dropped wherever a
+    covering 50-token window appears verbatim in another document;
+    rebuilt text verified by md5 terminal. Stride-1 rolling
+    fingerprints, constant-state min!=max dup test, doc-length-bounded
+    start lists, single JVM rebuild expression. Oracle replays
+    fingerprinting, coverage, and the rebuild byte-for-byte."""
+    return dedup.remove_exact_dup_spans(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )

@@ -917,3 +917,45 @@ def q_activity_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+_H913 = "WHERE year(ts)=2024 AND month(ts)=1 AND day(ts)=15 AND hour(ts)>=9 AND hour(ts)<13"
+
+
+@query(
+    "q_triangle_spans",
+    oracle=f"""
+WITH p AS ({_presence_sql(_H913)}),
+e0 AS ({_EDGES_FROM_P}),
+fp AS (SELECT actor1, actor2, min(frame_id) AS f FROM e0 GROUP BY 1, 2),
+tri AS (SELECT e1.f AS fab, e2.f AS fbc, e3.f AS fac
+        FROM fp e1
+        JOIN fp e2 ON e2.actor1 = e1.actor2
+        JOIN fp e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2),
+sp AS (SELECT CASE WHEN fab <> fbc AND fbc <> fac AND fab <> fac
+              THEN greatest(fab, fbc, fac) - least(fab, fbc, fac)
+              ELSE -1 END AS span
+       FROM tri)
+SELECT CAST(span AS BIGINT) AS span, CAST(count(*) AS BIGINT) AS n_triangles
+FROM sp GROUP BY 1 ORDER BY span
+""",
+)
+def q_triangle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle formation-span histogram over the pinned day's [9,13)
+    four-frame window (the undirected delta-temporal triangle motif of
+    Paranjape et al. 2017): per triangle, the spread in frames between
+    the first pair to co-appear and the last — the closure-delay
+    distribution; span -1 buckets the degenerate triangles born
+    whole inside one frame (a single co-presence frame is a clique;
+    the sentinel is -1, not NULL, so rows stay totally orderable in
+    any comparator).
+    First-frame-per-pair reduces the stream before the QUERY11-shaped
+    a<b<c join; no forced broadcast (AQE chooses); frames-bounded
+    terminal. Oracle replays the reduction, the join, and the span
+    arithmetic."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 13))
+    return graph.triangle_formation_spans(
+        e.select("frame_id", "actor1", "actor2")
+    )

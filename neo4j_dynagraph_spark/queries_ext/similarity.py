@@ -799,3 +799,144 @@ def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "ante", "cons").limit(20)
+
+
+def _pq_cte(m: int = 2, k: int = 4, n_iter: int = 2) -> str:
+    """DuckDB replay of similarity.pq_codebooks + pq_encode: the
+    per-subspace grouped Lloyd fit (deterministic init = k smallest
+    vec_ids PER SUBSPACE, n_iter unrolled rounds, distances and
+    centroid components rounded 1e-9 exactly as the Spark side) ending
+    with `pcb` = the trained codebooks (j, cid, cv) and `enc` = the
+    per-(vector, subspace) code assignment (vec_id, j, cid)."""
+    parts = [
+        "pbase AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"psub AS (SELECT vec_id, t.j, "
+        f"list_slice(e, t.j * (len(e) // {m}) + 1, (t.j + 1) * (len(e) // {m})) AS sv "
+        f"FROM pbase, UNNEST(range(0, {m})) AS t(j))",
+        f"pc0 AS (SELECT j, rn AS cid, sv AS cv FROM "
+        f"(SELECT j, vec_id, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn "
+        f"FROM psub) WHERE rn <= {k})",
+    ]
+    dist = (
+        "round(list_sum(list_transform(range(len(b.sv)), "
+        "i -> (b.sv[i+1] - c.cv[i+1]) * (b.sv[i+1] - c.cv[i+1]))), 9)"
+    )
+    for it in range(n_iter):
+        parts.append(
+            f"pd{it} AS (SELECT b.vec_id, b.j, c.cid, {dist} AS d2 "
+            f"FROM psub b JOIN pc{it} c ON c.j = b.j)"
+        )
+        parts.append(
+            f"pa{it} AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid, "
+            "row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rk "
+            f"FROM pd{it}) WHERE rk = 1)"
+        )
+        parts.append(
+            f"pu{it} AS (SELECT a.j, a.cid, t.i AS pos, round(avg(b.sv[t.i]), 9) AS mu "
+            f"FROM pa{it} a JOIN psub b ON b.vec_id = a.vec_id AND b.j = a.j, "
+            "UNNEST(range(1, len(b.sv) + 1)) AS t(i) GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"pc{it + 1} AS (SELECT j, cid, list(mu ORDER BY pos) AS cv "
+            f"FROM pu{it} GROUP BY j, cid)"
+        )
+    parts.append(f"pcb AS (SELECT j, cid, cv FROM pc{n_iter})")
+    parts.append(
+        f"pdf AS (SELECT b.vec_id, b.j, c.cid, {dist} AS d2 "
+        "FROM psub b JOIN pcb c ON c.j = b.j)"
+    )
+    parts.append(
+        "enc AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid, "
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rk "
+        "FROM pdf) WHERE rk = 1)"
+    )
+    return ",\n".join(parts)
+
+
+@query(
+    "q_pq_adc",
+    oracle=f"""
+WITH {_pq_cte(2, 4, 2)},
+qs AS (SELECT vec_id AS qid, j, sv FROM psub WHERE vec_id < 5),
+tb AS (SELECT q.qid, c.j, c.cid,
+              round(list_sum(list_transform(range(len(q.sv)),
+                    i -> (q.sv[i+1] - c.cv[i+1]) * (q.sv[i+1] - c.cv[i+1]))), 9) AS d2
+       FROM qs q JOIN pcb c ON c.j = q.j),
+ad AS (SELECT t.qid, e.vec_id AS cid, sum(t.d2) AS adc_raw
+       FROM enc e JOIN tb t ON t.j = e.j AND t.cid = e.cid
+       WHERE e.vec_id != t.qid GROUP BY 1, 2),
+rk AS (SELECT qid, cid, adc_raw,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_raw, cid) AS rank
+       FROM ad)
+SELECT qid, CAST(rank AS BIGINT) AS rank, cid, round(adc_raw, 6) AS adc_d2
+FROM rk WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (Jégou et al.
+    2011) — the vector-compression read path for billion-scale ANN:
+    train m=2 per-subspace k=4 codebooks (grouped Lloyd, deterministic
+    init, 2 unrolled rounds — the kmeans_fixed contract extended with a
+    subspace key), encode the corpus to m-int codes, and answer the
+    vec_id<5 queries by summing m broadcast table lookups per corpus
+    CODE — the query never touches corpus floats. At 100 TB the scan
+    side is the m-int code table (32x smaller than float32 at
+    m=8/k=256) and the per-query work is a map-side (j, cid) lookup
+    join; the top-5 is a per-query window. Oracle replays the full
+    two-subspace fit, the encoding, and the ADC arithmetic."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.pq_adc_topk(emb, queries_df, topk=5, m=2, k=4, n_iter=2)
+
+
+@query(
+    "q_ivfpq",
+    oracle=f"""
+WITH {_pq_cte(2, 4, 2)},
+icent AS (SELECT vec_id AS cent_id, e AS ce FROM pbase WHERE vec_id < 32),
+iau AS (SELECT b.vec_id, c.cent_id, unnest(b.e) AS x, unnest(c.ce) AS y
+        FROM pbase b CROSS JOIN icent c),
+iad AS (SELECT vec_id, cent_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+        FROM iau GROUP BY 1, 2),
+iar AS (SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+        FROM iad),
+icells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM iar WHERE rk = 1),
+iprobes AS (SELECT vec_id AS qid, cent_id AS cell FROM iar WHERE rk <= 4 AND vec_id < 5),
+cand AS (SELECT p.qid, c.cand_id FROM iprobes p JOIN icells c USING (cell)
+         WHERE c.cand_id != p.qid),
+qs AS (SELECT vec_id AS qid, j, sv FROM psub WHERE vec_id < 5),
+tb AS (SELECT q.qid, c.j, c.cid AS pcid,
+              round(list_sum(list_transform(range(len(q.sv)),
+                    i -> (q.sv[i+1] - c.cv[i+1]) * (q.sv[i+1] - c.cv[i+1]))), 9) AS d2
+       FROM qs q JOIN pcb c ON c.j = q.j),
+ad AS (SELECT cand.qid, cand.cand_id AS cid, sum(t.d2) AS adc_raw
+       FROM cand JOIN enc e ON e.vec_id = cand.cand_id
+       JOIN tb t ON t.qid = cand.qid AND t.j = e.j AND t.pcid = e.cid
+       GROUP BY 1, 2),
+rk2 AS (SELECT qid, cid, adc_raw,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_raw, cid) AS rank
+        FROM ad)
+SELECT qid, CAST(rank AS BIGINT) AS rank, cid, round(adc_raw, 6) AS adc_d2
+FROM rk2 WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 (FAISS's IVFADC layout, Jégou et al. 2011 §V) —
+    the full billion-scale ANN index as one declarative plan: the
+    32-centroid coarse quantizer prunes each vec_id<5 query to its 4
+    probed cells (partition pruning at rest), and candidates inside
+    those cells are scored by PQ asymmetric distance over their m=2
+    int codes — the scan never touches corpus floats. Both codebooks
+    are deterministic, so the oracle replays the coarse assign, the
+    probe set, the grouped-Lloyd PQ fit, the encoding, and the ADC
+    arithmetic end-to-end."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.ivfpq_topk(
+        emb, queries_df, topk=5, n_centroids=32, nprobe=4, m=2, k=4, n_iter=2
+    )

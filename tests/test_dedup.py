@@ -291,3 +291,28 @@ def test_exact_dup_spans_rejects_bad_span(spark):
     docs = spark.createDataFrame([(0, "a b", "s")], "doc_id long, text string, source string")
     with _pytest.raises(ValueError):
         dedup.exact_dup_spans(docs, span=1)
+
+
+def test_remove_exact_dup_spans_matches_span_audit(spark):
+    # the act half must remove EXACTLY the tokens the audit half
+    # reports as covered: n_removed(doc) == sum of span_len(doc)
+    s = "s1 s2 s3 s4 s5 s6 s7"
+    rows = [
+        (0, f"u1 u2 u3 u4 u5 {s} t1 t2", "s0"),
+        (1, f"w1 w2 {s} v1", "s1"),
+        (2, "entirely different words all the way through here", "s0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    removed = {
+        r.doc_id: r for r in dedup.remove_exact_dup_spans(docs, span=5).collect()
+    }
+    spans = {}
+    for r in dedup.exact_dup_spans(docs, span=5).collect():
+        spans[r.doc_id] = spans.get(r.doc_id, 0) + r.span_len
+    assert removed[0].n_removed == spans[0] == 7
+    assert removed[1].n_removed == spans[1] == 7
+    assert removed[2].n_removed == 0 and 2 not in spans
+    # rebuilt text of doc 1 is its unique tokens only
+    import hashlib
+
+    assert removed[1].rebuilt_md5 == hashlib.md5(b"w1 w2 v1").hexdigest()

@@ -67,3 +67,47 @@ def test_planted_graph_query_oracle_nonempty(
     )
     assert not problems, f"{name}: " + "; ".join(problems)
     assert n_rows == expect_rows
+
+
+@pytest.fixture(scope="module")
+def planted_tri_dir(tmp_path_factory):
+    """Events planting one ORDERED triangle (pairs first seen in frames
+    9 < 10 < 12 -> span 3) and one degenerate clique-born triangle
+    (all pairs in frame 11 -> span -1 sentinel)."""
+    d = tmp_path_factory.mktemp("planted_tri_events")
+    rows = []
+    eid = 0
+    for hour, users in (
+        (9, (1, 2)),
+        (10, (2, 3)),
+        (12, (1, 3)),
+        (11, (4, 5, 6)),
+    ):
+        for u in users:
+            rows.append(
+                (eid, pd.Timestamp(2024, 1, 15, hour, 5), u, "view", 1.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_planted_triangle_spans_query_oracle(spark, planted_tri_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{planted_tri_dir}/events.parquet'"
+    )
+    problems, n_rows = compare_query(
+        spark, con, REGISTRY["q_triangle_spans"], planted_tri_dir
+    )
+    assert not problems, "; ".join(problems)
+    rows = {
+        (r.span, r.n_triangles)
+        for r in REGISTRY["q_triangle_spans"].fn(spark, planted_tri_dir).collect()
+    }
+    assert rows == {(3, 1), (-1, 1)}

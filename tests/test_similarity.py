@@ -323,3 +323,64 @@ def test_cooccurrence_topk_k_cut_deterministic(spark):
     out = similarity.cooccurrence_topk(df, "bk", "item", min_co=2, k=1).collect()
     assert len(out) == 1
     assert (out[0].item1, out[0].item2) == ("A", "B")
+
+
+def test_pq_encode_identical_vectors_share_codes(spark):
+    from neo4j_dynagraph_spark.operators import similarity as sim
+
+    # 4-dim vectors, m=2 -> 2-dim subspaces. Vectors 0 and 5 are
+    # identical; 1 shares only the FIRST subvector with 0.
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.0, 0.0, -10.0, -10.0]),
+        (2, [10.0, 10.0, 0.0, 0.0]),
+        (3, [10.0, 10.0, -10.0, -10.0]),
+        (4, [5.0, 5.0, 5.0, 5.0]),
+        (5, [0.0, 0.0, 10.0, 10.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    books = sim.pq_codebooks(corpus, m=2, k=2, n_iter=2)
+    codes = {
+        (r.vec_id, r.j): r.cid
+        for r in sim.pq_encode(corpus, books, m=2).collect()
+    }
+    assert len(codes) == 12  # 6 vectors x 2 subspaces
+    # identical vectors -> identical codes in every subspace
+    assert codes[(0, 0)] == codes[(5, 0)] and codes[(0, 1)] == codes[(5, 1)]
+    # 0 and 1 share subvector j=0 but differ in j=1
+    assert codes[(0, 0)] == codes[(1, 0)]
+    assert codes[(0, 1)] != codes[(1, 1)]
+
+
+def test_pq_adc_exact_duplicate_is_nearest_with_zero_distance(spark):
+    from neo4j_dynagraph_spark.operators import similarity as sim
+
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.0, 1.0, -10.0, -9.0]),
+        (2, [10.0, 10.0, 0.0, 1.0]),
+        (3, [9.0, 10.0, -10.0, -10.0]),
+        (4, [0.1, 0.0, 10.0, 9.9]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0, 10.0, 10.0])], "qid long, qv array<double>"
+    )
+    out = sim.pq_adc_topk(corpus, queries, topk=3, m=2, k=2, n_iter=2).collect()
+    # the query equals vector 0 exactly: its code-reconstructed
+    # distance must be the minimum, and 4 (near-dup) shares its codes
+    assert out[0].cid in (0, 4) and out[0].rank == 1
+    assert out[0].adc_d2 <= out[-1].adc_d2
+
+
+def test_pq_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from neo4j_dynagraph_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, v array<double>"
+    )
+    for m, k, n in ((0, 2, 1), (2, 0, 1), (2, 2, -1)):
+        with _pytest.raises(ValueError):
+            sim.pq_codebooks(corpus, m=m, k=k, n_iter=n)
