@@ -131,12 +131,28 @@ def main() -> None:
 
     # interleaved measurement: N rotated passes over the whole list
     # (see module docstring) — samples carry their pass index so the
-    # position_effect split below is by session age, not sample rank
+    # position_effect split below is by session age, not sample rank.
+    # A query sampled FEWER times than the pass count (the N=3 heavy
+    # ones) gets its passes SPREAD across the session (first / middle /
+    # last ...) instead of the first 3: the whole session warms
+    # downward (measured: every drift probe's last < first), so
+    # first-3 sampling would bias exactly the most expensive rows high.
+    total_passes = max(n_per.values())
+    sample_passes: dict[str, set[int]] = {}
+    for name in names:
+        n = n_per[name]
+        if n >= total_passes:
+            sample_passes[name] = set(range(total_passes))
+        else:
+            sample_passes[name] = {
+                round(i * (total_passes - 1) / (n - 1)) if n > 1 else 0
+                for i in range(n)
+            }
     per_q: dict[str, list[tuple[int, float]]] = {n: [] for n in names}
-    for p in range(max(n_per.values())):
+    for p in range(total_passes):
         shift = p % len(names)
         for name in names[shift:] + names[:shift]:
-            if p >= n_per[name]:
+            if p not in sample_passes[name]:
                 continue
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).toPandas()

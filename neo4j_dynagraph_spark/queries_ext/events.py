@@ -515,3 +515,90 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+           FROM events),
+c AS (SELECT user_id, event_type, t_us, event_id,
+             CASE WHEN lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY t_us, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM e),
+i AS (SELECT user_id, event_type, t_us, event_id,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+                 AS island
+      FROM c),
+v AS (SELECT user_id, island, min(t_us) AS from_us,
+             min(event_id) AS eid, min(event_type) AS event_type
+      FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+       md5(string_agg(event_type || '@' || from_us, '|'
+                      ORDER BY from_us, eid)) AS version_hash
+FROM v GROUP BY 1 ORDER BY user_id
+""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD2) history reconstruction from the
+    event log — the CDC-to-dimension operator every warehouse ingest
+    needs: per user, consecutive runs of the same event_type collapse
+    into validity VERSIONS (gaps-and-islands: change flag on lag
+    inequality, running-sum island id, min-instant per island), and
+    the full ordered version history is exported as one md5 per user
+    (vocab_prune's rebuild stance: O(users) output rows, every
+    interval still verified bit-for-bit). Instants are the contract's
+    exact integer microseconds (ts_ns div 1000 == DuckDB epoch_us)
+    with event_id as the deterministic same-instant tie-break.
+
+    Scale shape: one shuffle on user_id shared by both windows and the
+    two aggregates (per-user state bounded by that user's events);
+    the version table is runs-bounded, the terminal |users|-bounded.
+    Oracle replays islands, versions, and the history hash."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    c = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    i = c.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    v = i.groupBy("user_id", "island").agg(
+        F.min("t_us").alias("from_us"),
+        # min event_id is the same-instant tie-break for the history
+        # ordering (two versions CAN share from_us when types flip at
+        # one instant; without it the hash order is engine-dependent —
+        # caught by the planted fixture)
+        F.min("event_id").alias("eid"),
+        F.min("event_type").alias("event_type"),
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(from_us, "
+                        "eid, event_type))), s -> concat(s.event_type, "
+                        "'@', s.from_us))"
+                    ),
+                )
+            ).alias("version_hash"),
+        )
+        .orderBy("user_id")
+    )

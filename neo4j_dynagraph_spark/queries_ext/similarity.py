@@ -940,3 +940,108 @@ def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
         emb, queries_df, topk=5, n_centroids=32, nprobe=4, m=2, k=4, n_iter=2
     )
+
+
+@query(
+    "q_pq_recall",
+    oracle=f"""
+WITH {_pq_cte(2, 4, 2)},
+qs AS (SELECT vec_id AS qid, j, sv FROM psub WHERE vec_id < 5),
+tb AS (SELECT q.qid, c.j, c.cid AS pcid,
+              round(list_sum(list_transform(range(len(q.sv)),
+                    i -> (q.sv[i+1] - c.cv[i+1]) * (q.sv[i+1] - c.cv[i+1]))), 9) AS d2
+       FROM qs q JOIN pcb c ON c.j = q.j),
+-- flat PQ-ADC top-5
+fad AS (SELECT t.qid, e.vec_id AS cid, sum(t.d2) AS adc_raw
+        FROM enc e JOIN tb t ON t.j = e.j AND t.pcid = e.cid
+        WHERE e.vec_id != t.qid GROUP BY 1, 2),
+fr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_raw, cid) AS rk
+       FROM fad),
+pq5 AS (SELECT qid, cid FROM fr WHERE rk <= 5),
+-- IVF-PQ top-5 (32 seed centroids, nprobe=4)
+icent AS (SELECT vec_id AS cent_id, e AS ce FROM pbase WHERE vec_id < 32),
+iau AS (SELECT b.vec_id, c.cent_id, unnest(b.e) AS x, unnest(c.ce) AS y
+        FROM pbase b CROSS JOIN icent c),
+iad AS (SELECT vec_id, cent_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+        FROM iau GROUP BY 1, 2),
+iar AS (SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+        FROM iad),
+icells AS (SELECT vec_id AS cand_id, cent_id AS cell FROM iar WHERE rk = 1),
+iprobes AS (SELECT vec_id AS qid, cent_id AS cell FROM iar WHERE rk <= 4 AND vec_id < 5),
+icand AS (SELECT p.qid, c.cand_id FROM iprobes p JOIN icells c USING (cell)
+          WHERE c.cand_id != p.qid),
+vad AS (SELECT icand.qid, icand.cand_id AS cid, sum(t.d2) AS adc_raw
+        FROM icand JOIN enc e ON e.vec_id = icand.cand_id
+        JOIN tb t ON t.qid = icand.qid AND t.j = e.j AND t.pcid = e.cid
+        GROUP BY 1, 2),
+vr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_raw, cid) AS rk
+       FROM vad),
+ivfpq5 AS (SELECT qid, cid FROM vr WHERE rk <= 5),
+-- exact squared-L2 top-5 (the ground truth PQ approximates)
+xq AS (SELECT vec_id AS qid, e AS qe FROM pbase WHERE vec_id < 5),
+xu AS (SELECT x.qid, b.vec_id AS cid, unnest(x.qe) AS qx, unnest(b.e) AS bx
+       FROM xq x CROSS JOIN pbase b WHERE b.vec_id != x.qid),
+xd AS (SELECT qid, cid, sum((qx - bx) * (qx - bx)) AS d2 FROM xu GROUP BY 1, 2),
+xr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+       FROM xd),
+ex AS (SELECT qid, cid FROM xr WHERE rk <= 5),
+ap AS (SELECT 'ivfpq' AS method, qid, cid FROM ivfpq5
+       UNION ALL SELECT 'pq', qid, cid FROM pq5)
+SELECT ap.method, ap.qid,
+       CAST(count(ex.cid) AS BIGINT) AS n_hit,
+       round(count(ex.cid) / 5.0, 6) AS recall
+FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.cid = ap.cid
+GROUP BY ap.method, ap.qid ORDER BY ap.method, ap.qid
+""",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two PQ indexes (flat ADC scan and IVF-PQ with
+    nprobe=4) against the EXACT squared-L2 top-5 — the ground truth PQ
+    approximates (q_ann_recall's stance for the compressed indexes:
+    at 100 TB recall-vs-memory IS the PQ operator's spec, so the
+    quality metric ships as a first-class graded query, not a
+    notebook). All three result sets and the overlap counts are
+    DataFrame joins/aggregates — no collect; the oracle replays both
+    indexes, the exact scan, and the recall arithmetic."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    q = queries_df.select("qid", "qv")
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    exact = (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("qid", "cid", F.lit(1).alias("hit"))
+    )
+    pq5 = similarity.pq_adc_topk(
+        emb, queries_df, topk=5, m=2, k=4, n_iter=2
+    ).select(F.lit("pq").alias("method"), "qid", "cid")
+    ivfpq5 = similarity.ivfpq_topk(
+        emb, queries_df, topk=5, n_centroids=32, nprobe=4, m=2, k=4, n_iter=2
+    ).select(F.lit("ivfpq").alias("method"), "qid", "cid")
+    ap = ivfpq5.unionByName(pq5)
+    return (
+        ap.join(exact, ["qid", "cid"], "left")
+        .groupBy("method", "qid")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall"),
+        )
+        .orderBy("method", "qid")
+    )

@@ -111,3 +111,47 @@ def test_planted_triangle_spans_query_oracle(spark, planted_tri_dir):
         for r in REGISTRY["q_triangle_spans"].fn(spark, planted_tri_dir).collect()
     }
     assert rows == {(3, 1), (-1, 1)}
+
+
+@pytest.fixture(scope="module")
+def planted_scd_dir(tmp_path_factory):
+    """User 1: view,view,buy,view -> 3 versions (view, buy, view);
+    user 2: buy,buy -> 1 version. Same-instant rows tie-break on
+    event_id (user 3 has two types at one instant -> event_id order)."""
+    d = tmp_path_factory.mktemp("planted_scd_events")
+    rows = [
+        (0, pd.Timestamp(2024, 1, 15, 9, 0), 1, "view", 1.0, "{}"),
+        (1, pd.Timestamp(2024, 1, 15, 9, 5), 1, "view", 1.0, "{}"),
+        (2, pd.Timestamp(2024, 1, 15, 9, 10), 1, "buy", 1.0, "{}"),
+        (3, pd.Timestamp(2024, 1, 15, 9, 15), 1, "view", 1.0, "{}"),
+        (4, pd.Timestamp(2024, 1, 15, 10, 0), 2, "buy", 1.0, "{}"),
+        (5, pd.Timestamp(2024, 1, 15, 11, 0), 2, "buy", 1.0, "{}"),
+        (6, pd.Timestamp(2024, 1, 15, 12, 0), 3, "view", 1.0, "{}"),
+        (7, pd.Timestamp(2024, 1, 15, 12, 0), 3, "buy", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_planted_scd2_history_query_oracle(spark, planted_scd_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{planted_scd_dir}/events.parquet'"
+    )
+    problems, n_rows = compare_query(
+        spark, con, REGISTRY["q_scd2_history"], planted_scd_dir
+    )
+    assert not problems, "; ".join(problems)
+    out = {
+        r.user_id: r
+        for r in REGISTRY["q_scd2_history"].fn(spark, planted_scd_dir).collect()
+    }
+    assert out[1].n_versions == 3
+    assert out[2].n_versions == 1
+    # user 3: same instant, event_id 6 (view) before 7 (buy) -> 2 versions
+    assert out[3].n_versions == 2
