@@ -1463,3 +1463,75 @@ def hrw_shard_migration(docs: DataFrame, n_small: int = 8) -> DataFrame:
         .unionByName(summarize(mod, "mod"))
         .orderBy("scheme")
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 appendix A1.1, adapted
+# to this corpus's ~10-110-word synthetic docs: the word-count floor is
+# 20 instead of 50 so both outcomes occur at every SF)
+GOPHER_STOPS = ("the", "a", "of", "and", "to")
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher-style rule-based quality filter (Rae et al. 2021):
+    the EXPLICIT-threshold complement to quality_score's learned-ish
+    logistic — production pipelines run both and audit disagreement.
+
+    Five rules, each a named boolean column so downstream audits can
+    attribute failures per rule instead of reporting one opaque gate:
+      r_wc    word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+      r_mwl   mean word length in [3, 10]
+      r_alpha >= 80% of words contain an alphabetic character
+      r_stop  >= 2 distinct stopwords present (the/a/of/and/to)
+      r_rep   most-frequent token <= 20% of all tokens (the unigram
+              dominance cut; n-gram repetition lives in repetition_stats)
+    plus `passed` = AND of all five.
+
+    One narrow projection, every rule a JVM array/lambda expression in
+    codegen — no shuffle, no Python. The per-doc distinct-token count
+    loop (r_rep) is O(u*n) on <=few-hundred-token docs; at 100 TB this
+    stays map-side and row-local."""
+    toks = tokens_df(docs, text_col)
+    n = F.size("t")
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mwl = (
+        F.expr("aggregate(t, 0, (acc, x) -> acc + length(x))").cast("double")
+        / nd
+    )
+    alpha_frac = F.expr("size(filter(t, x -> x rlike '[a-z]'))") / nd
+    stops_sql = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    stop_hits = F.expr(
+        f"size(filter(array({stops_sql}), s -> array_contains(t, s)))"
+    )
+    top_frac = F.when(n == 0, F.lit(1.0)).otherwise(
+        F.expr(
+            "array_max(transform(array_distinct(t), "
+            "d -> size(filter(t, x -> x = d))))"
+        ).cast("double")
+        / nd
+    )
+    keep = [c for c in ("doc_id", "source") if c in toks.columns]
+    feat = toks.select(
+        *keep,
+        n.cast("long").alias("n_words"),
+        mwl.alias("mwl"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        top_frac.alias("top_frac"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = F.col("mwl").between(3.0, 10.0)
+    r_alpha = F.col("alpha_frac") >= 0.8
+    r_stop = F.col("stop_hits") >= 2
+    r_rep = F.col("top_frac") <= 0.2
+    return feat.select(
+        *keep,
+        "n_words",
+        r_wc.alias("r_wc"),
+        r_mwl.alias("r_mwl"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_wc & r_mwl & r_alpha & r_stop & r_rep).alias("passed"),
+    )

@@ -639,3 +639,74 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+WITH {_TOK_CTE},
+feat AS (SELECT doc_id, source, len(t) AS n,
+  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+    / greatest(len(t), 1) AS mwl,
+  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+    / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
+  len(list_filter(['the', 'a', 'of', 'and', 'to'],
+      s -> list_contains(t, s))) AS stop_hits,
+  CASE WHEN len(t) = 0 THEN 1.0
+       ELSE CAST(list_max(list_transform(list_distinct(t),
+                 d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+            / greatest(len(t), 1) END AS top_frac
+FROM tok),
+rules AS (SELECT source,
+  (n BETWEEN 20 AND 100000) AS r_wc,
+  (mwl BETWEEN 3.0 AND 10.0) AS r_mwl,
+  alpha_frac >= 0.8 AS r_alpha,
+  stop_hits >= 2 AS r_stop,
+  top_frac <= 0.2 AS r_rep
+FROM feat)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+  CAST(sum(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_rep
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  round(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_rep
+            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+FROM rules GROUP BY source ORDER BY source
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the Gopher rule-based quality filter (Rae et
+    al. 2021) — the explicit-threshold gate beside q_quality_score's
+    logistic and q_quality_calibration's reliability check: per-rule
+    failure counts attribute WHY docs are dropped (word count, mean
+    word length, alpha fraction, stopword presence, unigram dominance)
+    instead of one opaque pass rate. All five rules are JVM array
+    expressions in one map-side pass (operators/text.py gopher_rules);
+    the terminal is |sources| rows. Oracle replays every rule and the
+    per-source roll-up."""
+    rules = text.gopher_rules(_docs(spark, sf_dir))
+    fails = [
+        F.sum(F.when(~F.col(c), 1).otherwise(0))
+        .cast("long")
+        .alias(f"fail_{c[2:]}")
+        for c in ("r_wc", "r_mwl", "r_alpha", "r_stop", "r_rep")
+    ]
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *fails,
+            F.sum(F.when(F.col("passed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.round(
+                F.sum(F.when(F.col("passed"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1045,3 +1045,118 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method", "qid")
     )
+
+
+def _sq_cte() -> str:
+    """DuckDB replay of similarity.sq_stats_row + sq_encode +
+    sq_adc_topk's distance: per-dimension (min, max) calibration,
+    8-bit encode (floor(u * 255 / range + 0.5), clamped), and the
+    asymmetric reconstructed squared-L2 of the vec_id<5 queries
+    against every other corpus code, rounded 1e-9 exactly as the
+    Spark side. Ends with `sqr` = (qid, cid, d2, rank)."""
+    recon = "(r.mns[i] + CAST(c.codes[i] AS DOUBLE) * (r.mxs[i] - r.mns[i]) / 255.0)"
+    return f"""
+sbase AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sdim AS (SELECT t.i, min(e[t.i]) AS mn, max(e[t.i]) AS mx
+         FROM sbase, UNNEST(range(1, len(e) + 1)) AS t(i) GROUP BY 1),
+srow AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM sdim),
+scode AS (SELECT vec_id, list_transform(range(1, len(e) + 1),
+            i -> CASE WHEN r.mxs[i] = r.mns[i] THEN 0
+                 ELSE CAST(least(255.0, greatest(0.0,
+                      floor((e[i] - r.mns[i]) * 255.0 / (r.mxs[i] - r.mns[i]) + 0.5))) AS INT) END) AS codes
+          FROM sbase, srow r),
+squery AS (SELECT vec_id AS qid, e AS qe FROM sbase WHERE vec_id < 5),
+sqd AS (SELECT q.qid, c.vec_id AS cid,
+              round(list_sum(list_transform(range(1, len(c.codes) + 1),
+                    i -> (q.qe[i] - {recon}) * (q.qe[i] - {recon}))), 9) AS d2
+       FROM scode c, srow r, squery q WHERE c.vec_id != q.qid),
+sqr AS (SELECT qid, cid, d2,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rank
+        FROM sqd)"""
+
+
+@query(
+    "q_sq_topk",
+    oracle=f"""
+WITH {_sq_cte()}
+SELECT qid, CAST(rank AS BIGINT) AS rank, cid, round(d2, 6) AS sq_d2
+FROM sqr WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantization ANN top-5 — the third point on the
+    compression-accuracy curve beside exact floats (q_embed_topk, 1x)
+    and PQ codes (q_pq_adc, 32x): corpus vectors stored as int8 codes
+    (4x smaller), queries kept exact, distance = reconstructed squared
+    L2 from the broadcast one-row per-dimension (min, max) calibration.
+    At 100 TB the scan side is the int8 code table and the per-row
+    work one array fold in codegen; the top-5 is a per-query window.
+    Oracle replays the calibration, the encode, and the ADC
+    arithmetic end-to-end (operators/similarity.py sq_adc_topk)."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.sq_adc_topk(emb, queries_df, topk=5)
+
+
+@query(
+    "q_sq_recall",
+    oracle=f"""
+WITH {_sq_cte()},
+xu AS (SELECT q.qid, b.vec_id AS cid, unnest(q.qe) AS qx, unnest(b.e) AS bx
+       FROM squery q CROSS JOIN sbase b WHERE b.vec_id != q.qid),
+xd AS (SELECT qid, cid, sum((qx - bx) * (qx - bx)) AS d2 FROM xu GROUP BY 1, 2),
+xr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+       FROM xd),
+ex AS (SELECT qid, cid FROM xr WHERE rk <= 5),
+sq5 AS (SELECT qid, cid FROM sqr WHERE rank <= 5)
+SELECT sq5.qid, CAST(count(ex.cid) AS BIGINT) AS n_hit,
+       round(count(ex.cid) / 5.0, 6) AS recall
+FROM sq5 LEFT JOIN ex ON ex.qid = sq5.qid AND ex.cid = sq5.cid
+GROUP BY sq5.qid ORDER BY sq5.qid
+""",
+)
+def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the int8 scalar-quantized index against the exact
+    squared-L2 top-5 — q_pq_recall's stance for the 4x-compressed
+    index: the quality-vs-memory tradeoff IS the quantizer's spec, so
+    it ships as a graded query. SQ8's per-dimension reconstruction is
+    far finer than PQ's subspace centroids, so its recall should sit
+    at or near 1.0 where PQ's drops — the two graded numbers together
+    document the curve. All three result sets and the overlap counts
+    are DataFrame joins; the oracle replays the index, the exact scan,
+    and the recall arithmetic."""
+    from pyspark.sql import Window
+
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    q = queries_df.select("qid", "qv")
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    exact = (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("qid", "cid", F.lit(1).alias("hit"))
+    )
+    sq5 = similarity.sq_adc_topk(emb, queries_df, topk=5).select("qid", "cid")
+    return (
+        sq5.join(exact, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )

@@ -1221,3 +1221,95 @@ def q_gini_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_source_divergence",
+    oracle=f"""
+WITH {_TOK_CTE},
+u AS (SELECT source, unnest(t) AS token FROM tok),
+vocab AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM u GROUP BY 1
+          ORDER BY cnt DESC, token LIMIT 64)),
+cnts AS (SELECT u.source, u.token, count(*) AS c
+         FROM u JOIN vocab USING (token) GROUP BY 1, 2),
+tots AS (SELECT source, sum(c) AS tot FROM cnts GROUP BY 1),
+srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (SELECT s.source, v.token,
+         (COALESCE(c.c, 0) + 1.0) / (COALESCE(tt.tot, 0) + 64.0) AS p
+         FROM srcs s CROSS JOIN vocab v
+         LEFT JOIN cnts c ON c.source = s.source AND c.token = v.token
+         LEFT JOIN tots tt ON tt.source = s.source),
+pr AS (SELECT a.source AS source_a, b.source AS source_b,
+       sum(0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+                + b.p * ln(2.0 * b.p / (a.p + b.p)))) AS jsd
+       FROM grid a JOIN grid b ON a.token = b.token AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT source_a, source_b, round(jsd, 6) AS jsd
+FROM pr ORDER BY source_a, source_b
+""",
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions over the global top-64 vocabulary (add-one smoothed)
+    — the DISTRIBUTIONAL companion to q_source_overlap's verbatim
+    sharing matrix: overlap says two sources copy each other, JSD says
+    whether their language differs at all (a mixture designer drops a
+    source that is distributionally redundant even when no text is
+    shared). Bounded JSD in [0, ln 2]; symmetric, so only the
+    source_a < source_b triangle ships.
+
+    Scale shape: one tokenize pass feeds both the vocab cut and the
+    per-source counts (partial aggregation collapses to ~vocab rows
+    before either shuffle); everything after the counts operates on the
+    |sources| x 64 smoothed grid — the pair join and the JSD sum are
+    bounded by dimensions, not data. Oracle replays the vocab cut,
+    smoothing, and divergence arithmetic."""
+    K = 64
+    tok = dedup.tokens_df(_docs(spark, sf_dir)).select(
+        "source", F.explode("t").alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(K)
+        .select("token")
+    )
+    cnts = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tots = cnts.groupBy("source").agg(F.sum("c").alias("tot"))
+    srcs = _docs(spark, sf_dir).select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(cnts, ["source", "token"], "left")
+        .join(tots, "source", "left")
+        .select(
+            "source",
+            "token",
+            (
+                (F.coalesce("c", F.lit(0)) + F.lit(1.0))
+                / (F.coalesce("tot", F.lit(0)) + F.lit(float(K)))
+            ).alias("p"),
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    term = 0.5 * (
+        F.col("a.p") * F.log(2.0 * F.col("a.p") / (F.col("a.p") + F.col("b.p")))
+        + F.col("b.p") * F.log(2.0 * F.col("b.p") / (F.col("a.p") + F.col("b.p")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.round(F.sum(term), 6).alias("jsd"))
+        .orderBy("source_a", "source_b")
+    )

@@ -155,3 +155,54 @@ def test_planted_scd2_history_query_oracle(spark, planted_scd_dir):
     assert out[2].n_versions == 1
     # user 3: same instant, event_id 6 (view) before 7 (buy) -> 2 versions
     assert out[3].n_versions == 2
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(tmp_path_factory):
+    """Documents fixture with known distributional structure: srcA and
+    srcB share the exact same texts (JSD must be 0 after smoothing),
+    srcC uses a disjoint vocabulary (JSD near the ln 2 ceiling)."""
+    d = tmp_path_factory.mktemp("planted_docs")
+    texts_ab = [
+        "alpha beta gamma delta alpha beta",
+        "beta gamma delta epsilon alpha",
+        "gamma alpha beta delta delta",
+    ]
+    texts_c = [
+        "zeta eta theta iota kappa zeta",
+        "eta theta iota kappa zeta eta",
+        "theta zeta eta iota kappa",
+    ]
+    rows = []
+    did = 0
+    for src, texts in (("srcA", texts_ab), ("srcB", texts_ab), ("srcC", texts_c)):
+        for t in texts:
+            rows.append((did, t, "en", src, len(t)))
+            did += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_planted_source_divergence_query_oracle(spark, planted_docs_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{planted_docs_dir}/documents.parquet'"
+    )
+    problems, n_rows = compare_query(
+        spark, con, REGISTRY["q_source_divergence"], planted_docs_dir
+    )
+    assert not problems, "; ".join(problems)
+    assert n_rows == 3  # (A,B) (A,C) (B,C)
+    out = {
+        (r.source_a, r.source_b): r.jsd
+        for r in REGISTRY["q_source_divergence"].fn(spark, planted_docs_dir).collect()
+    }
+    assert out[("srcA", "srcB")] == 0.0  # identical distributions
+    import math
+
+    assert 0.05 < out[("srcA", "srcC")] <= math.log(2) + 1e-9  # smoothing over K=64 slots flattens the tiny fixture
+    assert out[("srcA", "srcC")] == out[("srcB", "srcC")]

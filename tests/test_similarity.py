@@ -384,3 +384,65 @@ def test_pq_rejects_bad_params(spark):
     for m, k, n in ((0, 2, 1), (2, 0, 1), (2, 2, -1)):
         with _pytest.raises(ValueError):
             sim.pq_codebooks(corpus, m=m, k=k, n_iter=n)
+
+
+def test_sq_codes_in_range_and_calibration_shape(spark, emb):
+    stats = similarity.sq_stats_row(emb)
+    srow = stats.collect()[0]
+    dim = emb.select(F.size("v")).first()[0]
+    assert len(srow.mns) == len(srow.mxs) == dim
+    assert all(a <= b for a, b in zip(srow.mns, srow.mxs))
+    codes = similarity.sq_encode(emb, stats)
+    bad = codes.where(
+        F.exists("codes", lambda c: (c < 0) | (c > similarity.SQ_LEVELS))
+    ).count()
+    assert bad == 0
+
+
+def test_sq_reconstruction_error_bounded(spark, emb):
+    # |x - recon(code(x))| <= half a quantization step per dimension
+    stats = similarity.sq_stats_row(emb)
+    joined = emb.join(F.broadcast(stats)).select(
+        "vec_id",
+        "v",
+        F.expr(similarity._SQ_CODE_EXPR.format(v="v")).alias("codes"),
+        "mns",
+        "mxs",
+    )
+    err = joined.select(
+        F.expr(
+            "aggregate(transform(codes, (c, i) -> CASE WHEN mxs[i] = mns[i] "
+            "THEN abs(v[i] - mns[i]) ELSE abs(v[i] - "
+            f"(mns[i] + CAST(c AS DOUBLE) * (mxs[i] - mns[i]) / {similarity.SQ_LEVELS}.0)) "
+            f"- 0.5 * (mxs[i] - mns[i]) / {similarity.SQ_LEVELS}.0 - 1e-9 END), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))"
+        ).alias("worst")
+    )
+    assert err.agg(F.max("worst")).first()[0] <= 0
+
+
+def test_sq_constant_dimension_codes_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [1.0, 7.0]), (2, [1.0, 6.0])], "vec_id long, v array<double>"
+    )
+    stats = similarity.sq_stats_row(df)
+    codes = {r.vec_id: r.codes for r in similarity.sq_encode(df, stats).collect()}
+    # dim 0 is constant -> code 0 everywhere; dim 1 spans [5, 7]
+    assert all(c[0] == 0 for c in codes.values())
+    assert codes[0][1] == 0 and codes[1][1] == similarity.SQ_LEVELS
+
+
+def test_sq_exact_duplicate_is_nearest(spark, emb):
+    # plant an exact duplicate of vec 0 and ensure SQ ranks it first
+    dup = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    corpus = emb.select("vec_id", "v").unionByName(dup)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    top = similarity.sq_adc_topk(corpus, q, topk=1).collect()
+    # asymmetric distance: the query keeps exact floats, so even an
+    # exact duplicate sits at the reconstruction error, not 0 — but it
+    # still ranks first and the error is bounded by d*(step/2)^2
+    assert top[0].cid == 1_000_000 and top[0].sq_d2 < 1e-3

@@ -773,3 +773,25 @@ def test_bm25_quoted_term_is_safe(spark):
     assert t.bm25_scores(docs, ["o'brien"]).count() == 0
     out = t.bm25_scores(docs, ["o'brien", "key"]).collect()
     assert [r.doc_id for r in out] == [1] and out[0].n_hit == 1
+
+
+def test_gopher_rules_attribute_failures_per_rule(spark):
+    base = "the a of and to " + " ".join(f"word{i}" for i in range(20))  # passes all
+    docs = spark.createDataFrame(
+        [
+            (1, base, "s"),
+            (2, "the a of and to word", "s"),  # too short -> r_wc
+            (3, base + " " + "x" * 300, "s"),  # mean word len > 10 -> r_mwl
+            (4, base + " " + " ".join(["9"] * 10), "s"),  # digits -> r_alpha
+            (5, " ".join(f"word{i}" for i in range(25)), "s"),  # no stops -> r_stop
+            (6, "the a of and to " + " ".join(["dupe"] * 20), "s"),  # r_rep
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = {row.doc_id: row for row in text.gopher_rules(docs).collect()}
+    assert r[1].passed
+    assert not r[2].r_wc and not r[2].passed
+    assert not r[3].r_mwl
+    assert not r[4].r_alpha and r[4].r_wc
+    assert not r[5].r_stop and r[5].r_alpha
+    assert not r[6].r_rep and r[6].r_stop
