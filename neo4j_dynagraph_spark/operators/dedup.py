@@ -706,3 +706,90 @@ def remove_exact_dup_spans(
             F.md5(F.concat_ws(" ", kept)).alias("rebuilt_md5"),
         )
     )
+
+
+def minhash_decontaminate(
+    docs: DataFrame,
+    is_benchmark,  # noqa: ANN001 — boolean Column over docs
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    min_eq: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training docs whose
+    MinHash signature agrees with a benchmark doc's on >= ``min_eq``
+    of ``num_hashes`` components (estimated Jaccard >= min_eq/k) —
+    the near-duplicate complement to decontaminate()'s exact n-gram
+    rule (a lightly paraphrased eval answer shares few verbatim
+    8-grams but keeps high shingle Jaccard).
+
+    Scale shape: ONE signature pass over the union (the corpus-sized
+    work); the benchmark slice of the signatures is tiny (eval sets
+    vs a 100 TB corpus) so BOTH its banded keys and its full
+    signatures broadcast — candidate generation is a map-side band
+    join of the train bands against the broadcast benchmark bands
+    (never all-pairs), and the signature-agreement verify re-attaches
+    the broadcast benchmark signature row by bench_id. Output one row
+    per flagged (train doc, benchmark doc): doc_id, bench_id, n_eq,
+    est_jaccard.
+    """
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"signature width {num_hashes} is not divisible by "
+            f"rows_per_band={rows_per_band}"
+        )
+    flagged = docs.select("doc_id", is_benchmark.alias("_is_bench"), text_col)
+    sigs = minhash_signatures(shingles_df(flagged, text_col)).join(
+        flagged.select("doc_id", "_is_bench"), "doc_id"
+    )
+    bench = sigs.where(F.col("_is_bench")).drop("_is_bench")
+    train = sigs.where(~F.col("_is_bench")).drop("_is_bench")
+    r = rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"h{r * b + j}").alias(f"h{j}") for j in range(r)],
+            )
+            for b in range(num_hashes // r)
+        ]
+    )
+    keys = ["band"] + [f"h{j}" for j in range(r)]
+
+    def bands(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias), F.explode(band_structs).alias("bs")
+        ).select(id_alias, *[F.col(f"bs.{k}").alias(k) for k in keys])
+
+    cand = (
+        bands(train, "doc_id")
+        .join(F.broadcast(bands(bench, "bench_id")), keys)
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    bsig = bench.select(
+        F.col("doc_id").alias("bench_id"),
+        *[F.col(f"h{i}").alias(f"bh{i}") for i in range(num_hashes)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"h{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(train, "doc_id")
+        .join(F.broadcast(bsig), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            n_eq.cast("long").alias("n_eq"),
+        )
+        .where(F.col("n_eq") >= min_eq)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_eq",
+            F.round(F.col("n_eq") / F.lit(float(num_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )

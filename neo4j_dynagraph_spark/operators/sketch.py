@@ -129,7 +129,16 @@ def cms_estimates(
     token's counter. The d*w sketch re-attaches by BROADCAST, so the
     probe is map-side. Columns: token, cms_est.
     """
-    sk = cms_table(tokens, d, w)
+    return cms_probe(cms_table(tokens, d, w), probe, d, w)
+
+
+def cms_probe(
+    sk: DataFrame, probe: DataFrame, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Probe a PREBUILT (r, c, cnt) sketch — the shared read path for
+    the batch cms_table and the incrementally-maintained streaming
+    sketch (streaming/cms.py), which are bit-equal counter tables.
+    Columns: token, cms_est."""
     probes = probe.select(
         "token",
         F.explode(

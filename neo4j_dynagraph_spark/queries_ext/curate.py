@@ -676,6 +676,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
             THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
 FROM rules GROUP BY source ORDER BY source
 """,
+    bench=True,
 )
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source audit of the Gopher rule-based quality filter (Rae et

@@ -884,3 +884,66 @@ def q_span_removal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_exact_dup_spans(_docs(spark, sf_dir)).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "q_minhash_decontam",
+    oracle=(
+        f"WITH {_TOK_CTE}, {_SH_CTE}, "
+        "hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) "
+        "|| md5('s2:' || shingle) || md5('s3:' || shingle) AS hh FROM sh), "
+        "hs AS (SELECT doc_id, "
+        + ", ".join(
+            f"('0x' || substr(hh, {15 * i + 1}, 15))::BIGINT AS h{i}"
+            for i in range(8)
+        )
+        + " FROM hs_src), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"min(h{i}) AS h{i}" for i in range(8))
+        + " FROM hs GROUP BY 1), "
+        "bench AS (SELECT * FROM sig WHERE doc_id % 97 = 0), "
+        "train AS (SELECT * FROM sig WHERE doc_id % 97 <> 0), "
+        "tb AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM train"
+            for b in range(4)
+        )
+        + "), "
+        "bb AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS bench_id, {b} AS band, h{2 * b} AS h0, "
+            f"h{2 * b + 1} AS h1 FROM bench"
+            for b in range(4)
+        )
+        + "), "
+        "cand AS (SELECT DISTINCT t.doc_id, b.bench_id "
+        "FROM tb t JOIN bb b USING (band, h0, h1)), "
+        "eq AS (SELECT c.doc_id, c.bench_id, ("
+        + " + ".join(
+            f"CASE WHEN t.h{i} = bs.h{i} THEN 1 ELSE 0 END" for i in range(8)
+        )
+        + ") AS n_eq FROM cand c "
+        "JOIN train t ON t.doc_id = c.doc_id "
+        "JOIN bench bs ON bs.doc_id = c.bench_id) "
+        "SELECT doc_id, bench_id, CAST(n_eq AS BIGINT) AS n_eq, "
+        "round(n_eq / 8.0, 6) AS est_jaccard "
+        "FROM eq WHERE n_eq >= 4 ORDER BY doc_id, bench_id"
+    ).replace("FROM hs_src", "FROM hx"),
+    empty_ok=True,
+)
+def q_minhash_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (MinHash signature agreement)
+    — the near-duplicate complement to q_decontam's exact 8-gram rule
+    and q_bloom_decontam's constant-space twin: a paraphrased eval
+    answer shares few verbatim 8-grams but keeps high shingle
+    Jaccard, so the flag is >= 4 of 8 signature components equal
+    (estimated J >= 0.5) between a training doc and the doc_id % 97
+    benchmark set. One signature pass over the union; the benchmark
+    bands AND signatures broadcast (eval sets are tiny at 100 TB), so
+    candidate generation and the agreement verify are map-side —
+    never all-pairs. Oracle replays signatures, banding, and the
+    agreement count bit-for-bit (operators/dedup.py
+    minhash_decontaminate)."""
+    return dedup.minhash_decontaminate(
+        _docs(spark, sf_dir), F.col("doc_id") % 97 == 0
+    ).orderBy("doc_id", "bench_id")

@@ -1082,6 +1082,7 @@ WITH {_sq_cte()}
 SELECT qid, CAST(rank AS BIGINT) AS rank, cid, round(d2, 6) AS sq_d2
 FROM sqr WHERE rank <= 5 ORDER BY qid, rank
 """,
+    bench=True,
 )
 def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bit scalar-quantization ANN top-5 — the third point on the

@@ -394,3 +394,59 @@ def q_stream_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema,
         list(_BM25_TERMS),
     )
+
+
+@query(
+    "q_stream_cms",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+u AS (SELECT unnest(t) AS token FROM tok),
+freq AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
+top AS (SELECT token, cnt FROM freq ORDER BY cnt DESC, token LIMIT 20),
+cells AS (SELECT r, {_H64.format(x="'cms' || r || ':' || token")} % 1024 AS c,
+                 count(*) AS cnt
+          FROM u, UNNEST([0, 1, 2, 3]) AS sd(r) GROUP BY 1, 2),
+pr AS (SELECT token, r,
+              {_H64.format(x="'cms' || r || ':' || token")} % 1024 AS c
+       FROM top, UNNEST([0, 1, 2, 3]) AS sd(r)),
+est AS (SELECT pr.token, min(cells.cnt) AS cms_est
+        FROM pr JOIN cells ON cells.r = pr.r AND cells.c = pr.c
+        GROUP BY 1)
+SELECT top.token, CAST(top.cnt AS BIGINT) AS exact_cnt,
+       CAST(est.cms_est AS BIGINT) AS cms_est,
+       CAST(est.cms_est - top.cnt AS BIGINT) AS overshoot
+FROM top JOIN est USING (token) ORDER BY exact_cnt DESC, top.token
+""",
+)
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Count-Min sketch: the documents stream drained
+    through foreachBatch partial counter tables keyed by
+    (batch_id, r, c) — CMS counters are ADDITIVE, so exactly-once
+    follows q_stream_corpus_stats' overwrite-own-batch protocol, not
+    KMV's idempotent union-prune (streaming/cms.py). Integer counter
+    sums are associative/commutative, so the drained sketch equals the
+    batch cms_table bit-for-bit under any micro-batch chopping — the
+    probe of the top-20 tokens therefore hash-matches q_cms_freq's
+    exact oracle. Multi-batch equality and replay idempotence pinned
+    by unit test."""
+    from neo4j_dynagraph_spark.operators.sketch import cms_probe
+    from neo4j_dynagraph_spark.streaming.cms import stream_cms_table
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sk = stream_cms_table(spark, f"{sf_dir}/documents.parquet", schema)
+    top = (
+        text.token_frequencies(_docs(spark, sf_dir))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+    est = cms_probe(sk, top.select("token"))
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            F.col("cnt").cast("long").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("long").alias("overshoot"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )

@@ -206,3 +206,55 @@ def test_planted_source_divergence_query_oracle(spark, planted_docs_dir):
 
     assert 0.05 < out[("srcA", "srcC")] <= math.log(2) + 1e-9  # smoothing over K=64 slots flattens the tiny fixture
     assert out[("srcA", "srcC")] == out[("srcB", "srcC")]
+
+
+@pytest.fixture(scope="module")
+def planted_contam_dir(tmp_path_factory):
+    """Documents where doc 0 is the benchmark (doc_id % 97 == 0):
+    doc 3 is its exact copy (all 8 signature lanes equal), doc 1 a
+    near-paraphrase (high shingle Jaccard), doc 2 unrelated. The
+    sf0.01 gate legitimately yields 0 rows for q_minhash_decontam, so
+    this fixture proves the flag/agreement logic on real rows in every
+    default run."""
+    d = tmp_path_factory.mktemp("planted_contam_docs")
+    bench = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall green tree near the old stone wall"
+    )
+    near = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall green tree near the old brick wall"
+    )
+    rows = [
+        (0, bench, "en", "srcB", len(bench)),
+        (1, near, "en", "srcT", len(near)),
+        (2, "completely unrelated words about spark shuffles and joins "
+            "running on large clusters with many executors today", "en",
+         "srcT", 100),
+        (3, bench, "en", "srcT", len(bench)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_planted_minhash_decontam_query_oracle(spark, planted_contam_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{planted_contam_dir}/documents.parquet'"
+    )
+    problems, n_rows = compare_query(
+        spark, con, REGISTRY["q_minhash_decontam"], planted_contam_dir
+    )
+    assert not problems, "; ".join(problems)
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q_minhash_decontam"].fn(spark, planted_contam_dir).collect()
+    }
+    assert out[3].n_eq == 8 and out[3].est_jaccard == 1.0  # exact copy
+    assert out[3].bench_id == 0
+    assert 1 in out and out[1].n_eq >= 4  # paraphrase still flagged
+    assert 2 not in out  # unrelated doc untouched

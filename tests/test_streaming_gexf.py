@@ -751,3 +751,60 @@ def test_stream_corpus_stats_multibatch_equals_batch(spark, tmp_path):
     assert (
         state.agg(F.sum("cnt_docs")).collect()[0][0] == 5
     )  # not doubled
+
+
+def test_stream_cms_multibatch_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """The incremental CMS drained one micro-batch at a time must equal
+    the batch cms_table bit-for-bit (additive counters under any
+    chopping), and re-merging a batch's partials (foreachBatch
+    re-delivery) must leave the summed sketch unchanged (overwrite-own-
+    batch exactly-once)."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.sketch import cms_table
+    from neo4j_dynagraph_spark.streaming.cms import CMSStore, stream_cms_table
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shards = [
+        [(0, "spark merge spark row"), (1, "table scan merge")],
+        [(2, "spark spark spark"), (3, "row row table")],
+        [(4, "merge"), (5, "scan table spark row merge")],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    store_root = str(tmp_path / "cms_store")
+    streamed = stream_cms_table(
+        spark,
+        str(src),
+        schema,
+        store_root=store_root,
+        max_files_per_trigger=1,
+    )
+    docs = spark.read.parquet(str(src))
+    occ = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    batch = cms_table(occ)
+    s_rows = sorted(map(tuple, streamed.collect()))
+    assert s_rows == sorted(map(tuple, batch.collect()))
+    # replay a batch's own partials: summed sketch must not change
+    store = CMSStore(spark, store_root)
+    state = store.read()
+    one_batch = state.where(F.col("batch_id") == state.agg(F.min("batch_id")).first()[0])
+    store.merge(one_batch)
+    replayed = (
+        store.read()
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, replayed.collect())) == s_rows
