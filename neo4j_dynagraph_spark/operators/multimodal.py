@@ -79,6 +79,23 @@ def decode_ppm(payload: bytes) -> dict:
     width/height/maxval plus byte statistics over the pixel plane
     (mean/min/max), which downstream features and the SQL oracles
     consume. Raises ValueError on malformed input."""
+    d = decode_ppm_pixels(payload)
+    plane = d["plane"]
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "maxval": d["maxval"],
+        "n_bytes": len(plane),
+        "mean_byte": sum(plane) / len(plane),
+        "min_byte": min(plane),
+        "max_byte": max(plane),
+    }
+
+
+def decode_ppm_pixels(payload: bytes) -> dict:
+    """The PPM/PGM parse half of decode_ppm, returning the raw pixel
+    plane (row-major, ``channels`` bytes per pixel) for operators that
+    need spatial structure (tiling) rather than summary statistics."""
     if payload[:2] not in (b"P6", b"P5"):
         raise ValueError("not a P6/P5 netpbm payload")
     # header = magic, width, height, maxval as whitespace-separated
@@ -116,10 +133,8 @@ def decode_ppm(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "maxval": maxval,
-        "n_bytes": len(plane),
-        "mean_byte": sum(plane) / len(plane),
-        "min_byte": min(plane),
-        "max_byte": max(plane),
+        "channels": bpp,  # bytes per pixel (doubled for 16-bit samples)
+        "plane": plane,
     }
 
 
@@ -195,6 +210,24 @@ def decode_png(payload: bytes) -> dict:
     plus byte statistics over the unfiltered pixel plane. Raises
     ValueError on malformed input (bad signature, truncated chunk,
     CRC mismatch, short pixel plane)."""
+    d = decode_png_pixels(payload)
+    plane = d["plane"]
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "maxval": d["maxval"],
+        "color_type": d["color_type"],
+        "n_bytes": len(plane),
+        "mean_byte": sum(plane) / len(plane),
+        "min_byte": min(plane),
+        "max_byte": max(plane),
+    }
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """The chunk-walk/inflate/unfilter half of decode_png, returning
+    the raw unfiltered pixel plane (row-major, ``channels`` bytes per
+    pixel) for operators that need spatial structure (tiling)."""
     import struct
     import zlib
 
@@ -266,10 +299,8 @@ def decode_png(payload: bytes) -> dict:
         "height": height,
         "maxval": (1 << depth) - 1,
         "color_type": color,
-        "n_bytes": len(plane),
-        "mean_byte": sum(plane) / len(plane),
-        "min_byte": min(plane),
-        "max_byte": max(plane),
+        "channels": bpp,
+        "plane": bytes(plane),
     }
 
 
@@ -628,3 +659,61 @@ def repartition_by_bytes(
     the partition count from data volume, not row count."""
     n = max(1, total_bytes // target_partition_bytes)
     return df.repartition(int(n))
+
+
+def tile_images(
+    media: DataFrame, tile_w: int = 4, tile_h: int = 2
+) -> DataFrame:
+    """ViT-style patch tiling (mapInPandas, 1-to-many): REAL-decode each
+    image payload (PPM or PNG, dispatched on the container magic), split
+    the pixel plane into a ceil(w/tile_w) x ceil(h/tile_h) grid with
+    ragged right/bottom edges, and emit one row per tile with its byte
+    mean — the patch-embedding precursor shape (decode + patchify)
+    of a vision-transformer ingest pipeline.
+
+    Batch shape: 1:N Arrow expansion like sample_frames; each output
+    row is O(1) metadata + one float, so the expansion is bounded by
+    (w/tile_w)*(h/tile_h) per image regardless of payload size. At
+    100 TB this runs where the bytes live — no shuffle until whatever
+    aggregates the tiles.
+
+    Columns: media_id, tx, ty, tile_w, tile_h, mean_byte (rounded 1e-6
+    for cross-engine export).
+    """
+    if tile_w < 1 or tile_h < 1:
+        raise ValueError("tile dimensions must be >= 1")
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                d = (
+                    decode_png_pixels(b)
+                    if b[:8] == _PNG_SIG
+                    else decode_ppm_pixels(b)
+                )
+                w, h, ch, plane = d["width"], d["height"], d["channels"], d["plane"]
+                stride = w * ch
+                for ty in range((h + tile_h - 1) // tile_h):
+                    th = min(tile_h, h - ty * tile_h)
+                    for tx in range((w + tile_w - 1) // tile_w):
+                        tw = min(tile_w, w - tx * tile_w)
+                        tot = 0
+                        for y in range(ty * tile_h, ty * tile_h + th):
+                            off = y * stride + tx * tile_w * ch
+                            tot += sum(plane[off : off + tw * ch])
+                        rows.append(
+                            (int(mid), tx, ty, tw, th,
+                             round(tot / (tw * th * ch), 6))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "tx", "ty", "tile_w", "tile_h", "mean_byte"],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, tx int, ty int, tile_w int, tile_h int, mean_byte double",
+    )

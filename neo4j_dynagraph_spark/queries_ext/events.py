@@ -602,3 +602,167 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_pit_features",
+    oracle="""
+WITH u AS (SELECT event_id, user_id, epoch_us(ts) AS eus, event_type, value
+           FROM events WHERE event_type IN ('purchase', 'view')),
+w AS (SELECT event_id, event_type,
+        COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY eus
+          RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), 0) AS n_views_7d,
+        COALESCE(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END) OVER (
+          PARTITION BY user_id ORDER BY eus
+          RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), 0.0) AS vsum
+      FROM u)
+SELECT event_id, CAST(n_views_7d AS BIGINT) AS n_views_7d,
+       round(vsum, 6) AS val_views_7d
+FROM w WHERE event_type = 'purchase' ORDER BY event_id
+""",
+)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct feature join — the feature-store operator
+    that prevents label leakage in training tables: for every purchase
+    event, the user's trailing-7-day view count and view-value sum
+    computed over STRICTLY EARLIER micros (a RANGE frame ending 1
+    microsecond before the anchor, so a same-instant view can never
+    leak into its own label's features).
+
+    Scale shape: purchases and views ride ONE union and ONE shuffle on
+    user_id; the RANGE window frame is value-based on exact
+    epoch-micros (same-instant ties excluded by the frame bound, not by
+    sort order — deterministic in every engine), bounded by each user's
+    7-day activity. No self-join, no per-event probe. Oracle replays
+    the union, the frame arithmetic, and the leakage cutoff."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    eus = F.expr("ts_ns div 1000")
+    u = ev.select("event_id", "user_id", eus.alias("eus"), "event_type", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("eus")
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    is_view = F.col("event_type") == "view"
+    return (
+        u.withColumn(
+            "n_views_7d",
+            F.coalesce(
+                F.sum(F.when(is_view, 1).otherwise(0)).over(w), F.lit(0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "vsum",
+            F.coalesce(
+                F.sum(F.when(is_view, F.col("value")).otherwise(0.0)).over(w),
+                F.lit(0.0),
+            ),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "n_views_7d", F.round("vsum", 6).alias("val_views_7d"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_skew_audit",
+    oracle="""
+WITH c AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+r AS (SELECT k, cnt, row_number() OVER (ORDER BY cnt, k) AS rn FROM c),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+p AS (SELECT
+        max(CASE WHEN rn = CAST(floor((n_keys - 1) * 0.5) AS BIGINT) + 1
+            THEN cnt END) AS p50_cnt,
+        max(CASE WHEN rn = CAST(floor((n_keys - 1) * 0.99) AS BIGINT) + 1
+            THEN cnt END) AS p99_cnt
+      FROM r, g),
+t AS (SELECT r.k, r.cnt, g.n_keys - r.rn + 1 AS heavy_rank,
+             g.n_keys, g.n_rows
+      FROM r, g WHERE r.rn > g.n_keys - 10)
+SELECT CAST(heavy_rank AS BIGINT) AS heavy_rank, k AS partkey,
+       CAST(cnt AS BIGINT) AS cnt,
+       round(cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+       round(cnt * n_keys / CAST(n_rows AS DOUBLE), 6) AS x_mean,
+       n_keys, n_rows,
+       CAST(p50_cnt AS BIGINT) AS p50_cnt, CAST(p99_cnt AS BIGINT) AS p99_cnt
+FROM t, p ORDER BY heavy_rank
+""",
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for lineitem.l_partkey — the operational
+    pre-join diagnostic behind every salting/AQE-skew-join decision
+    (SCALE.md's skew-stress methodology as a first-class query): the
+    10 heaviest keys with their row share and multiple-of-mean, plus
+    nearest-rank p50/p99 of the per-key count distribution. A key at
+    x_mean >> p99/mean is the one you salt.
+
+    Scale shape: ONE map-side-combined count per key, then everything
+    runs on the |keys|-sized count table ranked by the TWO-PHASE
+    global rank (no one-partition window even when |keys| is
+    billions); the heavy-10 cut and both percentiles read off that
+    rank, global stats ride as a broadcast 1-row dim. Oracle replays
+    the rank with the plain window it provably equals."""
+    from neo4j_dynagraph_spark.operators.rank import two_phase_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    cnts = li.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = two_phase_rank(
+        cnts,
+        bucket=F.floor(F.col("cnt") / 8),
+        order_cols=[F.col("cnt"), F.col("k")],
+        rank_col="rn",
+    )
+    glob = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    wg = ranked.join(F.broadcast(glob))
+    pct = wg.agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n_keys") - 1) * 0.5).cast("long") + 1,
+                F.col("cnt"),
+            )
+        )
+        .cast("long")
+        .alias("p50_cnt"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n_keys") - 1) * 0.99).cast("long") + 1,
+                F.col("cnt"),
+            )
+        )
+        .cast("long")
+        .alias("p99_cnt"),
+    )
+    return (
+        wg.where(F.col("rn") > F.col("n_keys") - 10)
+        .join(F.broadcast(pct))
+        .select(
+            (F.col("n_keys") - F.col("rn") + 1).cast("long").alias("heavy_rank"),
+            F.col("k").alias("partkey"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n_rows").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                (F.col("cnt") * F.col("n_keys")) / F.col("n_rows").cast("double"),
+                6,
+            ).alias("x_mean"),
+            "n_keys",
+            "n_rows",
+            "p50_cnt",
+            "p99_cnt",
+        )
+        .orderBy("heavy_rank")
+    )

@@ -261,3 +261,40 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
     media = multimodal.encode_test_media(ids, kind="audio")
     return multimodal.decode_audio_meta(media).orderBy("media_id")
+
+
+@query(
+    "q_media_tiles",
+    oracle="""
+WITH g AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+                  doc_id % 251 AS v
+           FROM documents),
+t AS (SELECT doc_id, w, h, v, tx.i AS tx, ty.i AS ty
+      FROM g, UNNEST(range(0, (w + 3) // 4)) AS tx(i),
+             UNNEST(range(0, (h + 1) // 2)) AS ty(i)),
+m AS (SELECT doc_id, tx, ty, v,
+             least(4, w - tx * 4) AS tw, least(2, h - ty * 2) AS th
+      FROM t)
+SELECT doc_id AS media_id, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       CAST(tw AS INT) AS tile_w, CAST(th AS INT) AS tile_h,
+       round(CAST(list_sum(list_transform(range(tx * 4, tx * 4 + tw),
+             x -> (v + x) % 256)) AS DOUBLE) / tw, 6) AS mean_byte
+FROM m ORDER BY media_id, ty, tx
+""",
+)
+def q_media_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchify over REAL-decoded PNGs, hash-verified
+    end-to-end: the deterministic encoder builds gradient RGB PNGs
+    ((v+x) % 256 per pixel, Sub/Up/Paeth filter schedule), and
+    tile_images must CRC-check, inflate, unfilter, and then cut the
+    pixel plane into a 4x2 tile grid with ragged edges — per-tile byte
+    means only match the closed-form oracle if BOTH the decode and the
+    2D tile addressing (row stride, channel packing, edge clamping)
+    are exactly right. The mapInPandas expansion is 1:N like frame
+    sampling; each output row is O(1), so the operator runs where the
+    bytes live (operators/multimodal.py tile_images)."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.encode_test_media(ids, kind="png")
+    return multimodal.tile_images(media, tile_w=4, tile_h=2).orderBy(
+        "media_id", "ty", "tx"
+    )

@@ -1313,3 +1313,51 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).alias("jsd"))
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+WITH tc AS (SELECT lang,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS ws,
+       len(regexp_extract_all(lower(text),
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9'']+|\\s+'
+           )) AS bpe,
+       octet_length(encode(text)) AS nb
+FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(bpe) / CAST(sum(ws) AS DOUBLE), 6) AS fertility,
+       round(sum(nb) / CAST(sum(bpe) AS DOUBLE), 6) AS bytes_per_token,
+       round(sum(ws) / CAST(count(*) AS DOUBLE), 6) AS words_per_doc
+FROM tc GROUP BY lang ORDER BY lang
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the dataset-card metric that
+    decides whether a tokenizer is fair across a mixture's languages
+    (high fertility = more subword tokens per word = that language pays
+    more compute per sentence): BPE-pretoken/word ratio, bytes/token,
+    and words/doc, rolled up per declared language. One map-side
+    projection (both tokenizers are JVM regex, RE2-safe so the engines
+    tokenize identically), one |langs|-row aggregate. Oracle replays
+    both tokenizers and the ratios."""
+    tc = text.token_counts(_docs(spark, sf_dir)).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        tc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("bpe_tokens") / F.sum("ws_tokens").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_bytes") / F.sum("bpe_tokens").cast("double"), 6
+            ).alias("bytes_per_token"),
+            F.round(
+                F.sum("ws_tokens") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("words_per_doc"),
+        )
+        .orderBy("lang")
+    )

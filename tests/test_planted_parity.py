@@ -258,3 +258,48 @@ def test_planted_minhash_decontam_query_oracle(spark, planted_contam_dir):
     assert out[3].bench_id == 0
     assert 1 in out and out[1].n_eq >= 4  # paraphrase still flagged
     assert 2 not in out  # unrelated doc untouched
+
+
+@pytest.fixture(scope="module")
+def planted_pit_dir(tmp_path_factory):
+    """Events pinning q_pit_features' leakage cutoff: user 1 has a view
+    at the exact same microsecond as a purchase (must NOT count — the
+    frame ends 1 us before the anchor), and user 2's only view is 8
+    days old (outside the 7-day range)."""
+    d = tmp_path_factory.mktemp("planted_pit_events")
+    rows = [
+        (0, pd.Timestamp(2024, 1, 15, 9, 0, 0), 1, "view", 2.0, "{}"),
+        (1, pd.Timestamp(2024, 1, 15, 9, 0, 5), 1, "view", 3.0, "{}"),
+        (2, pd.Timestamp(2024, 1, 15, 9, 0, 5), 1, "purchase", 9.0, "{}"),
+        (3, pd.Timestamp(2024, 1, 15, 10, 0, 0), 1, "purchase", 9.0, "{}"),
+        (4, pd.Timestamp(2024, 1, 1, 9, 0, 0), 2, "view", 7.0, "{}"),
+        (5, pd.Timestamp(2024, 1, 12, 9, 0, 0), 2, "purchase", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_planted_pit_features_leakage_cutoff(spark, planted_pit_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{planted_pit_dir}/events.parquet'"
+    )
+    problems, n_rows = compare_query(
+        spark, con, REGISTRY["q_pit_features"], planted_pit_dir
+    )
+    assert not problems, "; ".join(problems)
+    out = {
+        r.event_id: r
+        for r in REGISTRY["q_pit_features"].fn(spark, planted_pit_dir).collect()
+    }
+    # same-instant view excluded: only the 09:00:00 view counts
+    assert out[2].n_views_7d == 1 and out[2].val_views_7d == 2.0
+    # one hour later both views are in range
+    assert out[3].n_views_7d == 2 and out[3].val_views_7d == 5.0
+    # 8-day-old view is outside the window -> zero-feature row survives
+    assert out[5].n_views_7d == 0 and out[5].val_views_7d == 0.0

@@ -795,3 +795,27 @@ def test_gopher_rules_attribute_failures_per_rule(spark):
     assert not r[4].r_alpha and r[4].r_wc
     assert not r[5].r_stop and r[5].r_alpha
     assert not r[6].r_rep and r[6].r_stop
+
+
+def test_tile_images_grid_and_ragged_edges(spark):
+    # 5x3 RGB PPM with pixel x-gradient: tile (tx=1, ty=1) is the ragged
+    # 1x1 corner; every tile mean is closed-form
+    w, h = 5, 3
+    body = bytes(x * 10 for y in range(h) for x in range(w) for _ in range(3))
+    img = f"P6\n{w} {h}\n255\n".encode() + body
+    media = spark.createDataFrame(
+        [(7, "image", img)], "media_id long, kind string, payload binary"
+    )
+    out = {
+        (r.tx, r.ty): r
+        for r in multimodal.tile_images(media, tile_w=4, tile_h=2).collect()
+    }
+    assert len(out) == 4  # 2x2 grid
+    assert (out[(0, 0)].tile_w, out[(0, 0)].tile_h) == (4, 2)
+    assert out[(0, 0)].mean_byte == 15.0  # mean of x in 0..3 -> 1.5 * 10
+    assert (out[(1, 0)].tile_w, out[(1, 0)].tile_h) == (1, 2)
+    assert out[(1, 0)].mean_byte == 40.0  # x = 4 column only
+    assert (out[(1, 1)].tile_w, out[(1, 1)].tile_h) == (1, 1)
+    assert out[(1, 1)].mean_byte == 40.0
+    with pytest.raises(ValueError):
+        multimodal.tile_images(media, tile_w=0)
