@@ -1161,3 +1161,147 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "q_ivf_tuning",
+    oracle="""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < 5),
+xp AS (SELECT q.qid, b.vec_id AS cid, q.qe, b.e AS ce
+       FROM base b CROSS JOIN q WHERE b.vec_id != q.qid),
+xu AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM xp),
+xd AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+       FROM xu GROUP BY 1, 2),
+xr AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM xd),
+exact AS (SELECT qid, cid FROM xr WHERE rk <= 10),
+cent AS (SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 32),
+ap AS (SELECT b.vec_id, c.cent_id, b.e AS be, c.ce FROM base b CROSS JOIN cent c),
+au AS (SELECT vec_id, cent_id, unnest(be) AS x, unnest(ce) AS y FROM ap),
+ad AS (SELECT vec_id, cent_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS csim
+       FROM au GROUP BY 1, 2),
+ar AS (SELECT vec_id, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+       FROM ad),
+cells AS (SELECT vec_id AS cid, cent_id AS cell FROM ar WHERE rk = 1),
+pr1 AS (SELECT vec_id AS qid, cent_id AS cell FROM ar WHERE rk <= 1 AND vec_id < 5),
+cd1 AS (SELECT DISTINCT p.qid, c.cid FROM pr1 p JOIN cells c USING (cell)
+          WHERE c.cid != p.qid),
+nc1 AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cd1 GROUP BY 1),
+ru1 AS (SELECT cd1.qid, cd1.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM cd1 JOIN base qq ON qq.vec_id = cd1.qid
+       JOIN base b ON b.vec_id = cd1.cid),
+rd1 AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+        FROM ru1 GROUP BY 1, 2),
+rr1 AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM rd1),
+tp1 AS (SELECT qid, cid FROM rr1 WHERE rk <= 10),
+re1 AS (SELECT x.qid, CAST(count(t.cid) AS BIGINT) AS n_hit
+        FROM exact x LEFT JOIN tp1 t ON t.qid = x.qid AND t.cid = x.cid
+        GROUP BY 1),
+pr2 AS (SELECT vec_id AS qid, cent_id AS cell FROM ar WHERE rk <= 2 AND vec_id < 5),
+cd2 AS (SELECT DISTINCT p.qid, c.cid FROM pr2 p JOIN cells c USING (cell)
+          WHERE c.cid != p.qid),
+nc2 AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cd2 GROUP BY 1),
+ru2 AS (SELECT cd2.qid, cd2.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM cd2 JOIN base qq ON qq.vec_id = cd2.qid
+       JOIN base b ON b.vec_id = cd2.cid),
+rd2 AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+        FROM ru2 GROUP BY 1, 2),
+rr2 AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM rd2),
+tp2 AS (SELECT qid, cid FROM rr2 WHERE rk <= 10),
+re2 AS (SELECT x.qid, CAST(count(t.cid) AS BIGINT) AS n_hit
+        FROM exact x LEFT JOIN tp2 t ON t.qid = x.qid AND t.cid = x.cid
+        GROUP BY 1),
+pr4 AS (SELECT vec_id AS qid, cent_id AS cell FROM ar WHERE rk <= 4 AND vec_id < 5),
+cd4 AS (SELECT DISTINCT p.qid, c.cid FROM pr4 p JOIN cells c USING (cell)
+          WHERE c.cid != p.qid),
+nc4 AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cd4 GROUP BY 1),
+ru4 AS (SELECT cd4.qid, cd4.cid, unnest(qq.e) AS x, unnest(b.e) AS y
+       FROM cd4 JOIN base qq ON qq.vec_id = cd4.qid
+       JOIN base b ON b.vec_id = cd4.cid),
+rd4 AS (SELECT qid, cid, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS sim
+        FROM ru4 GROUP BY 1, 2),
+rr4 AS (SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+       FROM rd4),
+tp4 AS (SELECT qid, cid FROM rr4 WHERE rk <= 10),
+re4 AS (SELECT x.qid, CAST(count(t.cid) AS BIGINT) AS n_hit
+        FROM exact x LEFT JOIN tp4 t ON t.qid = x.qid AND t.cid = x.cid
+        GROUP BY 1)
+SELECT 1 AS nprobe, q.qid, nc1.n_cands, re1.n_hit, round(re1.n_hit / 10.0, 6) AS recall FROM q JOIN nc1 ON nc1.qid = q.qid JOIN re1 ON re1.qid = q.qid
+UNION ALL SELECT 2 AS nprobe, q.qid, nc2.n_cands, re2.n_hit, round(re2.n_hit / 10.0, 6) AS recall FROM q JOIN nc2 ON nc2.qid = q.qid JOIN re2 ON re2.qid = q.qid
+UNION ALL SELECT 4 AS nprobe, q.qid, nc4.n_cands, re4.n_hit, round(re4.n_hit / 10.0, 6) AS recall FROM q JOIN nc4 ON nc4.qid = q.qid JOIN re4 ON re4.qid = q.qid
+ORDER BY nprobe, qid
+""",
+)
+def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve — recall@10 AND candidate count (the cost
+    proxy: candidates scored = fraction of the corpus scanned) at
+    nprobe 1, 2, 4 against the exact cosine top-10. This is the number
+    an operator reads before picking nprobe at 100 TB: recall rises
+    with probed cells while cost rises linearly, and the curve is the
+    spec (q_ann_recall grades one operating point; this grades the
+    knob). All three probe depths share ONE coarse-assignment pass and
+    one cell layout; everything downstream is per-depth joins over the
+    pruned candidate sets. Oracle replays the assignment, all three
+    probe sets, the re-ranks, and the recall arithmetic."""
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    exact = similarity.brute_force_topk(emb, queries_df, k=10).select(
+        "qid", "cid"
+    )
+    cents = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    cells = similarity.ivf_assign(emb, cents, nprobe=1).select(
+        F.col("vec_id").alias("cid"), "cell"
+    )
+    parts = []
+    for p in (1, 2, 4):
+        probes = similarity.ivf_assign(
+            queries_df.select(
+                F.col("qid").alias("vec_id"), F.col("qv").alias("v")
+            ),
+            cents,
+            nprobe=p,
+        ).select(F.col("vec_id").alias("qid"), "cell")
+        cand = (
+            cells.join(F.broadcast(probes), "cell")
+            .where(F.col("cid") != F.col("qid"))
+            .select("qid", "cid")
+            .distinct()
+        )
+        n_cands = cand.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cands")
+        )
+        topk = similarity.ivf_topk(
+            emb, queries_df, k=10, n_centroids=32, nprobe=p
+        ).select("qid", "cid")
+        n_hit = (
+            exact.join(topk, ["qid", "cid"], "semi")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        )
+        parts.append(
+            n_cands.join(n_hit, "qid", "left").select(
+                F.lit(p).alias("nprobe"),
+                "qid",
+                "n_cands",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                F.round(
+                    F.coalesce("n_hit", F.lit(0)) / F.lit(10.0), 6
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("nprobe", "qid")

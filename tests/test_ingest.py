@@ -306,3 +306,45 @@ def test_salted_join_property(spark):
         assert plain == salted
 
     check()
+
+
+def test_zorder_layout_tightens_both_dims(spark, tmp_path):
+    """The z-ordered layout must keep per-file min/max ranges narrow on
+    BOTH dimensions, where a single-column sort leaves the other
+    dimension spanning its full domain in every file — the property
+    parquet data skipping prunes on."""
+    import itertools
+
+    from neo4j_dynagraph_spark.operators import ingest
+
+    rows = [(u, d) for u, d in itertools.product(range(128), range(128))]
+    df = spark.createDataFrame(rows, "user_id long, day long")
+
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    ingest.write_zorder(df, zdir, F.col("user_id"), F.col("day"), n_files=64)
+    # baseline: sorted by day only (the "time-sorted log" layout)
+    df.repartitionByRange(64, "day").sortWithinPartitions("day").write.parquet(sdir)
+
+    def mean_ranges(path):
+        got = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("ur"),
+                (F.max("day") - F.min("day")).alias("dr"),
+            )
+            .agg(F.avg("ur").alias("ur"), F.avg("dr").alias("dr"))
+            .first()
+        )
+        return got.ur, got.dr
+
+    z_ur, z_dr = mean_ranges(zdir)
+    s_ur, s_dr = mean_ranges(sdir)
+    # day-sorted baseline: every file spans ~the full 0..127 user domain
+    assert s_ur > 120
+    # z-order: 64 files over the 128x128 grid = 16x16 tiles, so BOTH
+    # per-file ranges sit at ~15 — an 8x tighter skip bound per dim
+    assert z_ur < 32 and z_dr < 32
+    # and the z layout did not lose rows
+    assert spark.read.parquet(zdir).count() == len(rows)

@@ -446,3 +446,19 @@ def test_sq_exact_duplicate_is_nearest(spark, emb):
     # exact duplicate sits at the reconstruction error, not 0 — but it
     # still ranks first and the error is bounded by d*(step/2)^2
     assert top[0].cid == 1_000_000 and top[0].sq_d2 < 1e-3
+
+
+def test_ivf_tuning_monotone_in_nprobe(spark):
+    from neo4j_dynagraph_spark.queries import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["q_ivf_tuning"].fn(spark, SF_SMALL).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.qid, {})[r.nprobe] = r
+    for qid, d in by_probe.items():
+        assert set(d) == {1, 2, 4}
+        # probing more cells can only widen the candidate set and
+        # therefore never lowers recall
+        assert d[1].n_cands <= d[2].n_cands <= d[4].n_cands
+        assert d[1].recall <= d[2].recall <= d[4].recall
