@@ -2210,42 +2210,52 @@ _GRADE_WINDOW = [
     "q1_time_range", "q2_frame_actors", "q3_heavy_edges",
     "q4_actor_frame_counts", "q5_active_actors", "q6_active_days",
     "q7_neighbors", "q8_neighbors_on_day", "q9_common_neighbors",
-    "q10_degree", "q11_triangles_hour", "q11_anchored",
+    # (q11_anchored — the anchored shape twin of q11_triangles_hour —
+    # rotated out; parity-pinned like every retired row)
+    "q10_degree", "q11_triangles_hour",
     # ingest / frame grid
     "ingest_spells",
-    # sketch surface: the portable twins (q_approx_quantiles and
-    # q_approx_distinct are rows-only by design — no exact ANSI-SQL
-    # oracle exists for engine-native sketches — their PORTABLE twins
-    # hold graded slots instead and the native-vs-twin agreement is
-    # pinned by tests/test_oracle_subset.py); q_stream_kmv is the
-    # multi-batch incremental form, bit-equal to the batch KMV
-    "q_kmv_distinct", "q_sample_quantiles", "q_stream_kmv",
-    # temporal joins without discretization (+ the two-relation form
-    # and its streaming twin)
-    "q_asof_keyed", "q_interval_overlap",
-    "q_campaign_overlap", "q_stream_campaign",
-    # streaming (batch-equivalence oracles, SURVEY.md §2.9)
-    "q_stream_tumbling", "q_stream_dedup", "q_stream_edges",
-    "q_stream_sessions",
+    # sketch surface: q_stream_kmv is the multi-batch incremental KMV
+    # (bit-equal to the batch form, which rotated out with its
+    # q_sample_quantiles sibling — both stay pinned by the full parity
+    # gate and the native-vs-twin tests in tests/test_oracle_subset.py);
+    # q_stream_cms is the round-9 incremental Count-Min, bit-equal to
+    # the batch sketch under any micro-batch chopping
+    "q_stream_kmv", "q_stream_cms",
+    # temporal joins without discretization (the two-relation
+    # q_campaign_overlap rotated out in favor of its harder streaming
+    # twin, which stays) + the round-9 point-in-time feature join
+    "q_asof_keyed", "q_interval_overlap", "q_stream_campaign",
+    "q_pit_features",
+    # streaming (batch-equivalence oracles, SURVEY.md §2.9;
+    # tumbling/dedup rotated out after four green rounds — both remain
+    # parity-pinned and stream==batch unit-tested)
+    "q_stream_edges", "q_stream_sessions",
     # dedup / curation (q_dedup_prefix is the no-false-negative
     # candidate strategy; q_dup_spans_exact the round-9 exact-substring
-    # span audit)
-    "q_dedup_minhash", "q_dedup_prefix", "q_dup_spans_exact",
+    # span audit; q_gopher_rules the round-9 rule-filter audit)
+    "q_dedup_prefix", "q_dup_spans_exact",
     "q_dedup_pipeline", "q_curate", "q_stratified_sample",
-    # similarity / embeddings (+ recall grading, distributed PCA)
+    "q_gopher_rules",
+    # similarity / embeddings: recall grading, distributed PCA, and the
+    # round-9 quantization surface (int8 SQ top-k + recall, IVF nprobe
+    # tuning curve)
     "q_dedup_embed_bucketed",
     "q_embed_ann_ivf", "q_ann_recall", "q_embed_pca",
-    # iterative-graph surface: replay-oracle PageRank, bounded peel
-    # twins of the fixpoint k-core/k-truss, the shuffled null model,
-    # the day-over-day diff, link-prediction scores, temporal paths,
-    # association rules
-    "q_pagerank", "q_kcore_bounded", "q_ktruss_bounded",
-    "q_null_model_gaps", "q_graph_diff",
+    "q_sq_topk", "q_sq_recall", "q_ivf_tuning",
+    # iterative-graph surface: replay-oracle PageRank, the bounded
+    # k-core peel (its k-truss sibling rotated out, twin-pinned),
+    # link-prediction scores, temporal paths, association rules
+    "q_pagerank", "q_kcore_bounded",
     "q_adamic_adar", "q_node_similarity", "q_temporal_paths",
     "q_copurchase_rules",
-    # text / tokenizer / retrieval core
+    # text / tokenizer / retrieval core (+ round-9 corpus analytics:
+    # source JSD, tokenizer fertility) and the operational skew audit
     "q_text_stats", "q_token_counts", "q_lang_id",
     "q_bm25_search", "q_token_pmi", "q_bpe_train", "q_dsir_weights",
+    "q_source_divergence", "q_tokenizer_fertility", "q_skew_audit",
+    # round-9 multimodal: real-decode patchify
+    "q_media_tiles",
 ]
 
 
