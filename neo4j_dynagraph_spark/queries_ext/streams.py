@@ -450,3 +450,56 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), "token")
     )
+
+
+@query(
+    "q_stream_gopher",
+    oracle=f"""
+WITH {_TOK_CTE},
+feat AS (SELECT doc_id, source, len(t) AS n,
+  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+    / greatest(len(t), 1) AS mwl,
+  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+    / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
+  len(list_filter(['the', 'a', 'of', 'and', 'to'],
+      s -> list_contains(t, s))) AS stop_hits,
+  CASE WHEN len(t) = 0 THEN 1.0
+       ELSE CAST(list_max(list_transform(list_distinct(t),
+                 d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+            / greatest(len(t), 1) END AS top_frac
+FROM tok),
+rules AS (SELECT source,
+  (n BETWEEN 20 AND 100000) AS r_wc,
+  (mwl BETWEEN 3.0 AND 10.0) AS r_mwl,
+  alpha_frac >= 0.8 AS r_alpha,
+  stop_hits >= 2 AS r_stop,
+  top_frac <= 0.2 AS r_rep
+FROM feat)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+  CAST(sum(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_rep
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  round(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_rep
+            THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+FROM rules GROUP BY source ORDER BY source
+""".replace("{", "{").replace("}", "}"),
+)
+def q_stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL quality-drift monitor: the documents stream drained
+    through foreachBatch per-source Gopher rule-counter partials keyed
+    by (batch_id, source) — additive counters get exactly-once from
+    overwriting their own batch rows (q_stream_corpus_stats' protocol),
+    and the drained per-source audit equals the batch q_gopher_rules
+    roll-up bit-for-bit under any micro-batch chopping, so the same
+    oracle grades it (streaming/quality.py). At the ingest edge this
+    is how a crawl notices a source's pass rate sagging WITHOUT
+    rescanning history; state is O(batches x sources). Multi-batch
+    equality pinned by unit test."""
+    from neo4j_dynagraph_spark.streaming.quality import stream_gopher_stats
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_gopher_stats(spark, f"{sf_dir}/documents.parquet", schema)

@@ -808,3 +808,62 @@ def test_stream_cms_multibatch_equals_batch_and_replay_idempotent(spark, tmp_pat
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     assert sorted(map(tuple, replayed.collect())) == s_rows
+
+
+def test_stream_gopher_multibatch_equals_batch(spark, tmp_path):
+    """The incremental quality monitor drained one micro-batch at a
+    time must equal the batch gopher_rules per-source roll-up exactly
+    (additive counters under any chopping)."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.text import gopher_rules
+    from neo4j_dynagraph_spark.streaming.quality import stream_gopher_stats
+
+    base = "the a of and to " + " ".join(f"word{i}" for i in range(20))
+    src = tmp_path / "docs"
+    src.mkdir()
+    shards = [
+        [(0, base, "s0"), (1, "the a of and to word", "s0")],
+        [(2, base, "s1"), (3, base + " " + "x" * 300, "s0")],
+        [(4, " ".join(f"word{i}" for i in range(25)), "s1")],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_gopher_stats(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+    batch = (
+        gopher_rules(spark.read.parquet(str(src)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[
+                F.sum(F.when(~F.col(c), 1).otherwise(0))
+                .cast("long")
+                .alias(f"fail_{c[2:]}")
+                for c in ("r_wc", "r_mwl", "r_alpha", "r_stop", "r_rep")
+            ],
+            F.sum(F.when(F.col("passed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.round(F.col("n_pass") / F.col("n_docs").cast("double"), 6),
+        )
+        .orderBy("source")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
