@@ -503,3 +503,31 @@ def q_stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return stream_gopher_stats(spark, f"{sf_dir}/documents.parquet", schema)
+
+
+@query(
+    "q_stream_sq_stats",
+    oracle="""
+WITH sbase AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT CAST(t.i - 1 AS INT) AS i, min(e[t.i]) AS mn, max(e[t.i]) AS mx
+FROM sbase, UNNEST(range(1, len(e) + 1)) AS t(i)
+GROUP BY 1 ORDER BY i
+""",
+)
+def q_stream_sq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL scalar-quantization calibration: the embeddings
+    stream drained through per-dimension min/max LATTICE merges
+    (streaming/sq_stats.py) — the third mergeable-aggregate class at
+    the streaming edge beside KMV's idempotent set-prune and the
+    additive batch_id-keyed counters: min/max are associative,
+    commutative AND idempotent, so no batch keying is needed and the
+    drained calibration equals q_sq_topk's batch sq_stats_row
+    dimension aggregate bit-for-bit under any chopping or replay.
+    This is how a growing corpus keeps its int8 quantizer's ranges
+    current (drift outside the envelope clamps) without rescans;
+    state is exactly d rows forever. Multi-batch equality and replay
+    absorption pinned by unit test."""
+    from neo4j_dynagraph_spark.streaming.sq_stats import stream_sq_stats
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return stream_sq_stats(spark, f"{sf_dir}/embeddings.parquet", schema)

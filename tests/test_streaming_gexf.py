@@ -867,3 +867,51 @@ def test_stream_gopher_multibatch_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_sq_stats_multibatch_and_replay_absorbed(spark, tmp_path):
+    """Per-dimension min/max drained one micro-batch at a time must
+    equal the batch aggregate exactly, and re-merging any batch's
+    partials must be absorbed by the lattice (idempotent — no batch
+    keying needed, unlike the additive counter stores)."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.streaming.sq_stats import (
+        MinMaxStore,
+        stream_sq_stats,
+    )
+
+    src = tmp_path / "emb"
+    src.mkdir()
+    shards = [
+        [(0, [1.0, -5.0]), (1, [3.0, 0.0])],
+        [(2, [-2.0, 7.0])],
+        [(3, [1.5, 7.0]), (4, [-2.0, -5.0])],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    store_root = str(tmp_path / "sq_store")
+    got = {
+        r.i: (r.mn, r.mx)
+        for r in stream_sq_stats(
+            spark, str(src), schema, store_root=store_root,
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert got == {0: (-2.0, 3.0), 1: (-5.0, 7.0)}
+    # replay absorption: merging the final state into itself changes nothing
+    store = MinMaxStore(spark, store_root)
+    store.merge(store.read())
+    again = {r.i: (r.mn, r.mx) for r in store.read().collect()}
+    assert again == got
