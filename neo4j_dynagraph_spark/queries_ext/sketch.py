@@ -276,3 +276,62 @@ def q_hrw_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     tournament, one explode + one groupBy, 2-row terminal. Oracle
     replays every tournament and both mod assignments."""
     return text.hrw_shard_migration(_docs(spark, sf_dir), n_small=8)
+
+
+@query(
+    "q_join_size_est",
+    oracle=f"""
+WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS token FROM lineitem),
+cells AS (SELECT r, {_H64.format(x="'cms' || r || ':' || token")} % 1024 AS c,
+                 count(*) AS cnt
+          FROM k, UNNEST([0, 1, 2, 3]) AS sd(r) GROUP BY 1, 2),
+f2 AS (SELECT r, sum(cnt * cnt) AS s FROM cells GROUP BY 1),
+ex AS (SELECT sum(cnt * cnt) AS exact_sj, count(*) AS n_keys,
+              sum(cnt) AS n_rows
+       FROM (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1))
+SELECT CAST(ex.n_rows AS BIGINT) AS n_rows,
+       CAST(ex.n_keys AS BIGINT) AS n_keys,
+       CAST(ex.exact_sj AS BIGINT) AS exact_selfjoin,
+       CAST(min(f2.s) AS BIGINT) AS cms_est,
+       round(min(f2.s) / CAST(ex.exact_sj AS DOUBLE), 6) AS overshoot
+FROM f2, ex GROUP BY ex.n_rows, ex.n_keys, ex.exact_sj
+""",
+)
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation — the optimizer statistic
+    behind q_skew_audit's warning: the self-join size on
+    lineitem.l_partkey (SUM cnt_k^2 — exactly the pair-explosion
+    volume a partkey-keyed self-join or co-purchase projection pays)
+    estimated from the Count-Min sketch as min over rows of the
+    per-row sum of squared counters (the AMS/CM inner-product bound:
+    hash collisions only ADD cross terms, so est >= exact, one-sided
+    like the point queries — test-pinned). At 100 TB this is how a
+    planner prices a candidate join from d x w counters WITHOUT
+    running it. One sketch-sized shuffle for the CMS, one per-key
+    aggregate for the exact grading line; both terminals are 1-row.
+    Oracle replays the sketch, both sums, and the ratio."""
+    from neo4j_dynagraph_spark.operators.sketch import cms_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    occ = li.select(F.col("l_partkey").cast("string").alias("token"))
+    sk = cms_table(occ)
+    f2 = sk.groupBy("r").agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s"))
+    est = f2.agg(F.min("s").cast("long").alias("cms_est"))
+    ex = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_selfjoin"),
+        )
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_keys",
+        "exact_selfjoin",
+        "cms_est",
+        F.round(
+            F.col("cms_est") / F.col("exact_selfjoin").cast("double"), 6
+        ).alias("overshoot"),
+    )

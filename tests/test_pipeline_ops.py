@@ -757,3 +757,26 @@ def test_gini_length_extremes(spark):
     assert abs(eq.gini) < 1e-9
     skew = run([(i, "x", 1) for i in range(9)] + [(9, "x", 100000)])
     assert skew.gini > 0.85
+
+
+def test_join_size_est_one_sided(spark):
+    """CMS self-join-size estimate: collisions only add nonnegative
+    cross terms, so est >= exact always; on a skewed planted key set
+    the estimate stays within the d x w sketch's error envelope."""
+    from neo4j_dynagraph_spark.operators.sketch import cms_table
+
+    rows = [(str(k),) for k in range(200) for _ in range(1 + (k % 7 == 0) * 30)]
+    occ = spark.createDataFrame(rows, "token string")
+    sk = cms_table(occ)
+    est = (
+        sk.groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s"))
+        .agg(F.min("s"))
+        .first()[0]
+    )
+    from collections import Counter
+
+    cnt = Counter(t for (t,) in rows)
+    exact = sum(c * c for c in cnt.values())
+    assert est >= exact
+    assert est <= exact * 1.5  # 4x1024 cells vs 200 keys: tiny collision mass
