@@ -1153,3 +1153,81 @@ def triangle_formation_spans(frame_edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         .orderBy("span")
     )
+
+
+def random_walks(
+    edges: DataFrame, n_steps: int = 4, seed: str = "walk"
+) -> DataFrame:
+    """Deterministic random-walk corpus over an undirected edge list —
+    DeepWalk-style walk generation (Perozzi et al. 2014), the
+    graph-embedding training-data operator: one walk per node,
+    ``n_steps`` hops, each hop choosing the neighbor at index
+    hash64('{seed}:' walk_id ':' step) mod degree. No RNG state, no
+    rejection loop — the walk corpus is a pure function of the graph
+    and the seed string, which is what lets a SQL oracle replay every
+    hop and what makes re-runs (or re-tried tasks) reproduce the
+    identical corpus at 100 TB.
+
+    Scale shape: the adjacency gets a per-source neighbor rank (a
+    window PARTITIONed by src — bounded by max degree, the same bound
+    the adjacency list itself already carries), and each hop is ONE
+    equi-join of the frontier against (src, rank) — co-partitionable
+    by src at rest, n_steps joins total, no per-walk driver loop.
+    Output: (walk_id, step, node), step 0 = the seed node.
+    """
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark import functions as dfn
+
+    # checkpoint the ranked adjacency ONCE (the LPA/PageRank precedent:
+    # without it every hop's join re-derives the full presence->edges->
+    # symmetrize subtree, multiplying the scan n_steps times)
+    adj0 = (
+        edges.select(F.col("actor1").alias("src"), F.col("actor2").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("actor2").alias("src"), F.col("actor1").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    adj = adj0.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+    ).localCheckpoint()
+    deg = (
+        adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    )
+    cur = deg.select(
+        F.col("src").alias("walk_id"), F.lit(0).alias("step"),
+        F.col("src").alias("node"),
+    )
+    out = cur
+    for i in range(1, n_steps + 1):
+        idx = (
+            F.pmod(
+                dfn.hash64(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{i}"),
+                    )
+                ),
+                F.col("deg"),
+            )
+            + 1
+        )
+        cur = (
+            cur.join(deg, deg.src == cur.node)
+            .withColumn("idx", idx)
+            .join(
+                adj,
+                (adj.src == F.col("node")) & (adj.rnk == F.col("idx")),
+            )
+            .select(
+                "walk_id", F.lit(i).alias("step"), F.col("dst").alias("node")
+            )
+        )
+        out = out.unionByName(cur)
+    return out

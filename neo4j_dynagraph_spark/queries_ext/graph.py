@@ -959,3 +959,54 @@ def q_triangle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_formation_spans(
         e.select("frame_id", "actor1", "actor2")
     )
+
+
+@query(
+    "q_random_walks",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+adj0 AS (SELECT actor1 AS src, actor2 AS dst FROM e
+         UNION SELECT actor2, actor1 FROM e),
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+        FROM adj0),
+deg AS (SELECT src, count(*) AS deg FROM adj0 GROUP BY 1),
+w0 AS (SELECT src AS walk_id, 0 AS step, src AS node FROM deg),
+w1 AS (SELECT w.walk_id, 1 AS step, a.dst AS node
+      FROM w0 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 1")}) % d.deg + 1),
+w2 AS (SELECT w.walk_id, 2 AS step, a.dst AS node
+      FROM w1 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 2")}) % d.deg + 1),
+w3 AS (SELECT w.walk_id, 3 AS step, a.dst AS node
+      FROM w2 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 3")}) % d.deg + 1),
+w4 AS (SELECT w.walk_id, 4 AS step, a.dst AS node
+      FROM w3 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 4")}) % d.deg + 1)
+SELECT walk_id, CAST(step AS INT) AS step, node
+FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4) ORDER BY walk_id, step
+""",
+)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC random-walk corpus over the pinned-hour contact
+    graph — DeepWalk-style walk generation (Perozzi et al. 2014), the
+    graph-embedding training-data operator: one 4-hop walk per node,
+    each hop picking the neighbor at hash64-mod-degree index. No RNG
+    state anywhere, so re-runs and retried tasks reproduce the
+    identical corpus, and the oracle replays every hop (adjacency
+    rank, degree mod, all 4 joins) bit-for-bit. Scale shape: the
+    neighbor-rank window is bounded by max degree; each hop is one
+    equi-join of the frontier on (src, rank) — n_steps joins, no
+    per-walk loop (operators/graph.py random_walks)."""
+    edges = _edges(
+        spark, sf_dir,
+        (F.expr(f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")
+         & F.expr(f"hour(ts)={HOUR}")),
+    ).select("actor1", "actor2").distinct()
+    return graph.random_walks(edges, n_steps=4).orderBy("walk_id", "step")

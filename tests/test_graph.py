@@ -560,3 +560,32 @@ def test_triadic_closure_single_frame_clique_degenerate(spark):
     e2 = spark.createDataFrame([(1, 2)], "actor1 int, actor2 int")
     out = graph.triadic_closure(e1, e2).collect()[0]
     assert out.n_open_wedges == 0
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    from neo4j_dynagraph_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "actor1 long, actor2 long"
+    )
+    walks = random_walks(edges, n_steps=3)
+    rows = walks.collect()
+    # one walk per node, each with steps 0..3
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    assert set(by_walk) == {1, 2, 3, 4}
+    adj = {(1, 2), (1, 3), (2, 3), (3, 4)}
+    adj |= {(b, a) for a, b in adj}
+    for wid, steps in by_walk.items():
+        assert set(steps) == {0, 1, 2, 3}
+        assert steps[0] == wid
+        for i in range(3):
+            assert (steps[i], steps[i + 1]) in adj, (wid, steps)
+    # deterministic: identical corpus on re-run
+    again = {(r.walk_id, r.step, r.node) for r in random_walks(edges, n_steps=3).collect()}
+    assert again == {(r.walk_id, r.step, r.node) for r in rows}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_walks(edges, n_steps=0)
