@@ -1010,3 +1010,79 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
          & F.expr(f"hour(ts)={HOUR}")),
     ).select("actor1", "actor2").distinct()
     return graph.random_walks(edges, n_steps=4).orderBy("walk_id", "step")
+
+
+@query(
+    "q_skipgram_pairs",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+adj0 AS (SELECT actor1 AS src, actor2 AS dst FROM e
+         UNION SELECT actor2, actor1 FROM e),
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+        FROM adj0),
+deg AS (SELECT src, count(*) AS deg FROM adj0 GROUP BY 1),
+w0 AS (SELECT src AS walk_id, 0 AS step, src AS node FROM deg),
+w1 AS (SELECT w.walk_id, 1 AS step, a.dst AS node
+      FROM w0 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 1")}) % d.deg + 1),
+w2 AS (SELECT w.walk_id, 2 AS step, a.dst AS node
+      FROM w1 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 2")}) % d.deg + 1),
+w3 AS (SELECT w.walk_id, 3 AS step, a.dst AS node
+      FROM w2 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 3")}) % d.deg + 1),
+w4 AS (SELECT w.walk_id, 4 AS step, a.dst AS node
+      FROM w3 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 4")}) % d.deg + 1),
+walks AS (SELECT walk_id, step, node FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)),
+pairs AS (SELECT a.node AS center, b.node AS context
+          FROM walks a JOIN walks b
+            ON b.walk_id = a.walk_id
+           AND b.step BETWEEN a.step - 2 AND a.step + 2
+           AND b.step != a.step)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2 ORDER BY center, context
+""",
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus —
+    the second half of the DeepWalk pipeline (walks ARE sentences;
+    window-2 co-occurrence pairs are the embedding model's actual
+    training rows, word2vec's data layout applied to graphs). The pair
+    join is walk-id-keyed with the step-window bound folded in, so
+    volume is walks x steps x window — linear in the corpus, never
+    all-pairs; the aggregate collapses to the (center, context) vocab
+    grid map-side. Oracle replays the walks AND the windowed pair
+    extraction."""
+    edges = _edges(
+        spark, sf_dir,
+        (F.expr(f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")
+         & F.expr(f"hour(ts)={HOUR}")),
+    ).select("actor1", "actor2").distinct()
+    # checkpoint the corpus once: the pair extraction self-joins it,
+    # and without this each side re-derives the full 4-hop walk plan
+    walks = graph.random_walks(edges, n_steps=4).localCheckpoint()
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("s_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("s_b"), F.col("node").alias("context")
+    )
+    return (
+        a.join(
+            b,
+            (a.walk_id == b.walk_id)
+            & (F.col("s_b") >= F.col("s_a") - 2)
+            & (F.col("s_b") <= F.col("s_a") + 2)
+            & (F.col("s_b") != F.col("s_a")),
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("center", "context")
+    )

@@ -589,3 +589,50 @@ def test_random_walks_valid_and_deterministic(spark):
 
     with _pytest.raises(ValueError):
         random_walks(edges, n_steps=0)
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    """Window-2 pairs over a known walk: pair counts follow directly
+    from step distances; symmetric (center, context) totals."""
+    from neo4j_dynagraph_spark.operators.graph import random_walks
+
+    import pyspark.sql.functions as F
+
+    # path graph 1-2-3: walks are forced (each node has <= 2 neighbors)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "actor1 long, actor2 long")
+    walks = random_walks(edges, n_steps=2)
+    rows = {(r.walk_id, r.step): r.node for r in walks.collect()}
+    # replicate the window-2 pair extraction in python
+    from collections import Counter
+
+    want = Counter()
+    by_walk = {}
+    for (w, s), n in rows.items():
+        by_walk.setdefault(w, {})[s] = n
+    for steps in by_walk.values():
+        for sa, ca in steps.items():
+            for sb, cb in steps.items():
+                if sb != sa and abs(sb - sa) <= 2:
+                    want[(ca, cb)] += 1
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("s_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("s_b"), F.col("node").alias("context")
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in a.join(
+            b,
+            (a.walk_id == b.walk_id)
+            & (F.col("s_b") >= F.col("s_a") - 2)
+            & (F.col("s_b") <= F.col("s_a") + 2)
+            & (F.col("s_b") != F.col("s_a")),
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    assert got == dict(want) and got
+    # total pair mass is symmetric: (x,y) and (y,x) appear equally often
+    assert all(got[(y, x)] == c for (x, y), c in got.items())
