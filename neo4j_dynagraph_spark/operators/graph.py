@@ -1231,3 +1231,118 @@ def random_walks(
         )
         out = out.unionByName(cur)
     return out
+
+
+def sgns_negatives(
+    edges: DataFrame,
+    pairs: DataFrame,
+    k: int = 2,
+    n_buckets: int = 1024,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for skip-gram training over a
+    graph (word2vec's SGNS noise distribution adapted to nodes, Mikolov
+    et al. 2013): for each (center, context) pair, draw ``k`` noise
+    nodes from the degree^0.75 distribution via inverse-CDF lookup on
+    the portable hash — no RNG state, so the negative table is a pure
+    function of the graph and seed and replays identically on retry.
+
+    Scale shape: the noise CDF is built over the NODE table (bounded by
+    |V|) with a TWO-PHASE prefix sum (order-aligned src buckets +
+    broadcast offsets — no one-partition window even at billions of
+    nodes); each node's normalized [lo, hi) probability interval
+    explodes into the fixed n_buckets grid cells it overlaps, so the
+    u -> node lookup is an EQUI-join on floor(u * n_buckets) with an
+    exact range re-check — never a broadcast nested-loop range join.
+    Intervals partition [0, 1), so each draw matches exactly one node.
+
+    Output: (center, context, j, neg) — j in 1..k. Self-collisions
+    (neg == center/context) are kept, as in reference SGNS samplers.
+    """
+    if k < 1 or n_buckets < 1:
+        raise ValueError("k and n_buckets must be >= 1")
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark import functions as dfn
+    from neo4j_dynagraph_spark.operators.sketch import _TWO_60
+
+    adj0 = (
+        edges.select(F.col("actor1").alias("src"), F.col("actor2").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("actor2").alias("src"), F.col("actor1").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    deg = adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w = F.pow(F.col("deg").cast("double"), F.lit(0.75))
+    # two-phase prefix sum of w over src order: per-bucket local running
+    # sum + broadcast exclusive bucket offsets (pack_sequences' shape)
+    d = deg.withColumn("w", w).withColumn("_b", F.floor(F.col("src") / 1024))
+    wl = (
+        Window.partitionBy("_b")
+        .orderBy("src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("hi_local", F.sum("w").over(wl))
+    bsum = d.groupBy("_b").agg(F.sum("w").alias("_bw"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    off = bsum.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(woff), F.lit(0.0))
+    ).select("_b", "_off")
+    cdf = (
+        d.join(F.broadcast(off), "_b")
+        .select(
+            "src",
+            (F.col("hi_local") + F.col("_off") - F.col("w")).alias("lo"),
+            (F.col("hi_local") + F.col("_off")).alias("hi"),
+        )
+    )
+    total = cdf.agg(F.max("hi").alias("total"))
+    norm = cdf.join(F.broadcast(total)).select(
+        "src",
+        (F.col("lo") / F.col("total")).alias("lo_n"),
+        (F.col("hi") / F.col("total")).alias("hi_n"),
+    )
+    # explode each interval into the bucket-grid cells it overlaps — a
+    # SUPERSET cover is fine (the exact range re-check dedups), and the
+    # cover is <= interval_width * n_buckets + 2 cells per node
+    grid = norm.select(
+        "src",
+        "lo_n",
+        "hi_n",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo_n") * n_buckets).cast("long"),
+                F.least(
+                    F.floor(F.col("hi_n") * n_buckets).cast("long"),
+                    F.lit(n_buckets - 1),
+                ),
+            )
+        ).alias("b"),
+    )
+    draws = pairs.select("center", "context").withColumn(
+        "j", F.explode(F.expr(f"sequence(1, {k})"))
+    )
+    u = (
+        dfn.hash64(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col("center").cast("string"),
+                F.lit(":"),
+                F.col("context").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+        + 1
+    ) / F.lit(_TWO_60)
+    draws = draws.withColumn("u", u).withColumn(
+        "b", F.floor(F.col("u") * n_buckets).cast("long")
+    )
+    return (
+        draws.join(grid, "b")
+        .where((F.col("lo_n") <= F.col("u")) & (F.col("u") < F.col("hi_n")))
+        .select("center", "context", "j", F.col("src").alias("neg"))
+    )

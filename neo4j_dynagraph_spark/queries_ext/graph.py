@@ -1086,3 +1086,98 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("center", "context")
     )
+
+
+@query(
+    "q_sgns_negatives",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+adj0 AS (SELECT actor1 AS src, actor2 AS dst FROM e
+         UNION SELECT actor2, actor1 FROM e),
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+        FROM adj0),
+deg AS (SELECT src, count(*) AS deg FROM adj0 GROUP BY 1),
+w0 AS (SELECT src AS walk_id, 0 AS step, src AS node FROM deg),
+w1 AS (SELECT w.walk_id, 1 AS step, a.dst AS node
+      FROM w0 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 1")}) % d.deg + 1),
+w2 AS (SELECT w.walk_id, 2 AS step, a.dst AS node
+      FROM w1 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 2")}) % d.deg + 1),
+w3 AS (SELECT w.walk_id, 3 AS step, a.dst AS node
+      FROM w2 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 3")}) % d.deg + 1),
+w4 AS (SELECT w.walk_id, 4 AS step, a.dst AS node
+      FROM w3 w JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rnk = ({_H64.format(x="'walk:' || w.walk_id || ':' || 4")}) % d.deg + 1),
+walks AS (SELECT walk_id, step, node FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)),
+pr AS (SELECT DISTINCT a.node AS center, b.node AS context
+       FROM walks a JOIN walks b ON b.walk_id = a.walk_id
+        AND b.step BETWEEN a.step - 2 AND a.step + 2 AND b.step != a.step),
+nd AS (SELECT src, count(*) AS deg FROM adj0 GROUP BY 1),
+nw AS (SELECT src, pow(CAST(deg AS DOUBLE), 0.75) AS w, src // 1024 AS b FROM nd),
+nl AS (SELECT src, w, b,
+       sum(w) OVER (PARTITION BY b ORDER BY src ROWS UNBOUNDED PRECEDING) AS hi_local
+       FROM nw),
+nbs AS (SELECT b, sum(w) AS bw FROM nw GROUP BY 1),
+nof AS (SELECT b, COALESCE(sum(bw) OVER (ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS off
+        FROM nbs),
+ncdf AS (SELECT nl.src, nl.hi_local + nof.off - nl.w AS lo,
+                nl.hi_local + nof.off AS hi
+         FROM nl JOIN nof USING (b)),
+ntot AS (SELECT max(hi) AS total FROM ncdf),
+nn AS (SELECT src, lo / total AS lo_n, hi / total AS hi_n FROM ncdf, ntot),
+dr AS (SELECT center, context, j.j AS j,
+              (({_H64.format(x="'neg:' || center || ':' || context || ':' || j.j")}) + 1) / 1152921504606846976.0 AS u
+       FROM pr, UNNEST(range(1, 3)) AS j(j))
+SELECT dr.center, dr.context, CAST(dr.j AS INT) AS j, nn.src AS neg
+FROM dr JOIN nn ON nn.lo_n <= dr.u AND dr.u < nn.hi_n
+ORDER BY center, context, j
+""",
+)
+def q_sgns_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling for the walk-pair corpus —
+    word2vec's SGNS noise draw (Mikolov et al. 2013) adapted to nodes:
+    2 noise nodes per distinct (center, context) pair, drawn from the
+    degree^0.75 distribution by inverse-CDF lookup on the portable
+    hash. Completes the embedding-training trio (walks -> skip-gram
+    pairs -> negatives); zero RNG state, so the negative table replays
+    identically on retry and the oracle re-derives every draw. The
+    CDF prefix sum is TWO-PHASE (order-aligned src buckets + broadcast
+    offsets — no one-partition window over the node table) and the
+    u -> node lookup is an equi-join on the fixed bucket grid with an
+    exact range re-check, never a nested-loop range join
+    (operators/graph.py sgns_negatives)."""
+    edges = _edges(
+        spark, sf_dir,
+        (F.expr(f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")
+         & F.expr(f"hour(ts)={HOUR}")),
+    ).select("actor1", "actor2").distinct()
+    walks = graph.random_walks(edges, n_steps=4).localCheckpoint()
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("s_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("s_b"), F.col("node").alias("context")
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.walk_id == b.walk_id)
+            & (F.col("s_b") >= F.col("s_a") - 2)
+            & (F.col("s_b") <= F.col("s_a") + 2)
+            & (F.col("s_b") != F.col("s_a")),
+        )
+        .select("center", "context")
+        .distinct()
+    )
+    return graph.sgns_negatives(edges, pairs, k=2).orderBy(
+        "center", "context", "j"
+    )

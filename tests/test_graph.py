@@ -636,3 +636,37 @@ def test_skipgram_pairs_window_semantics(spark):
     assert got == dict(want) and got
     # total pair mass is symmetric: (x,y) and (y,x) appear equally often
     assert all(got[(y, x)] == c for (x, y), c in got.items())
+
+
+def test_sgns_negatives_exactly_one_match_and_biased(spark):
+    """Every (pair, j) draw resolves to EXACTLY one node (the CDF
+    intervals partition [0,1) and the bucket grid is a superset cover),
+    re-runs are identical, and the degree^0.75 noise bias shows: the
+    hub of a star graph is drawn far more often than any leaf."""
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators.graph import sgns_negatives
+
+    # star: hub 1 with 8 leaves -> deg(hub)=8, deg(leaf)=1
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 10)], "actor1 long, actor2 long"
+    )
+    pairs = spark.createDataFrame(
+        [(c, x) for c in range(2, 10) for x in (1, c % 8 + 2) if x != c],
+        "center long, context long",
+    ).distinct()
+    n_pairs = pairs.count()
+    neg = sgns_negatives(edges, pairs, k=4)
+    rows = neg.collect()
+    # exactly one neg per (center, context, j)
+    assert len(rows) == n_pairs * 4
+    assert len({(r.center, r.context, r.j) for r in rows}) == len(rows)
+    again = sgns_negatives(edges, pairs, k=4).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+    # hub mass: w(hub)=8^0.75 ~ 4.76 vs 8 leaves at 1.0 -> hub ~ 37%
+    hub = sum(1 for r in rows if r.neg == 1)
+    assert 0.15 * len(rows) < hub < 0.65 * len(rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sgns_negatives(edges, pairs, k=0)
