@@ -454,7 +454,13 @@ def zorder_key(a, b) -> "F.Column":  # noqa: ANN001
     per-file min/max statistics on BOTH columns at once — the
     multi-dimensional generalization of sorting by one column.
     Callers must map each dimension into [0, 65535] (truncate ids,
-    day-of-year, bucketed ranges...); only the low 16 bits are read."""
+    day-of-year, bucketed ranges...); only the low 16 bits are read —
+    and the dimensions must be scaled to COMPARABLE magnitudes: the
+    interleave balances bits positionally, so a 5-bit dimension beside
+    a 14-bit one contributes nothing to the top key bits and its
+    per-file ranges stay domain-wide (measured at sf1, SCALE.md:
+    unscaled day gave day-range 29/29 per file; day*512 gave 4/29
+    while keeping user 4x tighter than its domain)."""
     return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
 
 
