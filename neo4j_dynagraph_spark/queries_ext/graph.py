@@ -1181,3 +1181,93 @@ def q_sgns_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.sgns_negatives(edges, pairs, k=2).orderBy(
         "center", "context", "j"
     )
+
+
+@query(
+    "q_modularity",
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+{_lpa_cte(2)},
+cm AS (SELECT actor, community FROM l2),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+ic AS (SELECT c1.community, count(*) AS ec
+       FROM e JOIN cm c1 ON c1.actor = e.actor1
+              JOIN cm c2 ON c2.actor = e.actor2
+       WHERE c1.community = c2.community GROUP BY 1),
+dg AS (SELECT actor, count(*) AS deg FROM
+       (SELECT actor1 AS actor FROM e UNION ALL SELECT actor2 FROM e)
+       GROUP BY 1),
+dc AS (SELECT cm.community, CAST(sum(dg.deg) AS DOUBLE) AS dsum
+       FROM cm JOIN dg USING (actor) GROUP BY 1),
+qc AS (SELECT dc.community,
+              COALESCE(ic.ec, 0) / mm.m
+              - (dc.dsum / (2 * mm.m)) * (dc.dsum / (2 * mm.m)) AS q
+       FROM dc LEFT JOIN ic USING (community), mm)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(mm.m AS BIGINT) AS n_edges,
+       round(sum(q), 6) AS modularity
+FROM qc, mm GROUP BY mm.m
+""",
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities — the grade that
+    completes community detection the way recall completes ANN and
+    purity completes k-means: Q = sum_c (e_c/m - (d_c/2m)^2) says
+    whether the 2-round propagation found real structure (Q near 0 on
+    the saturated contact hour means "one blob", exactly the health
+    signal to read before trusting the assignment downstream). One
+    intra-community edge count (two broadcast-able label joins), one
+    degree mass per community, a 1-row edge-count dim, and a
+    |communities|-bounded sum. Oracle replays the LPA fit AND the
+    modularity arithmetic."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = (
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1))
+        .select("actor1", "actor2")
+        .distinct()
+        .localCheckpoint()
+    )
+    cm = graph.label_propagation(edges, n_iter=2)
+    mm = edges.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    c1 = cm.select(F.col("actor").alias("actor1"), F.col("community").alias("ca"))
+    c2 = cm.select(F.col("actor").alias("actor2"), F.col("community").alias("cb"))
+    ic = (
+        edges.join(c1, "actor1")
+        .join(c2, "actor2")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    dg = (
+        edges.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dc = (
+        cm.join(dg, "actor")
+        .groupBy("community")
+        .agg(F.sum("deg").cast("double").alias("dsum"))
+    )
+    qc = (
+        dc.join(ic, "community", "left")
+        .join(F.broadcast(mm))
+        .select(
+            "community",
+            (
+                F.coalesce("ec", F.lit(0)) / F.col("m")
+                - (F.col("dsum") / (2 * F.col("m")))
+                * (F.col("dsum") / (2 * F.col("m")))
+            ).alias("q"),
+            "m",
+        )
+    )
+    return qc.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.round(F.sum("q"), 6).alias("modularity"),
+    ).select(
+        "n_communities",
+        F.col("m").cast("long").alias("n_edges"),
+        "modularity",
+    )

@@ -670,3 +670,37 @@ def test_sgns_negatives_exactly_one_match_and_biased(spark):
 
     with _pytest.raises(ValueError):
         sgns_negatives(edges, pairs, k=0)
+
+
+def test_modularity_planted_two_cliques(spark):
+    """Two disjoint triangles: LPA converges to the two cliques and
+    modularity hits the closed form Q = 2*(3/6 - (9/12)^2/... ) —
+    computed here from first principles: m=6, each community has e_c=3,
+    d_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5."""
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators.graph import (
+        degree,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)],
+        "actor1 long, actor2 long",
+    )
+    cm = label_propagation(edges, n_iter=2)
+    comm = {r.actor: r.community for r in cm.collect()}
+    assert len({comm[1], comm[2], comm[3]}) == 1
+    assert len({comm[4], comm[5], comm[6]}) == 1
+    assert comm[1] != comm[4]
+    m = 6.0
+    dg = {r.actor: r.degree for r in degree(edges).collect()}
+    by_c = {}
+    for a, c in comm.items():
+        by_c.setdefault(c, []).append(a)
+    intra = {comm[1]: 3, comm[4]: 3}
+    q = sum(
+        intra[c] / m - (sum(dg[a] for a in mem) / (2 * m)) ** 2
+        for c, mem in by_c.items()
+    )
+    assert abs(q - 0.5) < 1e-9
