@@ -1346,3 +1346,86 @@ def sgns_negatives(
         .where((F.col("lo_n") <= F.col("u")) & (F.col("u") < F.col("hi_n")))
         .select("center", "context", "j", F.col("src").alias("neg"))
     )
+
+
+def temporal_walks(
+    frame_edges: DataFrame, n_steps: int = 3, seed: str = "twalk"
+) -> DataFrame:
+    """Deterministic TIME-RESPECTING random walks (CTDNE, Nguyen et al.
+    2018): each hop may only traverse an edge in a STRICTLY LATER frame
+    than the one that brought the walk here — so every walk is a
+    plausible transmission/influence path, which is what makes
+    temporal-graph embeddings causally meaningful where static DeepWalk
+    walks are not. One walk per node (start time -inf), hop i choosing
+    candidate hash64('{seed}:' walk_id ':' i) mod n among the node's
+    later-frame edges ordered by (frame, dst); walks with no later edge
+    terminate early (variable length, like real temporal paths).
+
+    Scale shape: each hop is one equi-join of the frontier on src with
+    the frame bound as a residual, then a per-WALK window (bounded by
+    the node's temporal degree) for the rank + count — n_steps joins,
+    no per-walk loop, no RNG state, every hop oracle-replayable.
+    Output: (walk_id, step, node, t) — t is the arrival frame, -1 for
+    the seed row.
+    """
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark import functions as dfn
+
+    adj = (
+        frame_edges.select(
+            "frame_id", F.col("actor1").alias("src"), F.col("actor2").alias("dst")
+        )
+        .unionByName(
+            frame_edges.select(
+                "frame_id",
+                F.col("actor2").alias("src"),
+                F.col("actor1").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = adj.select(F.col("src").alias("walk_id")).distinct().select(
+        "walk_id",
+        F.lit(0).alias("step"),
+        F.col("walk_id").alias("node"),
+        F.lit(-1).cast("long").alias("t"),
+    )
+    out = cur
+    w = Window.partitionBy("walk_id")
+    for i in range(1, n_steps + 1):
+        cand = (
+            cur.join(
+                adj,
+                (adj.src == cur.node) & (adj.frame_id > cur.t),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(w.orderBy("frame_id", "dst")),
+            )
+            .withColumn("n", F.count(F.lit(1)).over(w))
+        )
+        idx = (
+            F.pmod(
+                dfn.hash64(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{i}"),
+                    )
+                ),
+                F.col("n"),
+            )
+            + 1
+        )
+        cur = cand.where(F.col("rk") == idx).select(
+            "walk_id",
+            F.lit(i).alias("step"),
+            F.col("dst").alias("node"),
+            F.col("frame_id").alias("t"),
+        )
+        out = out.unionByName(cur)
+    return out

@@ -1271,3 +1271,55 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_edges"),
         "modularity",
     )
+
+
+@query(
+    "q_temporal_walks",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+fe AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+tadj AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM fe
+         UNION SELECT frame_id, actor2, actor1 FROM fe),
+tw0 AS (SELECT DISTINCT src AS walk_id, 0 AS step, src AS node,
+               CAST(-1 AS BIGINT) AS t FROM tadj),
+tc1 AS (SELECT w.walk_id, a.dst, a.frame_id,
+       row_number() OVER (PARTITION BY w.walk_id ORDER BY a.frame_id, a.dst) AS rk,
+       count(*) OVER (PARTITION BY w.walk_id) AS n
+       FROM tw0 w JOIN tadj a ON a.src = w.node AND a.frame_id > w.t),
+tw1 AS (SELECT walk_id, 1 AS step, dst AS node, frame_id AS t FROM tc1
+       WHERE rk = ({_H64.format(x="'twalk:' || walk_id || ':' || 1")}) % n + 1),
+tc2 AS (SELECT w.walk_id, a.dst, a.frame_id,
+       row_number() OVER (PARTITION BY w.walk_id ORDER BY a.frame_id, a.dst) AS rk,
+       count(*) OVER (PARTITION BY w.walk_id) AS n
+       FROM tw1 w JOIN tadj a ON a.src = w.node AND a.frame_id > w.t),
+tw2 AS (SELECT walk_id, 2 AS step, dst AS node, frame_id AS t FROM tc2
+       WHERE rk = ({_H64.format(x="'twalk:' || walk_id || ':' || 2")}) % n + 1),
+tc3 AS (SELECT w.walk_id, a.dst, a.frame_id,
+       row_number() OVER (PARTITION BY w.walk_id ORDER BY a.frame_id, a.dst) AS rk,
+       count(*) OVER (PARTITION BY w.walk_id) AS n
+       FROM tw2 w JOIN tadj a ON a.src = w.node AND a.frame_id > w.t),
+tw3 AS (SELECT walk_id, 3 AS step, dst AS node, frame_id AS t FROM tc3
+       WHERE rk = ({_H64.format(x="'twalk:' || walk_id || ':' || 3")}) % n + 1)
+SELECT walk_id, CAST(step AS INT) AS step, node, t
+FROM (SELECT * FROM tw0 UNION ALL SELECT * FROM tw1 UNION ALL SELECT * FROM tw2 UNION ALL SELECT * FROM tw3) ORDER BY walk_id, step
+""",
+)
+def q_temporal_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING random-walk corpus over the pinned day's frame
+    edges (CTDNE, Nguyen et al. 2018) — the temporal twin of
+    q_random_walks and the walk form that matches this engine's
+    dynamic-graph identity: each hop only traverses an edge in a
+    strictly LATER frame, so every walk is a plausible transmission
+    path (the same causal constraint q_temporal_paths enumerates
+    exhaustively, here sampled deterministically for embedding
+    training). Walks with no later edge terminate early — variable
+    length, like real temporal paths. Zero RNG state; the oracle
+    replays every hop (candidate rank, count, hash-mod choice)
+    bit-for-bit (operators/graph.py temporal_walks)."""
+    fe = (
+        _edges(spark, sf_dir, F.expr(
+            f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"))
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    return graph.temporal_walks(fe, n_steps=3).orderBy("walk_id", "step")

@@ -704,3 +704,38 @@ def test_modularity_planted_two_cliques(spark):
         for c, mem in by_c.items()
     )
     assert abs(q - 0.5) < 1e-9
+
+
+def test_temporal_walks_respect_time_and_terminate(spark):
+    """Hops only traverse strictly-later frames; a node whose only
+    edges are in the final frame yields a length-1 walk (early
+    termination); re-runs are identical."""
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators.graph import temporal_walks
+
+    fe = spark.createDataFrame(
+        [(1, 1, 2), (2, 2, 3), (3, 3, 4), (3, 1, 4)],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    walks = temporal_walks(fe, n_steps=3)
+    rows = walks.collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk_id, {})[r.step] = (r.node, r.t)
+    adj = {(1, 1, 2), (2, 2, 3), (3, 3, 4), (3, 1, 4)}
+    adj |= {(f, b, a) for f, a, b in adj}
+    for wid, steps in by_walk.items():
+        assert steps[0] == (wid, -1)
+        prev_t = -1
+        for s in range(1, max(steps) + 1):
+            assert s in steps, "no gaps: early termination only at the tail"
+            node, t = steps[s]
+            assert t > prev_t, "time-respecting: strictly later frame"
+            assert (t, steps[s - 1][0], node) in adj
+            prev_t = t
+    # node 4's edges are all in frame 3 -> its walk can take exactly
+    # one hop (to 1 or 3, both of whose remaining edges are <= 3)
+    assert max(by_walk[4]) <= 2
+    again = {(r.walk_id, r.step, r.node, r.t) for r in temporal_walks(fe, n_steps=3).collect()}
+    assert again == {(r.walk_id, r.step, r.node, r.t) for r in rows}
