@@ -1323,3 +1323,66 @@ def q_temporal_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.temporal_walks(fe, n_steps=3).orderBy("walk_id", "step")
+
+
+@query(
+    "q_degree_powerlaw",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+s AS (SELECT actor1 AS actor FROM e UNION ALL SELECT actor2 FROM e),
+dg AS (SELECT actor, count(*) AS degree FROM s GROUP BY 1),
+h AS (SELECT degree, count(*) AS n_actors FROM dg GROUP BY 1),
+xy AS (SELECT ln(CAST(degree AS DOUBLE)) AS x,
+              ln(CAST(n_actors AS DOUBLE)) AS y FROM h),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+SELECT CAST(n AS BIGINT) AS n_degrees,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS alpha,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+FROM st
+""",
+)
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the day graph's degree distribution — the
+    graph twin of q_token_zipf's corpus-health statistic: closed-form
+    least-squares slope of ln(count) on ln(degree) over the degree
+    histogram (real contact networks sit near alpha = -2..-3; the
+    saturated synthetic graph reads far from that — exactly the
+    scale-free-ness flag the metric exists to raise before anyone
+    tunes skew handling for a hub structure that isn't there). One
+    degree aggregate, an O(max-degree) histogram, one scalar fit.
+    Oracle replays the histogram and the regression algebra."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(
+        spark, sf_dir,
+        F.expr(f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"),
+    ).select("actor1", "actor2").distinct()
+    h = (
+        graph.degree(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_actors"))
+    )
+    xy = h.select(
+        F.log(F.col("degree").cast("double")).alias("x"),
+        F.log(F.col("n_actors").cast("double")).alias("y"),
+    )
+    st = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_degrees"),
+        F.round(slope, 6).alias("alpha"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
