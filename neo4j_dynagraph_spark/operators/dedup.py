@@ -712,7 +712,7 @@ def minhash_decontaminate(
     docs: DataFrame,
     is_benchmark,  # noqa: ANN001 — boolean Column over docs
     num_hashes: int = 8,
-    rows_per_band: int = 2,
+    rows_per_band: int = 1,
     min_eq: int = 4,
     text_col: str = "text",
 ) -> DataFrame:
@@ -722,6 +722,19 @@ def minhash_decontaminate(
     the near-duplicate complement to decontaminate()'s exact n-gram
     rule (a lightly paraphrased eval answer shares few verbatim
     8-grams but keeps high shingle Jaccard).
+
+    CANDIDATE COMPLETENESS: candidates require at least one
+    fully-equal ALIGNED band of ``rows_per_band`` consecutive
+    components. The default ``rows_per_band=1`` makes that filter a
+    strict SUPERSET of the agreement rule (any pair with
+    n_eq >= min_eq >= 1 shares a 1-row band), so the output is
+    EXACTLY the rule — no LSH false negatives, the right contract for
+    a decontamination gate. With ``rows_per_band=r > 1`` a pair whose
+    n_eq >= min_eq agreements are spread so that no r consecutive
+    aligned components are all equal is silently missed (for
+    uniformly-placed agreements the miss probability rises as
+    agreements scatter) — use r > 1 only to cut candidate volume when
+    an approximate gate is acceptable.
 
     Scale shape: ONE signature pass over the union (the corpus-sized
     work); the benchmark slice of the signatures is tiny (eval sets

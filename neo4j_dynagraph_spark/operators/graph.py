@@ -1250,11 +1250,19 @@ def sgns_negatives(
     Scale shape: the noise CDF is built over the NODE table (bounded by
     |V|) with a TWO-PHASE prefix sum (order-aligned src buckets +
     broadcast offsets — no one-partition window even at billions of
-    nodes); each node's normalized [lo, hi) probability interval
-    explodes into the fixed n_buckets grid cells it overlaps, so the
-    u -> node lookup is an EQUI-join on floor(u * n_buckets) with an
-    exact range re-check — never a broadcast nested-loop range join.
-    Intervals partition [0, 1), so each draw matches exactly one node.
+    nodes); each node's [lo, hi) weight interval explodes into the
+    fixed-width grid cells it overlaps, so the draw -> node lookup is
+    an EQUI-join on the cell index with an exact range re-check —
+    never a broadcast nested-loop range join.
+
+    EXACTNESS: weights are FIXED-POINT longs (round(deg^0.75 * 2^20),
+    floored at 1), so every prefix sum, bound, and comparison is exact
+    integer arithmetic — intervals partition [0, total) with no FP
+    boundary gaps/overlaps, the summation order can't perturb bounds,
+    and the draw ``target = hash64(...) mod total`` always lands in
+    exactly one interval (no u == 1.0 edge). The mod introduces a
+    <= total/2^60 selection bias — vanishing for any real vocabulary,
+    and a constant of the (graph, seed), so replays stay bit-identical.
 
     Output: (center, context, j, neg) — j in 1..k. Self-collisions
     (neg == center/context) are kept, as in reference SGNS samplers.
@@ -1264,7 +1272,6 @@ def sgns_negatives(
     from pyspark.sql import Window
 
     from neo4j_dynagraph_spark import functions as dfn
-    from neo4j_dynagraph_spark.operators.sketch import _TWO_60
 
     adj0 = (
         edges.select(F.col("actor1").alias("src"), F.col("actor2").alias("dst"))
@@ -1276,7 +1283,14 @@ def sgns_negatives(
         .distinct()
     )
     deg = adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    w = F.pow(F.col("deg").cast("double"), F.lit(0.75))
+    # fixed-point weight: 20 fractional bits keeps deg^0.75 resolution
+    # to ~1e-6 while total stays < 2^63 for any realistic |V| x deg
+    w = F.greatest(
+        F.lit(1).cast("long"),
+        F.round(
+            F.pow(F.col("deg").cast("double"), F.lit(0.75)) * F.lit(1 << 20)
+        ).cast("long"),
+    )
     # two-phase prefix sum of w over src order: per-bucket local running
     # sum + broadcast exclusive bucket offsets (pack_sequences' shape)
     d = deg.withColumn("w", w).withColumn("_b", F.floor(F.col("src") / 1024))
@@ -1289,7 +1303,7 @@ def sgns_negatives(
     bsum = d.groupBy("_b").agg(F.sum("w").alias("_bw"))
     woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     off = bsum.withColumn(
-        "_off", F.coalesce(F.sum("_bw").over(woff), F.lit(0.0))
+        "_off", F.coalesce(F.sum("_bw").over(woff), F.lit(0).cast("long"))
     ).select("_b", "_off")
     cdf = (
         d.join(F.broadcast(off), "_b")
@@ -1299,33 +1313,34 @@ def sgns_negatives(
             (F.col("hi_local") + F.col("_off")).alias("hi"),
         )
     )
-    total = cdf.agg(F.max("hi").alias("total"))
-    norm = cdf.join(F.broadcast(total)).select(
-        "src",
-        (F.col("lo") / F.col("total")).alias("lo_n"),
-        (F.col("hi") / F.col("total")).alias("hi_n"),
+    # one-row (total, cell width) broadcast; cw = ceil(total/n_buckets)
+    # in INTEGER arithmetic (div), so both sides compute identical cells
+    total = cdf.agg(F.max("hi").alias("total")).select(
+        "total",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(total + {n_buckets - 1}) div {n_buckets}"),
+        ).alias("cw"),
     )
-    # explode each interval into the bucket-grid cells it overlaps — a
-    # SUPERSET cover is fine (the exact range re-check dedups), and the
-    # cover is <= interval_width * n_buckets + 2 cells per node
-    grid = norm.select(
-        "src",
-        "lo_n",
-        "hi_n",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("lo_n") * n_buckets).cast("long"),
-                F.least(
-                    F.floor(F.col("hi_n") * n_buckets).cast("long"),
-                    F.lit(n_buckets - 1),
-                ),
-            )
-        ).alias("b"),
+    # explode each interval into the grid cells it overlaps — exact
+    # cover: lo div cw .. (hi-1) div cw, <= w/cw + 1 cells per node
+    grid = (
+        cdf.join(F.broadcast(total))
+        .select(
+            "src",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.expr("lo div cw"), F.expr("(hi - 1) div cw")
+                )
+            ).alias("b"),
+        )
     )
     draws = pairs.select("center", "context").withColumn(
         "j", F.explode(F.expr(f"sequence(1, {k})"))
     )
-    u = (
+    target = F.pmod(
         dfn.hash64(
             F.concat(
                 F.lit(f"{seed}:"),
@@ -1335,15 +1350,18 @@ def sgns_negatives(
                 F.lit(":"),
                 F.col("j").cast("string"),
             )
-        )
-        + 1
-    ) / F.lit(_TWO_60)
-    draws = draws.withColumn("u", u).withColumn(
-        "b", F.floor(F.col("u") * n_buckets).cast("long")
+        ),
+        F.col("total"),
+    )
+    draws = (
+        draws.join(F.broadcast(total))
+        .withColumn("target", target)
+        .withColumn("b", F.expr("target div cw"))
+        .drop("total", "cw")
     )
     return (
         draws.join(grid, "b")
-        .where((F.col("lo_n") <= F.col("u")) & (F.col("u") < F.col("hi_n")))
+        .where((F.col("lo") <= F.col("target")) & (F.col("target") < F.col("hi")))
         .select("center", "context", "j", F.col("src").alias("neg"))
     )
 

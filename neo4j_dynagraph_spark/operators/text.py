@@ -9,7 +9,7 @@ token pipelines at 100 TB live or die on staying inside codegen).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.operators.dedup import shingles_df, tokens_df
@@ -24,10 +24,14 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 STOPWORDS_EN = ("the", "a")
 
 
-def _ratio_expr(words: tuple[str, ...]) -> str:
-    """SQL expr: fraction of tokens that are in `words` (0 if empty doc)."""
-    preds = " OR ".join(f"x = '{w}'" for w in words)
-    return f"size(filter(t, x -> {preds})) / CAST(greatest(size(t), 1) AS DOUBLE)"
+def _ratio_col(words: tuple[str, ...]) -> Column:
+    """Column: fraction of tokens of array column ``t`` that are in
+    ``words`` (0 if empty doc). Built with the Column API (F.filter +
+    isin) rather than an interpolated SQL lambda, so word lists can
+    never inject into the expression — same rule as the BM25 /
+    rank-fusion term predicates."""
+    matched = F.filter(F.col("t"), lambda x: x.isin(*words))
+    return F.size(matched) / F.greatest(F.size("t"), F.lit(1)).cast("double")
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -42,7 +46,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(
             F.size(F.array_distinct("t")) / F.size("t").cast("double"), 6
         ).alias("ttr"),
-        F.round(F.expr(_ratio_expr(STOPWORDS_EN)), 6).alias("stop_ratio"),
+        F.round(_ratio_col(STOPWORDS_EN), 6).alias("stop_ratio"),
     )
 
 
@@ -78,7 +82,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scored = toks.select(
         "doc_id",
         *[
-            F.expr(_ratio_expr(words)).alias(f"score_{lang}")
+            _ratio_col(words).alias(f"score_{lang}")
             for lang, words in LANG_PROFILES.items()
         ],
     )
@@ -522,7 +526,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size("t").cast("long").alias("n_tokens"),
         F.log(F.lit(1.0) + n).alias("f_len"),
         (F.size(F.array_distinct("t")) / n).alias("f_ttr"),
-        F.expr(_ratio_expr(_QUALITY_STOPS)).alias("f_stop"),
+        _ratio_col(_QUALITY_STOPS).alias("f_stop"),
         (
             F.length(F.regexp_replace("_low", "[^a-z]", ""))
             / F.greatest(F.length("_low"), F.lit(1)).cast("double")
@@ -575,15 +579,29 @@ def pack_sequences(
     padding); the explode over its covered sequence range mirrors the
     interval-bucketing trick in q_interval_overlap.
     """
-    from pyspark.sql import Window
-
-    if seq_len <= 0 or chunk <= 0:
-        raise ValueError("seq_len and chunk must be positive")
     n = (
         tokens_df(docs, text_col)
         .select("doc_id", F.size("t").cast("long").alias("n_tok"))
         .where(F.col("n_tok") > 0)
-        .withColumn("chunk_id", F.expr(f"doc_id div {chunk}"))
+    )
+    return pack_token_counts(n, seq_len=seq_len, chunk=chunk)
+
+
+def pack_token_counts(
+    counts: DataFrame, seq_len: int = 128, chunk: int = 1024
+) -> DataFrame:
+    """The packing core of :func:`pack_sequences`, over a prepared
+    ``(doc_id, n_tok)`` table (n_tok > 0) instead of raw text — shared
+    by the batch packer and the streaming training-mix assembly, which
+    stores per-doc token counts at ingest and packs at read time.
+    Same output contract and the same two-phase distributed prefix
+    sum (see pack_sequences' docstring)."""
+    from pyspark.sql import Window
+
+    if seq_len <= 0 or chunk <= 0:
+        raise ValueError("seq_len and chunk must be positive")
+    n = counts.select("doc_id", "n_tok").withColumn(
+        "chunk_id", F.expr(f"doc_id div {chunk}")
     )
     totals = n.groupBy("chunk_id").agg(F.sum("n_tok").alias("c_tot"))
     # the ONLY global window runs over chunk totals (corpus/chunk rows)

@@ -903,28 +903,15 @@ def q_span_removal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " FROM hs GROUP BY 1), "
         "bench AS (SELECT * FROM sig WHERE doc_id % 97 = 0), "
         "train AS (SELECT * FROM sig WHERE doc_id % 97 <> 0), "
-        "tb AS ("
-        + " UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM train"
-            for b in range(4)
-        )
-        + "), "
-        "bb AS ("
-        + " UNION ALL ".join(
-            f"SELECT doc_id AS bench_id, {b} AS band, h{2 * b} AS h0, "
-            f"h{2 * b + 1} AS h1 FROM bench"
-            for b in range(4)
-        )
-        + "), "
-        "cand AS (SELECT DISTINCT t.doc_id, b.bench_id "
-        "FROM tb t JOIN bb b USING (band, h0, h1)), "
-        "eq AS (SELECT c.doc_id, c.bench_id, ("
+        # the PURE agreement rule over train x bench (bench is tiny, so
+        # the oracle can afford the exact cross product): with the
+        # operator's rows_per_band=1 default its banded candidate set
+        # is a superset of the rule, so Spark output == this rule
+        "eq AS (SELECT t.doc_id, bs.doc_id AS bench_id, ("
         + " + ".join(
             f"CASE WHEN t.h{i} = bs.h{i} THEN 1 ELSE 0 END" for i in range(8)
         )
-        + ") AS n_eq FROM cand c "
-        "JOIN train t ON t.doc_id = c.doc_id "
-        "JOIN bench bs ON bs.doc_id = c.bench_id) "
+        + ") AS n_eq FROM train t CROSS JOIN bench bs) "
         "SELECT doc_id, bench_id, CAST(n_eq AS BIGINT) AS n_eq, "
         "round(n_eq / 8.0, 6) AS est_jaccard "
         "FROM eq WHERE n_eq >= 4 ORDER BY doc_id, bench_id"
@@ -941,8 +928,11 @@ def q_minhash_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark set. One signature pass over the union; the benchmark
     bands AND signatures broadcast (eval sets are tiny at 100 TB), so
     candidate generation and the agreement verify are map-side —
-    never all-pairs. Oracle replays signatures, banding, and the
-    agreement count bit-for-bit (operators/dedup.py
+    never all-pairs. With the operator's rows_per_band=1 default the
+    banded candidates are a strict superset of the agreement rule, so
+    the oracle checks the PURE rule (exact signature replay + tiny
+    cross product) — proving zero LSH false negatives, the contract a
+    decontamination gate needs (operators/dedup.py
     minhash_decontaminate)."""
     return dedup.minhash_decontaminate(
         _docs(spark, sf_dir), F.col("doc_id") % 97 == 0

@@ -1121,24 +1121,26 @@ pr AS (SELECT DISTINCT a.node AS center, b.node AS context
        FROM walks a JOIN walks b ON b.walk_id = a.walk_id
         AND b.step BETWEEN a.step - 2 AND a.step + 2 AND b.step != a.step),
 nd AS (SELECT src, count(*) AS deg FROM adj0 GROUP BY 1),
-nw AS (SELECT src, pow(CAST(deg AS DOUBLE), 0.75) AS w, src // 1024 AS b FROM nd),
+nw AS (SELECT src,
+       GREATEST(1, CAST(round(pow(CAST(deg AS DOUBLE), 0.75) * 1048576)
+                        AS BIGINT)) AS w,
+       src // 1024 AS b FROM nd),
 nl AS (SELECT src, w, b,
        sum(w) OVER (PARTITION BY b ORDER BY src ROWS UNBOUNDED PRECEDING) AS hi_local
        FROM nw),
 nbs AS (SELECT b, sum(w) AS bw FROM nw GROUP BY 1),
 nof AS (SELECT b, COALESCE(sum(bw) OVER (ORDER BY b
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS off
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         FROM nbs),
 ncdf AS (SELECT nl.src, nl.hi_local + nof.off - nl.w AS lo,
                 nl.hi_local + nof.off AS hi
          FROM nl JOIN nof USING (b)),
 ntot AS (SELECT max(hi) AS total FROM ncdf),
-nn AS (SELECT src, lo / total AS lo_n, hi / total AS hi_n FROM ncdf, ntot),
 dr AS (SELECT center, context, j.j AS j,
-              (({_H64.format(x="'neg:' || center || ':' || context || ':' || j.j")}) + 1) / 1152921504606846976.0 AS u
-       FROM pr, UNNEST(range(1, 3)) AS j(j))
-SELECT dr.center, dr.context, CAST(dr.j AS INT) AS j, nn.src AS neg
-FROM dr JOIN nn ON nn.lo_n <= dr.u AND dr.u < nn.hi_n
+              ({_H64.format(x="'neg:' || center || ':' || context || ':' || j.j")}) % total AS target
+       FROM pr, UNNEST(range(1, 3)) AS j(j), ntot)
+SELECT dr.center, dr.context, CAST(dr.j AS INT) AS j, ncdf.src AS neg
+FROM dr JOIN ncdf ON ncdf.lo <= dr.target AND dr.target < ncdf.hi
 ORDER BY center, context, j
 """,
 )
@@ -1150,11 +1152,14 @@ def q_sgns_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. Completes the embedding-training trio (walks -> skip-gram
     pairs -> negatives); zero RNG state, so the negative table replays
     identically on retry and the oracle re-derives every draw. The
-    CDF prefix sum is TWO-PHASE (order-aligned src buckets + broadcast
-    offsets — no one-partition window over the node table) and the
-    u -> node lookup is an equi-join on the fixed bucket grid with an
-    exact range re-check, never a nested-loop range join
-    (operators/graph.py sgns_negatives)."""
+    CDF is EXACT INTEGER fixed-point (round(deg^0.75 * 2^20) weights),
+    so intervals partition [0, total) with no FP boundary holes and
+    summation order can't perturb bounds; the prefix sum is TWO-PHASE
+    (order-aligned src buckets + broadcast offsets — no one-partition
+    window over the node table) and the draw -> node lookup is an
+    equi-join on the fixed cell grid with an exact range re-check,
+    never a nested-loop range join (operators/graph.py
+    sgns_negatives)."""
     edges = _edges(
         spark, sf_dir,
         (F.expr(f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")

@@ -486,7 +486,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   round(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_rep
             THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
 FROM rules GROUP BY source ORDER BY source
-""".replace("{", "{").replace("}", "}"),
+""",
 )
 def q_stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL quality-drift monitor: the documents stream drained
@@ -531,3 +531,60 @@ def q_stream_sq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     return stream_sq_stats(spark, f"{sf_dir}/embeddings.parquet", schema)
+
+
+@query(
+    "q_stream_training_mix",
+    oracle=f"""
+WITH {_TOK_CTE},
+keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s AS (SELECT tok.doc_id, t, len(t) AS n_tokens,
+             len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS ttr
+      FROM tok JOIN keep1 USING (doc_id) WHERE len(t) > 0),
+q AS (SELECT doc_id, t FROM s WHERE n_tokens >= 30 AND ttr >= 0.35),
+g AS (SELECT DISTINCT doc_id,
+             {_H64.format(x="array_to_string(list_slice(t, i, i + 3), ' ')")} AS gh
+      FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4),
+b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+contam AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gh)
+           WHERE g.doc_id % 97 != 0),
+clean AS (SELECT doc_id, t FROM q
+          WHERE doc_id % 97 != 0
+            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+n AS (SELECT doc_id, len(t) AS n_tok FROM clean WHERE len(t) > 0),
+c AS (SELECT doc_id, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start
+      FROM n),
+e AS (SELECT doc_id, start, start + n_tok AS fin FROM c),
+x AS (SELECT doc_id, u.s AS seq_id, start, fin
+      FROM e, unnest(range(start // 128, (fin - 1) // 128 + 1)) AS u(s))
+SELECT seq_id, doc_id,
+       greatest(start, seq_id * 128) - seq_id * 128 AS seg_off,
+       least(fin, (seq_id + 1) * 128) - greatest(start, seq_id * 128) AS seg_len
+FROM x ORDER BY seq_id, doc_id
+""",
+)
+def q_stream_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the q_training_mix capstone: the documents
+    stream drained through one foreachBatch pipeline of the proven
+    incremental pieces — content-hash MIN(doc_id) dedup lattice,
+    batch_id-keyed per-doc quality partials, the persisted train
+    4-gram index + bench-gram union lattice (the state that makes a
+    LATE-arriving benchmark doc contaminate an EARLY training doc
+    exactly), with sequence packing assembled at read time from the
+    stored token counts via the shared pack_token_counts core.
+    Every stage's state is mergeable-exact, so the drained packed
+    index equals the batch capstone BIT-FOR-BIT under any micro-batch
+    chopping — the driver grades it with q_training_mix's own oracle
+    (streaming/training_mix.py; multi-batch chopping equality pinned
+    by unit test)."""
+    from neo4j_dynagraph_spark.streaming.training_mix import (
+        stream_training_mix,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_training_mix(
+        spark, f"{sf_dir}/documents.parquet", schema
+    ).orderBy("seq_id", "doc_id")

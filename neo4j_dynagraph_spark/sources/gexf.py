@@ -130,6 +130,12 @@ def write_gexf(spells: DataFrame, path: str, timeformat: str = "long") -> None:
     format's constraint, not the engine's (mirror of the source's
     scale note). Output satisfies read_gexf's own validation: dynamic
     mode, integer-ish timeformat, canonical src < dst edges.
+
+    SIZE BOUND: the driver streams every entity through one process and
+    one file handle — suitable up to roughly 10^6 entities / a few GB
+    of XML (minutes of driver wall). Above that, use
+    :func:`write_gexf_sharded`, which writes one valid GEXF document
+    per partition in parallel and is the 100 TB path.
     """
     from xml.sax.saxutils import quoteattr
 

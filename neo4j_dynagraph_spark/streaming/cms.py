@@ -23,14 +23,16 @@ batch count ever matters.
 
 from __future__ import annotations
 
-import tempfile
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.streaming.corpus_stats import CounterStore
-from neo4j_dynagraph_spark.streaming.staging import stage_single_file
+from neo4j_dynagraph_spark.streaming.staging import (
+    drain_dirs,
+    finalize_drain,
+    stage_single_file,
+)
 from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
 
 
@@ -59,10 +61,18 @@ def stream_cms_table(
     Per-batch work mirrors the batch operator: tokenize, explode each
     occurrence into its d cells in one generator, ONE groupBy whose
     map-side combine collapses to <= d*w cells before the commit.
+
+    ``store_root=None`` is an EPHEMERAL drain: state, checkpoint and
+    stage share one temp root deleted after the result materializes.
+    Pass a persistent ``store_root`` to get true incremental
+    semantics — the checkpoint lives inside it, so re-invoking only
+    processes files arrived since the last drain.
     """
-    store_root = store_root or tempfile.mkdtemp(prefix="dynagraph_cms_store_")
+    store_root, ckpt, src_stage, eph = drain_dirs(
+        store_root, "dynagraph_cms_"
+    )
     store = CMSStore(spark, store_root)
-    docs_path = stage_single_file(docs_path, "dynagraph_cms_src_")
+    docs_path = stage_single_file(docs_path, into=src_stage)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -96,17 +106,16 @@ def stream_cms_table(
 
     q = (
         stream.writeStream.foreachBatch(cms_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="dynagraph_cms_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     state = store.read()
     if state is None:
-        return spark.createDataFrame([], "r int, c bigint, cnt bigint")
-    return state.groupBy("r", "c").agg(
-        F.sum("cnt").cast("long").alias("cnt")
-    )
+        out = spark.createDataFrame([], "r int, c bigint, cnt bigint")
+    else:
+        out = state.groupBy("r", "c").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+    return finalize_drain(out, eph)

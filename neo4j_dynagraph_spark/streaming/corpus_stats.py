@@ -25,12 +25,15 @@ scorer replays.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from neo4j_dynagraph_spark.streaming.staging import stage_single_file
+from neo4j_dynagraph_spark.streaming.staging import (
+    drain_dirs,
+    finalize_drain,
+    stage_single_file,
+)
 from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
 
 _CORPUS_KEY = "#corpus"
@@ -72,14 +75,18 @@ def stream_corpus_stats(
     Per-batch work is the SAME narrow projection the batch BM25
     scorer uses (size/filter array expressions, no explode), reduced
     to |terms| + 1 partial rows before the commit.
+
+    ``store_root=None`` drains ephemerally (temp root deleted after
+    the result materializes); a persistent ``store_root`` keeps its
+    checkpoint inside it so re-invocations are truly incremental.
     """
     from neo4j_dynagraph_spark import functions as dfn
 
-    store_root = store_root or tempfile.mkdtemp(
-        prefix="dynagraph_cstats_store_"
+    store_root, ckpt, src_stage, eph = drain_dirs(
+        store_root, "dynagraph_cstats_"
     )
     store = CounterStore(spark, store_root)
-    docs_path = stage_single_file(docs_path, "dynagraph_cstats_src_")
+    docs_path = stage_single_file(docs_path, into=src_stage)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -130,18 +137,18 @@ def stream_corpus_stats(
 
     q = (
         stream.writeStream.foreachBatch(stats_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="dynagraph_cstats_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     state = store.read()
     if state is None:
-        return spark.createDataFrame(
-            [], "term string, df bigint, n_docs bigint, avgdl double"
+        return finalize_drain(
+            spark.createDataFrame(
+                [], "term string, df bigint, n_docs bigint, avgdl double"
+            ),
+            eph,
         )
     corpus = state.where(F.col("key") == _CORPUS_KEY).agg(
         F.sum("cnt_docs").cast("long").alias("n_docs"),
@@ -152,7 +159,7 @@ def stream_corpus_stats(
         .groupBy(F.col("key").alias("term"))
         .agg(F.sum("cnt_df").cast("long").alias("df"))
     )
-    return (
+    out = (
         per_term.crossJoin(F.broadcast(corpus))
         .select(
             "term",
@@ -164,3 +171,4 @@ def stream_corpus_stats(
         )
         .orderBy("term")
     )
+    return finalize_drain(out, eph)

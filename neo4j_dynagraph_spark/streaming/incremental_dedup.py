@@ -29,6 +29,7 @@ format (Delta/Iceberg MERGE) — the protocol is unchanged.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -50,15 +51,22 @@ def stream_dedup_documents(
     Returns the surviving (doc_id, content_hash) set as a batch
     DataFrame read back from the per-batch output directories.
     """
-    store_root = store_root or tempfile.mkdtemp(prefix="dynagraph_dedup_store_")
+    from neo4j_dynagraph_spark.streaming.staging import (
+        drain_dirs,
+        stage_single_file,
+    )
+
+    store_root, ckpt, src_stage, eph = drain_dirs(
+        store_root, "dynagraph_dedup_"
+    )
+    # out_dir is NOT ephemeral: it backs the returned DataFrame (the
+    # surviving-docs output is data-sized — callers own its lifetime)
     out_dir = out_dir or tempfile.mkdtemp(prefix="dynagraph_dedup_out_")
     store = DimensionStore(spark, store_root, ["content_hash"])
 
     # stage single-file fixtures behind a symlink (no sentinel needed —
     # foreachBatch has no watermark to push)
-    from neo4j_dynagraph_spark.streaming.staging import stage_single_file
-
-    docs_path = stage_single_file(docs_path, "dynagraph_dedup_src_")
+    docs_path = stage_single_file(docs_path, into=src_stage)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -90,12 +98,14 @@ def stream_dedup_documents(
 
     q = (
         stream.writeStream.foreachBatch(dedup_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="dynagraph_dedup_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(out_dir, "batch_*"))
+    out = spark.read.parquet(os.path.join(out_dir, "batch_*"))
+    if eph is not None:
+        # the result reads out_dir, not the store — the first-seen
+        # state + checkpoint are safe to delete in ephemeral mode
+        shutil.rmtree(eph, ignore_errors=True)
+    return out

@@ -27,14 +27,17 @@ sketch.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.operators.sketch import _TWO_60, kmv_estimate
-from neo4j_dynagraph_spark.streaming.staging import stage_single_file
+from neo4j_dynagraph_spark.streaming.staging import (
+    drain_dirs,
+    finalize_drain,
+    stage_single_file,
+)
 from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
 
 
@@ -88,12 +91,18 @@ def stream_kmv_distinct(
     Per-batch work: hash, per-group distinct, batch-local prune to the
     k smallest (a window over the BATCH, bounded by trigger size),
     then the store's union-prune merge against O(k x groups) state.
+
+    ``store_root=None`` drains ephemerally (temp root deleted after
+    the result materializes); a persistent ``store_root`` keeps its
+    checkpoint inside it so re-invocations are truly incremental.
     """
-    store_root = store_root or tempfile.mkdtemp(prefix="dynagraph_kmv_store_")
+    store_root, ckpt, src_stage, eph = drain_dirs(
+        store_root, "dynagraph_kmv_"
+    )
     store = KMVStore(spark, store_root, group_col, k)
 
     # no sentinel needed — foreachBatch has no watermark to push
-    events_path = stage_single_file(events_path, "dynagraph_kmv_src_")
+    events_path = stage_single_file(events_path, into=src_stage)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -116,10 +125,7 @@ def stream_kmv_distinct(
 
     q = (
         stream.writeStream.foreachBatch(sketch_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="dynagraph_kmv_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -130,7 +136,9 @@ def stream_kmv_distinct(
         # string would diverge from the non-empty result for
         # non-string group columns
         gtype = schema[group_col].dataType.simpleString()
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [], f"{group_col} {gtype}, n_seen bigint, est_distinct double"
         )
-    return kmv_estimate(state, group_col, k)
+    else:
+        out = kmv_estimate(state, group_col, k)
+    return finalize_drain(out, eph)

@@ -20,14 +20,17 @@ State is O(batches x sources) rows of 7 longs — never corpus-sized.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from neo4j_dynagraph_spark.operators.text import gopher_rules
 from neo4j_dynagraph_spark.streaming.corpus_stats import CounterStore
-from neo4j_dynagraph_spark.streaming.staging import stage_single_file
+from neo4j_dynagraph_spark.streaming.staging import (
+    drain_dirs,
+    finalize_drain,
+    stage_single_file,
+)
 from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
 
 _RULES = ("r_wc", "r_mwl", "r_alpha", "r_stop", "r_rep")
@@ -57,10 +60,16 @@ def stream_gopher_stats(
     Per-batch work is the SAME map-side rule projection the batch
     audit uses (operators/text.py gopher_rules), reduced to |sources|
     partial rows before the commit.
+
+    ``store_root=None`` drains ephemerally (temp root deleted after
+    the result materializes); a persistent ``store_root`` keeps its
+    checkpoint inside it so re-invocations are truly incremental.
     """
-    store_root = store_root or tempfile.mkdtemp(prefix="dynagraph_qual_store_")
+    store_root, ckpt, src_stage, eph = drain_dirs(
+        store_root, "dynagraph_qual_"
+    )
     store = QualityStore(spark, store_root)
-    docs_path = stage_single_file(docs_path, "dynagraph_qual_src_")
+    docs_path = stage_single_file(docs_path, into=src_stage)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -89,10 +98,7 @@ def stream_gopher_stats(
 
     q = (
         stream.writeStream.foreachBatch(quality_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="dynagraph_qual_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -100,18 +106,20 @@ def stream_gopher_stats(
     state = store.read()
     cols = ["n_docs"] + [f"fail_{c[2:]}" for c in _RULES] + ["n_pass"]
     if state is None:
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             [],
             "source string, "
             + ", ".join(f"{c} bigint" for c in cols)
             + ", pass_rate double",
         )
-    return (
-        state.groupBy("source")
-        .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
-        .withColumn(
-            "pass_rate",
-            F.round(F.col("n_pass") / F.col("n_docs").cast("double"), 6),
+    else:
+        out = (
+            state.groupBy("source")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
+            .withColumn(
+                "pass_rate",
+                F.round(F.col("n_pass") / F.col("n_docs").cast("double"), 6),
+            )
+            .orderBy("source")
         )
-        .orderBy("source")
-    )
+    return finalize_drain(out, eph)

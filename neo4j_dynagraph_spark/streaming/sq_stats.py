@@ -21,12 +21,15 @@ State is exactly d rows (the vector dimensionality) forever.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from neo4j_dynagraph_spark.streaming.staging import stage_single_file
+from neo4j_dynagraph_spark.streaming.staging import (
+    drain_dirs,
+    finalize_drain,
+    stage_single_file,
+)
 from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
 
 
@@ -62,10 +65,16 @@ def stream_sq_stats(
 
     Per-batch work mirrors the batch operator: one posexplode pass
     reduced map-side to d partial rows before the lattice merge.
+
+    ``store_root=None`` drains ephemerally (temp root deleted after
+    the result materializes); a persistent ``store_root`` keeps its
+    checkpoint inside it so re-invocations are truly incremental.
     """
-    store_root = store_root or tempfile.mkdtemp(prefix="dynagraph_sq_store_")
+    store_root, ckpt, src_stage, eph = drain_dirs(
+        store_root, "dynagraph_sq_"
+    )
     store = MinMaxStore(spark, store_root)
-    emb_path = stage_single_file(emb_path, "dynagraph_sq_src_")
+    emb_path = stage_single_file(emb_path, into=src_stage)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -86,15 +95,14 @@ def stream_sq_stats(
 
     q = (
         stream.writeStream.foreachBatch(calib_batch)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="dynagraph_sq_ckpt_"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     state = store.read()
     if state is None:
-        return spark.createDataFrame([], "i int, mn double, mx double")
-    return state.orderBy("i")
+        out = spark.createDataFrame([], "i int, mn double, mx double")
+    else:
+        out = state.orderBy("i")
+    return finalize_drain(out, eph)

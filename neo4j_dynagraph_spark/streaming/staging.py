@@ -14,16 +14,88 @@ zero files, i.e. a silently empty stream. One shared helper, one
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
+from pyspark.sql import DataFrame
 
-def stage_single_file(path: str, prefix: str = "dynagraph_stream_src_") -> str:
-    """If ``path`` is a single file, return a fresh temp directory
-    containing a symlink to it (absolute target — see module
-    docstring); directories pass through unchanged."""
+
+def stage_single_file(
+    path: str,
+    prefix: str = "dynagraph_stream_src_",
+    into: str | None = None,
+) -> str:
+    """If ``path`` is a single file, return a directory containing a
+    symlink to it (absolute target — see module docstring);
+    directories pass through unchanged.
+
+    ``into`` pins the stage directory (idempotent re-stage) instead of
+    a fresh mkdtemp — REQUIRED for persistent-store drains, because the
+    FileStreamSource checkpoint records source paths: a fresh temp
+    basePath per invocation would make every previously-seen file look
+    new and double-count additive state.
+    """
     if not os.path.isfile(path):
         return path
-    stage = tempfile.mkdtemp(prefix=prefix)
     target = os.path.abspath(path)
+    if into is not None:
+        os.makedirs(into, exist_ok=True)
+        link = os.path.join(into, os.path.basename(target))
+        if os.path.islink(link):
+            if os.readlink(link) != target:
+                raise ValueError(
+                    f"stage dir {into} already streams {os.readlink(link)}; "
+                    f"cannot re-point it at {target} — one persistent store "
+                    "tracks one source"
+                )
+        else:
+            os.symlink(target, link)
+        return into
+    stage = tempfile.mkdtemp(prefix=prefix)
     os.symlink(target, os.path.join(stage, os.path.basename(target)))
     return stage
+
+
+def drain_dirs(
+    store_root: str | None, prefix: str
+) -> tuple[str, str, str, str | None]:
+    """Resolve the directory layout for a store-backed foreachBatch
+    drain: ``(store_root, checkpoint, source_stage, ephemeral_root)``.
+
+    Caller passed a ``store_root`` → PERSISTENT mode: the checkpoint
+    and source stage live inside it, so a second invocation resumes
+    from the recorded offsets and processes only new files — the
+    "readable at any time without rescanning history" semantics the
+    incremental stores promise. No cleanup.
+
+    ``store_root is None`` → EPHEMERAL mode: store, checkpoint and
+    stage share one temp root which the caller must delete after
+    materializing the result (see :func:`finalize_drain`) — a graded
+    or bench run must not leak temp directories.
+    """
+    if store_root is None:
+        root = tempfile.mkdtemp(prefix=prefix)
+        return (
+            os.path.join(root, "store"),
+            os.path.join(root, "checkpoint"),
+            os.path.join(root, "src"),
+            root,
+        )
+    return (
+        store_root,
+        os.path.join(store_root, "_checkpoint"),
+        os.path.join(store_root, "_src"),
+        None,
+    )
+
+
+def finalize_drain(df: DataFrame, ephemeral_root: str | None) -> DataFrame:
+    """Materialize a drain's (sketch-sized, by the stores' O(state)
+    contracts) result off its backing store, then delete the ephemeral
+    root. Persistent mode (``ephemeral_root is None``) returns ``df``
+    lazily — its store stays on disk by design."""
+    if ephemeral_root is None:
+        return df
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(ephemeral_root, ignore_errors=True)
+    return out

@@ -915,3 +915,79 @@ def test_stream_sq_stats_multibatch_and_replay_absorbed(spark, tmp_path):
     store.merge(store.read())
     again = {r.i: (r.mn, r.mx) for r in store.read().collect()}
     assert again == got
+
+
+def test_stream_training_mix_multibatch_equals_batch(spark, tmp_path):
+    """The streaming curation capstone drained one micro-batch at a
+    time must equal the batch dedup->quality->decontam->pack pipeline
+    exactly, with the cross-batch hazards PLANTED: the min-id dedup
+    survivor arrives AFTER its duplicate, and a benchmark doc arrives
+    in the LAST batch to contaminate a training doc from the FIRST."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators import text
+    from neo4j_dynagraph_spark.streaming.training_mix import (
+        stream_training_mix,
+    )
+
+    long_unique = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    contam_text = "alpha beta gamma delta " + long_unique("c", 30)
+    shards = [
+        # batch 0: doc 5 duplicates doc 3's text (3 arrives LATER);
+        # doc 10 shares the 4-gram 'alpha beta gamma delta' with the
+        # bench doc that arrives in batch 2
+        [(5, long_unique("a", 40)), (10, contam_text)],
+        # batch 1: a low-quality doc (short) and a good doc
+        [(7, "too short"), (8, long_unique("b", 45))],
+        # batch 2: doc 3 = the true min-id survivor of the dup pair;
+        # doc 97*2=194 is the BENCHMARK doc carrying the shared 4-gram
+        [(3, long_unique("a", 40)),
+         (194, "alpha beta gamma delta " + long_unique("z", 30))],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_training_mix(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+
+    docs = spark.read.parquet(str(src))
+    keep1 = (
+        docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(keep1, "doc_id")
+    good = (
+        text.text_stats(d1)
+        .where((F.col("n_tokens") >= 30) & (F.col("ttr") >= 0.35))
+        .select("doc_id")
+    )
+    d2 = d1.join(good, "doc_id")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = d2.where(F.col("doc_id") % 97 != 0)
+    contam = text.decontaminate(train, bench, n=4).select("doc_id")
+    clean = train.join(contam, "doc_id", "left_anti")
+    batch = text.pack_sequences(clean, seq_len=128)
+
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
+    # the planted hazards actually fired: doc 5 (late-arriving min-id
+    # 3 wins) and doc 10 (late-arriving bench contamination) are OUT,
+    # docs 3 and 8 are IN
+    packed_docs = {r[1] for r in s_rows}
+    assert 3 in packed_docs and 8 in packed_docs
+    assert 5 not in packed_docs and 10 not in packed_docs
+    assert 7 not in packed_docs and 194 not in packed_docs

@@ -76,9 +76,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    n_compared = 0
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        n_compared += 1
         t0 = time.time()
         try:
             problems, n_rows = compare_query(spark, con, spec, sf_dir)
@@ -93,7 +95,9 @@ def main() -> int:
             kind = "match" if spec.oracle is not None else "(no oracle)"
             print(f"ok   {name}: rows={n_rows} {kind} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")
+    # Count only the queries actually compared this run: with a name
+    # filter, "204/204 pass" would misreport a 10-query selection.
+    print(f"\n{n_compared - len(failures)}/{n_compared} pass")
     return 1 if failures else 0
 
 
