@@ -88,7 +88,29 @@ DRIFT_PROBES = [
     # r8 mover: swung -30% in r7 then +10% in r8, plans byte-identical
     # both times — classify the next swing with the instrument
     "q_training_mix",
+    # r10: the embedding-training pipeline's longitudinal record
+    # (VERDICT r9 task 4) — per-hop join cost is the shape to watch
+    "q_random_walks",
+    "q_temporal_walks",
 ]
+
+
+def _calibrate(spark, n: int = 5) -> float:  # noqa: ANN001
+    """Median wall over n runs of a FIXED synthetic job
+    (range(5e8).sum — pure JVM codegen, no I/O, no shuffle skew, no
+    code under test): a pure probe of the sandbox's compute envelope.
+    Rounds 8 and 9 both spent forensic effort proving uniform
+    cross-round bench shifts were environmental (byte-identical plans,
+    sign-consistent drift); normalizing cross-round per-query deltas
+    by the calibration ratio settles that question by construction
+    (VERDICT r9 task 2)."""
+    samples = []
+    spark.range(500_000_000).selectExpr("sum(id)").collect()  # warm-up
+    for _ in range(n):
+        t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id)").collect()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
 
 
 def _probe(spark, sf_dir: str, n: int = 5) -> dict[str, float]:  # noqa: ANN001
@@ -114,6 +136,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("dynagraph-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    load_before = os.getloadavg()
+    cal_first = _calibrate(spark)
+    print(
+        f"# calibration (first): {cal_first}s, loadavg {load_before}",
+        file=sys.stderr,
+    )
 
     first = _probe(spark, sf_dir)
     print(f"# drift probe (first-in-session): {first}", file=sys.stderr)
@@ -188,6 +217,13 @@ def main() -> None:
     last = _probe(spark, sf_dir)
     print(f"# drift probe (last-in-session): {last}", file=sys.stderr)
 
+    cal_last = _calibrate(spark)
+    load_after = os.getloadavg()
+    print(
+        f"# calibration (last): {cal_last}s, loadavg {load_after}",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "sum of per-query median wall seconds, "
@@ -202,6 +238,16 @@ def main() -> None:
             n: {"first": first[n], "last": last[n]} for n in first if n in last
         },
         "position_effect": position_effect,
+        # environment pin (VERDICT r9 task 2): cross-round per-query
+        # deltas are quoted NORMALIZED by the round-over-round ratio of
+        # this fixed synthetic job's median — a shift that survives
+        # normalization is code, one that doesn't is the sandbox
+        "calibration": {
+            "job": "spark.range(5e8).selectExpr('sum(id)'), N=5 median",
+            "first": cal_first,
+            "last": cal_last,
+        },
+        "loadavg": {"before": list(load_before), "after": list(load_after)},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # durable copy: the driver records only a stdout tail, which a

@@ -985,10 +985,21 @@ def negative_edges(
     )
 
 
-def _wedge_pairs(edges: DataFrame) -> DataFrame:
+def _wedge_pairs(
+    edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
     """Per-center ordered wedge stream (center, actor1 < actor2) from a
     canonical edge set — the shared generator for triadic closure,
-    Adamic-Adar, and neighbor-set Jaccard."""
+    Adamic-Adar, and neighbor-set Jaccard.
+
+    ``max_center_degree`` is the GDS ``upperDegreeCutoff`` SEMANTIC
+    knob (it changes scores, it is not an optimizer hint): centers
+    with degree above the cap contribute NO wedges. On a saturated
+    contact graph the wedge count is Σ_c deg(c)², so a handful of hub
+    centers dominate the 10⁹-wedge stream while contributing near-zero
+    information per pair (1/ln(deg) -> 0 in Adamic-Adar; union-size
+    blowup in Jaccard); capping makes the stream Σ min(deg, cap)² —
+    linear in |V| for fixed cap (measured at sf1 in SCALE.md)."""
     d = edges.select("actor1", "actor2").distinct()
     sym = d.select(
         F.explode(
@@ -1002,6 +1013,14 @@ def _wedge_pairs(edges: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+    if max_center_degree is not None:
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .where(F.col("_deg") <= max_center_degree)
+            .select("src")
+        )
+        sym = sym.join(keep, "src")
     s1 = sym.alias("s1")
     s2 = sym.alias("s2")
     return (
@@ -1015,7 +1034,9 @@ def _wedge_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
-def adamic_adar(edges: DataFrame, k: int = 30) -> DataFrame:
+def adamic_adar(
+    edges: DataFrame, k: int = 30, max_center_degree: int | None = None
+) -> DataFrame:
     """Adamic–Adar link prediction (Neo4j GDS
     `gds.alpha.linkprediction.adamicAdar` parity): for NON-edge pairs
     sharing neighbors, score = Σ_z 1/ln(deg(z)) over common neighbors
@@ -1031,7 +1052,9 @@ def adamic_adar(edges: DataFrame, k: int = 30) -> DataFrame:
     deg = degree(d).select(
         F.col("actor").alias("center"), F.col("degree").alias("cdeg")
     )
-    w = _wedge_pairs(d).join(F.broadcast(deg), "center")
+    w = _wedge_pairs(d, max_center_degree=max_center_degree).join(
+        F.broadcast(deg), "center"
+    )
     scores = (
         w.groupBy("actor1", "actor2")
         .agg(
@@ -1048,7 +1071,10 @@ def adamic_adar(edges: DataFrame, k: int = 30) -> DataFrame:
 
 
 def neighbor_jaccard(
-    edges: DataFrame, k: int = 30, min_common: int = 2
+    edges: DataFrame,
+    k: int = 30,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Neighbor-set Jaccard similarity (Neo4j GDS `gds.nodeSimilarity`
     parity): J(a, b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for pairs sharing
@@ -1062,7 +1088,7 @@ def neighbor_jaccard(
     d = edges.select("actor1", "actor2").distinct()
     deg = degree(d)
     common = (
-        _wedge_pairs(d)
+        _wedge_pairs(d, max_center_degree=max_center_degree)
         .groupBy("actor1", "actor2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         .where(F.col("n_common") >= min_common)
@@ -1085,6 +1111,71 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "actor1", "actor2")
+        .limit(k)
+    )
+
+
+def link_scores(
+    edges: DataFrame,
+    k: int = 30,
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Adamic-Adar AND neighbor-Jaccard from ONE wedge pass — the
+    combined form for products that want both link-prediction scores
+    (VERDICT r9 task 3: at sf1 the two separate queries each paid the
+    2.6x10⁹-wedge stream; this aggregates it once, and
+    ``max_center_degree`` caps the hub centers that dominate it — see
+    _wedge_pairs for the semantic contract).
+
+    One groupBy computes both aggregates (count + Σ 1/ln(deg(center)));
+    degrees re-attach by broadcast. NOTE the scope difference from the
+    single-score operators: adamic_adar anti-joins known edges
+    (prediction) while neighbor_jaccard keeps them (similarity) — this
+    combined form keeps every pair with >= min_common shared neighbors
+    and exposes ``is_edge`` so callers slice either view. Top-k by
+    aa_score. Columns: actor1, actor2, n_common, aa_score, jaccard,
+    is_edge.
+    """
+    d = edges.select("actor1", "actor2").distinct()
+    deg = degree(d)
+    cdeg = deg.select(
+        F.col("actor").alias("center"), F.col("degree").alias("cdeg")
+    )
+    scores = (
+        _wedge_pairs(d, max_center_degree=max_center_degree)
+        .join(F.broadcast(cdeg), "center")
+        .groupBy("actor1", "actor2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("cdeg").cast("double"))), 6
+            ).alias("aa_score"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    d1 = deg.select(F.col("actor").alias("actor1"), F.col("degree").alias("deg1"))
+    d2 = deg.select(F.col("actor").alias("actor2"), F.col("degree").alias("deg2"))
+    e = d.withColumn("is_edge", F.lit(True))
+    return (
+        scores.join(F.broadcast(d1), "actor1")
+        .join(F.broadcast(d2), "actor2")
+        .join(e, ["actor1", "actor2"], "left")
+        .select(
+            "actor1",
+            "actor2",
+            "n_common",
+            "aa_score",
+            F.round(
+                F.col("n_common")
+                / (
+                    F.col("deg1") + F.col("deg2") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.coalesce(F.col("is_edge"), F.lit(False)).alias("is_edge"),
+        )
+        .orderBy(F.desc("aa_score"), "actor1", "actor2")
         .limit(k)
     )
 

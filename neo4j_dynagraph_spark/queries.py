@@ -2203,6 +2203,21 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (q_stratified_sample), the incremental streaming KMV (q_stream_kmv),
 # temporal 2-hop paths (q_temporal_paths) — and the round-9 exact-
 # substring span audit (q_dup_spans_exact).
+#
+# ROTATION (round 10): eleven rows driver-green for 4 consecutive
+# rounds and re-proven every round by the full-registry parity gate
+# (q_asof_keyed, q_curate, q_dedup_embed_bucketed, q_dedup_pipeline,
+# q_embed_ann_ivf, q_interval_overlap, q_lang_id, q_stream_edges,
+# q_stream_sessions, q_text_stats, q_token_counts) rotate out in favor
+# of the round-9 post-bench additions that had never been driver-graded
+# — the graph-embedding training trio (q_random_walks,
+# q_skipgram_pairs, q_sgns_negatives) with its time-respecting twin
+# (q_temporal_walks), community grading (q_modularity), the degree
+# power-law fit (q_degree_powerlaw), CMS join-size estimation
+# (q_join_size_est), the streaming quality-drift / SQ-calibration
+# drains (q_stream_gopher, q_stream_sq_stats), fuzzy decontamination
+# (q_minhash_decontam) — plus the round-10 streaming curation capstone
+# (q_stream_training_mix, graded by the batch capstone's own oracle).
 
 _GRADE_WINDOW = [
     # reference QUERY1..11 (+ the anchored QUERY11 shape,
@@ -2215,43 +2230,44 @@ _GRADE_WINDOW = [
     "q10_degree", "q11_triangles_hour",
     # ingest / frame grid
     "ingest_spells",
-    # sketch surface: q_stream_kmv is the multi-batch incremental KMV
-    # (bit-equal to the batch form, which rotated out with its
-    # q_sample_quantiles sibling — both stay pinned by the full parity
-    # gate and the native-vs-twin tests in tests/test_oracle_subset.py);
-    # q_stream_cms is the round-9 incremental Count-Min, bit-equal to
-    # the batch sketch under any micro-batch chopping
-    "q_stream_kmv", "q_stream_cms",
-    # temporal joins without discretization (the two-relation
-    # q_campaign_overlap rotated out in favor of its harder streaming
-    # twin, which stays) + the round-9 point-in-time feature join
-    "q_asof_keyed", "q_interval_overlap", "q_stream_campaign",
-    "q_pit_features",
-    # streaming (batch-equivalence oracles, SURVEY.md §2.9;
-    # tumbling/dedup rotated out after four green rounds — both remain
-    # parity-pinned and stream==batch unit-tested)
-    "q_stream_edges", "q_stream_sessions",
+    # sketch surface: incremental KMV + Count-Min drains, the round-9
+    # CMS join-size estimator (never driver-graded until now)
+    "q_stream_kmv", "q_stream_cms", "q_join_size_est",
+    # temporal joins without discretization (q_asof_keyed and
+    # q_interval_overlap rotated out after 4 green rounds —
+    # parity-pinned; the streaming campaign join and the
+    # point-in-time feature join stay)
+    "q_stream_campaign", "q_pit_features",
+    # streaming (batch-equivalence oracles, SURVEY.md §2.9; the edge
+    # builder and sessionizer rotated out after 4 green rounds — both
+    # remain parity-pinned and stream==batch unit-tested). The round-9
+    # incremental drains (quality drift, SQ calibration) and the
+    # round-10 streaming curation capstone rotate IN.
+    "q_stream_gopher", "q_stream_sq_stats", "q_stream_training_mix",
     # dedup / curation (q_dedup_prefix is the no-false-negative
     # candidate strategy; q_dup_spans_exact the round-9 exact-substring
-    # span audit; q_gopher_rules the round-9 rule-filter audit)
-    "q_dedup_prefix", "q_dup_spans_exact",
-    "q_dedup_pipeline", "q_curate", "q_stratified_sample",
-    "q_gopher_rules",
+    # span audit; q_gopher_rules the round-9 rule-filter audit;
+    # q_minhash_decontam the fuzzy decontamination gate, now graded on
+    # its superset-candidate contract)
+    "q_dedup_prefix", "q_dup_spans_exact", "q_minhash_decontam",
+    "q_stratified_sample", "q_gopher_rules",
     # similarity / embeddings: recall grading, distributed PCA, and the
     # round-9 quantization surface (int8 SQ top-k + recall, IVF nprobe
     # tuning curve)
-    "q_dedup_embed_bucketed",
-    "q_embed_ann_ivf", "q_ann_recall", "q_embed_pca",
+    "q_ann_recall", "q_embed_pca",
     "q_sq_topk", "q_sq_recall", "q_ivf_tuning",
     # iterative-graph surface: replay-oracle PageRank, the bounded
-    # k-core peel (its k-truss sibling rotated out, twin-pinned),
-    # link-prediction scores, temporal paths, association rules
+    # k-core peel, link-prediction scores, temporal paths, association
+    # rules — plus the round-9 embedding-training pipeline (DeepWalk
+    # walks -> skip-gram pairs -> SGNS negatives, CTDNE walks) and the
+    # community/topology grading rows, none driver-graded before
     "q_pagerank", "q_kcore_bounded",
     "q_adamic_adar", "q_node_similarity", "q_temporal_paths",
     "q_copurchase_rules",
+    "q_random_walks", "q_skipgram_pairs", "q_sgns_negatives",
+    "q_temporal_walks", "q_modularity", "q_degree_powerlaw",
     # text / tokenizer / retrieval core (+ round-9 corpus analytics:
     # source JSD, tokenizer fertility) and the operational skew audit
-    "q_text_stats", "q_token_counts", "q_lang_id",
     "q_bm25_search", "q_token_pmi", "q_bpe_train", "q_dsir_weights",
     "q_source_divergence", "q_tokenizer_fertility", "q_skew_audit",
     # round-9 multimodal: real-decode patchify

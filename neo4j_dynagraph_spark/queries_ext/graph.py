@@ -872,6 +872,62 @@ def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_link_scores",
+    empty_ok=True,
+    oracle=f"""
+WITH {_WEDGE_CTES.format(p=_presence_sql(_HOUR_P))},
+cap AS (SELECT CAST(floor(quantile_cont(cdeg, 0.5)) AS BIGINT) AS mx FROM deg),
+keepc AS (SELECT center FROM deg, cap WHERE cdeg <= cap.mx),
+symc AS (SELECT src, dst FROM sym WHERE src IN (SELECT center FROM keepc)),
+wc AS (SELECT s1.src AS center, s1.dst AS actor1, s2.dst AS actor2
+       FROM symc s1 JOIN symc s2
+       ON s1.src = s2.src AND s1.dst < s2.dst),
+sc AS (SELECT wc.actor1, wc.actor2,
+              CAST(count(*) AS BIGINT) AS n_common,
+              round(sum(1.0 / ln(CAST(deg.cdeg AS DOUBLE))), 6) AS aa_score
+       FROM wc JOIN deg ON deg.center = wc.center
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT sc.actor1, sc.actor2, sc.n_common, sc.aa_score,
+       round(sc.n_common / CAST(d1.cdeg + d2.cdeg - sc.n_common AS DOUBLE),
+             6) AS jaccard,
+       (e.actor1 IS NOT NULL) AS is_edge
+FROM sc JOIN deg d1 ON d1.center = sc.actor1
+JOIN deg d2 ON d2.center = sc.actor2
+LEFT JOIN e ON e.actor1 = sc.actor1 AND e.actor2 = sc.actor2
+ORDER BY aa_score DESC, sc.actor1, sc.actor2 LIMIT 30
+""",
+)
+def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH link-prediction scores (Adamic-Adar + neighbor-Jaccard)
+    from ONE wedge pass, under the GDS-parity upperDegreeCutoff
+    contract (VERDICT r9 task 3): centers with degree above the MEDIAN
+    degree contribute no wedges — the SEMANTIC knob that makes the
+    wedge stream Σ min(deg, cap)² instead of Σ deg² on a saturated
+    graph (sf1: the uncapped stream is 2.6x10⁹ wedges; SCALE.md
+    records the capped walls). The cap is data-derived (floor of the
+    exact interpolated median — a one-row scalar, the O(1) collect the
+    repo's contract allows) so the demonstration holds at every SF of
+    this near-clique window, where any fixed constant either keeps
+    everything or nothing. Pair degrees stay full-graph (only wedge
+    ENUMERATION is capped); is_edge slices the prediction vs
+    similarity views. The oracle replays the cap derivation, both
+    scores, and the rank cut (operators/graph.py link_scores).
+    Empty at sf0.001 (the pinned window has no events there, like
+    q11)."""
+    from neo4j_dynagraph_spark import queries as qmod
+    from neo4j_dynagraph_spark.operators.graph import degree
+
+    e = qmod._edges(spark, sf_dir, qmod._hour_filter(9, 11))
+    row = (
+        degree(e.select("actor1", "actor2").distinct())
+        .agg(F.floor(F.expr("percentile(degree, 0.5)")).alias("mx"))
+        .first()
+    )
+    cap = int(row.mx) if row.mx is not None else 0
+    return graph.link_scores(e, k=30, min_common=2, max_center_degree=cap)
+
+
+@query(
     "q_activity_rhythm",
     oracle="""
 WITH c AS (SELECT CAST(isodow(ts) AS INTEGER) AS dow,
@@ -963,6 +1019,7 @@ def q_triangle_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_random_walks",
+    bench=True,
     oracle=f"""
 WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
 e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
@@ -1280,6 +1337,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_temporal_walks",
+    bench=True,
     oracle=f"""
 WITH p AS ({_presence_sql(_DAY_WHERE)}),
 fe AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
