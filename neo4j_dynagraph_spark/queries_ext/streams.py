@@ -588,3 +588,54 @@ def q_stream_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_training_mix(
         spark, f"{sf_dir}/documents.parquet", schema
     ).orderBy("seq_id", "doc_id")
+
+
+@query(
+    "q_stream_dedup_lsh",
+    oracle=(
+        f"WITH {_TOK_CTE}, {_SH_CTE}, "
+        "hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) "
+        "|| md5('s2:' || shingle) || md5('s3:' || shingle) AS hh FROM sh), "
+        "hs AS (SELECT doc_id, "
+        + ", ".join(
+            f"('0x' || substr(hh, {15 * i + 1}, 15))::BIGINT AS h{i}"
+            for i in range(8)
+        )
+        + " FROM hx), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"min(h{i}) AS h{i}" for i in range(8))
+        + " FROM hs GROUP BY 1), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM sig"
+            for b in range(4)
+        )
+        + "), "
+        "m AS (SELECT band, h0, h1, min(doc_id) AS mn, count(*) AS n "
+        "FROM bands GROUP BY 1, 2, 3) "
+        "SELECT b.doc_id, "
+        "bool_or(m.n <= 64 AND m.mn < b.doc_id) AS is_near_dup "
+        "FROM bands b JOIN m USING (band, h0, h1) "
+        "GROUP BY 1 ORDER BY doc_id"
+    ),
+)
+def q_stream_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup flagging: the documents stream
+    drained through per-batch signature + band-row commits (the
+    tokenize/shingle/hash work happens once per doc at ingest; state
+    is 4 compact band rows per doc, keyed by batch_id for replay
+    safety), flagged at read time under the ORDER-FREE bucket-min
+    rule — a doc is a near-dup iff some band bucket of size <= 64
+    (q_dedup_minhash's boilerplate-skew cap) contains a smaller
+    doc_id, however the stream was chopped and whichever batch the
+    smaller doc arrived in. The oracle replays signatures, banding,
+    bucket sizes, and the rule (streaming/incremental_dedup.py
+    stream_dedup_minhash; late-original multibatch test)."""
+    from neo4j_dynagraph_spark.streaming.incremental_dedup import (
+        stream_dedup_minhash,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_dedup_minhash(
+        spark, f"{sf_dir}/documents.parquet", schema
+    )

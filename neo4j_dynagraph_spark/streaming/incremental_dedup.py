@@ -109,3 +109,127 @@ def stream_dedup_documents(
         # state + checkpoint are safe to delete in ephemeral mode
         shutil.rmtree(eph, ignore_errors=True)
     return out
+
+
+def stream_dedup_minhash(
+    spark: SparkSession,
+    docs_path: str,
+    schema,  # noqa: ANN001
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = 64,
+    store_root: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup flagging: drain the documents
+    stream, computing each batch's signatures + band rows ONCE at
+    ingest (the expensive tokenize/shingle/hash work never repeats),
+    and flag at read time under the order-free BUCKET-MIN rule: a doc
+    is a near-dup iff some non-degenerate band bucket (size <=
+    ``max_bucket``, the boilerplate-skew guard of lsh_candidate_pairs)
+    contains a SMALLER doc_id.
+
+    Why this is exactly batch-equivalent under any chopping: the
+    stored state is the band-row SET (4 rows per doc at b=4/r=2 —
+    compact, unlike the training-mix n-gram index), and both the
+    per-bucket min and the bucket size are read-time aggregates over
+    that set — order-free, replay-safe (rows keyed by batch_id
+    overwrite their own batch). The rule itself is monotone in doc_id,
+    not arrival order, so a near-dup's "original" may arrive AFTER it.
+
+    NOTE the semantic difference from connected-component dedup
+    (cc_survivors): bucket-min keeps every doc that is the minimum of
+    ALL its buckets, which can keep >1 doc per similarity component
+    (a is min of bucket A, b is min of bucket B, a-b linked through c
+    only). It is the standard streaming-LSH filter contract; use the
+    batch CC pass for global component survivorship.
+
+    Output: (doc_id, is_near_dup) for every doc with >= 1 shingle,
+    ordered by doc_id.
+    """
+    from neo4j_dynagraph_spark.operators.dedup import (
+        minhash_signatures,
+        shingles_df,
+    )
+    from neo4j_dynagraph_spark.streaming.staging import (
+        drain_dirs,
+        finalize_drain,
+        stage_single_file,
+    )
+    from neo4j_dynagraph_spark.streaming.training_mix import BatchRowStore
+
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            f"signature width {num_hashes} not divisible by r={rows_per_band}"
+        )
+    r = rows_per_band
+    hcols = [f"h{j}" for j in range(r)]
+    store_root, ckpt, src_stage, eph = drain_dirs(
+        store_root, "dynagraph_lshdedup_"
+    )
+    store = BatchRowStore(
+        spark,
+        os.path.join(store_root, "bands"),
+        ["batch_id", "doc_id", "band", *hcols],
+    )
+    docs_path = stage_single_file(docs_path, into=src_stage)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_path)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"h{r * b + j}").alias(f"h{j}") for j in range(r)],
+            )
+            for b in range(num_hashes // r)
+        ]
+    )
+
+    def band_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signatures(
+            shingles_df(batch_df), num_hashes=num_hashes
+        )
+        rows = sigs.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "doc_id",
+            F.explode(band_structs).alias("bs"),
+        ).select(
+            "batch_id",
+            "doc_id",
+            "bs.band",
+            *[F.col(f"bs.h{j}").alias(f"h{j}") for j in range(r)],
+        )
+        store.merge(rows)
+
+    q = (
+        stream.writeStream.foreachBatch(band_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    bands = store.read()
+    if bands is None:
+        return finalize_drain(
+            spark.createDataFrame([], "doc_id long, is_near_dup boolean"),
+            eph,
+        )
+    keys = ["band", *hcols]
+    buckets = bands.groupBy(*keys).agg(
+        F.min("doc_id").alias("_mn"), F.count(F.lit(1)).alias("_n")
+    )
+    out = (
+        bands.join(buckets, keys)
+        .groupBy("doc_id")
+        .agg(
+            F.bool_or(
+                (F.col("_n") <= max_bucket) & (F.col("_mn") < F.col("doc_id"))
+            ).alias("is_near_dup")
+        )
+        .orderBy("doc_id")
+    )
+    return finalize_drain(out, eph)

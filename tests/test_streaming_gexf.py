@@ -991,3 +991,86 @@ def test_stream_training_mix_multibatch_equals_batch(spark, tmp_path):
     assert 3 in packed_docs and 8 in packed_docs
     assert 5 not in packed_docs and 10 not in packed_docs
     assert 7 not in packed_docs and 194 not in packed_docs
+
+
+def test_stream_dedup_lsh_multibatch_late_original(spark, tmp_path):
+    """Bucket-min LSH flagging is order-free: a near-dup whose
+    smaller-id original arrives in a LATER micro-batch must still be
+    flagged, and the drained flags must equal the batch replay of the
+    same rule exactly."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.dedup import (
+        minhash_signatures,
+        shingles_df,
+    )
+    from neo4j_dynagraph_spark.streaming.incremental_dedup import (
+        stream_dedup_minhash,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    shards = [
+        # batch 0: doc 7 is a near-dup of doc 2 — which arrives LATER
+        [(7, base), (9, other)],
+        # batch 1: unrelated doc
+        [(11, " ".join(f"qqq{i}" for i in range(35)))],
+        # batch 2: the ORIGINAL (smaller id, identical text)
+        [(2, base)],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = {
+        r.doc_id: r.is_near_dup
+        for r in stream_dedup_minhash(
+            spark, str(src), schema, max_files_per_trigger=1
+        ).collect()
+    }
+    # batch replay of the same rule
+    sigs = minhash_signatures(shingles_df(spark.read.parquet(str(src))))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"h{2 * b}").alias("h0"),
+                        F.col(f"h{2 * b + 1}").alias("h1"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.h0", "bs.h1")
+    buckets = bands.groupBy("band", "h0", "h1").agg(
+        F.min("doc_id").alias("mn"), F.count(F.lit(1)).alias("n")
+    )
+    batch = {
+        r.doc_id: r.is_near_dup
+        for r in bands.join(buckets, ["band", "h0", "h1"])
+        .groupBy("doc_id")
+        .agg(
+            F.bool_or((F.col("n") <= 64) & (F.col("mn") < F.col("doc_id")))
+            .alias("is_near_dup")
+        )
+        .collect()
+    }
+    assert streamed == batch
+    # the planted hazard fired: 7's original (2) arrived two batches
+    # later and still flags 7; 2 itself is the bucket min, not a dup
+    assert streamed[7] is True and streamed[2] is False
+    assert streamed[9] is False and streamed[11] is False
