@@ -639,3 +639,47 @@ def q_stream_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_minhash(
         spark, f"{sf_dir}/documents.parquet", schema
     )
+
+
+@query(
+    "q_stream_embed_topk",
+    oracle="""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM base WHERE vec_id < 5),
+pairs AS (SELECT qid, vec_id AS cid, qe, embedding AS ce
+          FROM base CROSS JOIN q WHERE vec_id != qid),
+un AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+       FROM pairs),
+dots AS (SELECT qid, cid, sum(x*y) AS d, sum(x*x) AS nx, sum(y*y) AS ny
+         FROM un GROUP BY 1, 2),
+sims AS (SELECT qid, cid, d / (sqrt(nx) * sqrt(ny)) AS sim_raw FROM dots),
+ranked AS (SELECT qid, cid, sim_raw,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rank
+           FROM sims)
+SELECT qid, rank, cid, round(sim_raw, 6) AS sim
+FROM ranked WHERE rank <= 5 ORDER BY qid, rank
+""",
+)
+def q_stream_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING retrieval-index maintenance: the embeddings stream
+    drained through the incremental exact top-k — corpus vectors
+    appended batch-keyed (the serving index), per-query top-k as a
+    PRUNED LATTICE (union + dedup + keep-k-best: associative,
+    commutative, idempotent, so the drained ranks equal the batch
+    brute-force bit-for-bit under any chopping), and a query vector
+    arriving LATE scores once against the stored corpus — the
+    retrieval twin of the training-mix late-bench hazard. Same oracle
+    as the batch q_embed_topk (streaming/embed_topk.py; multi-batch +
+    late-query test)."""
+    from neo4j_dynagraph_spark.streaming.embed_topk import (
+        stream_embed_topk,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return stream_embed_topk(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        schema,
+        is_query=F.col("vec_id") < 5,
+        k=5,
+    )

@@ -739,3 +739,75 @@ def test_temporal_walks_respect_time_and_terminate(spark):
     assert max(by_walk[4]) <= 2
     again = {(r.walk_id, r.step, r.node, r.t) for r in temporal_walks(fe, n_steps=3).collect()}
     assert again == {(r.walk_id, r.step, r.node, r.t) for r in rows}
+
+
+def test_sgns_negatives_integer_cdf_property(spark):
+    """Property (random graphs): the INTEGER fixed-point CDF partitions
+    [0, total) exactly, so every (pair, j) draw matches EXACTLY one
+    node — no FP boundary gap/overlap can drop or double a draw, for
+    any degree profile (ADVICE r9: the double-CDF form could not
+    guarantee this at interval boundaries)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_dynagraph_spark.operators.graph import sgns_negatives
+
+    edge_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(edge_strategy)
+    def check(raw):
+        canon = sorted({(min(a, b), max(a, b)) for a, b in raw})
+        edges = spark.createDataFrame(canon, "actor1 long, actor2 long")
+        # pairs: every edge as (center, context) both ways
+        pairs = spark.createDataFrame(
+            sorted({(a, b) for a, b in canon} | {(b, a) for a, b in canon}),
+            "center long, context long",
+        )
+        n_pairs = pairs.count()
+        rows = sgns_negatives(edges, pairs, k=3).collect()
+        assert len(rows) == n_pairs * 3
+        assert len({(r.center, r.context, r.j) for r in rows}) == len(rows)
+        nodes = {a for e in canon for a in e}
+        assert all(r.neg in nodes for r in rows)
+
+    check()
+
+
+def test_wedge_cap_semantics_planted_hub(spark):
+    """max_center_degree is a semantic cap: with cap >= max degree the
+    wedge stream is unchanged; with a cap below the hub's degree,
+    exactly the hub-centered wedges disappear (the clique wedges
+    survive untouched)."""
+    from neo4j_dynagraph_spark.operators.graph import _wedge_pairs
+
+    # one 4-clique (node degrees 3) + hub 100 with 6 leaves (degree 6)
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    star = [(100, 200 + i) for i in range(6)]
+    edges = spark.createDataFrame(
+        clique + star, "actor1 long, actor2 long"
+    )
+    full = {tuple(r) for r in _wedge_pairs(edges).collect()}
+    same = {
+        tuple(r)
+        for r in _wedge_pairs(edges, max_center_degree=6).collect()
+    }
+    assert same == full
+    capped = {
+        tuple(r)
+        for r in _wedge_pairs(edges, max_center_degree=3).collect()
+    }
+    assert capped == {t for t in full if t[0] != 100}
+    # the clique contributes 4 centers x C(3,2)=3 wedges; hub C(6,2)=15
+    assert len(full) - len(capped) == 15

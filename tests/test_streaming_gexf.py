@@ -1074,3 +1074,65 @@ def test_stream_dedup_lsh_multibatch_late_original(spark, tmp_path):
     # later and still flags 7; 2 itself is the bucket min, not a dup
     assert streamed[7] is True and streamed[2] is False
     assert streamed[9] is False and streamed[11] is False
+
+
+def test_stream_embed_topk_multibatch_late_query(spark, tmp_path):
+    """The incremental top-k index drained one micro-batch at a time
+    must equal batch brute-force exactly, including for a QUERY vector
+    that arrives in the LAST batch (it must see candidates from every
+    earlier batch via the stored corpus), and candidates arriving
+    after a query must displace its earlier top-k entries."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.similarity import (
+        as_double_vec,
+        brute_force_topk,
+    )
+    from neo4j_dynagraph_spark.streaming.embed_topk import (
+        stream_embed_topk,
+    )
+
+    def vec(seed: int, bump: int) -> list:
+        return [float((seed * 7 + i) % 5) + (1.0 if i == bump else 0.0)
+                for i in range(4)]
+
+    shards = [
+        # batch 0: query 0 + two candidates
+        [(0, vec(1, 0)), (10, vec(1, 1)), (11, vec(2, 2))],
+        # batch 1: candidates only — one very close to query 0 (must
+        # displace), one close to the NOT-YET-ARRIVED query 1
+        [(12, vec(1, 0)), (13, vec(3, 3))],
+        # batch 2: the LATE query 1 + one more candidate
+        [(1, vec(3, 3)), (14, vec(2, 0))],
+    ]
+    src = tmp_path / "emb"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_embed_topk(
+        spark, str(src), schema, is_query=F.col("vec_id") < 5, k=3,
+        max_files_per_trigger=1,
+    )
+    emb = as_double_vec(spark.read.parquet(str(src)))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    batch = brute_force_topk(emb, queries, k=3)
+    s_rows = [tuple(r) for r in streamed.collect()]
+    b_rows = [tuple(r) for r in batch.collect()]
+    assert s_rows == b_rows and len(s_rows) > 0
+    # the late query (1) has a full top-3, and its nearest neighbor is
+    # candidate 13 — which arrived a batch BEFORE the query existed
+    q1 = [r for r in s_rows if r[0] == 1]
+    assert len(q1) == 3 and q1[0][2] == 13
