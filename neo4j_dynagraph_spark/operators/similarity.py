@@ -536,11 +536,17 @@ def semantic_dedup(
     """
     # the (id, cluster) assignment feeds BOTH sides of the pair join
     # and the final keep join; Spark has no common-subplan reuse across
-    # DataFrame references, so without a cache the entire multi-round
-    # Lloyd lineage (scan + k assignments + centroid updates) executes
-    # once per reference. The assignment is 2 narrow columns — cache
-    # it (spillable, freed by the ContextCleaner with the DataFrame).
-    assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col).persist()
+    # DataFrame references, so without materialization the entire
+    # multi-round Lloyd lineage (scan + k assignments + centroid
+    # updates) executes once per reference. EAGER localCheckpoint, not
+    # persist(): CacheManager matches persist() by canonical plan, so
+    # repeated invocations silently shared one InMemoryRelation until
+    # the ContextCleaner dropped it on a GC — making wall time BIMODAL
+    # (cache-hit ~1 s vs recompute ~3 s at sf0.1, flipping with driver
+    # GC timing; diagnosed round 10, SCALE.md). localCheckpoint gives
+    # every invocation its own materialization: deterministic cost,
+    # no cross-invocation coupling.
+    assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col).localCheckpoint()
     withv = corpus.select(
         F.col(id_col),
         F.col(vec_col),

@@ -535,6 +535,7 @@ def q_stream_sq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_training_mix",
+    bench=True,
     oracle=f"""
 WITH {_TOK_CTE},
 keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
