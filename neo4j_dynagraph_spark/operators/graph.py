@@ -1284,15 +1284,24 @@ def random_walks(
         )
         .distinct()
     )
-    adj = adj0.withColumn(
-        "rnk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
-    ).localCheckpoint()
+    # localCheckpoint PRESERVES output attribute ids, and deg/adj both
+    # inherit adj0's `src` id — rename each side so the per-hop joins
+    # resolve unambiguously against the checkpointed frontier
+    adj = (
+        adj0.withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+        )
+        .localCheckpoint()
+        .select(F.col("src").alias("asrc"), "dst", "rnk")
+    )
     deg = (
-        adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+        adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+        .select(F.col("src").alias("dsrc"), "deg")
     )
     cur = deg.select(
-        F.col("src").alias("walk_id"), F.lit(0).alias("step"),
-        F.col("src").alias("node"),
+        F.col("dsrc").alias("walk_id"), F.lit(0).alias("step"),
+        F.col("dsrc").alias("node"),
     )
     out = cur
     for i in range(1, n_steps + 1):
@@ -1310,15 +1319,24 @@ def random_walks(
             + 1
         )
         cur = (
-            cur.join(deg, deg.src == cur.node)
+            cur.join(deg, F.col("dsrc") == F.col("node"))
             .withColumn("idx", idx)
             .join(
                 adj,
-                (adj.src == F.col("node")) & (adj.rnk == F.col("idx")),
+                (F.col("asrc") == F.col("node"))
+                & (F.col("rnk") == F.col("idx")),
             )
             .select(
                 "walk_id", F.lit(i).alias("step"), F.col("dst").alias("node")
             )
+            # frontier checkpoint: without it hop i re-executes hops
+            # 1..i-1 inside BOTH the next hop's lineage and the final
+            # union (Spark has no cross-branch CSE), making the walk
+            # O(n_steps^2) joins; with it, exactly n_steps joins run
+            # over an O(walks)-row frontier (LPA/PageRank precedent).
+            # LAZY (eager=False): the first consumer materializes it,
+            # so no extra per-hop blocking action on the driver
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(cur)
     return out
@@ -1535,6 +1553,6 @@ def temporal_walks(
             F.lit(i).alias("step"),
             F.col("dst").alias("node"),
             F.col("frame_id").alias("t"),
-        )
+        ).localCheckpoint(eager=False)  # frontier checkpoint — see random_walks
         out = out.unionByName(cur)
     return out
