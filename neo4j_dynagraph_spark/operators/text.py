@@ -1201,6 +1201,22 @@ def temperature_mix(
     Columns per source: n_docs, share, target_share, keep_rate
     (round 6), n_kept.
     """
+    return temperature_mix_from_catalog(
+        docs.select("doc_id", F.col(source_col).alias("source")), alpha
+    )
+
+
+def temperature_mix_from_catalog(
+    catalog: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """The rate/keep computation of :func:`temperature_mix` over a
+    prepared ``(doc_id, source)`` catalog — shared by the batch
+    operator and the streaming mixture twin, which drains the catalog
+    incrementally and assembles the summary at read time (the keep
+    decision is a pure function of doc_id and the FINAL source shares,
+    so it cannot finalize earlier). Same output contract."""
+    docs = catalog
+    source_col = "source"
     c = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )

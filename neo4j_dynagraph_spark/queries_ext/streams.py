@@ -684,3 +684,47 @@ def q_stream_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_query=F.col("vec_id") < 5,
         k=5,
     )
+
+
+@query(
+    "q_stream_temperature_mix",
+    oracle=f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total, sum(pow(n, 0.5)) AS pa FROM c),
+r AS (SELECT source, n, n / total AS share, pow(n, 0.5) / pa AS target
+      FROM c, t),
+mx AS (SELECT max(target / share) AS mr FROM r),
+rt AS (SELECT source, n, share, target,
+       round((target / share) / mr, 6) AS rate FROM r, mx),
+k AS (SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN rt ON d.source = rt.source
+      WHERE ({_H64.format(x="'temp:' || d.doc_id")} + 1)
+            / 1152921504606846976.0 < rate
+      GROUP BY 1)
+SELECT rt.source, CAST(rt.n AS BIGINT) AS n_docs,
+       round(rt.share, 6) AS share,
+       round(rt.target, 6) AS target_share,
+       rt.rate AS keep_rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rt LEFT JOIN k ON rt.source = k.source ORDER BY rt.source
+""",
+)
+def q_stream_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mixture design: the documents stream drained into the
+    batch_id-keyed (doc_id, source) catalog store, with the
+    temperature-scaled summary (α=0.5 XLM/mT5 rule) assembled at READ
+    time via the shared temperature_mix_from_catalog core — every
+    arriving batch shifts every source's share and therefore every
+    keep rate, so the decisions are LATE-BOUND by construction (the
+    mixture twin of the training-mix late-bench and top-k late-query
+    hazards) and the drained summary equals the batch
+    q_temperature_mix bit-for-bit under any chopping. Same oracle
+    (streaming/mixture.py; multibatch test)."""
+    from neo4j_dynagraph_spark.streaming.mixture import (
+        stream_temperature_mix,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_temperature_mix(
+        spark, f"{sf_dir}/documents.parquet", schema, alpha=0.5
+    )

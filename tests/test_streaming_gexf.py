@@ -1136,3 +1136,56 @@ def test_stream_embed_topk_multibatch_late_query(spark, tmp_path):
     # candidate 13 — which arrived a batch BEFORE the query existed
     q1 = [r for r in s_rows if r[0] == 1]
     assert len(q1) == 3 and q1[0][2] == 13
+
+
+def test_stream_temperature_mix_multibatch_rates_rebind(spark, tmp_path):
+    """The mixture summary drained one micro-batch at a time must
+    equal the batch operator exactly — and the planted hazard is the
+    LATE-arriving source skew: batch 2 floods source 'big', shifting
+    every source's share and therefore every keep rate computed from
+    batches 0-1."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.text import temperature_mix
+    from neo4j_dynagraph_spark.streaming.mixture import (
+        stream_temperature_mix,
+    )
+
+    shards = [
+        [(1, "a", "small"), (2, "b", "small"), (3, "c", "mid")],
+        [(4, "d", "mid"), (5, "e", "mid"), (6, "f", "mid")],
+        # the flood: 20 docs of 'big' arrive last
+        [(100 + i, f"t{i}", "big") for i in range(20)],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = sorted(
+        map(
+            tuple,
+            stream_temperature_mix(
+                spark, str(src), schema, max_files_per_trigger=1
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, temperature_mix(spark.read.parquet(str(src))).collect())
+    )
+    assert streamed == batch and len(streamed) == 3
+    by_source = {r[0]: r for r in streamed}
+    # α=0.5 flattening: the flooded majority source is downsampled
+    # hardest (lowest keep rate), the smallest source keeps everything
+    assert by_source["big"][4] < by_source["mid"][4] <= 1.0
+    assert by_source["small"][4] == 1.0
