@@ -1512,8 +1512,15 @@ def node2vec_walks(
     """
     if n_steps < 1:
         raise ValueError("n_steps must be >= 1")
-    if min(w_back, w_same, w_fwd) < 0 or max(w_back, w_same, w_fwd) == 0:
-        raise ValueError("weights must be non-negative and not all zero")
+    if w_back < 1 or min(w_same, w_fwd) < 0:
+        # w_back >= 1 backs the docstring guarantee that walks always
+        # complete n_steps hops: at a degree-1 node the only candidate
+        # is prev, and a zero return-weight would make the CDF total 0
+        # and silently truncate the walk (pmod by 0 is null).
+        raise ValueError(
+            "w_back must be >= 1 (walks must always be able to return) "
+            "and w_same/w_fwd non-negative"
+        )
     from pyspark.sql import Window
 
     from neo4j_dynagraph_spark import functions as dfn
@@ -1528,9 +1535,19 @@ def node2vec_walks(
         .localCheckpoint()
         .select(F.col("src").alias("asrc"), "dst")
     )
-    canon = d0.localCheckpoint().select(
-        F.col("actor1").alias("e1"), F.col("actor2").alias("e2"),
-        F.lit(True).alias("_adj"),
+    # canonical orientation (least, greatest) so the distance-1 probe
+    # below — which joins on least(prev, dst) = e1 AND
+    # greatest(prev, dst) = e2 — matches edges however the caller
+    # oriented them; without this an edge supplied only as (b, a) with
+    # b > a would silently score as 'explore' instead of 'stay'
+    canon = (
+        d0.select(
+            F.least("actor1", "actor2").alias("e1"),
+            F.greatest("actor1", "actor2").alias("e2"),
+        )
+        .distinct()
+        .localCheckpoint()
+        .withColumn("_adj", F.lit(True))
     )
     deg = adj.groupBy("asrc").agg(F.count(F.lit(1)).alias("deg"))
     rnk = adj.withColumn(

@@ -52,9 +52,20 @@ _DAY_WHERE = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
 _BM25_TERMS = ("merge", "spark", "vector")
 
 
+def sql_str(term: str) -> str:
+    """SQL single-quoted string literal (embedded quotes doubled) —
+    the ONE sanctioned way to embed a term constant into oracle SQL.
+    Engine-side predicates are Column API; oracle strings must route
+    term constants through here instead of a raw f-string ``'{t}'``,
+    so the no-interpolated-terms rule stays grep-enforceable: a grep
+    for an equals sign followed by a quoted f-string brace over
+    queries_ext/ must come back empty."""
+    return "'" + term.replace("'", "''") + "'"
+
+
 def _bm25_tf_sql(i: int, t: str) -> str:
     return (
-        f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        f"CAST(len(list_filter(t, x -> x = {sql_str(t)})) AS DOUBLE) AS tf{i}"
     )
 
 

@@ -35,6 +35,7 @@ from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
 
 from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
     _BM25_TERMS,
+    sql_str,
     _DAY_WHERE,
     _H64,
     _SH_CTE,
@@ -359,14 +360,14 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
 pd AS (SELECT CAST(len(t) AS BIGINT) AS dl,
-       {", ".join(f"CASE WHEN len(list_filter(t, x -> x = '{t}')) > 0 THEN 1 ELSE 0 END AS hit{i}" for i, t in enumerate(_BM25_TERMS))}
+       {", ".join(f"CASE WHEN len(list_filter(t, x -> x = {sql_str(t)})) > 0 THEN 1 ELSE 0 END AS hit{i}" for i, t in enumerate(_BM25_TERMS))}
        FROM tok),
 st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(dl) AS BIGINT) AS tok_sum,
               {", ".join(f"CAST(sum(hit{i}) AS BIGINT) AS df{i}" for i in range(len(_BM25_TERMS)))}
        FROM pd)
 SELECT * FROM (
-  {" UNION ALL ".join(f"SELECT '{t}' AS term, df{i} AS df, n_docs, round(tok_sum / CAST(n_docs AS DOUBLE), 6) AS avgdl FROM st" for i, t in enumerate(_BM25_TERMS))}
+  {" UNION ALL ".join(f"SELECT {sql_str(t)} AS term, df{i} AS df, n_docs, round(tok_sum / CAST(n_docs AS DOUBLE), 6) AS avgdl FROM st" for i, t in enumerate(_BM25_TERMS))}
 ) ORDER BY term
 """,
 )

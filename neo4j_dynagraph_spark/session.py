@@ -20,6 +20,7 @@ Design notes (100 TB scale):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -65,6 +66,17 @@ def get_spark(
         # that parse this process's stdout (bench.py's one-JSON-line
         # contract). Driver-side only; executors inherit in local mode.
         .config("spark.driver.extraJavaOptions", "-Xlog:disable")
+        # warehouse pinned under the system temp root: the default is
+        # ./spark-warehouse relative to the LAUNCH cwd, so any
+        # saveAsTable caller (write_star_bucketed) invoked from the
+        # repo root would litter the source tree with run artifacts
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "dynagraph-warehouse"),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.streaming.corpus_stats import CounterStore
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -44,6 +45,7 @@ class CMSStore(CounterStore):
         DimensionStore.__init__(self, spark, root, ["batch_id", "r", "c"])
 
 
+@cleanup_on_error
 def stream_cms_table(
     spark: SparkSession,
     docs_path: str,

@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -58,6 +59,7 @@ class CounterStore(DimensionStore):
         self._commit(kept.unionByName(batch))
 
 
+@cleanup_on_error
 def stream_corpus_stats(
     spark: SparkSession,
     docs_path: str,

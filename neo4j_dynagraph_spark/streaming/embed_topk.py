@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from neo4j_dynagraph_spark.operators.similarity import _DOT, _NORM
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -82,6 +83,7 @@ def _scores(cand: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
+@cleanup_on_error
 def stream_embed_topk(
     spark: SparkSession,
     emb_path: str,

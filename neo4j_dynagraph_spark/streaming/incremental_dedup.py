@@ -35,9 +35,11 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from neo4j_dynagraph_spark.streaming.staging import cleanup_on_error
 from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
 
 
+@cleanup_on_error
 def stream_dedup_documents(
     spark: SparkSession,
     docs_path: str,
@@ -111,6 +113,7 @@ def stream_dedup_documents(
     return out
 
 
+@cleanup_on_error
 def stream_dedup_minhash(
     spark: SparkSession,
     docs_path: str,

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.operators.sketch import _TWO_60, kmv_estimate
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -72,6 +73,7 @@ class KMVStore(DimensionStore):
         self._commit(pruned)
 
 
+@cleanup_on_error
 def stream_kmv_distinct(
     spark: SparkSession,
     events_path: str,

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from neo4j_dynagraph_spark.operators.text import temperature_mix_from_catalog
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -35,6 +36,7 @@ from neo4j_dynagraph_spark.streaming.staging import (
 from neo4j_dynagraph_spark.streaming.training_mix import BatchRowStore
 
 
+@cleanup_on_error
 def stream_temperature_mix(
     spark: SparkSession,
     docs_path: str,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from neo4j_dynagraph_spark.operators.text import gopher_rules
 from neo4j_dynagraph_spark.streaming.corpus_stats import CounterStore
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -44,6 +45,7 @@ class QualityStore(CounterStore):
         DimensionStore.__init__(self, spark, root, ["batch_id", "source"])
 
 
+@cleanup_on_error
 def stream_gopher_stats(
     spark: SparkSession,
     docs_path: str,

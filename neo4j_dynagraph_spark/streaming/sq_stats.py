@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -51,6 +52,7 @@ class MinMaxStore(DimensionStore):
         )
 
 
+@cleanup_on_error
 def stream_sq_stats(
     spark: SparkSession,
     emb_path: str,

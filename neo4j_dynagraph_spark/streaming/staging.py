@@ -13,11 +13,50 @@ zero files, i.e. a silently empty stream. One shared helper, one
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame
+
+# Ephemeral roots created by drain_dirs that have not yet been cleaned
+# up by finalize_drain. Thread-local so concurrent drains (e.g. a
+# parallel test runner) never free each other's roots. Consumed by
+# cleanup_on_error, which every drain function wears — without it a
+# failing streaming query or eager localCheckpoint would leak the
+# mkdtemp root (store + checkpoint + stage) on disk.
+_local = threading.local()
+
+
+def _pending_roots() -> list:
+    roots = getattr(_local, "roots", None)
+    if roots is None:
+        roots = _local.roots = []
+    return roots
+
+
+def cleanup_on_error(fn):
+    """Decorator for drain functions: any ephemeral root registered by
+    :func:`drain_dirs` during the call that is still pending when the
+    call raises (streaming query failure, eager materialization error)
+    is deleted before the exception propagates. Success-path cleanup
+    stays in :func:`finalize_drain`; persistent-store drains register
+    nothing, so their on-disk state is never touched."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        roots = _pending_roots()
+        depth = len(roots)
+        try:
+            return fn(*args, **kwargs)
+        except BaseException:
+            while len(roots) > depth:
+                shutil.rmtree(roots.pop(), ignore_errors=True)
+            raise
+
+    return wrapper
 
 
 def stage_single_file(
@@ -75,6 +114,7 @@ def drain_dirs(
     """
     if store_root is None:
         root = tempfile.mkdtemp(prefix=prefix)
+        _pending_roots().append(root)
         return (
             os.path.join(root, "store"),
             os.path.join(root, "checkpoint"),
@@ -98,4 +138,7 @@ def finalize_drain(df: DataFrame, ephemeral_root: str | None) -> DataFrame:
         return df
     out = df.localCheckpoint(eager=True)
     shutil.rmtree(ephemeral_root, ignore_errors=True)
+    roots = _pending_roots()
+    if ephemeral_root in roots:
+        roots.remove(ephemeral_root)
     return out

@@ -46,6 +46,7 @@ from neo4j_dynagraph_spark.operators.text import (
 )
 from neo4j_dynagraph_spark.streaming.corpus_stats import CounterStore
 from neo4j_dynagraph_spark.streaming.staging import (
+    cleanup_on_error,
     drain_dirs,
     finalize_drain,
     stage_single_file,
@@ -83,6 +84,7 @@ class BatchRowStore(CounterStore):
         DimensionStore.__init__(self, spark, root, key_cols)
 
 
+@cleanup_on_error
 def stream_training_mix(
     spark: SparkSession,
     docs_path: str,

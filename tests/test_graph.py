@@ -852,3 +852,16 @@ def test_node2vec_walks_valid_deterministic_and_biased(spark):
         node2vec_walks(df, n_steps=0)
     with _pytest.raises(ValueError):
         node2vec_walks(df, w_back=0, w_same=0, w_fwd=0)
+    # w_back=0 alone is rejected too: at a degree-1 node the only
+    # candidate is prev, so a zero return-weight would zero the CDF
+    # total and silently truncate the walk (ADVICE r10)
+    with _pytest.raises(ValueError):
+        node2vec_walks(df, w_back=0)
+    # orientation-agnostic adjacency (ADVICE r10): flipping every edge
+    # to (b, a) with b > a must not change a single hop — the
+    # distance-1 'stay' probe joins on the canonical (least, greatest)
+    # pair, which now matches however the caller oriented the input
+    flipped = spark.createDataFrame(
+        [(b, a) for a, b in edges], "actor1 long, actor2 long"
+    )
+    assert sorted(map(tuple, node2vec_walks(flipped, n_steps=3).collect())) == rows

@@ -1189,3 +1189,47 @@ def test_stream_temperature_mix_multibatch_rates_rebind(spark, tmp_path):
     # hardest (lowest keep rate), the smallest source keeps everything
     assert by_source["big"][4] < by_source["mid"][4] <= 1.0
     assert by_source["small"][4] == 1.0
+
+
+def test_cleanup_on_error_removes_ephemeral_drain_roots(tmp_path):
+    """ADVICE r10: a drain that raises mid-stream (or during the eager
+    localCheckpoint materialization) must not leak its mkdtemp root
+    (store + checkpoint + stage). cleanup_on_error deletes any root
+    registered by drain_dirs that finalize_drain never consumed;
+    persistent-mode state is never touched."""
+    import os
+
+    import pytest
+
+    from neo4j_dynagraph_spark.streaming import staging
+
+    captured = {}
+
+    @staging.cleanup_on_error
+    def failing_drain():
+        store, ckpt, src, eph = staging.drain_dirs(None, "dynagraph_leaktest_")
+        captured["eph"] = eph
+        os.makedirs(store)  # simulate the drain writing state
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        failing_drain()
+    assert not os.path.exists(captured["eph"])
+
+    # persistent mode registers nothing: the caller-owned store root
+    # survives a failing drain (incremental re-invocation contract)
+    root = tmp_path / "persistent_store"
+    root.mkdir()
+
+    @staging.cleanup_on_error
+    def failing_persistent():
+        staging.drain_dirs(str(root), "dynagraph_leaktest_")
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        failing_persistent()
+    assert root.is_dir()
+
+    # success path unchanged: finalize_drain consumes the pending root
+    # so a later error in the SAME thread cannot double-free it
+    assert staging._pending_roots() == []

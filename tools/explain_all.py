@@ -63,6 +63,15 @@ def audit_plan(spark, spec, sf_dir):  # noqa: ANN001
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "plans_audit"
+    if out_dir in REGISTRY:
+        # a query name in the out_dir slot is a mis-invocation (this
+        # tool has no per-query filter by design — the plans gate
+        # byte-diffs the FULL registry); without the guard it would
+        # mkdir a stray `q_*/` at the repo root (round-10 nit)
+        raise SystemExit(
+            f"second arg is the OUTPUT DIRECTORY, got query name {out_dir!r}; "
+            "explain_all always audits the full registry"
+        )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-all")
     spark.sparkContext.setLogLevel("ERROR")
