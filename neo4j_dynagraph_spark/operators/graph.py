@@ -351,7 +351,42 @@ def pagerank(
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def degree_cap_subgraph(edges: DataFrame, max_degree: int) -> DataFrame:
+    """Subgraph induced by vertices of degree <= ``max_degree``: an
+    edge survives only when BOTH endpoints clear the cap (degree
+    counted on the distinct canonical edge set, both orientations).
+
+    This is the SEMANTIC hub guardrail for the whole triangle /
+    clustering / truss enumeration family (GDS ``maxDegree`` parity,
+    the node-level twin of ``_wedge_pairs``'s ``max_center_degree``):
+    a hub vertex h with d_in edges arriving as actor2 and d_out
+    leaving as actor1 produces d_in * d_out INTERMEDIATE rows in the
+    wedge-shaped join e1=(a,h) x e2=(h,c) before the closing semi-join
+    filters them — quadratic OUTPUT from linear INPUT, which AQE's
+    skew split never engages on (OptimizeSkewedJoin keys on shuffle
+    INPUT bytes; the planted-hub stress in SCALE.md measured the
+    whole C(H,2) wedge landing in ONE task). Capping bounds every
+    vertex's intermediate contribution by max_degree², making the
+    enumeration Σ min(deg, cap)² — linear in |V| for fixed cap.
+    Two degree-bounded aggregates + two broadcast-able semi-joins;
+    no new shuffle shape.
+    """
+    d = edges.select("actor1", "actor2").distinct()
+    keep = (
+        d.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .where(F.col("_deg") <= max_degree)
+        .select("actor")
+    )
+    return (
+        d.join(keep.withColumnRenamed("actor", "actor1"), "actor1", "semi")
+        .join(keep.withColumnRenamed("actor", "actor2"), "actor2", "semi")
+        .select("actor1", "actor2")
+    )
+
+
+def triangles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     """Enumerate triangles a < b < c in an (already time-restricted)
     canonical edge set (QUERY11a/b/c, cypher_query_timing.py:158-203).
 
@@ -363,8 +398,17 @@ def triangles(edges: DataFrame) -> DataFrame:
     The edge set is broadcast: time-restriction makes it small relative
     to the full fact table, so both joins are broadcast-hash joins and
     the only shuffle is the final sort.
+
+    ``max_degree`` is the documented hub guardrail (SEMANTIC, like
+    ``_wedge_pairs``'s ``max_center_degree`` — it changes the result):
+    triangles are enumerated on the subgraph induced by vertices of
+    degree <= max_degree (:func:`degree_cap_subgraph`), bounding the
+    quadratic d_in*d_out intermediate of the b-keyed join that AQE's
+    input-bytes-keyed skew split provably never rescues.
     """
     e = edges.select("actor1", "actor2").distinct()
+    if max_degree is not None:
+        e = degree_cap_subgraph(e, max_degree)
     e1 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("b"))
     e2 = e.select(F.col("actor1").alias("b"), F.col("actor2").alias("c"))
     e3 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("c"))

@@ -115,19 +115,54 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_truss(edges, k=4)
 
 
-def _ktruss_cte(k: int, rounds: int) -> str:
+def _degree_cap_sql(src: str, out: str, cap: int) -> str:
+    """CTE blocks reducing edge set ``src`` to the subgraph induced by
+    vertices of degree <= cap — the SQL twin of
+    operators/graph.py:degree_cap_subgraph (both endpoints must clear
+    the cap; degree counted on the distinct canonical set)."""
+    return (
+        f"degc AS (SELECT actor, count(*) AS d FROM ("
+        f"SELECT actor1 AS actor FROM {src} "
+        f"UNION ALL SELECT actor2 FROM {src}) GROUP BY 1),\n"
+        f"keepc AS (SELECT actor FROM degc WHERE d <= {cap}),\n"
+        f"{out} AS (SELECT actor1, actor2 FROM {src} "
+        f"JOIN keepc k1 ON k1.actor = {src}.actor1 "
+        f"JOIN keepc k2 ON k2.actor = {src}.actor2)"
+    )
+
+
+def _capped_day_edges_cte(cap: int) -> str:
+    """Pinned-day canonical edge set reduced to the degree-<=cap
+    induced subgraph, exposed as CTE ``e``."""
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    return (
+        f"p AS ({_presence_sql(day)}),\n"
+        f"eraw AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),\n"
+        + _degree_cap_sql("eraw", "e", cap)
+    )
+
+
+def _ktruss_cte(k: int, rounds: int, cap: int | None = None) -> str:
     """Unrolled bounded k-truss peel as DuckDB CTE blocks: per round,
     enumerate canonical triangles a<b<c on the surviving edge set,
     count per-edge support by unioning each triangle's three edges,
     and keep edges clearing k-2 — the SQL twin of
     operators/graph.py:_truss_peel_round, one CTE triple per round
     (the unrolled-fit oracle pattern of ``_kmeans_cte`` /
-    ``_pagerank_cte``)."""
+    ``_pagerank_cte``). ``cap`` prepends the degree-cap subgraph
+    reduction (q_ktruss_capped) so e0 is the capped edge set."""
     day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
-    blocks = [
-        f"p AS ({_presence_sql(day)})",
-        f"e0 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
-    ]
+    if cap is None:
+        blocks = [
+            f"p AS ({_presence_sql(day)})",
+            f"e0 AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        ]
+    else:
+        blocks = [
+            f"p AS ({_presence_sql(day)})",
+            f"eraw AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+            _degree_cap_sql("eraw", "e0", cap),
+        ]
     for i in range(rounds):
         blocks += [
             f"t{i} AS (SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c "
@@ -169,6 +204,145 @@ def q_ktruss_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actor1", "actor2"
     )
     return graph.k_truss_rounds(edges, k=18, rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# Degree-capped enumeration variants (round 11): the planted-hub stress
+# (SCALE.md, tools/skew_stress_wedge.py) proved AQE's skew split keys on
+# shuffle INPUT bytes and never rescues a quadratic OUTPUT explosion, so
+# every triangle-shaped self-join carries the same documented SEMANTIC
+# guardrail as link_scores' max_center_degree: enumerate on the subgraph
+# induced by vertices of degree <= cap (GDS maxDegree parity). Cap 40 on
+# the pinned-day graph is a REAL reduction at sf0.01 (1723 -> 852 edges)
+# while leaving a non-trivial result to hash-match.
+_TRI_CAP = 40
+
+
+@query(
+    "q_triangles_capped",
+    oracle=f"""
+WITH {_capped_day_edges_cte(_TRI_CAP)},
+tri AS (SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
+        FROM e x JOIN e y ON y.actor1 = x.actor2
+        JOIN e z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2)
+SELECT a, b, c FROM tri ORDER BY a, b, c
+""",
+)
+def q_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY11's triangle enumeration (cypher_query_timing.py:158-203)
+    under the degree-cap contract: triangles of the pinned-day graph's
+    degree-<=40 induced subgraph (operators/graph.py:triangles with
+    max_degree — the hub guardrail the planted-hub stress motivates:
+    a hub's d_in*d_out intermediate rows in the b-keyed join land in
+    ONE task because AQE splits on input bytes, not output). The
+    oracle replays the cap (degree count + induced-subgraph semi
+    joins) and the full enumeration, so the exact surviving triangle
+    set hash-matches."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "actor1", "actor2"
+    )
+    return graph.triangles(edges, max_degree=_TRI_CAP)
+
+
+@query(
+    "q_clustering_capped",
+    oracle=f"""
+WITH {_capped_day_edges_cte(_TRI_CAP)},
+tri AS (SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
+        FROM e x JOIN e y ON y.actor1 = x.actor2
+        JOIN e z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2),
+tc AS (SELECT actor, count(*) AS n_tri FROM (
+         SELECT a AS actor FROM tri
+         UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1),
+deg AS (SELECT actor, count(*) AS degree FROM (
+          SELECT actor1 AS actor FROM e
+          UNION ALL SELECT actor2 FROM e) GROUP BY 1)
+SELECT d.actor, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(tc.n_tri, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg d LEFT JOIN tc ON tc.actor = d.actor
+ORDER BY d.actor
+""",
+)
+def q_clustering_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient OF THE DEGREE-CAPPED SUBGRAPH
+    (q_clustering_coeff's formula — 2*tri/(deg*(deg-1)) — with both
+    the triangle counts and the degrees recomputed inside the
+    degree-<=40 induced subgraph of the pinned-day graph): the
+    well-defined capped semantic for the cohesion metric, since mixing
+    capped triangle counts with uncapped degrees would understate
+    every surviving vertex. Same enumeration guardrail rationale as
+    q_triangles_capped; the oracle replays cap + enumeration + both
+    aggregates, so the coefficients themselves hash-match."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = graph.degree_cap_subgraph(
+        qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+            "actor1", "actor2"
+        ),
+        _TRI_CAP,
+    )
+    tri = graph.triangles(edges)
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
+        .groupBy("actor")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(tc, "actor", "left")
+        .select(
+            "actor",
+            "degree",
+            n_tri.cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * n_tri
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("coeff"),
+        )
+        .orderBy("actor")
+    )
+
+
+@query(
+    "q_ktruss_capped",
+    oracle=f"""
+WITH {_ktruss_cte(10, 2, cap=_TRI_CAP)}
+SELECT actor1, actor2 FROM e2 ORDER BY 1, 2
+""",
+)
+def q_ktruss_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded support-peel rounds toward the 10-truss of the
+    degree-capped pinned-day subgraph — the truss-family entry of the
+    capped-enumeration trio (each peel round re-enumerates triangles,
+    so an uncapped hub pays its d_in*d_out intermediate EVERY round;
+    capping first bounds all of them). k=10 drives a real cascade on
+    the capped graph at sf0.01 (852 -> 510 -> 385 edges), so the
+    oracle verifies genuine peeling on top of the cap reduction."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = graph.degree_cap_subgraph(
+        qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+            "actor1", "actor2"
+        ),
+        _TRI_CAP,
+    )
+    return graph.k_truss_rounds(edges, k=10, rounds=2)
 
 
 def _kcore_cte(k: int, rounds: int) -> str:

@@ -813,6 +813,43 @@ def test_wedge_cap_semantics_planted_hub(spark):
     assert len(full) - len(capped) == 15
 
 
+def test_triangle_degree_cap_semantics_planted_hub(spark):
+    """triangles(max_degree=...) / degree_cap_subgraph: with the cap at
+    or above the max degree nothing changes; below the hub's degree,
+    exactly the hub's edges and the triangles it closes disappear
+    while every clique triangle survives (the node-level twin of the
+    wedge-stream cap, round-11 capped-enumeration trio)."""
+    from neo4j_dynagraph_spark.operators.graph import (
+        degree_cap_subgraph,
+        triangles,
+    )
+
+    # K4 on 1..4 (each degree 3+1=4 after the hub attaches) + hub 10
+    # adjacent to 1..8 (degree 8): the hub closes one triangle per K4
+    # edge (6) on top of the K4's own 4
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    spokes = [(i, 10) for i in range(1, 9)]
+    edges = spark.createDataFrame(k4 + spokes, "actor1 long, actor2 long")
+
+    full = {tuple(r) for r in triangles(edges).collect()}
+    assert len(full) == 4 + 6
+    same = {tuple(r) for r in triangles(edges, max_degree=8).collect()}
+    assert same == full
+    capped = {tuple(r) for r in triangles(edges, max_degree=5).collect()}
+    assert capped == {t for t in full if 10 not in t} and len(capped) == 4
+
+    sub = {tuple(r) for r in degree_cap_subgraph(edges, 5).collect()}
+    assert sub == set(k4)
+    # orientation-agnostic like the operators it feeds: flipped input
+    # yields the same induced subgraph edge SET (canonicalized by the
+    # caller's own orientation, endpoints checked symmetrically)
+    flipped = spark.createDataFrame(
+        [(b, a) for a, b in k4 + spokes], "actor1 long, actor2 long"
+    )
+    sub_f = {tuple(r) for r in degree_cap_subgraph(flipped, 5).collect()}
+    assert sub_f == {(b, a) for a, b in k4}
+
+
 def test_node2vec_walks_valid_deterministic_and_biased(spark):
     """node2vec walks: every hop traverses a real edge, every walk has
     all n_steps+1 rows, re-runs are identical, the forced-backtrack
