@@ -376,6 +376,57 @@ def write_ivf_corpus(
     ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
 
 
+def ivf_topk_from_cells(
+    cells: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF probe + exact re-rank against a PRECOMPUTED home-cell
+    assignment ``cells`` (id_col, cell) — the read side of
+    :func:`write_ivf_corpus`'s at-rest layout and of the streaming
+    assign drain (streaming/ivf.py). Identical output contract to
+    :func:`ivf_topk`, and — because the home-cell assignment is a
+    deterministic argmax to the same frozen codebook — identical
+    RESULTS when ``cells`` came from any chopping of the same corpus
+    (multibatch equality pinned in tests). Probes are broadcast; the
+    candidate join is the cell equi-join, nprobe/C of the corpus at
+    rest."""
+    from pyspark.sql import Window
+
+    cellsv = (
+        cells.select(id_col, "cell")
+        .join(corpus.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("v2"), "cell"
+        )
+    )
+    probes = ivf_assign(
+        queries.select(F.col("qid").alias(id_col), F.col("qv").alias(vec_col)),
+        centroids,
+        id_col,
+        vec_col,
+        nprobe=nprobe,
+    ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v1"), "cell")
+    sim = F.expr(_DOT12) / (
+        F.expr(_NORM.format(c="v1")) * F.expr(_NORM.format(c="v2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
+    return (
+        cellsv.join(F.broadcast(probes), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", sim.alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("qid", "rank")
+    )
+
+
 def pandas_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -152,9 +152,10 @@ def q_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_embed_ann_ivf",
-    oracle="""
+# shared by q_embed_ann_ivf AND its streaming index-maintenance twin
+# q_stream_ivf_assign (queries_ext/streams.py): the drained assign-only
+# index is bit-equal to the batch one, so both grade on this oracle
+_IVF_ORACLE = """
 WITH base AS (SELECT vec_id, embedding FROM embeddings),
 cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM base WHERE vec_id < 32),
 -- home cell of every corpus vector (argmax cosine to the codebook)
@@ -180,8 +181,10 @@ ranked AS (SELECT qid, cid, sim_raw,
            FROM cs)
 SELECT qid, rank, cid, round(sim_raw, 6) AS sim
 FROM ranked WHERE rank <= 5 ORDER BY qid, rank
-""",
-)
+"""
+
+
+@query("q_embed_ann_ivf", oracle=_IVF_ORACLE)
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (32 deterministic seed centroids, nprobe=4, k=5): coarse
     assign -> probe nearest cells -> exact re-rank within cells. The

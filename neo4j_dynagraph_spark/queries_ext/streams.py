@@ -687,6 +687,44 @@ def q_stream_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_ivf_oracle() -> str:
+    from neo4j_dynagraph_spark.queries_ext.similarity import _IVF_ORACLE
+
+    return _IVF_ORACLE
+
+
+@query("q_stream_ivf_assign", oracle=_stream_ivf_oracle())
+def q_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index maintenance (assign-only): the embeddings
+    stream drained through per-batch nearest-frozen-centroid
+    assignment merged into a cell-partitioned DimensionStore — the
+    streaming half of the ANN story that q_stream_embed_topk's exact
+    lattice doesn't cover (a 100 TB pipeline appends embeddings
+    continuously; codebook RE-FIT stays batch by design, the FAISS
+    add()/train() split — streaming/ivf.py module docstring). The home
+    cell is a deterministic argmax against the frozen codebook, so
+    the drained assignment set is IDEMPOTENT under any chopping and
+    the probe + exact re-rank over it equals batch q_embed_ann_ivf
+    bit-for-bit — graded here with that query's own oracle
+    (multibatch chopping equality pinned by unit test)."""
+    from neo4j_dynagraph_spark.streaming.ivf import stream_ivf_assign
+
+    emb = similarity.as_double_vec(load_table(spark, sf_dir, "embeddings"))
+    centroids = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    cells = stream_ivf_assign(
+        spark, f"{sf_dir}/embeddings.parquet", schema, centroids
+    )
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.ivf_topk_from_cells(
+        cells, emb, queries_df, centroids, k=5, nprobe=4
+    )
+
+
 @query(
     "q_stream_temperature_mix",
     oracle=f"""

@@ -1233,3 +1233,71 @@ def test_cleanup_on_error_removes_ephemeral_drain_roots(tmp_path):
     # success path unchanged: finalize_drain consumes the pending root
     # so a later error in the SAME thread cannot double-free it
     assert staging._pending_roots() == []
+
+
+def test_stream_ivf_assign_multibatch_equals_batch(spark, tmp_path):
+    """Assign-only IVF maintenance (round 11): drained one file per
+    micro-batch, the (vec_id, cell) assignment set equals the batch
+    ivf_assign against the same frozen codebook (deterministic argmax
+    => idempotent set state), and the probe + exact re-rank over the
+    drained index equals batch ivf_topk bit-for-bit."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_from_cells,
+    )
+    from neo4j_dynagraph_spark.streaming.ivf import stream_ivf_assign
+
+    # 3 shards x 10 vectors, dim 4, deterministic integer-derived floats
+    def vec(i):
+        return [float((i * p + 7) % 11 - 5) for p in (3, 5, 2, 9)]
+
+    shards = [
+        [(i, vec(i)) for i in range(s * 10, (s + 1) * 10)] for s in range(3)
+    ]
+    src = tmp_path / "emb"
+    src.mkdir()
+    for s, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.parquet(str(src / f"shard_{s}"))
+    for s in range(3):
+        part = glob.glob(str(src / f"shard_{s}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{s}.parquet"))
+        shutil.rmtree(str(src / f"shard_{s}"))
+        os.utime(str(src / f"s{s}.parquet"), (1000 + s, 1000 + s))
+
+    corpus = spark.read.parquet(str(src)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    schema = spark.read.parquet(str(src)).schema
+
+    streamed_cells = stream_ivf_assign(
+        spark, str(src), schema, centroids, max_files_per_trigger=1
+    )
+    got = {tuple(r) for r in streamed_cells.collect()}
+    want = {
+        tuple(r)
+        for r in ivf_assign(corpus, centroids, nprobe=1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == want and len(got) == 30
+
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    from_cells = ivf_topk_from_cells(
+        streamed_cells, corpus, queries, centroids, k=3, nprobe=2
+    ).collect()
+    batch = ivf_topk(
+        corpus, queries, k=3, n_centroids=4, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, from_cells)) == sorted(map(tuple, batch))
