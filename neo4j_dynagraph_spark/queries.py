@@ -2218,18 +2218,33 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drains (q_stream_gopher, q_stream_sq_stats), fuzzy decontamination
 # (q_minhash_decontam) — plus the round-10 streaming curation capstone
 # (q_stream_training_mix, graded by the batch capstone's own oracle).
+#
+# ROTATION (round 11): the ONLY remaining 4-round-green block is the
+# reference core itself — QUERY1..11 + ingest_spells, driver-green in
+# every one of rounds 1-10 and pinned by the full parity gate, the
+# 211-file plans audit, and the equivalent-pairs tests — so per the
+# round-10 verdict's explicit instruction it rotates out as a block
+# in favor of the never-driver-graded capstones: the batch curation
+# capstone q_training_mix (its oracle was already validated at the
+# driver via q_stream_training_mix's green row), SemDeDup
+# (q_semdedup — also confirms the post-CacheManager-fix bench story
+# at the driver), the node2vec walks and fused link scores
+# (q_node2vec_walks, q_link_scores), the round-10 streaming twins
+# (q_stream_dedup_lsh, q_stream_embed_topk, q_stream_temperature_mix),
+# the PQ-family recall rows (q_pq_recall, q_ivfpq), one real-codec
+# media row (q_png_decode) — plus the round-11 additions, graded in
+# their first round: the assign-only IVF maintenance drain
+# (q_stream_ivf_assign, graded on q_embed_ann_ivf's oracle) and the
+# degree-capped triangle enumeration (q_triangles_capped).
 
 _GRADE_WINDOW = [
-    # reference QUERY1..11 (+ the anchored QUERY11 shape,
-    # cypher_query_timing.py:158-203)
-    "q1_time_range", "q2_frame_actors", "q3_heavy_edges",
-    "q4_actor_frame_counts", "q5_active_actors", "q6_active_days",
-    "q7_neighbors", "q8_neighbors_on_day", "q9_common_neighbors",
-    # (q11_anchored — the anchored shape twin of q11_triangles_hour —
-    # rotated out; parity-pinned like every retired row)
-    "q10_degree", "q11_triangles_hour",
-    # ingest / frame grid
-    "ingest_spells",
+    # round-11 rotation block: never-graded capstones (see ledger)
+    "q_training_mix", "q_semdedup",
+    "q_node2vec_walks", "q_link_scores",
+    "q_stream_dedup_lsh", "q_stream_embed_topk",
+    "q_stream_temperature_mix",
+    "q_pq_recall", "q_ivfpq", "q_png_decode",
+    "q_stream_ivf_assign", "q_triangles_capped",
     # sketch surface: incremental KMV + Count-Min drains, the round-9
     # CMS join-size estimator (never driver-graded until now)
     "q_stream_kmv", "q_stream_cms", "q_join_size_est",
