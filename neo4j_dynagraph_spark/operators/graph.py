@@ -1762,3 +1762,265 @@ def temporal_walks(
         ).localCheckpoint(eager=False)  # frontier checkpoint — see random_walks
         out = out.unionByName(cur)
     return out
+
+
+def connected_components_per_frame(
+    frame_edges: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """Connected components of EVERY frame's snapshot graph at once:
+    min-label propagation keyed by (frame_id, actor) instead of actor,
+    so one distributed iteration advances all frames simultaneously —
+    the per-frame twin of :func:`connected_components` and the input
+    to :func:`component_lifecycle` (the dynamic-graph evolution
+    analysis the reference's frame-indexed timeline exists to serve,
+    BaseTimeline.java's per-frame subgraph walk).
+
+    NOT a driver loop over frames: a for-frame-in-frames loop would
+    serialize 24 (or at 100 TB, millions of) tiny jobs and bottleneck
+    on the driver. Here frame_id rides in the join/group keys, every
+    round is two shuffles TOTAL regardless of frame count, and rounds
+    are bounded by the largest single-frame component's diameter
+    (pointer jumping halves paths per round, so O(log n)).
+    localCheckpoint truncates lineage per round as in
+    connected_components. Columns: frame_id, actor, component.
+    """
+    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    sym = e.select(
+        "frame_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("actor1").alias("src"), F.col("actor2").alias("dst")
+                ),
+                F.struct(
+                    F.col("actor2").alias("src"), F.col("actor1").alias("dst")
+                ),
+            )
+        ).alias("p"),
+    ).select("frame_id", "p.src", "p.dst").localCheckpoint()
+    labels = (
+        sym.select("frame_id", F.col("src").alias("actor"))
+        .distinct()
+        .withColumn("label", F.col("actor"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(
+                labels,
+                (sym.frame_id == labels.frame_id) & (sym.dst == labels.actor),
+            )
+            .groupBy(sym.frame_id.alias("f"), sym.src.alias("s"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(
+            nbr_min,
+            (labels.frame_id == nbr_min.f) & (labels.actor == nbr_min.s),
+            "left",
+        ).select(
+            labels.frame_id,
+            "actor",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump within the frame: label <- label(label)
+        lmap = stepped.select(
+            F.col("frame_id").alias("lf"),
+            F.col("actor").alias("l_actor"),
+            F.col("label").alias("l_label"),
+        )
+        new_labels = (
+            stepped.join(
+                lmap,
+                (stepped.frame_id == lmap.lf) & (stepped.label == lmap.l_actor),
+                "left",
+            )
+            .select(
+                stepped.frame_id,
+                "actor",
+                F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), ["frame_id", "actor"])
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("frame_id", "actor", F.col("label").alias("component"))
+
+
+def component_lifecycle(frame_labels: DataFrame) -> DataFrame:
+    """Group-evolution classification over per-frame components (the
+    Palla/Barabasi community-lifecycle taxonomy, the canonical
+    dynamic-network analysis on SocioPatterns data): for each
+    (frame_id, component), count the DISTINCT predecessor components
+    (frame_id - 1) and successor components (frame_id + 1) that share
+    at least one member, then classify
+
+        event (vs predecessors): birth (0) / continue (1) / merge (>=2)
+        fate  (vs successors):   dissolve (0) / persist (1) / split (>=2)
+
+    Input is :func:`connected_components_per_frame` output. Members
+    are edge-endpoint actors only (singleton actors are not
+    components, matching q_connected_components). Three aggregations,
+    each an equi-join on (frame +- 1, actor) — no window over the
+    whole timeline, so the shape is shuffle-on-(frame, actor) and
+    scales with member-rows, not frames x components.
+    Columns: frame_id, component, n_members, n_pred, n_succ, event, fate.
+    """
+    c = frame_labels.select("frame_id", "actor", "component")
+    prev = c.select(
+        (F.col("frame_id") + 1).alias("frame_id"),
+        "actor",
+        F.col("component").alias("pred_component"),
+    )
+    nxt = c.select(
+        (F.col("frame_id") - 1).alias("frame_id"),
+        "actor",
+        F.col("component").alias("succ_component"),
+    )
+    pred = (
+        c.join(prev, ["frame_id", "actor"], "left")
+        .groupBy("frame_id", "component")
+        .agg(F.countDistinct("pred_component").alias("n_pred"))
+    )
+    succ = (
+        c.join(nxt, ["frame_id", "actor"], "left")
+        .groupBy("frame_id", "component")
+        .agg(F.countDistinct("succ_component").alias("n_succ"))
+    )
+    sizes = c.groupBy("frame_id", "component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.join(pred, ["frame_id", "component"])
+        .join(succ, ["frame_id", "component"])
+        .select(
+            "frame_id",
+            "component",
+            "n_members",
+            "n_pred",
+            "n_succ",
+            F.when(F.col("n_pred") == 0, F.lit("birth"))
+            .when(F.col("n_pred") >= 2, F.lit("merge"))
+            .otherwise(F.lit("continue"))
+            .alias("event"),
+            F.when(F.col("n_succ") == 0, F.lit("dissolve"))
+            .when(F.col("n_succ") >= 2, F.lit("split"))
+            .otherwise(F.lit("persist"))
+            .alias("fate"),
+        )
+        .orderBy("frame_id", "component")
+    )
+
+
+def temporal_motifs(
+    frame_edges: DataFrame, delta: int, max_degree: int | None = None
+) -> DataFrame:
+    """Delta-windowed temporal triangle census (the Paranjape/Benson/
+    Leskovec delta-temporal-motif family restricted to the triangle
+    motif): count triples of frame-edges covering the three pairs of a
+    triangle {a<b<c} whose frame span (max - min) is <= ``delta``
+    frames, grouped by span — the contact-sequence statistic that
+    distinguishes a bursty triad closing within one hour from a triad
+    smeared over a day.
+
+    Structure first, time second: the static triangle set (via
+    :func:`triangles`, inheriting its canonical-orientation dedup and
+    the ``max_degree`` hub guardrail) is broadcast against the
+    per-pair frame lists with three equi-joins; the span predicate
+    filters combinations. Per-triangle cost is the product of the
+    three pairs' frame multiplicities — bounded by the time
+    restriction of the input (and by ``delta`` itself), and the
+    output is an O(delta)-row census, never an enumeration.
+    Columns: span, n_motifs.
+    """
+    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    tri = triangles(e.select("actor1", "actor2"), max_degree=max_degree)
+    ab = e.select(
+        F.col("actor1").alias("a"),
+        F.col("actor2").alias("b"),
+        F.col("frame_id").alias("f_ab"),
+    )
+    bc = e.select(
+        F.col("actor1").alias("b"),
+        F.col("actor2").alias("c"),
+        F.col("frame_id").alias("f_bc"),
+    )
+    ac = e.select(
+        F.col("actor1").alias("a"),
+        F.col("actor2").alias("c"),
+        F.col("frame_id").alias("f_ac"),
+    )
+    span = F.greatest("f_ab", "f_bc", "f_ac") - F.least("f_ab", "f_bc", "f_ac")
+    return (
+        broadcast(tri)
+        .join(ab, ["a", "b"])
+        .join(bc, ["b", "c"])
+        .join(ac, ["a", "c"])
+        .where(span <= delta)
+        .select(span.alias("span"))
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_motifs"))
+        .orderBy("span")
+    )
+
+
+def burst_windows(
+    presence: DataFrame,
+    window: int = 24,
+    min_obs: int = 12,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Per-actor activity-burst detection: flag frames whose event
+    count is >= ``z_thresh`` population standard deviations above the
+    actor's trailing ``window``-frame mean (the rate-anomaly twin of
+    the Goh-Barabasi :func:`burstiness` coefficient — B characterizes
+    a pair's whole gap distribution; this localizes WHEN an actor's
+    activity spikes).
+
+    The trailing window is RANGE BETWEEN window PRECEDING AND 1
+    PRECEDING on frame_id — a gap frame (actor inactive) simply isn't
+    an observation, so baselines need >= ``min_obs`` observed frames
+    (sparse actors produce no verdict rather than a noisy one).
+    Moments come from exact integer sums (n, sum, sum of squares) in
+    ONE window pass; all arithmetic after the window is on exact
+    integers, so the rounded z-score is bit-reproducible cross-engine.
+    One shuffle (partition by actor). Columns: frame_id, actor,
+    n_events, n_obs, z, rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    p = presence.select("frame_id", "actor", "n_events")
+    w = (
+        Window.partitionBy("actor")
+        .orderBy("frame_id")
+        .rangeBetween(-window, -1)
+    )
+    stats = p.select(
+        "frame_id",
+        "actor",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+        F.sum("n_events").over(w).alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_s2"),
+    )
+    mu = F.col("_s1") / F.col("n_obs")
+    sig = F.sqrt(
+        F.greatest(F.col("_s2") / F.col("n_obs") - mu * mu, F.lit(0.0))
+    )
+    z = (F.col("n_events") - mu) / sig
+    return (
+        stats.where(F.col("n_obs") >= min_obs)
+        .where(sig > 0)
+        .withColumn("z", F.round(z, 6))
+        .where(F.col("z") >= z_thresh)
+        .select("frame_id", "actor", "n_events", "n_obs", "z")
+        .orderBy("frame_id", "actor")
+    )

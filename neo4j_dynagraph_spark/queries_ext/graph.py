@@ -1693,3 +1693,162 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-graph evolution family (round 11): per-frame components, the
+# Palla-style lifecycle taxonomy over them, delta-windowed temporal
+# triangle motifs, and per-actor burst windows — the frame-indexed
+# analyses the reference's timeline tree exists to serve
+# (BaseTimeline.java's per-frame subgraph walk; graph_manipulation.py's
+# frame loop).
+
+_DAY_SQL = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+
+_PER_FRAME_COMP_CTE = f"""
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+nodes AS (SELECT DISTINCT frame_id, src AS node FROM sym),
+reach AS (
+  SELECT frame_id, node, node AS label FROM nodes
+  UNION
+  SELECT s.frame_id, s.dst AS node, r.label
+  FROM reach r JOIN sym s ON s.frame_id = r.frame_id AND s.src = r.node
+  WHERE r.label < s.dst
+),
+comp AS (SELECT frame_id, node AS actor, min(label) AS component
+         FROM reach GROUP BY 1, 2)
+"""
+
+
+@query(
+    "q_component_lifecycle",
+    oracle=f"""
+WITH RECURSIVE
+{_PER_FRAME_COMP_CTE},
+sizes AS (SELECT frame_id, component, count(*) AS n_members
+          FROM comp GROUP BY 1, 2),
+pred AS (SELECT c.frame_id, c.component,
+                count(DISTINCT q.component) AS n_pred
+         FROM comp c LEFT JOIN comp q
+           ON q.frame_id = c.frame_id - 1 AND q.actor = c.actor
+         GROUP BY 1, 2),
+succ AS (SELECT c.frame_id, c.component,
+                count(DISTINCT q.component) AS n_succ
+         FROM comp c LEFT JOIN comp q
+           ON q.frame_id = c.frame_id + 1 AND q.actor = c.actor
+         GROUP BY 1, 2)
+SELECT s.frame_id, s.component,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(pr.n_pred AS BIGINT) AS n_pred,
+       CAST(su.n_succ AS BIGINT) AS n_succ,
+       CASE WHEN pr.n_pred = 0 THEN 'birth'
+            WHEN pr.n_pred >= 2 THEN 'merge'
+            ELSE 'continue' END AS event,
+       CASE WHEN su.n_succ = 0 THEN 'dissolve'
+            WHEN su.n_succ >= 2 THEN 'split'
+            ELSE 'persist' END AS fate
+FROM sizes s
+JOIN pred pr ON pr.frame_id = s.frame_id AND pr.component = s.component
+JOIN succ su ON su.frame_id = s.frame_id AND su.component = s.component
+ORDER BY s.frame_id, s.component
+""",
+)
+def q_component_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-evolution lifecycle over the pinned day's hourly frames:
+    per-frame connected components (min-label keyed by (frame, actor)
+    — ALL frames advanced by one distributed iteration, never a
+    driver loop over frames), classified against the adjacent frames
+    as birth/continue/merge and dissolve/persist/split by counting
+    distinct overlapping components (the Palla-style taxonomy, THE
+    canonical dynamic-network analysis on SocioPatterns-shaped data).
+    The oracle replays per-frame reachability as one recursive CTE
+    with frame_id in the join key and the same three aggregations."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    labels = graph.connected_components_per_frame(
+        qmod._edges(spark, sf_dir, qmod._day_filter())
+    )
+    return graph.component_lifecycle(labels)
+
+
+_MOTIF_DELTA = 6
+_MOTIF_CAP = 40
+
+
+@query(
+    "q_temporal_motifs",
+    oracle=f"""
+WITH {_capped_day_edges_cte(_MOTIF_CAP)},
+ed AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+tri AS (SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
+        FROM e x JOIN e y ON y.actor1 = x.actor2
+        JOIN e z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2),
+m AS (SELECT greatest(x.frame_id, y.frame_id, z.frame_id)
+             - least(x.frame_id, y.frame_id, z.frame_id) AS span
+      FROM tri t
+      JOIN ed x ON x.actor1 = t.a AND x.actor2 = t.b
+      JOIN ed y ON y.actor1 = t.b AND y.actor2 = t.c
+      JOIN ed z ON z.actor1 = t.a AND z.actor2 = t.c
+      WHERE greatest(x.frame_id, y.frame_id, z.frame_id)
+            - least(x.frame_id, y.frame_id, z.frame_id) <= {_MOTIF_DELTA})
+SELECT span, count(*) AS n_motifs FROM m GROUP BY 1 ORDER BY span
+""",
+)
+def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-windowed temporal triangle census (Paranjape/Benson/
+    Leskovec's delta-temporal motifs, triangle motif): triples of
+    pinned-day frame-edges covering a triangle's three pairs whose
+    frame span is <= 6 hours, counted per span — bursty triads vs
+    smeared ones. Static triangle structure first (broadcast, under
+    the degree-<=40 hub guardrail of q_triangles_capped), then three
+    equi-joins against the per-pair frame lists; output is an
+    O(delta) census, never an enumeration. Oracle replays cap +
+    triangles + the same three joins."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter())
+    return graph.temporal_motifs(
+        edges, delta=_MOTIF_DELTA, max_degree=_MOTIF_CAP
+    )
+
+
+@query(
+    "q_burst_windows",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+s AS (SELECT frame_id, actor, n_events,
+             count(*) OVER w AS n_obs,
+             sum(n_events) OVER w AS s1,
+             sum(n_events * n_events) OVER w AS s2
+      FROM p
+      WINDOW w AS (PARTITION BY actor ORDER BY frame_id
+                   RANGE BETWEEN 168 PRECEDING AND 1 PRECEDING)),
+z AS (SELECT frame_id, actor, n_events, n_obs,
+             round((n_events - s1 / n_obs)
+                   / sqrt(greatest(s2 / n_obs - (s1 / n_obs) * (s1 / n_obs),
+                                   0.0)), 6) AS z
+      FROM s
+      WHERE n_obs >= 8
+        AND sqrt(greatest(s2 / n_obs - (s1 / n_obs) * (s1 / n_obs), 0.0)) > 0)
+SELECT frame_id, actor, n_events, CAST(n_obs AS BIGINT) AS n_obs, z
+FROM z WHERE z >= 3.0 ORDER BY frame_id, actor
+""",
+)
+def q_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-actor activity-burst detection over the full month's hourly
+    presence: frames whose event count sits >= 3 trailing-week
+    population standard deviations above the actor's own baseline
+    (RANGE window on frame_id, so inactive frames are non-observations
+    and sparse baselines — under 8 observed frames — yield no verdict
+    rather than a noisy one). Moments are exact integer window sums;
+    both engines derive the z from the same integers, so the rounded
+    score hash-matches. One shuffle (partition by actor)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    presence = qmod._presence(spark, sf_dir)
+    return graph.burst_windows(
+        presence, window=168, min_obs=8, z_thresh=3.0
+    )

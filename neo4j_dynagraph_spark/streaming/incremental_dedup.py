@@ -29,7 +29,6 @@ format (Delta/Iceberg MERGE) — the protocol is unchanged.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -55,6 +54,7 @@ def stream_dedup_documents(
     """
     from neo4j_dynagraph_spark.streaming.staging import (
         drain_dirs,
+        release_root,
         stage_single_file,
     )
 
@@ -106,10 +106,10 @@ def stream_dedup_documents(
     )
     q.awaitTermination()
     out = spark.read.parquet(os.path.join(out_dir, "batch_*"))
-    if eph is not None:
-        # the result reads out_dir, not the store — the first-seen
-        # state + checkpoint are safe to delete in ephemeral mode
-        shutil.rmtree(eph, ignore_errors=True)
+    # the result reads out_dir, not the store — the first-seen state +
+    # checkpoint are safe to delete in ephemeral mode (ledger-aware:
+    # a bare rmtree would leave the pending-roots entry behind)
+    release_root(eph)
     return out
 
 

@@ -129,6 +129,21 @@ def drain_dirs(
     )
 
 
+def release_root(ephemeral_root: str | None) -> None:
+    """Delete an ephemeral drain root AND retire its pending-ledger
+    entry. The one correct way to free a root without going through
+    :func:`finalize_drain` (a drain whose result reads a separate
+    caller-owned out_dir, not the store): a bare ``shutil.rmtree``
+    leaves the ledger entry behind, which accumulates across drains on
+    the thread and makes later cleanup bookkeeping lie."""
+    if ephemeral_root is None:
+        return
+    shutil.rmtree(ephemeral_root, ignore_errors=True)
+    roots = _pending_roots()
+    if ephemeral_root in roots:
+        roots.remove(ephemeral_root)
+
+
 def finalize_drain(df: DataFrame, ephemeral_root: str | None) -> DataFrame:
     """Materialize a drain's (sketch-sized, by the stores' O(state)
     contracts) result off its backing store, then delete the ephemeral

@@ -902,3 +902,99 @@ def test_node2vec_walks_valid_deterministic_and_biased(spark):
         [(b, a) for a, b in edges], "actor1 long, actor2 long"
     )
     assert sorted(map(tuple, node2vec_walks(flipped, n_steps=3).collect())) == rows
+
+
+def test_per_frame_components_match_single_frame_cc(spark):
+    """On a one-frame input, per-frame CC must equal plain CC."""
+    fe = spark.createDataFrame(
+        [(7, a, b) for a, b in EDGES], "frame_id long, actor1 long, actor2 long"
+    )
+    got = {
+        (r.frame_id, r.actor): r.component
+        for r in graph.connected_components_per_frame(fe).collect()
+    }
+    want = {
+        r.actor: r.component
+        for r in graph.connected_components(
+            fe.select("actor1", "actor2")
+        ).collect()
+    }
+    assert got == {(7, a): c for a, c in want.items()}
+
+
+def test_per_frame_components_are_frame_local(spark):
+    # frame 0: 1-2 and 3-4 (two components); frame 1: 2-3 bridges — but
+    # only within frame 1, where 1 and 4 are absent
+    fe = spark.createDataFrame(
+        [(0, 1, 2), (0, 3, 4), (1, 2, 3)],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    got = {
+        (r.frame_id, r.actor): r.component
+        for r in graph.connected_components_per_frame(fe).collect()
+    }
+    assert got == {
+        (0, 1): 1, (0, 2): 1, (0, 3): 3, (0, 4): 3,
+        (1, 2): 2, (1, 3): 2,
+    }
+
+
+def test_component_lifecycle_taxonomy(spark):
+    """Planted merge / split / birth / dissolve / persist fixture.
+
+    frame 0: {1,2} and {3,4}        frame 1: {1,2,3,4} (merge)
+    frame 2: {1,2} and {3,4} again  (split fate at f1; continues at f2)
+    frame 2 also births {8,9}, which dissolves after (no frame 3).
+    """
+    fe = spark.createDataFrame(
+        [(0, 1, 2), (0, 3, 4),
+         (1, 1, 2), (1, 2, 3), (1, 3, 4),
+         (2, 1, 2), (2, 3, 4), (2, 8, 9)],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    lab = graph.connected_components_per_frame(fe)
+    rows = {
+        (r.frame_id, r.component): (r.n_members, r.n_pred, r.n_succ, r.event, r.fate)
+        for r in graph.component_lifecycle(lab).collect()
+    }
+    assert rows[(0, 1)] == (2, 0, 1, "birth", "persist")
+    assert rows[(0, 3)] == (2, 0, 1, "birth", "persist")
+    # the merged component descends from TWO and splits into TWO
+    assert rows[(1, 1)] == (4, 2, 2, "merge", "split")
+    assert rows[(2, 1)] == (2, 1, 0, "continue", "dissolve")
+    assert rows[(2, 3)] == (2, 1, 0, "continue", "dissolve")
+    assert rows[(2, 8)] == (2, 0, 0, "birth", "dissolve")
+
+
+def test_temporal_motifs_span_census_and_delta(spark):
+    # triangle {1,2,3}: (1,2)@f0, (2,3)@f1, (1,3)@f3 -> span 3;
+    # (1,2) also @f2 -> combo with span 2; delta=2 keeps only span 2
+    fe = spark.createDataFrame(
+        [(0, 1, 2), (2, 1, 2), (1, 2, 3), (3, 1, 3)],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    all_spans = {
+        r.span: r.n_motifs for r in graph.temporal_motifs(fe, delta=10).collect()
+    }
+    assert all_spans == {2: 1, 3: 1}
+    tight = {
+        r.span: r.n_motifs for r in graph.temporal_motifs(fe, delta=2).collect()
+    }
+    assert tight == {2: 1}
+
+
+def test_burst_windows_z_and_min_obs(spark):
+    # actor 1: frames 1..10 at 1 event, frame 11 spikes to 9.
+    # trailing window (<= 10 back): n=10, mu=1, sigma=0... sigma 0 is
+    # filtered; mix in one 2 so sigma > 0: frames 1..9 at 1, frame 10
+    # at 2, frame 11 at 9 -> trailing n=10 mu=1.1 var=0.09 sig=0.3
+    # z=(9-1.1)/0.3 = 26.333333
+    rows = [(f, 1, 1) for f in range(1, 10)] + [(10, 1, 2), (11, 1, 9)]
+    # actor 2: too few observations (3 frames) -> no verdict ever
+    rows += [(1, 2, 1), (2, 2, 1), (3, 2, 50)]
+    p = spark.createDataFrame(rows, "frame_id long, actor long, n_events long")
+    got = [
+        (r.frame_id, r.actor, r.n_events, r.n_obs, r.z)
+        for r in graph.burst_windows(p, window=10, min_obs=10, z_thresh=3.0).collect()
+    ]
+    assert got == [(11, 1, 9, 10, pytest.approx(26.333333))]
