@@ -1921,7 +1921,10 @@ def component_lifecycle(frame_labels: DataFrame) -> DataFrame:
 
 
 def temporal_motifs(
-    frame_edges: DataFrame, delta: int, max_degree: int | None = None
+    frame_edges: DataFrame,
+    delta: int,
+    max_degree: int | None = None,
+    structure_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-windowed temporal triangle census (the Paranjape/Benson/
     Leskovec delta-temporal-motif family restricted to the triangle
@@ -1939,10 +1942,21 @@ def temporal_motifs(
     three pairs' frame multiplicities — bounded by the time
     restriction of the input (and by ``delta`` itself), and the
     output is an O(delta)-row census, never an enumeration.
+
+    ``structure_edges`` decouples WHICH triads are counted from WHEN:
+    when given, triangle structure comes from it (e.g. one anchor
+    hour's graph, the reference QUERY11 shape — whose density is
+    bounded by the hour restriction at any corpus scale) while spans
+    are still measured over ``frame_edges``' full frame lists. Without
+    it, structure derives from ``frame_edges`` itself, where a
+    day-wide graph needs the ``max_degree`` guardrail at density.
     Columns: span, n_motifs.
     """
     e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
-    tri = triangles(e.select("actor1", "actor2"), max_degree=max_degree)
+    struct_src = structure_edges if structure_edges is not None else e
+    tri = triangles(
+        struct_src.select("actor1", "actor2"), max_degree=max_degree
+    )
     ab = e.select(
         F.col("actor1").alias("a"),
         F.col("actor2").alias("b"),

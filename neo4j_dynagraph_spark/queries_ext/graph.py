@@ -1725,6 +1725,7 @@ comp AS (SELECT frame_id, node AS actor, min(label) AS component
 
 @query(
     "q_component_lifecycle",
+    bench=True,
     oracle=f"""
 WITH RECURSIVE
 {_PER_FRAME_COMP_CTE},
@@ -1775,17 +1776,19 @@ def q_component_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MOTIF_DELTA = 6
-_MOTIF_CAP = 40
 
 
 @query(
     "q_temporal_motifs",
+    bench=True,
     oracle=f"""
-WITH {_capped_day_edges_cte(_MOTIF_CAP)},
+WITH p AS ({_presence_sql(_DAY_SQL)}),
 ed AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+eh AS (SELECT DISTINCT actor1, actor2 FROM ed
+       WHERE frame_id = CAST(floor(epoch(TIMESTAMP '{YEAR}-0{MONTH}-{DAY} {HOUR}:00:00')/{DELTA}) AS BIGINT)),
 tri AS (SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
-        FROM e x JOIN e y ON y.actor1 = x.actor2
-        JOIN e z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2),
+        FROM eh x JOIN eh y ON y.actor1 = x.actor2
+        JOIN eh z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2),
 m AS (SELECT greatest(x.frame_id, y.frame_id, z.frame_id)
              - least(x.frame_id, y.frame_id, z.frame_id) AS span
       FROM tri t
@@ -1799,19 +1802,25 @@ SELECT span, count(*) AS n_motifs FROM m GROUP BY 1 ORDER BY span
 )
 def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-windowed temporal triangle census (Paranjape/Benson/
-    Leskovec's delta-temporal motifs, triangle motif): triples of
-    pinned-day frame-edges covering a triangle's three pairs whose
-    frame span is <= 6 hours, counted per span — bursty triads vs
-    smeared ones. Static triangle structure first (broadcast, under
-    the degree-<=40 hub guardrail of q_triangles_capped), then three
-    equi-joins against the per-pair frame lists; output is an
-    O(delta) census, never an enumeration. Oracle replays cap +
-    triangles + the same three joins."""
+    Leskovec's delta-temporal motifs, triangle motif): triads whose
+    structure is anchored in the pinned HOUR's graph (the reference
+    QUERY11 triangle shape, cypher_query_timing.py:158-203 — hour
+    restriction bounds the enumeration's density at ANY corpus scale,
+    no cap needed), spans measured over the full pinned DAY's
+    frame-edge lists: triples of day frame-edges covering the
+    triangle's three pairs within <= 6 hours, counted per span —
+    bursty triads vs smeared ones. Broadcast structure + three
+    equi-joins; output is an O(delta) census, never an enumeration.
+    Non-trivial at every SF (unlike a fixed degree cap, which empties
+    the sf0.1 day graph — median degree 253)."""
     from neo4j_dynagraph_spark import queries as qmod
 
-    edges = qmod._edges(spark, sf_dir, qmod._day_filter())
+    day_edges = qmod._edges(spark, sf_dir, qmod._day_filter())
+    hour_edges = qmod._edges(
+        spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)
+    )
     return graph.temporal_motifs(
-        edges, delta=_MOTIF_DELTA, max_degree=_MOTIF_CAP
+        day_edges, delta=_MOTIF_DELTA, structure_edges=hour_edges
     )
 
 

@@ -998,3 +998,20 @@ def test_burst_windows_z_and_min_obs(spark):
         for r in graph.burst_windows(p, window=10, min_obs=10, z_thresh=3.0).collect()
     ]
     assert got == [(11, 1, 9, 10, pytest.approx(26.333333))]
+
+
+def test_temporal_motifs_structure_decoupling(spark):
+    # structure anchored on frame 0's graph only: triangle {1,2,3}
+    # exists at f0; triad {4,5,6} only forms later -> not counted even
+    # though its day frame-edges would close it
+    fe = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 3), (0, 1, 3),
+         (1, 4, 5), (1, 5, 6), (2, 4, 6)],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    anchor = fe.where("frame_id = 0").select("actor1", "actor2")
+    got = {
+        r.span: r.n_motifs
+        for r in graph.temporal_motifs(fe, delta=5, structure_edges=anchor).collect()
+    }
+    assert got == {0: 1}
