@@ -1824,9 +1824,7 @@ def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_burst_windows",
-    oracle=f"""
+_BURST_ORACLE = f"""
 WITH p AS ({_presence_sql()}),
 s AS (SELECT frame_id, actor, n_events,
              count(*) OVER w AS n_obs,
@@ -1844,8 +1842,10 @@ z AS (SELECT frame_id, actor, n_events, n_obs,
         AND sqrt(greatest(s2 / n_obs - (s1 / n_obs) * (s1 / n_obs), 0.0)) > 0)
 SELECT frame_id, actor, n_events, CAST(n_obs AS BIGINT) AS n_obs, z
 FROM z WHERE z >= 3.0 ORDER BY frame_id, actor
-""",
-)
+"""
+
+
+@query("q_burst_windows", oracle=_BURST_ORACLE)
 def q_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-actor activity-burst detection over the full month's hourly
     presence: frames whose event count sits >= 3 trailing-week
@@ -1860,4 +1860,70 @@ def q_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence = qmod._presence(spark, sf_dir)
     return graph.burst_windows(
         presence, window=168, min_obs=8, z_thresh=3.0
+    )
+
+
+def _ppr_cte(seeds: tuple[int, ...], n_iter: int = 10) -> str:
+    """Unrolled personalized-PageRank oracle — _pagerank_cte with
+    seed-targeted teleport. The teleport value and the damping
+    complement are PYTHON float reprs interpolated into the SQL so
+    both engines carry bit-identical constants (1.0-0.85 folds
+    differently under DuckDB DECIMAL arithmetic than under Python
+    float — the 1e-6 rounding usually absorbs it, the repr makes it
+    exact by construction)."""
+    tele = repr(1.0 / len(seeds))
+    comp = repr(1.0 - 0.85)
+    in_list = ", ".join(str(s) for s in seeds)
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    blocks = [
+        f"p AS ({_presence_sql(day)})",
+        f"e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        "sym AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e)",
+        "deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY 1)",
+        "tele AS (SELECT src AS actor, CASE WHEN src IN "
+        f"({in_list}) THEN {tele} ELSE 0.0 END AS tele FROM deg)",
+        'r0 AS (SELECT actor, tele AS "rank" FROM tele)',
+    ]
+    for i in range(n_iter):
+        blocks.append(
+            f"m{i} AS (SELECT s.dst AS actor, "
+            f'sum(r."rank" / d.degree) AS mass '
+            f"FROM sym s JOIN r{i} r ON r.actor = s.src "
+            "JOIN deg d ON d.src = s.src GROUP BY 1)"
+        )
+        blocks.append(
+            f"r{i + 1} AS (SELECT t.actor, "
+            f"{comp} * t.tele + 0.85 * COALESCE(m.mass, 0.0) AS \"rank\" "
+            f"FROM tele t LEFT JOIN m{i} m ON m.actor = t.actor)"
+        )
+    return ",\n".join(blocks)
+
+
+_PPR_SEEDS = (ACTOR1, 2)
+
+
+@query(
+    "q_personalized_pagerank",
+    oracle=f"""
+WITH {_ppr_cte(_PPR_SEEDS, 10)}
+SELECT actor, round("rank", 6) AS rank
+FROM r10 ORDER BY 2 DESC, actor
+""",
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the pinned anchor actors {1, 2} over
+    the pinned-day interaction graph (GDS pageRank sourceNodes parity
+    — random walk with restart, THE seed-centric relevance measure;
+    the seeded twin of q_pagerank): teleport mass restarts at the
+    seeds, so ranks measure graph proximity to them. Fixed 10-round
+    deterministic power method; the oracle unrolls all rounds with
+    bit-identical interpolated constants and the full-vector LEFT-join
+    shape, so the rounded vector hash-matches."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.personalized_pagerank(
+        qmod._edges(spark, sf_dir, qmod._day_filter()),
+        list(_PPR_SEEDS),
+        iterations=10,
     )

@@ -767,3 +767,41 @@ def q_stream_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_temperature_mix(
         spark, f"{sf_dir}/documents.parquet", schema, alpha=0.5
     )
+
+
+@query("q_stream_burst", oracle=None)
+def q_stream_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING activity-burst monitor: the events stream drained
+    through per-batch (frame_id, actor) count partials into a
+    batch_id-keyed CounterStore (additive class — a frame's count may
+    arrive split across micro-batches; the sum over partials is
+    order-free and replay-safe), with the trailing-week z-score burst
+    pass recomputed at READ time over the summed presence by the
+    IDENTICAL pure function the batch query uses
+    (operators/graph.py:burst_windows) — so the drained verdicts equal
+    batch q_burst_windows bit-for-bit under any chopping, and the
+    batch row's DuckDB oracle grades this one too (attached below via
+    REGISTRY, keeping the SQL in one place). Multibatch equality is
+    unit-pinned (tests/test_streaming_gexf.py)."""
+    from neo4j_dynagraph_spark.streaming.bursts import stream_burst_windows
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return stream_burst_windows(
+        spark, f"{sf_dir}/events.parquet", schema,
+        window=168, min_obs=8, z_thresh=3.0,
+    )
+
+
+# the streaming twin is graded by the SAME oracle as its batch query —
+# bit-equality under chopping is the contract (q_stream_training_mix
+# precedent: one SQL, two paths). Attached post-hoc because graph.py's
+# module constant isn't importable at this module's decoration time
+# without a cycle.
+import dataclasses as _dc  # noqa: E402
+
+from neo4j_dynagraph_spark.queries import REGISTRY as _REG  # noqa: E402
+from neo4j_dynagraph_spark.queries_ext.graph import _BURST_ORACLE  # noqa: E402
+
+_REG["q_stream_burst"] = _dc.replace(
+    _REG["q_stream_burst"], oracle=_BURST_ORACLE
+)

@@ -1015,3 +1015,30 @@ def test_temporal_motifs_structure_decoupling(spark):
         for r in graph.temporal_motifs(fe, delta=5, structure_edges=anchor).collect()
     }
     assert got == {0: 1}
+
+
+def test_personalized_pagerank_numpy_differential(spark, edges):
+    """Independent numpy replay of the seeded power method on the
+    5-node fixture, plus the structural properties: seed-proximal
+    nodes outrank distant ones and total mass stays <= 1."""
+    import numpy as np
+
+    got = {
+        r.actor: r.rank
+        for r in graph.personalized_pagerank(edges, [1], iterations=10).collect()
+    }
+    nodes = sorted({a for e in EDGES for a in e})
+    idx = {a: i for i, a in enumerate(nodes)}
+    A = np.zeros((5, 5))
+    for a, b in EDGES:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1
+    deg = A.sum(1)
+    tele = np.array([1.0 if a == 1 else 0.0 for a in nodes])
+    r = tele.copy()
+    for _ in range(10):
+        r = (1.0 - 0.85) * tele + 0.85 * (A.T @ (r / deg))
+    want = {a: round(float(r[idx[a]]), 6) for a in nodes}
+    assert got == pytest.approx(want)
+    # seed holds the most mass; its direct neighbors beat the far node 4
+    assert got[1] == max(got.values())
+    assert min(got[2], got[3], got[5]) > got[4]

@@ -1301,3 +1301,67 @@ def test_stream_ivf_assign_multibatch_equals_batch(spark, tmp_path):
         corpus, queries, k=3, n_centroids=4, nprobe=2
     ).collect()
     assert sorted(map(tuple, from_cells)) == sorted(map(tuple, batch))
+
+
+def test_stream_burst_multibatch_equals_batch(spark, tmp_path):
+    """The incremental burst monitor drained one file per micro-batch
+    must equal the batch burst_windows(events_to_presence(...)) result
+    bit-for-bit — including when ONE (frame, actor)'s events are SPLIT
+    across micro-batches (the additive-partials case the per-batch sum
+    alone would get wrong)."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.graph import burst_windows
+    from neo4j_dynagraph_spark.operators.ingest import events_to_presence
+    from neo4j_dynagraph_spark.streaming.bursts import stream_burst_windows
+
+    # actor 1: baseline 1 event/frame for frames 0..10 (frame 9 has 2),
+    # then a 9-event spike in frame 11 split across shards; the trailing
+    # RANGE(-10,-1) window at frame 11 covers frames 1..10 = 10 obs,
+    # mu 1.1, sigma 0.3
+    def ts(frame, i):
+        return (frame * 3600 + i) * 1_000_000_000  # ns within the frame
+
+    base = (
+        [(ts(f, 0), 1) for f in range(9)]
+        + [(ts(9, 0), 1), (ts(9, 1), 1)]
+        + [(ts(10, 0), 1)]
+    )
+    spike = [(ts(11, i), 1) for i in range(9)]
+    shards = [base + spike[:4], spike[4:]]
+    src = tmp_path / "events"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(rows, "ts long, user_id long").coalesce(
+            1
+        ).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_burst_windows(
+        spark, str(src), schema,
+        window=10, min_obs=10, z_thresh=3.0,
+        max_files_per_trigger=1,
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+
+    from neo4j_dynagraph_spark.sources.tables import normalize_event_ts
+
+    ev = normalize_event_ts(
+        spark, spark.read.parquet(str(src)), "ts"
+    )
+    batch = burst_windows(
+        events_to_presence(ev), window=10, min_obs=10, z_thresh=3.0
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    # the split spike frame must carry the SUMMED count (4+5=9), and
+    # the z over baseline mu=1.1 sigma=0.3 is (9-1.1)/0.3
+    assert len(got) == 1
+    assert got[0][2] == 9 and abs(got[0][4] - 26.333333) < 1e-6
