@@ -1682,7 +1682,11 @@ def node2vec_walks(
 
 
 def temporal_walks(
-    frame_edges: DataFrame, n_steps: int = 3, seed: str = "twalk"
+    frame_edges: DataFrame,
+    n_steps: int = 3,
+    seed: str = "twalk",
+    max_gap: int | None = None,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic TIME-RESPECTING random walks (CTDNE, Nguyen et al.
     2018): each hop may only traverse an edge in a STRICTLY LATER frame
@@ -1700,6 +1704,27 @@ def temporal_walks(
     no per-walk loop, no RNG state, every hop oracle-replayable.
     Output: (walk_id, step, node, t) — t is the arrival frame, -1 for
     the seed row.
+
+    ``max_gap`` is the bounded-temporal-neighborhood contract (the
+    standard CTDNE practice, and the SEMANTIC guardrail this family's
+    sf10 stress motivated — SCALE.md round 11): each hop may only
+    use frames in (t, t + max_gap], and seeds start at (node's first
+    active frame - 1) so the bound applies uniformly from hop 1.
+    Without it a seed's candidate set is its ENTIRE remaining temporal
+    adjacency — on a saturated co-presence graph that is frames x
+    near-clique partners PER WALK (the sf10 run spilled > 78 GiB and
+    died on disk); with it, candidates per hop are bounded by the
+    node's activity inside max_gap frames. None preserves the original
+    unbounded semantics exactly.
+
+    ``spill_dir`` switches the temporal-adjacency materialization from
+    ``localCheckpoint`` (deserialized MEMORY_AND_DISK blocks — at sf3+
+    the day adjacency's hundreds of millions of rows pin the unified
+    region and starve execution memory) to write-parquet-and-read-back
+    — the cluster-correct reliable-checkpoint analogue, O(columnar
+    disk) instead of O(deserialized heap), and lineage-free for the
+    n_steps self-referencing hops. Purely physical: the result is
+    bit-identical either way (test-pinned).
     """
     if n_steps < 1:
         raise ValueError("n_steps must be >= 1")
@@ -1719,22 +1744,41 @@ def temporal_walks(
             )
         )
         .distinct()
-        .localCheckpoint()
     )
-    cur = adj.select(F.col("src").alias("walk_id")).distinct().select(
-        "walk_id",
-        F.lit(0).alias("step"),
-        F.col("walk_id").alias("node"),
-        F.lit(-1).cast("long").alias("t"),
-    )
+    if spill_dir is None:
+        adj = adj.localCheckpoint()
+    else:
+        import os as _os
+
+        path = _os.path.join(spill_dir, "twalk_adj")
+        adj.write.mode("overwrite").parquet(path)
+        adj = adj.sparkSession.read.parquet(path)
+    if max_gap is None:
+        cur = adj.select(F.col("src").alias("walk_id")).distinct().select(
+            "walk_id",
+            F.lit(0).alias("step"),
+            F.col("walk_id").alias("node"),
+            F.lit(-1).cast("long").alias("t"),
+        )
+    else:
+        if max_gap < 1:
+            raise ValueError("max_gap must be >= 1")
+        cur = adj.groupBy("src").agg(
+            (F.min("frame_id") - 1).cast("long").alias("t")
+        ).select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("node"),
+            "t",
+        )
     out = cur
     w = Window.partitionBy("walk_id")
     for i in range(1, n_steps + 1):
+        hop_cond = (adj.src == cur.node) & (adj.frame_id > cur.t)
+        if max_gap is not None:
+            hop_cond = hop_cond & (adj.frame_id <= cur.t + max_gap)
         cand = (
-            cur.join(
-                adj,
-                (adj.src == cur.node) & (adj.frame_id > cur.t),
-            )
+            cur.join(adj, hop_cond)
             .withColumn(
                 "rk",
                 F.row_number().over(w.orderBy("frame_id", "dst")),
@@ -2103,4 +2147,105 @@ def personalized_pagerank(
         )
     return ranks.select("actor", F.round("rank", 6).alias("rank")).orderBy(
         F.desc("rank"), "actor"
+    )
+
+
+def eigenvector_centrality(
+    edges: DataFrame, iterations: int = 10
+) -> DataFrame:
+    """Eigenvector centrality by sum-normalized power iteration (the
+    GDS eigenvector algorithm; on an undirected graph this is also
+    HITS' hub == authority score): start uniform, each round every
+    node takes the SUM of its neighbors' scores, then the vector is
+    normalized to total mass 1 (L1 — a plain double division, chosen
+    over the conventional L2 so the only nonlinearity cross-engine is
+    one divide, not a sqrt of a sum of squares).
+
+    Fixed-iteration and deterministic like :func:`pagerank` (same
+    checkpointed symmetrized adjacency; one join + one groupBy + one
+    scalar cross-join per round). The normalizer is a 1-row aggregate
+    broadcast into the division. Columns: actor, score (rounded 1e-6,
+    desc).
+    """
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    n = sym.select("src").distinct().count()
+    scores = (
+        sym.select(F.col("src").alias("actor"))
+        .distinct()
+        .withColumn("score", F.lit(1.0 / n))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        raw = (
+            sym.join(scores, sym.dst == scores.actor)
+            .groupBy("src")
+            .agg(F.sum("score").alias("raw"))
+            .select(F.col("src").alias("actor"), "raw")
+        )
+        total = raw.agg(F.sum("raw").alias("t"))
+        scores = (
+            raw.crossJoin(F.broadcast(total))
+            .select("actor", (F.col("raw") / F.col("t")).alias("score"))
+            .localCheckpoint()
+        )
+    return scores.select(
+        "actor", F.round("score", 6).alias("score")
+    ).orderBy(F.desc("score"), "actor")
+
+
+def harmonic_centrality(
+    edges: DataFrame, max_dist: int = 4
+) -> DataFrame:
+    """Radius-bounded harmonic centrality: sum of 1/d(s, v) over nodes
+    v within ``max_dist`` hops of s (the GDS closeness/harmonic family
+    — harmonic handles disconnected graphs without convention fights,
+    and the radius bound makes the cost contract explicit instead of
+    hiding a full APSP).
+
+    Multi-source BFS as iterative DataFrame joins keyed by (source,
+    node) — ALL sources advance per distributed round like
+    :func:`connected_components_per_frame`'s frames; distances are
+    exact integers (min over union per round), so the only doubles are
+    the terminal 1/d sums on the 1e-6 rounding grid.
+
+    Cost contract: the reach state is O(sum over s of |ball(s,
+    max_dist)|) = O(V^2) on a dense graph — on SocioPatterns-shaped
+    hour graphs the ball saturates by d=2, so this is the V^2 the
+    statistic inherently costs; at 100 TB scale run it on the
+    degree-capped subgraph (:func:`degree_cap_subgraph`) or a sampled
+    source set, both semantic knobs. Columns: actor, n_reached,
+    harmonic (rounded 1e-6, desc).
+    """
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    reach = (
+        sym.select(F.col("src").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("v"), F.lit(0).alias("d"))
+        .localCheckpoint()
+    )
+    for i in range(max_dist):
+        frontier = reach.where(F.col("d") == i)
+        expanded = (
+            frontier.join(sym, frontier.v == sym.src)
+            .select("s", F.col("dst").alias("v"), F.lit(i + 1).alias("d"))
+        )
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("s", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        reach.where(F.col("d") > 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("d")), 6).alias("harmonic"),
+        )
+        .select(F.col("s").alias("actor"), "n_reached", "harmonic")
+        .orderBy(F.desc("harmonic"), "actor")
     )

@@ -1927,3 +1927,158 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(_PPR_SEEDS),
         iterations=10,
     )
+
+
+def _eigen_cte(n_iter: int = 10) -> str:
+    """Unrolled sum-normalized power iteration (the q_pagerank oracle
+    pattern with an L1 normalizer sub-select per round)."""
+    blocks = [
+        f"p AS ({_presence_sql(_DAY_SQL)})",
+        f"e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        "sym AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e)",
+        "deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY 1)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        "s0 AS (SELECT src AS actor, 1.0 / (SELECT n FROM nn) AS score FROM deg)",
+    ]
+    # raw{i} is referenced TWICE per round (normalizer + projection);
+    # DuckDB inlines single-use CTEs and would double the expression
+    # tree per round — 2^n_iter planner blowup (measured: the inlined
+    # form hangs >60 s on a 1,723-edge graph). MATERIALIZED pins each
+    # round to one evaluation, linear total.
+    for i in range(n_iter):
+        blocks.append(
+            f"raw{i} AS MATERIALIZED (SELECT s.src AS actor, sum(r.score) AS raw "
+            f"FROM sym s JOIN s{i} r ON r.actor = s.dst GROUP BY 1)"
+        )
+        blocks.append(
+            f"s{i + 1} AS (SELECT actor, "
+            f"raw / (SELECT sum(raw) FROM raw{i}) AS score FROM raw{i})"
+        )
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_eigenvector_centrality",
+    oracle=f"""
+WITH {_eigen_cte(10)}
+SELECT actor, round(score, 6) AS score
+FROM s10 ORDER BY 2 DESC, actor
+""",
+)
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (GDS parity; == HITS hub/authority on an
+    undirected graph) of the pinned-day interaction graph: 10 rounds
+    of sum-normalized power iteration — L1 normalization keeps the
+    only cross-engine nonlinearity a plain double division (no sqrt),
+    so the unrolled oracle hash-matches on the 1e-6 grid like
+    q_pagerank's."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.eigenvector_centrality(
+        qmod._edges(spark, sf_dir, qmod._day_filter()), iterations=10
+    )
+
+
+_HOUR_SQL = (
+    f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY} "
+    f"AND hour(ts)={HOUR}"
+)
+
+
+@query(
+    "q_harmonic_centrality",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_HOUR_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+reach AS (
+  SELECT src AS s, src AS v, 0 AS d FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT r.s, sy.dst AS v, r.d + 1 AS d
+  FROM reach r JOIN sym sy ON sy.src = r.v
+  WHERE r.d < 4
+),
+md AS (SELECT s, v, min(d) AS d FROM reach GROUP BY 1, 2)
+SELECT s AS actor, CAST(count(*) AS BIGINT) AS n_reached,
+       round(sum(CAST(1.0 AS DOUBLE) / d), 6) AS harmonic
+FROM md WHERE d > 0 GROUP BY 1
+ORDER BY 3 DESC, actor
+""",
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-4 harmonic centrality of the pinned-hour graph (GDS
+    closeness/harmonic family; the hour restriction bounds the V^2
+    reach state the statistic inherently costs — the same density
+    argument as q11's triangle scope): multi-source BFS advanced for
+    ALL sources per distributed round (the per-frame-CC pattern),
+    exact integer distances, 1/d sums only at the terminal. The
+    oracle replays reachability as a depth-bounded recursive CTE with
+    min-distance reduction."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.harmonic_centrality(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        max_dist=4,
+    )
+
+
+def _twalk_bounded_cte(n_steps: int, gap: int) -> str:
+    """Unrolled bounded-CTDNE oracle: q_temporal_walks' replay with
+    (a) seeds at (first active frame - 1) and (b) the per-hop
+    max_gap frame bound — generated instead of hand-unrolled."""
+    blocks = [
+        f"p AS ({_presence_sql(_DAY_WHERE)})",
+        f"fe AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        "tadj AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM fe "
+        "UNION SELECT frame_id, actor2, actor1 FROM fe)",
+        "tw0 AS (SELECT src AS walk_id, 0 AS step, src AS node, "
+        "CAST(min(frame_id) - 1 AS BIGINT) AS t FROM tadj GROUP BY src)",
+    ]
+    for i in range(1, n_steps + 1):
+        h = _H64.format(x=f"'twalk:' || walk_id || ':' || {i}")
+        blocks.append(
+            f"tc{i} AS (SELECT w.walk_id, a.dst, a.frame_id,\n"
+            "  row_number() OVER (PARTITION BY w.walk_id "
+            "ORDER BY a.frame_id, a.dst) AS rk,\n"
+            "  count(*) OVER (PARTITION BY w.walk_id) AS n\n"
+            f"  FROM tw{i - 1} w JOIN tadj a ON a.src = w.node "
+            f"AND a.frame_id > w.t AND a.frame_id <= w.t + {gap})"
+        )
+        blocks.append(
+            f"tw{i} AS (SELECT walk_id, {i} AS step, dst AS node, "
+            f"frame_id AS t FROM tc{i} WHERE rk = ({h}) % n + 1)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM tw{i}" for i in range(n_steps + 1))
+    return ",\n".join(blocks) + f"\n, allw AS ({union})"
+
+
+@query(
+    "q_temporal_walks_bounded",
+    oracle=f"""
+WITH {_twalk_bounded_cte(3, 2)}
+SELECT walk_id, CAST(step AS INT) AS step, node, t
+FROM allw ORDER BY walk_id, step
+""",
+)
+def q_temporal_walks_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_temporal_walks under the bounded-temporal-neighborhood
+    contract (max_gap=2: each hop within the next 2 frames of the
+    walk's clock, seeds at the node's first active frame) — the
+    standard CTDNE windowing AND the semantic guardrail the sf10
+    stress motivated: unbounded, a seed's candidate set is its entire
+    remaining temporal adjacency (frames x near-clique partners per
+    walk — spilled >78 GiB and died at sf10); bounded, per-hop
+    candidates are the node's activity inside 2 frames. The oracle
+    replays seeds, bounds, ranks, and every hash-mod draw."""
+    fe = (
+        _edges(spark, sf_dir, F.expr(
+            f"year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"))
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    return graph.temporal_walks(fe, n_steps=3, max_gap=2).orderBy(
+        "walk_id", "step"
+    )

@@ -1042,3 +1042,63 @@ def test_personalized_pagerank_numpy_differential(spark, edges):
     # seed holds the most mass; its direct neighbors beat the far node 4
     assert got[1] == max(got.values())
     assert min(got[2], got[3], got[5]) > got[4]
+
+
+def test_eigenvector_centrality_numpy_differential(spark, edges):
+    import numpy as np
+
+    got = {
+        r.actor: r.score
+        for r in graph.eigenvector_centrality(edges, iterations=10).collect()
+    }
+    nodes = sorted({a for e in EDGES for a in e})
+    idx = {a: i for i, a in enumerate(nodes)}
+    A = np.zeros((5, 5))
+    for a, b in EDGES:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1
+    v = np.full(5, 1.0 / 5)
+    for _ in range(10):
+        v = A @ v
+        v = v / v.sum()
+    want = {a: round(float(v[idx[a]]), 6) for a in nodes}
+    assert got == pytest.approx(want)
+    # degree-3 nodes 1 and 3 dominate the degree-2 nodes
+    assert min(got[1], got[3]) > max(got[2], got[4], got[5])
+
+
+def test_harmonic_centrality_closed_form(spark, edges):
+    """Hand-computed distances on the 5-node fixture: every node
+    reaches all 4 others within 2 hops; 1 and 3 (degree 3) score
+    3 + 1/2, the rest 2 + 2/2."""
+    got = {
+        r.actor: (r.n_reached, r.harmonic)
+        for r in graph.harmonic_centrality(edges, max_dist=4).collect()
+    }
+    assert got == {
+        1: (4, 3.5), 3: (4, 3.5),
+        2: (4, 3.0), 4: (4, 3.0), 5: (4, 3.0),
+    }
+    # radius bound respected: max_dist=1 counts direct neighbors only
+    r1 = {
+        r.actor: (r.n_reached, r.harmonic)
+        for r in graph.harmonic_centrality(edges, max_dist=1).collect()
+    }
+    assert r1[1] == (3, 3.0) and r1[4] == (2, 2.0)
+
+
+def test_temporal_walks_spill_dir_bit_identical(spark, tmp_path):
+    fe = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 3), (2, 1, 3), (3, 3, 4), (5, 4, 5)],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    a = sorted(
+        tuple(r)
+        for r in graph.temporal_walks(fe, n_steps=3, max_gap=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in graph.temporal_walks(
+            fe, n_steps=3, max_gap=2, spill_dir=str(tmp_path)
+        ).collect()
+    )
+    assert a == b and len(a) > 0
