@@ -2269,21 +2269,31 @@ _GRADE_WINDOW = [
     # similarity / embeddings: recall grading, distributed PCA, and the
     # round-9 quantization surface (int8 SQ top-k + recall, IVF nprobe
     # tuning curve)
-    "q_ann_recall", "q_embed_pca",
     "q_sq_topk", "q_sq_recall", "q_ivf_tuning",
     # iterative-graph surface: replay-oracle PageRank, the bounded
     # k-core peel, link-prediction scores, temporal paths, association
     # rules — plus the round-9 embedding-training pipeline (DeepWalk
     # walks -> skip-gram pairs -> SGNS negatives, CTDNE walks) and the
     # community/topology grading rows, none driver-graded before
-    "q_pagerank", "q_kcore_bounded",
-    "q_adamic_adar", "q_node_similarity", "q_temporal_paths",
+    "q_kcore_bounded", "q_temporal_paths",
     "q_copurchase_rules",
+    # round-11 session additions, graded in their first round (the
+    # q_stream_ivf_assign precedent): the dynamic-graph evolution
+    # family, the streaming burst twin (graded on the batch row's own
+    # oracle), and the seeded/eigen centrality pair. Retired to make
+    # room: q_pagerank (its seeded twin q_personalized_pagerank
+    # exercises the same unrolled power-method machinery + teleport),
+    # q_adamic_adar + q_node_similarity (both subsumed by the graded
+    # q_link_scores one-pass fusion), q_bm25_search, q_ann_recall,
+    # q_embed_pca (all >= 3 consecutive driver-green; parity-pinned)
+    "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
+    "q_stream_burst", "q_personalized_pagerank",
+    "q_eigenvector_centrality",
     "q_random_walks", "q_skipgram_pairs", "q_sgns_negatives",
     "q_temporal_walks", "q_modularity", "q_degree_powerlaw",
     # text / tokenizer / retrieval core (+ round-9 corpus analytics:
     # source JSD, tokenizer fertility) and the operational skew audit
-    "q_bm25_search", "q_token_pmi", "q_bpe_train", "q_dsir_weights",
+    "q_token_pmi", "q_bpe_train", "q_dsir_weights",
     "q_source_divergence", "q_tokenizer_fertility", "q_skew_audit",
     # round-9 multimodal: real-decode patchify
     "q_media_tiles",
