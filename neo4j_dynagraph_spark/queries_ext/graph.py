@@ -2082,3 +2082,62 @@ def q_temporal_walks_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.temporal_walks(fe, n_steps=3, max_gap=2).orderBy(
         "walk_id", "step"
     )
+
+
+@query(
+    "q_frame_density",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+ec AS (SELECT frame_id, count(*) AS n_edges FROM e GROUP BY 1),
+ac AS (SELECT frame_id, count(DISTINCT actor) AS n_actors FROM (
+         SELECT frame_id, actor1 AS actor FROM e
+         UNION ALL SELECT frame_id, actor2 FROM e) GROUP BY 1)
+SELECT ec.frame_id, CAST(ac.n_actors AS BIGINT) AS n_actors,
+       CAST(ec.n_edges AS BIGINT) AS n_edges,
+       round(2.0 * ec.n_edges
+             / (ac.n_actors * CAST(ac.n_actors - 1 AS DOUBLE)), 6)
+         AS density
+FROM ec JOIN ac ON ac.frame_id = ec.frame_id
+ORDER BY ec.frame_id
+""",
+)
+def q_frame_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame graph-density timeseries over the pinned day — the
+    network-evolution statistic SocioPatterns plots first (how
+    connected is each snapshot: density = 2E / N(N-1) on the frame's
+    edge-endpoint actors). One scan, two per-frame aggregates, one
+    frame-keyed join; O(frames) terminal. The density series is also
+    the saturation diagnostic behind every dense-regime guardrail in
+    this repo: the generator's frames sit near 1.0 while real contact
+    networks sit orders of magnitude lower."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = (
+        qmod._edges(spark, sf_dir, qmod._day_filter())
+        .select("frame_id", "actor1", "actor2")
+        .distinct()
+    )
+    ec = e.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_edges"))
+    ac = (
+        e.select(
+            "frame_id",
+            F.explode(F.array("actor1", "actor2")).alias("actor"),
+        )
+        .groupBy("frame_id")
+        .agg(F.countDistinct("actor").alias("n_actors"))
+    )
+    return (
+        ec.join(ac, "frame_id")
+        .select(
+            "frame_id",
+            "n_actors",
+            "n_edges",
+            F.round(
+                2.0 * F.col("n_edges")
+                / (F.col("n_actors") * (F.col("n_actors") - 1).cast("double")),
+                6,
+            ).alias("density"),
+        )
+        .orderBy("frame_id")
+    )

@@ -1102,3 +1102,29 @@ def test_temporal_walks_spill_dir_bit_identical(spark, tmp_path):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_frame_density_closed_form(spark):
+    """Planted: frame 0 is a triangle (density 1), frame 1 a 4-path
+    (density 3/6 = 0.5)."""
+    import pyspark.sql.functions as F
+
+    from neo4j_dynagraph_spark.queries import REGISTRY
+
+    fe = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 3), (0, 1, 3), (1, 1, 2), (1, 2, 3), (1, 3, 4)],
+        "frame_id long, actor1 long, actor2 long",
+    )
+    ec = fe.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_edges"))
+    ac = (
+        fe.select("frame_id", F.explode(F.array("actor1", "actor2")).alias("a"))
+        .groupBy("frame_id")
+        .agg(F.countDistinct("a").alias("n_actors"))
+    )
+    got = {
+        r.frame_id: (r.n_actors, r.n_edges, round(
+            2.0 * r.n_edges / (r.n_actors * (r.n_actors - 1)), 6))
+        for r in ec.join(ac, "frame_id").collect()
+    }
+    assert got == {0: (3, 3, 1.0), 1: (4, 3, 0.5)}
+    assert "q_frame_density" in REGISTRY
