@@ -2195,6 +2195,49 @@ def eigenvector_centrality(
     ).orderBy(F.desc("score"), "actor")
 
 
+def bounded_distances(edges: DataFrame, max_dist: int) -> DataFrame:
+    """All-pairs minimum hop distances within ``max_dist`` hops, as
+    (s, v, d) rows including the d=0 self rows — the shared multi-
+    source-BFS core of the distance-centrality family (harmonic /
+    closeness / distance distribution).
+
+    ALL sources advance per distributed round (the
+    :func:`connected_components_per_frame` pattern): each round joins
+    the current frontier (rows at d == i) against the symmetrized
+    adjacency, unions into the reach set, and reduces by min(d); the
+    reach set is eagerly checkpointed per round so round i never
+    re-executes rounds 1..i-1 (walk-frontier precedent). Distances
+    are exact integers — no floats anywhere in the state.
+
+    Cost contract: O(sum over s of |ball(s, max_dist)|) = O(V^2) on a
+    dense graph; callers bound the graph (pinned-hour scope,
+    :func:`degree_cap_subgraph`, or a sampled source set) rather than
+    this helper hiding the cost.
+    """
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    reach = (
+        sym.select(F.col("src").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("v"), F.lit(0).alias("d"))
+        .localCheckpoint()
+    )
+    for i in range(max_dist):
+        frontier = reach.where(F.col("d") == i)
+        expanded = (
+            frontier.join(sym, frontier.v == sym.src)
+            .select("s", F.col("dst").alias("v"), F.lit(i + 1).alias("d"))
+        )
+        reach = (
+            reach.unionByName(expanded)
+            .groupBy("s", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return reach
+
+
 def harmonic_centrality(
     edges: DataFrame, max_dist: int = 4
 ) -> DataFrame:
@@ -2218,27 +2261,7 @@ def harmonic_centrality(
     source set, both semantic knobs. Columns: actor, n_reached,
     harmonic (rounded 1e-6, desc).
     """
-    sym = symmetrize(
-        edges.select("actor1", "actor2").distinct()
-    ).localCheckpoint()
-    reach = (
-        sym.select(F.col("src").alias("s"))
-        .distinct()
-        .select("s", F.col("s").alias("v"), F.lit(0).alias("d"))
-        .localCheckpoint()
-    )
-    for i in range(max_dist):
-        frontier = reach.where(F.col("d") == i)
-        expanded = (
-            frontier.join(sym, frontier.v == sym.src)
-            .select("s", F.col("dst").alias("v"), F.lit(i + 1).alias("d"))
-        )
-        reach = (
-            reach.unionByName(expanded)
-            .groupBy("s", "v")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
-        )
+    reach = bounded_distances(edges, max_dist)
     return (
         reach.where(F.col("d") > 0)
         .groupBy("s")
@@ -2248,4 +2271,379 @@ def harmonic_centrality(
         )
         .select(F.col("s").alias("actor"), "n_reached", "harmonic")
         .orderBy(F.desc("harmonic"), "actor")
+    )
+
+
+def closeness_centrality(edges: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Radius-bounded closeness centrality (GDS closeness parity,
+    including the Wasserman-Faust component correction): for each
+    source s, ``closeness = n_reached / sum(d)`` over the nodes within
+    ``max_dist`` hops, and ``wf_closeness = closeness * n_reached /
+    (N - 1)`` which down-weights sources that only reach a small
+    component (Wasserman & Faust 1994, the variant GDS exposes as
+    ``useWassermanFaust``).
+
+    Same cost contract as :func:`harmonic_centrality` (shared
+    :func:`bounded_distances` core, O(V^2) reach state on a dense
+    graph — callers bound the graph). The node count N is joined in
+    as a broadcast one-row aggregate, never collected. Columns:
+    actor, n_reached, total_dist, closeness, wf_closeness (rounded
+    1e-6, desc by closeness).
+    """
+    reach = bounded_distances(edges, max_dist)
+    n_total = reach.where(F.col("d") == 0).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    per_src = (
+        reach.where(F.col("d") > 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("d").alias("total_dist"),
+        )
+    )
+    return (
+        per_src.crossJoin(broadcast(n_total))
+        .select(
+            F.col("s").alias("actor"),
+            "n_reached",
+            "total_dist",
+            F.round(
+                F.col("n_reached") / F.col("total_dist"), 6
+            ).alias("closeness"),
+            F.round(
+                (F.col("n_reached") / F.col("total_dist"))
+                * F.col("n_reached")
+                / (F.col("n_nodes") - F.lit(1)),
+                6,
+            ).alias("wf_closeness"),
+        )
+        .orderBy(F.desc("closeness"), "actor")
+    )
+
+
+def distance_distribution(edges: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Hop-distance distribution of the graph within ``max_dist``
+    hops: per distance d, the number of ordered reachable pairs and
+    the cumulative fraction of all reached pairs — the neighborhood
+    function N(d) whose 0.9-quantile is the effective diameter
+    (HyperANF / "Four Degrees of Separation" statistic, here exact
+    via the shared :func:`bounded_distances` BFS instead of
+    HyperLogLog counters; the exact form is the oracle the sketched
+    form would be graded against).
+
+    The terminal histogram is at most ``max_dist`` rows, so the
+    unpartitioned cumulative window is legitimate (not a data-sized
+    single-partition sort). Columns: d, n_pairs (ordered pairs),
+    cum_frac (rounded 1e-6).
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        bounded_distances(edges, max_dist)
+        .where(F.col("d") > 0)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.select(
+            "d",
+            "n_pairs",
+            F.round(
+                F.sum("n_pairs").over(w_cum) / F.sum("n_pairs").over(w_all), 6
+            ).alias("cum_frac"),
+        )
+        .orderBy("d")
+    )
+
+
+def betweenness_centrality(edges: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Exact Brandes betweenness centrality, radius-bounded: the
+    number of shortest paths through each node, counting only
+    geodesics of length <= ``max_dist`` (on SocioPatterns-shaped hour
+    graphs the ball saturates within the bound, so this is exact
+    betweenness; the bound is the explicit cost contract, as in
+    :func:`harmonic_centrality`).
+
+    Brandes' two passes (Brandes 2001), both as per-layer equi-joins:
+
+    - forward: layered multi-source BFS where layer i+1's sigma
+      (shortest-path counts) is the sum of adjacent layer-i sigmas —
+      one join + aggregate per layer, new nodes found by left-anti
+      join against the seen set; sigmas are exact integers.
+    - backward: dependency accumulation delta(u) = sum over layer-
+      (d+1) neighbors w of sigma_u/sigma_w * (1 + delta(w)) — one
+      join + aggregate per layer, descending.
+
+    betweenness(v) = sum over sources of delta(v) / 2 (undirected).
+    Every layer frame is checkpointed so layer i never re-executes
+    layers 1..i-1 (walk-frontier precedent). Cost: O(V^2) state like
+    the rest of the distance family — run on the bounded scope, the
+    degree-capped subgraph, or a sampled source set at 100 TB scale.
+    Columns: actor, betweenness (rounded 1e-6, desc).
+    """
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    layer = (
+        sym.select(F.col("src").alias("s"))
+        .distinct()
+        .select(
+            "s",
+            F.col("s").alias("v"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint()
+    )
+    layers = [layer]
+    seen = layer.select("s", "v").localCheckpoint()
+    for _ in range(max_dist):
+        expanded = (
+            layer.join(sym, layer.v == sym.src)
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        layer = expanded.join(seen, ["s", "v"], "left_anti").localCheckpoint()
+        seen = seen.unionByName(layer.select("s", "v")).localCheckpoint()
+        layers.append(layer)
+    deltas: list[DataFrame | None] = [None] * (max_dist + 1)
+    deltas[max_dist] = layers[max_dist].withColumn(
+        "delta", F.lit(0.0)
+    )
+    for d in range(max_dist, 0, -1):
+        w = deltas[d]
+        contrib = (
+            w.join(sym, w.v == sym.src)
+            .select(
+                "s",
+                F.col("dst").alias("v"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        u = layers[d - 1].select(
+            "s", "v", F.col("sigma").alias("sigma_u")
+        )
+        acc = (
+            u.join(contrib, ["s", "v"])
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sigma_u")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("acc")
+            )
+        )
+        deltas[d - 1] = (
+            layers[d - 1]
+            .join(acc, ["s", "v"], "left")
+            .select(
+                "s",
+                "v",
+                "sigma",
+                F.coalesce(F.col("acc"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    all_delta = deltas[1]
+    for d in range(2, max_dist + 1):
+        all_delta = all_delta.unionByName(deltas[d])
+    return (
+        all_delta.groupBy("v")
+        .agg(F.round(F.sum("delta") / 2, 6).alias("betweenness"))
+        .select(F.col("v").alias("actor"), "betweenness")
+        .orderBy(F.desc("betweenness"), "actor")
+    )
+
+
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2 * E_k / (N_k * (N_k - 1)) for
+    each degree threshold k in ``ks``: the edge density among the
+    nodes of degree > k (Zhou & Mondragon 2004 — do the hubs of the
+    contact graph preferentially interact with each other?).
+
+    Shape: degrees by aggregation; each edge annotated with
+    least(deg(a1), deg(a2)) via two equi-joins; then BOTH sides
+    collapse to degree histograms (at most |distinct degrees| rows)
+    before the threshold comparison, so the only non-equi join is
+    literal-sized-broadcast x histogram — never data x data. k rows
+    with no qualifying nodes survive with n_nodes = 0 and NULL phi
+    (left joins, non-null-column counts). The normalized variant
+    (phi / phi_random) needs a degree-preserving null model — out of
+    scope here, documented; see q_null_model_gaps for the repo's
+    null-model precedent. Columns: k, n_nodes, n_edges, phi
+    (rounded 1e-6).
+    """
+    spark = edges.sparkSession
+    e = edges.select("actor1", "actor2").distinct()
+    deg = (
+        symmetrize(e)
+        .groupBy(F.col("src").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint()
+    )
+    d1 = deg.select(
+        F.col("actor").alias("actor1"), F.col("degree").alias("deg1")
+    )
+    d2 = deg.select(
+        F.col("actor").alias("actor2"), F.col("degree").alias("deg2")
+    )
+    edge_hist = (
+        e.join(d1, "actor1")
+        .join(d2, "actor2")
+        .select(F.least("deg1", "deg2").alias("min_deg"))
+        .groupBy("min_deg")
+        .agg(F.count(F.lit(1)).alias("n_e"))
+    )
+    node_hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_v"))
+    ks_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    nk = (
+        broadcast(ks_df)
+        .join(node_hist, node_hist.degree > ks_df.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n_v"), F.lit(0)).alias("n_nodes"))
+    )
+    ek = (
+        broadcast(ks_df)
+        .join(edge_hist, edge_hist.min_deg > ks_df.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n_e"), F.lit(0)).alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("n_edges")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+def kmv_neighborhood(
+    edges: DataFrame, k: int = 16, max_dist: int = 4
+) -> DataFrame:
+    """Approximate neighborhood function N(d) via per-node KMV
+    sketches — HyperANF (Boldi, Rosa & Vigna 2011) with KMV counters
+    instead of HyperLogLog registers, because KMV with the repo's
+    cross-engine hash is exactly replayable by an independent SQL
+    engine (the q_kmv_distinct precedent) where HLL register layouts
+    are not.
+
+    This is the 100 TB scale path for :func:`distance_distribution`:
+    the exact form carries O(V^2) reach state, this one O(V * k) —
+    each node keeps the k smallest hashes of its ball, and one
+    round of 'merge my neighbors' sketches, keep the k smallest'
+    advances every ball radius by 1 (KMV merge IS union-then-prune,
+    the same mergeability contract as streaming/kmv.py). Estimates
+    use the standard (k-1)/u_k estimator via
+    :func:`~neo4j_dynagraph_spark.operators.sketch.kmv_estimate`; on
+    balls smaller than k the sketch is exact and so is the output.
+
+    Columns: d (1..max_dist), est_pairs — estimated ORDERED reachable
+    pairs within distance <= d (the cumulative neighborhood function;
+    differences give per-distance shells), rounded 1e-6.
+    """
+    from neo4j_dynagraph_spark import functions as dfn
+    from neo4j_dynagraph_spark.operators.sketch import _TWO_60, kmv_estimate
+
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    u = (
+        dfn.hash64(F.concat(F.lit("anf:"), F.col("v").cast("string"))) + 1
+    ) / F.lit(_TWO_60)
+    state = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", u.alias("u"))
+        .localCheckpoint()
+    )
+    per_d = []
+    for d in range(1, max_dist + 1):
+        prop = state.join(sym, state.v == sym.dst).select(
+            F.col("src").alias("v"), "u"
+        )
+        state = kmv_prune(
+            state.unionByName(prop).distinct(), k
+        ).localCheckpoint()
+        per_d.append(
+            kmv_estimate(state, "v", k).agg(
+                F.lit(d).alias("d"),
+                F.round(F.sum(F.col("est_distinct") - 1), 6).alias(
+                    "est_pairs"
+                ),
+            )
+        )
+    out = per_d[0]
+    for frame in per_d[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("d")
+
+
+def kmv_prune(vals: DataFrame, k: int) -> DataFrame:
+    """Keep each node's k smallest hashes — the KMV merge prune,
+    shared by :func:`kmv_neighborhood`'s rounds."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("v").orderBy("u")
+    return (
+        vals.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("v", "u")
+    )
+
+
+def shortest_paths_weighted(
+    edges: DataFrame, source: int, max_hops: int = 4
+) -> DataFrame:
+    """Single-source weighted shortest paths, bounded Bellman-Ford
+    (GDS Dijkstra/sourceTarget parity with an explicit hop bound —
+    ``max_hops`` relaxation rounds, so paths of more hops are out of
+    scope by contract, the same bounded-cost convention as the rest
+    of the distance family).
+
+    ``edges`` must carry an integer ``cost`` column on canonical
+    (actor1, actor2) rows; the graph is symmetrized here. All state
+    is exact integers — one equi-join + min-aggregate per round, the
+    frontier eagerly checkpointed. V-sized state, scale-safe.
+
+    Columns: actor, cost (minimum total cost from ``source`` over
+    paths of <= max_hops edges; includes the source itself at 0).
+    """
+    sym = symmetrize(
+        edges.select("actor1", "actor2", "cost")
+    ).localCheckpoint()
+    dist = (
+        sym.sparkSession.createDataFrame(
+            [(int(source),)], "v long"
+        ).select("v", F.lit(0).cast("long").alias("cost"))
+    )
+    for _ in range(max_hops):
+        relax = dist.join(sym, dist.v == sym.src).select(
+            F.col("dst").alias("v"),
+            (dist.cost + sym.cost).alias("cost"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("v")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("v").alias("actor"), "cost").orderBy(
+        "cost", "actor"
     )

@@ -2141,3 +2141,315 @@ def q_frame_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 centrality completion: closeness / distance distribution /
+# Brandes betweenness / rich club
+
+
+_REACH_CTE = f"""
+p AS ({_presence_sql(_HOUR_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+reach AS (
+  SELECT src AS s, src AS v, 0 AS d FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT r.s, sy.dst AS v, r.d + 1 AS d
+  FROM reach r JOIN sym sy ON sy.src = r.v
+  WHERE r.d < 4
+),
+md AS MATERIALIZED (SELECT s, v, min(d) AS d FROM reach GROUP BY 1, 2)"""
+
+
+@query(
+    "q_closeness_centrality",
+    oracle=f"""
+WITH RECURSIVE
+{_REACH_CTE},
+nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT src FROM sym))
+SELECT s AS actor, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(d) AS BIGINT) AS total_dist,
+       round(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness,
+       round(CAST(count(*) AS DOUBLE) / sum(d) * count(*)
+             / ((SELECT n FROM nn) - 1), 6) AS wf_closeness
+FROM md WHERE d > 0 GROUP BY s
+ORDER BY 4 DESC, actor
+""",
+)
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-4 closeness centrality of the pinned-hour graph (GDS
+    closeness parity incl. the Wasserman-Faust component correction;
+    completes the distance-centrality family next to
+    q_harmonic_centrality): shared bounded-BFS core, exact integer
+    distances, terminal ratios on the 1e-6 grid. The oracle replays
+    reachability as the same depth-bounded recursive CTE with
+    min-distance reduction plus a one-row node-count aggregate."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.closeness_centrality(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        max_dist=4,
+    )
+
+
+@query(
+    "q_distance_distribution",
+    oracle=f"""
+WITH RECURSIVE
+{_REACH_CTE},
+hist AS (SELECT d, count(*) AS n_pairs FROM md WHERE d > 0 GROUP BY d)
+SELECT d, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(CAST(sum(n_pairs) OVER (ORDER BY d) AS DOUBLE)
+             / sum(n_pairs) OVER (), 6) AS cum_frac
+FROM hist ORDER BY d
+""",
+)
+def q_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance distribution (exact neighborhood function N(d),
+    the HyperANF / effective-diameter statistic) of the pinned-hour
+    graph within radius 4: ordered reachable pairs per distance and
+    the cumulative fraction whose 0.9 crossing is the effective
+    diameter. The terminal histogram is <= 4 rows, so the
+    unpartitioned cumulative window is legitimate."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.distance_distribution(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        max_dist=4,
+    )
+
+
+def _brandes_cte(max_d: int = 4) -> str:
+    """Unrolled Brandes oracle: forward sigma layers (shortest-path
+    counts, exact integers) then descending dependency-accumulation
+    layers, each one MATERIALIZED CTE (the q_eigenvector_centrality
+    precedent — DuckDB inlines single-use CTEs, and del{{i}} is
+    referenced twice)."""
+    blocks = [
+        "sig0 AS MATERIALIZED (SELECT src AS s, src AS v, "
+        "CAST(1 AS BIGINT) AS sigma FROM (SELECT DISTINCT src FROM sym))"
+    ]
+    for i in range(1, max_d + 1):
+        blocks.append(
+            f"sig{i} AS MATERIALIZED (\n"
+            f"  SELECT g.s, sy.dst AS v, CAST(sum(g.sigma) AS BIGINT) AS sigma\n"
+            f"  FROM sig{i - 1} g JOIN sym sy ON sy.src = g.v\n"
+            f"  JOIN md m ON m.s = g.s AND m.v = sy.dst AND m.d = {i}\n"
+            f"  GROUP BY 1, 2)"
+        )
+    blocks.append(
+        f"del{max_d} AS MATERIALIZED (SELECT s, v, sigma, "
+        f"CAST(0 AS DOUBLE) AS delta FROM sig{max_d})"
+    )
+    for d in range(max_d, 0, -1):
+        blocks.append(
+            f"del{d - 1} AS MATERIALIZED (\n"
+            f"  SELECT u.s, u.v, min(u.sigma) AS sigma,\n"
+            f"         coalesce(sum(CAST(u.sigma AS DOUBLE) / w.sigma\n"
+            f"                      * (1 + w.delta)), 0) AS delta\n"
+            f"  FROM sig{d - 1} u\n"
+            f"  LEFT JOIN sym sy ON sy.src = u.v\n"
+            f"  LEFT JOIN del{d} w ON w.s = u.s AND w.v = sy.dst\n"
+            f"  GROUP BY u.s, u.v)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT v, delta FROM del{d}" for d in range(1, max_d + 1)
+    )
+    blocks.append(f"alldelta AS ({unions})")
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_betweenness",
+    oracle=f"""
+WITH RECURSIVE
+{_REACH_CTE},
+{_brandes_cte(4)}
+SELECT v AS actor, round(sum(delta) / 2, 6) AS betweenness
+FROM alldelta GROUP BY v
+ORDER BY 2 DESC, actor
+""",
+)
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness centrality of the pinned-hour graph,
+    radius-4 bounded (the ball saturates within the bound on
+    SocioPatterns-shaped hour graphs, so this is exact betweenness —
+    GDS betweenness parity, THE shortest-path brokerage measure and
+    the headline of the centrality family). Forward layered sigma
+    counts and backward dependency accumulation are each one
+    equi-join + aggregate per layer; the oracle unrolls both passes
+    over the recursive min-distance reach (sigma layers exact
+    integers, deltas on the 1e-6 grid)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.betweenness_centrality(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        max_dist=4,
+    )
+
+
+_RC_KS = (2, 4, 8, 16, 32, 64)
+
+
+@query(
+    "q_rich_club",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+deg AS (SELECT src AS actor, count(*) AS degree FROM sym GROUP BY 1),
+emd AS (SELECT least(d1.degree, d2.degree) AS min_deg
+        FROM e JOIN deg d1 ON d1.actor = e.actor1
+               JOIN deg d2 ON d2.actor = e.actor2),
+eh AS (SELECT min_deg, count(*) AS n_e FROM emd GROUP BY 1),
+nh AS (SELECT degree, count(*) AS n_v FROM deg GROUP BY 1),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in _RC_KS)}),
+nk AS (SELECT k, CAST(coalesce(sum(n_v), 0) AS BIGINT) AS n_nodes
+       FROM ks LEFT JOIN nh ON nh.degree > ks.k GROUP BY k),
+ek AS (SELECT k, CAST(coalesce(sum(n_e), 0) AS BIGINT) AS n_edges
+       FROM ks LEFT JOIN eh ON eh.min_deg > ks.k GROUP BY k)
+SELECT nk.k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2 THEN
+         round(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6)
+       END AS phi
+FROM nk JOIN ek ON ek.k = nk.k
+ORDER BY nk.k
+""",
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) of the pinned-day interaction
+    graph at thresholds k in {2,4,8,16,32,64} (Zhou & Mondragon 2004
+    — hub-hub edge density): both sides of the threshold comparison
+    collapse to degree HISTOGRAMS before the non-equi join, so the
+    only theta-join is literal-sized-broadcast x histogram. Empty
+    clubs survive as n_nodes=0 / NULL phi rows (left joins)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.rich_club(
+        qmod._edges(spark, sf_dir, qmod._day_filter()), list(_RC_KS)
+    )
+
+
+def _anf_cte(k: int, max_d: int) -> str:
+    """Unrolled KMV-ANF oracle: per-node k-smallest-hash sketches
+    advanced one radius per round (union neighbors' sketches ->
+    distinct -> row_number prune), then the (k-1)/u_k estimate —
+    bit-identical to operators.sketch.kmv_estimate's convention
+    (round-6 per node, exact count when the sketch is not full)."""
+    h = _H64.format(x="'anf:' || src")
+    blocks = [
+        f"b0 AS MATERIALIZED (SELECT src AS v, "
+        f"(({h}) + 1) / 1152921504606846976.0 AS u "
+        f"FROM (SELECT DISTINCT src FROM sym))"
+    ]
+    for d in range(1, max_d + 1):
+        blocks.append(
+            f"b{d} AS MATERIALIZED (\n"
+            f"  SELECT v, u FROM (\n"
+            f"    SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY u) AS rn\n"
+            f"    FROM (SELECT DISTINCT v, u FROM (\n"
+            f"      SELECT v, u FROM b{d - 1}\n"
+            f"      UNION ALL\n"
+            f"      SELECT sy.src AS v, b.u FROM sym sy "
+            f"JOIN b{d - 1} b ON b.v = sy.dst)))\n"
+            f"  WHERE rn <= {k})"
+        )
+        blocks.append(
+            f"pe{d} AS MATERIALIZED (\n"
+            f"  SELECT v, round(CASE WHEN count(*) = {k} THEN ({k} - 1) / max(u)\n"
+            f"                       ELSE CAST(count(*) AS DOUBLE) END, 6) AS est\n"
+            f"  FROM b{d} GROUP BY v)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {d} AS d, round(sum(est - 1), 6) AS est_pairs FROM pe{d}"
+        for d in range(1, max_d + 1)
+    )
+    blocks.append(f"anf AS ({unions})")
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_anf_sketch",
+    oracle=f"""
+WITH p AS ({_presence_sql(_HOUR_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+{_anf_cte(16, 4)}
+SELECT d, est_pairs FROM anf ORDER BY d
+""",
+)
+def q_anf_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function of the pinned-hour graph —
+    HyperANF (Boldi-Rosa-Vigna) with exactly-replayable KMV counters
+    (k=16, radius 4): the O(V*k) scale path whose exact O(V^2) twin
+    is q_distance_distribution. Every round is one equi-join + one
+    per-node k-smallest prune; the oracle unrolls the rounds with the
+    shared cross-engine hash, so even the ESTIMATES hash-match."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.kmv_neighborhood(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        k=16,
+        max_dist=4,
+    )
+
+
+def _bellman_cte(source: int, max_hops: int) -> str:
+    """Unrolled bounded Bellman-Ford: one min-aggregate relaxation
+    round per CTE, exact integer costs."""
+    blocks = [
+        f"d0 AS (SELECT CAST({source} AS BIGINT) AS v, "
+        f"CAST(0 AS BIGINT) AS cost)"
+    ]
+    for i in range(1, max_hops + 1):
+        blocks.append(
+            f"d{i} AS MATERIALIZED (SELECT v, min(cost) AS cost FROM (\n"
+            f"  SELECT v, cost FROM d{i - 1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT sy.dst AS v, d.cost + sy.cost\n"
+            f"  FROM d{i - 1} d JOIN sc sy ON sy.src = d.v) GROUP BY v)"
+        )
+    return ",\n".join(blocks)
+
+
+_SSSP_SRC = 7  # present with pinned-day edges at sf0.001/0.01/0.1
+
+
+@query(
+    "q_shortest_path_weighted",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+pw AS (SELECT actor1, actor2, CAST(sum(weight) AS BIGINT) AS w
+       FROM ({_EDGES_FROM_P}) GROUP BY 1, 2),
+mx AS (SELECT max(w) AS m FROM pw),
+sc AS (SELECT actor1 AS src, actor2 AS dst,
+              (SELECT m FROM mx) + 1 - w AS cost FROM pw
+       UNION ALL
+       SELECT actor2, actor1, (SELECT m FROM mx) + 1 - w FROM pw),
+{_bellman_cte(_SSSP_SRC, 4)}
+SELECT v AS actor, cost FROM d4 ORDER BY cost, actor
+""",
+)
+def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest paths from anchor actor 7
+    (pinned-day-active at every test SF) over the pinned-day graph, bounded Bellman-Ford (4 relaxation
+    rounds — GDS Dijkstra parity with an explicit hop bound). Edge
+    cost is the integerized inverse tie strength max_w + 1 - w (w =
+    summed frame weights), so strong contacts are short and ALL state
+    stays exact integers — no cross-engine float risk anywhere. The
+    oracle unrolls the relaxation rounds."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._day_filter())
+    pw = e.groupBy("actor1", "actor2").agg(F.sum("weight").alias("w"))
+    mx = pw.agg(F.max("w").alias("m"))
+    ew = pw.crossJoin(F.broadcast(mx)).select(
+        "actor1",
+        "actor2",
+        (F.col("m") + 1 - F.col("w")).alias("cost"),
+    )
+    return graph.shortest_paths_weighted(ew, _SSSP_SRC, max_hops=4)

@@ -1128,3 +1128,204 @@ def test_frame_density_closed_form(spark):
     }
     assert got == {0: (3, 3, 1.0), 1: (4, 3, 0.5)}
     assert "q_frame_density" in REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# round-11 centrality completion: closeness / distance distribution /
+# betweenness / rich club
+
+
+def _py_bfs_all(adj):
+    """Exact all-pairs hop distances by brute-force Python BFS."""
+    import collections
+
+    dist = {}
+    for s in adj:
+        dist[s] = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist[s]:
+                    dist[s][w] = dist[s][u] + 1
+                    q.append(w)
+    return dist
+
+
+def _py_brandes(adj):
+    """Reference Brandes betweenness (Brandes 2001, verbatim)."""
+    import collections
+
+    bc = {v: 0.0 for v in adj}
+    for s in adj:
+        stack, pred = [], {v: [] for v in adj}
+        sigma = {v: 0 for v in adj}
+        sigma[s] = 1
+        dist = {v: -1 for v in adj}
+        dist[s] = 0
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            stack.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    pred[w].append(u)
+        delta = {v: 0.0 for v in adj}
+        while stack:
+            w = stack.pop()
+            for u in pred[w]:
+                delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: b / 2 for v, b in bc.items()}
+
+
+def _adj(edge_list):
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_betweenness_differential(spark, edges):
+    want = _py_brandes(_adj(EDGES))
+    got = {
+        r.actor: r.betweenness
+        for r in graph.betweenness_centrality(edges, max_dist=4).collect()
+    }
+    assert set(got) == set(want)
+    for v, b in want.items():
+        assert got[v] == pytest.approx(round(b, 6), abs=1e-6), v
+
+
+def test_betweenness_star_closed_form(spark):
+    # K1,4: center 0 carries all C(4,2)=6 leaf pairs; leaves carry 0
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "actor1 long, actor2 long"
+    )
+    got = {
+        r.actor: r.betweenness
+        for r in graph.betweenness_centrality(star, max_dist=4).collect()
+    }
+    assert got == {0: 6.0, 1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_closeness_differential(spark, edges):
+    dist = _py_bfs_all(_adj(EDGES))
+    n = len(dist)
+    got = {
+        r.actor: r
+        for r in graph.closeness_centrality(edges, max_dist=4).collect()
+    }
+    for s, ds in dist.items():
+        tot = sum(d for d in ds.values() if d > 0)
+        reached = len(ds) - 1
+        assert got[s].n_reached == reached
+        assert got[s].total_dist == tot
+        assert got[s].closeness == pytest.approx(
+            round(reached / tot, 6), abs=1e-6
+        )
+        assert got[s].wf_closeness == pytest.approx(
+            round(reached / tot * reached / (n - 1), 6), abs=1e-6
+        )
+
+
+def test_distance_distribution_closed_form(spark, edges):
+    # d=1: 6 edges -> 12 ordered pairs; d=2: {1-4, 2-4, 2-5, 3-5} -> 8;
+    # all 20 ordered pairs reached
+    rows = {
+        r.d: r for r in graph.distance_distribution(edges, max_dist=4).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].n_pairs == 12 and rows[2].n_pairs == 8
+    assert rows[1].cum_frac == pytest.approx(0.6, abs=1e-6)
+    assert rows[2].cum_frac == pytest.approx(1.0, abs=1e-6)
+
+
+def test_rich_club_closed_form(spark, edges):
+    # degrees {1:3, 2:2, 3:3, 4:2, 5:2}; k=1: all 5 nodes, all 6 edges;
+    # k=2: nodes {1,3}, edge (1,3) -> phi=1.0; k=5: empty club, NULL phi
+    rows = {r.k: r for r in graph.rich_club(edges, [1, 2, 5]).collect()}
+    assert rows[1].n_nodes == 5 and rows[1].n_edges == 6
+    assert rows[1].phi == pytest.approx(0.6, abs=1e-6)
+    assert rows[2].n_nodes == 2 and rows[2].n_edges == 1
+    assert rows[2].phi == pytest.approx(1.0, abs=1e-6)
+    assert rows[5].n_nodes == 0 and rows[5].n_edges == 0
+    assert rows[5].phi is None
+
+
+def test_bounded_distances_radius_truncates(spark):
+    # path 1-2-3-4-5 with max_dist=2: node 1 reaches only {2,3}
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "actor1 long, actor2 long"
+    )
+    reach = {
+        (r.s, r.v): r.d
+        for r in graph.bounded_distances(path, max_dist=2).collect()
+    }
+    assert reach[(1, 3)] == 2
+    assert (1, 4) not in reach and (1, 5) not in reach
+
+
+def test_kmv_neighborhood_exact_when_sketch_not_full(spark):
+    # K1,4 with k=16 > 5 nodes: sketches never fill, estimates exact:
+    # d=1 -> 4*2 (center<->leaf) = 8 ordered pairs; d>=2 -> all 20
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "actor1 long, actor2 long"
+    )
+    rows = {
+        r.d: r.est_pairs
+        for r in graph.kmv_neighborhood(star, k=16, max_dist=3).collect()
+    }
+    assert rows == {1: 8.0, 2: 20.0, 3: 20.0}
+
+
+def test_kmv_neighborhood_small_k_monotone(spark, edges):
+    # undersized sketch (k=2): estimates are noisy but deterministic,
+    # cumulative by construction, and cover every d
+    rows = [
+        r.est_pairs
+        for r in graph.kmv_neighborhood(edges, k=2, max_dist=3)
+        .orderBy("d")
+        .collect()
+    ]
+    assert len(rows) == 3
+    assert all(b >= a for a, b in zip(rows, rows[1:]))
+    again = [
+        r.est_pairs
+        for r in graph.kmv_neighborhood(edges, k=2, max_dist=3)
+        .orderBy("d")
+        .collect()
+    ]
+    assert rows == again
+
+
+def test_shortest_paths_weighted_relaxes_through_cheaper_path(spark):
+    # direct 1-3 costs 3; 1-2-3 costs 2 -> Bellman-Ford must relax
+    ew = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 3)],
+        "actor1 long, actor2 long, cost long",
+    )
+    got = {
+        r.actor: r.cost
+        for r in graph.shortest_paths_weighted(ew, 1, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_shortest_paths_weighted_hop_bound(spark):
+    # path 1-2-3-4-5, unit costs, max_hops=2: nodes 4,5 out of scope
+    ew = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(1, 5)],
+        "actor1 long, actor2 long, cost long",
+    )
+    got = {
+        r.actor: r.cost
+        for r in graph.shortest_paths_weighted(ew, 1, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
