@@ -2237,6 +2237,15 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (q_stream_ivf_assign, graded on q_embed_ann_ivf's oracle) and the
 # degree-capped triangle enumeration (q_triangles_capped).
 
+# ROTATION (round 12, queued): the round-11 post-rotation additions
+# have never been driver-graded and should rotate in next round —
+# the centrality completion family (q_betweenness,
+# q_betweenness_sampled, q_closeness_centrality,
+# q_distance_distribution, q_anf_sketch, q_anf_day, q_rich_club,
+# q_shortest_path_weighted, q_neighbor_sampling) plus q_frame_density;
+# retire whichever current rows come back green this round with 3+
+# prior greens. All are parity-pinned meanwhile.
+
 _GRADE_WINDOW = [
     # round-11 rotation block: never-graded capstones (see ledger)
     "q_training_mix", "q_semdedup",

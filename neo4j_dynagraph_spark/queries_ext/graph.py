@@ -2221,16 +2221,22 @@ def q_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _brandes_cte(max_d: int = 4) -> str:
+def _brandes_cte(max_d: int = 4, seed_rel: str | None = None) -> str:
     """Unrolled Brandes oracle: forward sigma layers (shortest-path
     counts, exact integers) then descending dependency-accumulation
     layers, each one MATERIALIZED CTE (the q_eigenvector_centrality
     precedent — DuckDB inlines single-use CTEs, and del{{i}} is
     referenced twice)."""
-    blocks = [
-        "sig0 AS MATERIALIZED (SELECT src AS s, src AS v, "
-        "CAST(1 AS BIGINT) AS sigma FROM (SELECT DISTINCT src FROM sym))"
-    ]
+    if seed_rel is None:
+        blocks = [
+            "sig0 AS MATERIALIZED (SELECT src AS s, src AS v, "
+            "CAST(1 AS BIGINT) AS sigma FROM (SELECT DISTINCT src FROM sym))"
+        ]
+    else:
+        blocks = [
+            f"sig0 AS MATERIALIZED (SELECT s, s AS v, "
+            f"CAST(1 AS BIGINT) AS sigma FROM {seed_rel})"
+        ]
     for i in range(1, max_d + 1):
         blocks.append(
             f"sig{i} AS MATERIALIZED (\n"
@@ -2453,3 +2459,146 @@ def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") + 1 - F.col("w")).alias("cost"),
     )
     return graph.shortest_paths_weighted(ew, _SSSP_SRC, max_hops=4)
+
+
+_NS_FANOUTS = (3, 2)
+
+
+def _ns_cte(fanouts) -> str:
+    """Unrolled neighbor-sampling oracle: per hop, rank each frontier
+    node's neighbors by the shared cross-engine hash and keep the
+    fanout smallest — bit-identical to operators.graph.neighbor_sampling."""
+    blocks = [
+        "f0 AS (SELECT DISTINCT src AS seed, src AS v FROM sym)"
+    ]
+    for hop, fo in enumerate(fanouts, start=1):
+        h = _H64.format(
+            x=f"'ns:{hop}:' || sy.src || ':' || sy.dst"
+        )
+        blocks.append(
+            f"s{hop} AS MATERIALIZED (\n"
+            f"  SELECT seed, {hop} AS hop, src, dst FROM (\n"
+            f"    SELECT f.seed, sy.src, sy.dst,\n"
+            f"      row_number() OVER (PARTITION BY f.seed, sy.src\n"
+            f"        ORDER BY {h}, sy.dst) AS rk\n"
+            f"    FROM f{hop - 1} f JOIN sym sy ON sy.src = f.v)\n"
+            f"  WHERE rk <= {fo})"
+        )
+        blocks.append(
+            f"f{hop} AS (SELECT DISTINCT seed, dst AS v FROM s{hop})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM s{hop}" for hop in range(1, len(fanouts) + 1)
+    )
+    blocks.append(f"ns AS ({unions})")
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_neighbor_sampling",
+    oracle=f"""
+WITH p AS ({_presence_sql(_HOUR_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+{_ns_cte(_NS_FANOUTS)}
+SELECT seed, hop, src, dst FROM ns ORDER BY seed, hop, src, dst
+""",
+)
+def q_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling over the
+    pinned-hour graph, fanouts (3, 2) from every node — the GNN
+    minibatch blocks of the training-data pipeline: bounded
+    seeds * prod(fanouts) rows where the full 2-hop expansion of a
+    hub is quadratic. Hash-ranked draws make the sample partition-
+    independent and exactly replayable; the oracle unrolls both hops
+    with the shared cross-engine hash."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.neighbor_sampling(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        list(_NS_FANOUTS),
+    )
+
+
+@query(
+    "q_anf_day",
+    bench=True,
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+{_anf_cte(16, 4)}
+SELECT d, est_pairs FROM anf ORDER BY d
+""",
+)
+def q_anf_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-ANF neighborhood function of the full pinned-DAY graph —
+    the bench-scoped scale demonstration of q_anf_sketch: at sf0.1
+    the day graph has ~1.3k nodes, where the exact O(V^2) form
+    carries ~1.8M reach rows and the sketch carries V*k = ~21k; at
+    100 TB only the sketch shape survives. Same k=16 radius-4
+    replay oracle."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.kmv_neighborhood(
+        qmod._edges(spark, sf_dir, qmod._day_filter()), k=16, max_dist=4
+    )
+
+
+_BWS_MOD = 4  # deterministic 1-in-4 source sample
+
+
+@query(
+    "q_betweenness_sampled",
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+seeds AS MATERIALIZED (SELECT src AS s FROM (SELECT DISTINCT src FROM sym)
+  WHERE ({_H64.format(x="'bw:' || src")}) % {_BWS_MOD} = 0),
+reach AS (
+  SELECT s, s AS v, 0 AS d FROM seeds
+  UNION
+  SELECT r.s, sy.dst AS v, r.d + 1 AS d
+  FROM reach r JOIN sym sy ON sy.src = r.v
+  WHERE r.d < 4
+),
+md AS MATERIALIZED (SELECT s, v, min(d) AS d FROM reach GROUP BY 1, 2),
+{_brandes_cte(4, seed_rel="seeds")},
+vc AS (SELECT CAST(count(*) AS DOUBLE) AS n
+       FROM (SELECT DISTINCT src FROM sym)),
+sc2 AS (SELECT count(*) AS n FROM seeds)
+SELECT v AS actor,
+       round(sum(delta) * (SELECT n FROM vc) / (SELECT n FROM sc2) / 2,
+             6) AS betweenness
+FROM alldelta GROUP BY v
+ORDER BY 2 DESC, actor
+""",
+)
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate betweenness of the full pinned-DAY graph by
+    deterministic source sampling (Brandes-Pich 2007, the GDS
+    samplingSize knob): the forward/backward passes run from the
+    hash-sampled quarter of the nodes and dependencies scale by
+    V/|S| — O(V * |S|) state where the exact pass is O(V^2), the
+    scale path the exact q_betweenness docstring promises. The
+    hash-drawn source set makes even the ESTIMATE replayable; the
+    oracle unrolls both Brandes passes seeded at the sample."""
+    from neo4j_dynagraph_spark import functions as dfn
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._day_filter())
+    nodes = e.select(
+        F.explode(F.array("actor1", "actor2")).alias("s")
+    ).distinct()
+    seeds = nodes.where(
+        dfn.hash64(F.concat(F.lit("bw:"), F.col("s").cast("string")))
+        % _BWS_MOD
+        == 0
+    )
+    return graph.betweenness_centrality(e, max_dist=4, sources=seeds)

@@ -1329,3 +1329,77 @@ def test_shortest_paths_weighted_hop_bound(spark):
         for r in graph.shortest_paths_weighted(ew, 1, max_hops=2).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_neighbor_sampling_fanout_bound_and_determinism(spark):
+    # K1,5: center seed samples exactly 2 of its 5 neighbors; each
+    # leaf samples its only neighbor (the center)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "actor1 long, actor2 long"
+    )
+    out = graph.neighbor_sampling(star, [2]).collect()
+    by_seed = {}
+    for r in out:
+        assert r.hop == 1 and r.src == r.seed
+        by_seed.setdefault(r.seed, []).append(r.dst)
+    assert len(by_seed[0]) == 2 and set(by_seed[0]) <= set(range(1, 6))
+    for leaf in range(1, 6):
+        assert by_seed[leaf] == [0]
+    again = graph.neighbor_sampling(star, [2]).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_neighbor_sampling_hop2_expands_hop1_frontier(spark):
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "actor1 long, actor2 long"
+    )
+    out = graph.neighbor_sampling(path, [1, 1]).collect()
+    h1 = {(r.seed, r.dst) for r in out if r.hop == 1}
+    h2 = {(r.seed, r.src) for r in out if r.hop == 2}
+    # every hop-2 expansion starts at a hop-1 sampled dst
+    assert h2 <= h1
+    # fanout 1 per frontier node
+    from collections import Counter
+
+    c1 = Counter((r.seed, r.src) for r in out if r.hop == 1)
+    assert all(v == 1 for v in c1.values())
+
+
+def test_betweenness_sampled_all_sources_equals_exact(spark, edges):
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.actor: r.betweenness
+        for r in graph.betweenness_centrality(edges, max_dist=4).collect()
+    }
+    all_nodes = (
+        graph.symmetrize(edges)
+        .select(F.col("src").alias("s"))
+        .distinct()
+    )
+    est = {
+        r.actor: r.betweenness
+        for r in graph.betweenness_centrality(
+            edges, max_dist=4, sources=all_nodes
+        ).collect()
+    }
+    # V/|S| = 1: the estimator degenerates to the exact value
+    assert est == pytest.approx(exact, abs=1e-6)
+
+
+def test_betweenness_sampled_single_source_scaling(spark):
+    # K1,4 from source leaf 1 only: delta(center) = 3, scaled by
+    # V/|S| = 5 and halved -> 7.5 (unbiased across source draws: 6)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "actor1 long, actor2 long"
+    )
+    seeds = spark.createDataFrame([(1,)], "s long")
+    got = {
+        r.actor: r.betweenness
+        for r in graph.betweenness_centrality(
+            star, max_dist=4, sources=seeds
+        ).collect()
+    }
+    assert got[0] == pytest.approx(7.5, abs=1e-6)
+    for leaf in (2, 3, 4):
+        assert got[leaf] == pytest.approx(0.0, abs=1e-6)
