@@ -2753,3 +2753,153 @@ def neighbor_sampling(
     for block in sampled[1:]:
         out = out.unionByName(block)
     return out.orderBy("seed", "hop", "src", "dst")
+
+
+def temporal_closeness(
+    frame_edges: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """All-sources temporal closeness over time-respecting paths (Pan
+    & Saramäki 2011): every source's earliest-arrival frame to every
+    other node — :func:`temporal_reachability` advanced for ALL
+    sources per distributed round (the multi-source convention of
+    :func:`bounded_distances`) — then per source the harmonic sum of
+    1 / (1 + arrival - W0), with W0 the graph's first frame, so
+    faster-reaching sources score higher and unreachable nodes
+    contribute 0 without a convention fight.
+
+    Arrival state is exact integer frames with min-reduction, run to
+    the fixpoint (bounded by ``max_iterations``); only the terminal
+    harmonic sum is a double on the 1e-6 grid. Cost: O(V^2) arrival
+    state like the rest of the all-pairs family — bound the scope.
+    Columns: actor, n_reached, t_closeness (rounded 1e-6, desc).
+    """
+    sym = symmetrize(
+        frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    ).localCheckpoint()
+    arrival = (
+        sym.select(F.col("src").alias("s"))
+        .distinct()
+        .select(
+            "s",
+            F.col("s").alias("v"),
+            F.lit(-1).cast("long").alias("t"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        cand = (
+            arrival.join(sym, arrival.v == sym.src)
+            .where(F.col("frame_id") >= F.col("t"))
+            .select(
+                "s",
+                F.col("dst").alias("v"),
+                F.col("frame_id").alias("t"),
+            )
+        )
+        new_arrival = (
+            arrival.unionByName(cand)
+            .groupBy("s", "v")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_arrival.alias("n")
+            .join(arrival.alias("o"), ["s", "v"], "left")
+            .where(F.col("o.t").isNull() | (F.col("n.t") != F.col("o.t")))
+            .count()
+        )
+        arrival = new_arrival
+        if changed == 0:
+            break
+    w0 = sym.agg(F.min("frame_id").cast("long").alias("w0"))
+    return (
+        arrival.where(F.col("v") != F.col("s"))
+        .crossJoin(broadcast(w0))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.round(
+                F.sum(
+                    F.lit(1.0) / (F.lit(1) + F.col("t") - F.col("w0"))
+                ),
+                6,
+            ).alias("t_closeness"),
+        )
+        .select(F.col("s").alias("actor"), "n_reached", "t_closeness")
+        .orderBy(F.desc("t_closeness"), "actor")
+    )
+
+
+def node_minhash_similarity(
+    edges: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """MinHash-LSH node similarity — the 100 TB scale path for
+    :func:`neighbor_jaccard`: instead of enumerating ALL wedge pairs
+    (quadratic per hub center), each node's neighbor SET is MinHash-
+    signed and banded exactly like document near-dup
+    (operators/dedup.py machinery, reused verbatim with
+    doc_id=node / shingle='nb:<neighbor>'), so candidate generation
+    is an equi-join on band keys with the same bucket-cap skew guard,
+    and only candidates pay the exact intersection verify.
+
+    Verify stage: common-neighbor counts via two candidate-restricted
+    adjacency joins (per candidate O(deg) — the dedup verify shape),
+    union size by degree re-attach, exact Jaccard. Membership is
+    decided by the integer ``min_common`` threshold, never a float
+    compare. Columns: actor1, actor2, n_common, jaccard (round 6,
+    desc) for LSH-candidate pairs sharing >= min_common neighbors.
+    """
+    from neo4j_dynagraph_spark.operators import dedup
+
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    sh = sym.select(
+        F.col("src").alias("doc_id"),
+        F.concat(F.lit("nb:"), F.col("dst").cast("string")).alias(
+            "shingle"
+        ),
+    )
+    sig = dedup.minhash_signatures(sh, num_hashes=num_hashes)
+    cand = dedup.lsh_candidate_pairs(
+        sig, rows_per_band=rows_per_band, max_bucket=max_bucket
+    )
+    a1 = sym.select(F.col("src").alias("d1"), F.col("dst").alias("n"))
+    a2 = sym.select(F.col("src").alias("d2"), F.col("dst").alias("n"))
+    common = (
+        cand.join(a1, "d1")
+        .join(a2, ["d2", "n"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    deg = sym.groupBy(F.col("src").alias("actor")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    dg1 = deg.select(
+        F.col("actor").alias("d1"), F.col("degree").alias("deg1")
+    )
+    dg2 = deg.select(
+        F.col("actor").alias("d2"), F.col("degree").alias("deg2")
+    )
+    return (
+        common.join(broadcast(dg1), "d1")
+        .join(broadcast(dg2), "d2")
+        .select(
+            F.col("d1").alias("actor1"),
+            F.col("d2").alias("actor2"),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (
+                    F.col("deg1") + F.col("deg2") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "actor1", "actor2")
+    )

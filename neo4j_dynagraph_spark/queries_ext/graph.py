@@ -2602,3 +2602,103 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     return graph.betweenness_centrality(e, max_dist=4, sources=seeds)
+
+
+@query(
+    "q_temporal_closeness",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+r AS (
+  SELECT src AS s, src AS v, CAST(-1 AS BIGINT) AS t
+  FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT r.s, sy.dst AS v, sy.frame_id AS t
+  FROM r JOIN sym sy ON sy.src = r.v AND sy.frame_id >= r.t
+),
+ma AS MATERIALIZED (SELECT s, v, min(t) AS t FROM r GROUP BY 1, 2),
+w0 AS (SELECT min(frame_id) AS w0 FROM sym)
+SELECT s AS actor, CAST(count(*) AS BIGINT) AS n_reached,
+       round(sum(CAST(1.0 AS DOUBLE) / (1 + t - (SELECT w0 FROM w0))),
+             6) AS t_closeness
+FROM ma WHERE v <> s GROUP BY s
+ORDER BY 3 DESC, actor
+""",
+)
+def q_temporal_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-sources temporal closeness of the pinned day (Pan-Saramäki
+    temporal-path latency): per source, the harmonic sum of
+    1/(1 + earliest_arrival - first_frame) over every node reachable
+    by a time-respecting path — the latency-weighted twin of
+    q_temporal_reach (which is single-source, arrival only). Exact
+    integer arrival fixpoint; the oracle replays it as a recursive
+    CTE over (source, node, arrival) with min-reduction."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.temporal_closeness(
+        qmod._edges(spark, sf_dir, qmod._day_filter())
+    )
+
+
+@query(
+    "q_node_minhash",
+    oracle=(
+        f"WITH p AS ({_presence_sql(_DAY_SQL)}), "
+        f"e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})), "
+        "sym AS (SELECT actor1 AS src, actor2 AS dst FROM e "
+        "UNION ALL SELECT actor2, actor1 FROM e), "
+        "sh AS (SELECT src AS doc_id, 'nb:' || dst AS shingle FROM sym), "
+        "hx AS (SELECT doc_id, md5('s0:' || shingle) || md5('s1:' || shingle) "
+        "|| md5('s2:' || shingle) || md5('s3:' || shingle) AS hh FROM sh), "
+        "hs AS (SELECT doc_id, "
+        + ", ".join(
+            f"('0x' || substr(hh, {15 * i + 1}, 15))::BIGINT AS h{i}"
+            for i in range(8)
+        )
+        + " FROM hx), "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(f"min(h{i}) AS h{i}" for i in range(8))
+        + " FROM hs GROUP BY 1), "
+        "bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{2 * b} AS h0, h{2 * b + 1} AS h1 FROM sig"
+            for b in range(4)
+        )
+        + "), "
+        "bsz AS (SELECT band, h0, h1, count(*) AS n FROM bands GROUP BY 1, 2, 3), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 "
+        "AND a.doc_id < b.doc_id "
+        "JOIN bsz ON bsz.band = a.band AND bsz.h0 = a.h0 AND bsz.h1 = a.h1 "
+        "AND bsz.n <= 64), "
+        "cm AS (SELECT c.d1, c.d2, count(*) AS n_common "
+        "FROM cand c JOIN sym a1 ON a1.src = c.d1 "
+        "JOIN sym a2 ON a2.src = c.d2 AND a2.dst = a1.dst "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY 1) "
+        "SELECT cm.d1 AS actor1, cm.d2 AS actor2, "
+        "CAST(n_common AS BIGINT) AS n_common, "
+        "round(CAST(n_common AS DOUBLE) / (g1.degree + g2.degree - n_common), "
+        "6) AS jaccard "
+        "FROM cm JOIN deg g1 ON g1.src = cm.d1 JOIN deg g2 ON g2.src = cm.d2 "
+        "ORDER BY 4 DESC, actor1, actor2"
+    ),
+)
+def q_node_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH node similarity over the pinned-day graph — the
+    scale path for q_node_similarity's exact wedge enumeration: each
+    node's neighbor set is signed and banded with the SAME dedup
+    machinery as document near-dup (k=8, 4 bands x 2 rows, bucket cap
+    64), so hub-quadratic wedge pairs become band equi-join candidates
+    and only candidates pay the exact-Jaccard verify. Membership is
+    integer-thresholded (>= 2 common neighbors); the oracle replays
+    signatures, banding, cap, and verify bit-for-bit."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.node_minhash_similarity(
+        qmod._edges(spark, sf_dir, qmod._day_filter())
+    )

@@ -1403,3 +1403,50 @@ def test_betweenness_sampled_single_source_scaling(spark):
     assert got[0] == pytest.approx(7.5, abs=1e-6)
     for leaf in (2, 3, 4):
         assert got[leaf] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_temporal_closeness_asymmetry_and_latency(spark):
+    # (1,2)@10 then (2,3)@11: from 1 -> 2 at 10 (1/1), 3 at 11 (1/2);
+    # from 3 only 2 is reachable (the 10-frame edge precedes arrival)
+    fe = spark.createDataFrame(
+        [(10, 1, 2), (11, 2, 3)], "frame_id long, actor1 long, actor2 long"
+    )
+    got = {r.actor: r for r in graph.temporal_closeness(fe).collect()}
+    assert got[1].n_reached == 2
+    assert got[1].t_closeness == pytest.approx(1.5, abs=1e-6)
+    assert got[2].n_reached == 2
+    assert got[2].t_closeness == pytest.approx(1.5, abs=1e-6)
+    assert got[3].n_reached == 1
+    assert got[3].t_closeness == pytest.approx(0.5, abs=1e-6)
+
+
+def test_node_minhash_finds_identical_neighbor_sets(spark):
+    # 10 and 11 share the exact neighbor set {1,2,3}: every band
+    # collides -> candidate with jaccard 1.0; 1,2,3 pairwise share
+    # {10,11} -> jaccard 1.0 too
+    ed = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11), (3, 11)],
+        "actor1 long, actor2 long",
+    )
+    got = {
+        (r.actor1, r.actor2): r
+        for r in graph.node_minhash_similarity(ed).collect()
+    }
+    assert got[(10, 11)].n_common == 3
+    assert got[(10, 11)].jaccard == pytest.approx(1.0, abs=1e-6)
+    for pair in [(1, 2), (1, 3), (2, 3)]:
+        assert got[pair].n_common == 2
+        assert got[pair].jaccard == pytest.approx(1.0, abs=1e-6)
+
+
+def test_node_minhash_jaccard_matches_exact(spark, edges):
+    # every emitted candidate's jaccard must equal the brute-force
+    # neighbor-set value (LSH affects candidate RECALL, never values)
+    adj = _adj(EDGES)
+    got = graph.node_minhash_similarity(edges).collect()
+    assert got, "fixture graph should yield at least one candidate"
+    for r in got:
+        a, b = adj[r.actor1], adj[r.actor2]
+        want = len(a & b) / len(a | b)
+        assert r.n_common == len(a & b)
+        assert r.jaccard == pytest.approx(round(want, 6), abs=1e-6)
