@@ -1365,3 +1365,64 @@ def test_stream_burst_multibatch_equals_batch(spark, tmp_path):
     # the z over baseline mu=1.1 sigma=0.3 is (9-1.1)/0.3
     assert len(got) == 1
     assert got[0][2] == 9 and abs(got[0][4] - 26.333333) < 1e-6
+
+
+def test_stream_neighbor_sampling_multibatch_equals_batch(spark, tmp_path):
+    """The incremental neighbor-sample lattices drained one file per
+    micro-batch must equal batch neighbor_sampling bit-for-bit: a
+    frame's actors split across batches (late actor 3 must pair with
+    batch-0 frame-mates), a replayed presence row must be a no-op,
+    and fanout 2 over degree-3 nodes forces real lattice pruning."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators import graph, ingest
+    from neo4j_dynagraph_spark.streaming.neighbor_sampling import (
+        stream_neighbor_sampling,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 15, 10, m, tzinfo=dt.timezone.utc)
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shards = [
+        [(t(1), 1), (t(2), 2)],            # frame A: 1, 2
+        [(t(3), 3), (t(40), 1), (t(41), 4)],  # A gains 3 LATE; B: 1, 4
+        [(t(42), 2), (t(1), 1)],           # B gains 2; replay of (A, 1)
+    ]
+    # frame A and B both inside hour 10 with delta=1800
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_neighbor_sampling(
+        spark,
+        str(src),
+        schema,
+        fanouts=[2, 1],
+        delta=1800,
+        store_root=str(tmp_path / "ns_store"),
+        max_files_per_trigger=1,
+    )
+    edges = ingest.presence_to_frame_interactions(
+        ingest.events_to_presence(spark.read.parquet(str(src)), 1800)
+    )
+    batch = graph.neighbor_sampling(edges, [2, 1])
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) > 0
+    # pruning really happened: no seed has more than 2 hop-1 rows
+    from collections import Counter
+
+    h1 = Counter(r[0] for r in s_rows if r[1] == 1)
+    assert max(h1.values()) == 2
