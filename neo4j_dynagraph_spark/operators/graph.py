@@ -2903,3 +2903,168 @@ def node_minhash_similarity(
         )
         .orderBy(F.desc("jaccard"), "actor1", "actor2")
     )
+
+
+def luby_mis(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Luby's maximal-independent-set algorithm (Luby 1986) with
+    deterministic hash draws — THE classic O(log n)-round distributed
+    symmetry breaker: each round every active node draws
+    hash('mis:<round>:<v>'); a node wins (joins the MIS) iff no
+    active neighbor drew a smaller-or-equal value, winners' neighbors
+    become dominated, both leave the active set. Adjacent nodes can
+    never both win (one of the two draws is smaller), so independence
+    holds by construction; after enough rounds every node is mis or
+    dominated (maximality).
+
+    ``rounds`` is fixed (deterministic plan, replayable oracle) —
+    nodes still active after the last round report 'undecided'
+    honestly instead of the operator hiding an unbounded loop. Each
+    round is two equi-joins + set anti-joins, frontier checkpointed.
+    Hash draws are the shared cross-engine family, so the full
+    mis/dominated/undecided partition replays in SQL. Columns:
+    actor, status ('mis' | 'dominated' | 'undecided'), round (the
+    round the status was decided; NULL for undecided).
+    """
+    from neo4j_dynagraph_spark import functions as dfn
+
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    active = sym.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    decided = []
+    for r in range(1, rounds + 1):
+        draws = active.select(
+            "v",
+            dfn.hash64(
+                F.concat(F.lit(f"mis:{r}:"), F.col("v").cast("string"))
+            ).alias("dr"),
+        ).localCheckpoint()
+        d_src = draws.select(
+            F.col("v").alias("src"), F.col("dr").alias("dr_src")
+        )
+        d_dst = draws.select(
+            F.col("v").alias("dst"), F.col("dr").alias("dr_dst")
+        )
+        blocked = (
+            sym.join(d_src, "src")
+            .join(d_dst, "dst")
+            .where(F.col("dr_dst") <= F.col("dr_src"))
+            .select(F.col("src").alias("v"))
+            .distinct()
+        )
+        winners = active.join(blocked, "v", "left_anti").localCheckpoint()
+        dominated = (
+            sym.join(winners.select(F.col("v").alias("src")), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(active, "v")
+            .join(winners, "v", "left_anti")
+            .localCheckpoint()
+        )
+        decided.append(
+            winners.select(
+                "v", F.lit("mis").alias("status"), F.lit(r).alias("round")
+            )
+        )
+        decided.append(
+            dominated.select(
+                "v",
+                F.lit("dominated").alias("status"),
+                F.lit(r).alias("round"),
+            )
+        )
+        active = (
+            active.join(winners, "v", "left_anti")
+            .join(dominated, "v", "left_anti")
+            .localCheckpoint()
+        )
+    out = decided[0]
+    for frame in decided[1:]:
+        out = out.unionByName(frame)
+    out = out.unionByName(
+        active.select(
+            "v",
+            F.lit("undecided").alias("status"),
+            F.lit(None).cast("int").alias("round"),
+        )
+    )
+    return out.select(F.col("v").alias("actor"), "status", "round").orderBy(
+        "actor"
+    )
+
+
+def densest_subgraph(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Greedy densest-subgraph peeling (Charikar 2000 via the
+    Bahmani-Kumar-Vassilvitskii 2012 distributed formulation,
+    epsilon=0): each round records the remaining graph's density
+    E/V, then removes every node whose degree is <= 2*E/V; the best
+    round's density 2-approximates the optimum. The removal test is
+    the INTEGER cross-multiplication deg * V <= 2 * E — no float
+    compare ever decides membership, so the peel sequence is exact
+    in both engines; only the reported density is a rounded double.
+
+    Fully declarative: per round the (V, E) counts join back as
+    broadcast one-row aggregates (no driver-side scalars), edges
+    shrink by two semi-joins on the survivor set, every round
+    checkpointed. ``rounds`` is fixed; log2(V) rounds suffice for
+    the guarantee (each round removes a constant node fraction).
+    Columns: round, n_nodes, n_edges, density (round 6), is_best
+    (density equals the max over emitted rounds).
+    """
+    e = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    stats = []
+    for r in range(1, rounds + 1):
+        deg = (
+            symmetrize(e)
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+        nv = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        stats.append(
+            ne.crossJoin(nv).select(
+                F.lit(r).alias("round"),
+                "n_nodes",
+                "n_edges",
+                F.round(
+                    F.col("n_edges") / F.col("n_nodes").cast("double"), 6
+                ).alias("density"),
+            )
+        )
+        survivors = (
+            deg.crossJoin(broadcast(ne))
+            .crossJoin(broadcast(nv))
+            .where(
+                F.col("deg") * F.col("n_nodes") > 2 * F.col("n_edges")
+            )
+            .select("v")
+        )
+        e = (
+            e.join(
+                survivors.select(F.col("v").alias("actor1")), "actor1"
+            )
+            .join(survivors.select(F.col("v").alias("actor2")), "actor2")
+            .select("actor1", "actor2")
+            .localCheckpoint()
+        )
+    out = stats[0]
+    for frame in stats[1:]:
+        out = out.unionByName(frame)
+    out = out.where(F.col("n_nodes") > 0)
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        out.select(
+            "round",
+            "n_nodes",
+            "n_edges",
+            "density",
+            (F.col("density") == F.max("density").over(w_all)).alias(
+                "is_best"
+            ),
+        )
+        .orderBy("round")
+    )

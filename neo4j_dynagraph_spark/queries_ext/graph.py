@@ -2729,3 +2729,136 @@ def q_stream_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanouts=list(_NS_FANOUTS),
         where=qmod._hour_filter(HOUR, HOUR + 1),
     )
+
+
+def _luby_cte(rounds: int) -> str:
+    """Unrolled Luby rounds: draws, winners (no active neighbor drew
+    <=), dominated (active winner-neighbors), shrunken active set."""
+    blocks = ["a0 AS (SELECT DISTINCT src AS v FROM sym)"]
+    for r in range(1, rounds + 1):
+        h = _H64.format(x=f"'mis:{r}:' || v")
+        blocks.append(
+            f"d{r} AS MATERIALIZED (SELECT v, ({h}) AS dr FROM a{r - 1})"
+        )
+        blocks.append(
+            f"m{r} AS MATERIALIZED (\n"
+            f"  SELECT t.v FROM d{r} t WHERE NOT EXISTS (\n"
+            f"    SELECT 1 FROM sym sy JOIN d{r} n ON n.v = sy.dst\n"
+            f"    WHERE sy.src = t.v AND n.dr <= t.dr))"
+        )
+        blocks.append(
+            f"dom{r} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT sy.dst AS v FROM m{r} m\n"
+            f"  JOIN sym sy ON sy.src = m.v\n"
+            f"  JOIN a{r - 1} a ON a.v = sy.dst\n"
+            f"  WHERE sy.dst NOT IN (SELECT v FROM m{r}))"
+        )
+        blocks.append(
+            f"a{r} AS MATERIALIZED (SELECT v FROM a{r - 1} "
+            f"EXCEPT SELECT v FROM m{r} EXCEPT SELECT v FROM dom{r})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT v, 'mis' AS status, {r} AS round FROM m{r} "
+        f"UNION ALL SELECT v, 'dominated', {r} FROM dom{r}"
+        for r in range(1, rounds + 1)
+    )
+    blocks.append(
+        f"verdicts AS ({unions} UNION ALL "
+        f"SELECT v, 'undecided', CAST(NULL AS INTEGER) FROM a{rounds})"
+    )
+    return ",\n".join(blocks)
+
+
+_MIS_ROUNDS = 4
+
+
+@query(
+    "q_luby_mis",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+{_luby_cte(_MIS_ROUNDS)}
+SELECT v AS actor, status, round FROM verdicts ORDER BY actor
+""",
+)
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby's maximal independent set over the pinned-day graph, 4
+    deterministic hash-draw rounds — the classic distributed symmetry
+    breaker (and the scheduling/sampling primitive: an MIS is a
+    maximal set of pairwise non-interacting actors). Winners,
+    dominated neighbors, and any honest 'undecided' tail all replay
+    bit-for-bit in the unrolled oracle because draws are the shared
+    cross-engine hash."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.luby_mis(
+        qmod._edges(spark, sf_dir, qmod._day_filter()), rounds=_MIS_ROUNDS
+    )
+
+
+def _densest_cte(rounds: int) -> str:
+    """Unrolled peel rounds with the integer deg*V <= 2*E removal
+    test (no float compare decides membership)."""
+    blocks = ["e0 AS MATERIALIZED (SELECT actor1 AS a, actor2 AS b FROM e)"]
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f"deg{r} AS MATERIALIZED (SELECT v, count(*) AS deg FROM (\n"
+            f"  SELECT a AS v FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1})\n"
+            f"  GROUP BY 1)"
+        )
+        blocks.append(
+            f"st{r} AS MATERIALIZED (SELECT {r} AS round,\n"
+            f"  (SELECT count(*) FROM deg{r}) AS n_nodes,\n"
+            f"  (SELECT count(*) FROM e{r - 1}) AS n_edges)"
+        )
+        blocks.append(
+            f"sur{r} AS MATERIALIZED (SELECT v FROM deg{r}\n"
+            f"  WHERE deg * (SELECT n_nodes FROM st{r}) "
+            f"> 2 * (SELECT n_edges FROM st{r}))"
+        )
+        blocks.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM e{r - 1}\n"
+            f"  WHERE a IN (SELECT v FROM sur{r}) "
+            f"AND b IN (SELECT v FROM sur{r}))"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM st{r}" for r in range(1, rounds + 1)
+    )
+    blocks.append(
+        f"allst AS (SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,\n"
+        f"  CAST(n_edges AS BIGINT) AS n_edges,\n"
+        f"  round(CAST(n_edges AS DOUBLE) / n_nodes, 6) AS density\n"
+        f"  FROM ({unions}) WHERE n_nodes > 0)"
+    )
+    return ",\n".join(blocks)
+
+
+_DS_ROUNDS = 8
+
+
+@query(
+    "q_densest_subgraph",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+{_densest_cte(_DS_ROUNDS)}
+SELECT round, n_nodes, n_edges, density,
+       density = max(density) OVER () AS is_best
+FROM allst ORDER BY round
+""",
+)
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy densest-subgraph peeling of the pinned-day graph
+    (Charikar / Bahmani et al., epsilon=0, 8 rounds): per round the
+    remaining density and the integer-exact removal of nodes with
+    deg * V <= 2 * E; the flagged best round 2-approximates the
+    densest subgraph — the community-core detector of the evolution
+    family. The oracle unrolls the peel with the same integer test,
+    so the full density trajectory hash-matches."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.densest_subgraph(
+        qmod._edges(spark, sf_dir, qmod._day_filter()), rounds=_DS_ROUNDS
+    )

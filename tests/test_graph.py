@@ -1450,3 +1450,37 @@ def test_node_minhash_jaccard_matches_exact(spark, edges):
         want = len(a & b) / len(a | b)
         assert r.n_common == len(a & b)
         assert r.jaccard == pytest.approx(round(want, 6), abs=1e-6)
+
+
+def test_luby_mis_independence_maximality(spark, edges):
+    rows = graph.luby_mis(edges, rounds=6).collect()
+    status = {r.actor: r.status for r in rows}
+    assert set(status.values()) <= {"mis", "dominated"}  # converged
+    adj = _adj(EDGES)
+    mis = {v for v, s in status.items() if s == "mis"}
+    # independence: no two MIS nodes adjacent
+    for v in mis:
+        assert not (adj[v] & mis), v
+    # maximality: every dominated node has an MIS neighbor
+    for v, s in status.items():
+        if s == "dominated":
+            assert adj[v] & mis, v
+    # deterministic
+    again = {r.actor: r.status for r in graph.luby_mis(edges, rounds=6).collect()}
+    assert again == status
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    # K5 (density 2.0) + pendant chain 5-6-7-8: round 1 peels the
+    # chain (deg*8 <= 2*13), round 2 is the bare clique at 2.0
+    rows_ = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    rows_ += [(5, 6), (6, 7), (7, 8)]
+    ed = spark.createDataFrame(rows_, "actor1 long, actor2 long")
+    out = {r.round: r for r in graph.densest_subgraph(ed, rounds=4).collect()}
+    assert out[1].n_nodes == 8 and out[1].n_edges == 13
+    assert not out[1].is_best
+    assert out[2].n_nodes == 5 and out[2].n_edges == 10
+    assert out[2].density == pytest.approx(2.0, abs=1e-6)
+    assert out[2].is_best
+    # the clique self-destructs at its own threshold: no round 3 rows
+    assert 3 not in out
