@@ -505,23 +505,16 @@ QUALITY_WEIGHTS: dict[str, float] = {
 _QUALITY_STOPS = ("the", "a", "of", "and", "to")
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Model-based quality filtering: five lexical features -> linear
-    logit -> sigmoid score -> keep decision. The whole model is one
-    narrow JVM projection (no shuffle, no UDF); at 100 TB it runs at
-    scan speed and the score lands in the same parquet row group as
-    the doc id for downstream threshold sweeps without recompute.
-
-    The keep label thresholds the ROUNDED score so both engines decide
-    identically even at one-ulp logit drift.
-
-    Columns: doc_id, n_tokens, quality (round 6), keep (boolean).
-    """
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The five lexical quality features shared by the fixed-weight
+    :func:`quality_score` and the GD-trained :func:`train_quality_probe`
+    — one narrow codegen projection, no shuffle. Columns: doc_id,
+    n_tokens, f_len, f_ttr, f_stop, f_alpha, f_wordlen."""
     toks = tokens_df(docs, text_col).join(
         docs.select("doc_id", F.lower(F.col(text_col)).alias("_low")), "doc_id"
     )
     n = F.size("t").cast("double")
-    feats = toks.where(F.size("t") > 0).select(
+    return toks.where(F.size("t") > 0).select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
         F.log(F.lit(1.0) + n).alias("f_len"),
@@ -536,6 +529,21 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             / n
         ).alias("f_wordlen"),
     )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering: five lexical features -> linear
+    logit -> sigmoid score -> keep decision. The whole model is one
+    narrow JVM projection (no shuffle, no UDF); at 100 TB it runs at
+    scan speed and the score lands in the same parquet row group as
+    the doc id for downstream threshold sweeps without recompute.
+
+    The keep label thresholds the ROUNDED score so both engines decide
+    identically even at one-ulp logit drift.
+
+    Columns: doc_id, n_tokens, quality (round 6), keep (boolean).
+    """
+    feats = quality_features(docs, text_col)
     z = F.lit(QUALITY_BIAS)
     for name, w in QUALITY_WEIGHTS.items():
         z = z + F.lit(w) * F.col(name)
@@ -1569,3 +1577,102 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         r_rep.alias("r_rep"),
         (r_wc & r_mwl & r_alpha & r_stop & r_rep).alias("passed"),
     )
+
+
+_PROBE_FEATS = ("f_len", "f_ttr", "f_stop", "f_alpha", "f_wordlen")
+
+
+def train_quality_probe(
+    docs: DataFrame,
+    steps: int = 6,
+    lr: float = 0.1,
+    text_col: str = "text",
+) -> DataFrame:
+    """TRAIN the model-based quality filter instead of shipping fixed
+    weights (the DataComp-LM / CCNet move): full-batch logistic
+    regression by ``steps`` gradient-descent steps over
+    :func:`quality_features`, distilling the :func:`gopher_rules`
+    ``passed`` flag into a soft score — rule filters give hard 0/1
+    gates, the distilled probe gives a rankable score for threshold
+    sweeps and temperature sampling.
+
+    Fully declarative training: the weight vector is a ONE-ROW
+    DataFrame; each step cross-joins it (broadcast) onto the feature
+    frame, aggregates the mean residual gradient per coordinate plus
+    the clamped log-loss in one scan, and derives the next weight row
+    — no driver-side scalars, no collect. At 100 TB each step is one
+    pass at scan speed with a 6-double shuffle.
+
+    Output: the full training trajectory (the replay-oracle pattern of
+    bpe_train / q_sgns_negatives), one row per step 0..steps:
+    step, loss (log-loss AT these weights), b, w_len, w_ttr, w_stop,
+    w_alpha, w_wordlen — all rounded 1e-6.
+    """
+    feats = quality_features(docs, text_col)
+    labels = gopher_rules(docs, text_col).select(
+        "doc_id", F.col("passed").cast("double").alias("y")
+    )
+    train = feats.join(labels, "doc_id").localCheckpoint()
+    spark = docs.sparkSession
+    w = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        *[F.lit(0.0).alias(f"w_{f[2:]}") for f in _PROBE_FEATS],
+    )
+    log_rows = []
+    for step in range(steps + 1):
+        z = F.col("b")
+        for f in _PROBE_FEATS:
+            z = z + F.col(f"w_{f[2:]}") * F.col(f)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        pc = F.least(
+            F.greatest(p, F.lit(1e-12)), F.lit(1.0) - F.lit(1e-12)
+        )
+        scored = train.crossJoin(F.broadcast(w)).select(
+            "y",
+            *[F.col(f) for f in _PROBE_FEATS],
+            (p - F.col("y")).alias("r"),
+            (
+                -(
+                    F.col("y") * F.log(pc)
+                    + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc)
+                )
+            ).alias("ll"),
+        )
+        g = scored.agg(
+            F.avg("ll").alias("loss"),
+            F.avg("r").alias("g_b"),
+            *[
+                F.avg(F.col("r") * F.col(f)).alias(f"g_{f[2:]}")
+                for f in _PROBE_FEATS
+            ],
+        )
+        log_rows.append(
+            w.crossJoin(F.broadcast(g)).select(
+                F.lit(step).alias("step"),
+                F.round("loss", 6).alias("loss"),
+                F.round("b", 6).alias("b"),
+                *[
+                    F.round(f"w_{f[2:]}", 6).alias(f"w_{f[2:]}")
+                    for f in _PROBE_FEATS
+                ],
+            )
+        )
+        if step < steps:
+            w = (
+                w.crossJoin(F.broadcast(g))
+                .select(
+                    (F.col("b") - F.lit(lr) * F.col("g_b")).alias("b"),
+                    *[
+                        (
+                            F.col(f"w_{f[2:]}")
+                            - F.lit(lr) * F.col(f"g_{f[2:]}")
+                        ).alias(f"w_{f[2:]}")
+                        for f in _PROBE_FEATS
+                    ],
+                )
+                .localCheckpoint()
+            )
+    out = log_rows[0]
+    for frame in log_rows[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("step")

@@ -711,3 +711,103 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PROBE_F = ("len", "ttr", "stop", "alpha", "wordlen")
+
+
+def _probe_cte(steps: int, lr: float) -> str:
+    """Unrolled GD replay for the trained quality probe: feature CTE
+    (the q_quality_score features), per-doc Gopher label, then per
+    step one scan computing the clamped log-loss and the mean residual
+    gradient per coordinate, and the next weight row."""
+    z = "b + " + " + ".join(f"w_{n} * f_{n}" for n in _PROBE_F)
+    blocks = [
+        """f AS (SELECT t.doc_id,
+        ln(1.0 + CAST(len(t.t) AS DOUBLE)) AS f_len,
+        len(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE) AS f_ttr,
+        len(list_filter(t.t, x -> x = 'the' OR x = 'a' OR x = 'of'
+                               OR x = 'and' OR x = 'to'))
+          / CAST(greatest(len(t.t), 1) AS DOUBLE) AS f_stop,
+        len(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+          / CAST(greatest(len(lower(d.text)), 1) AS DOUBLE) AS f_alpha,
+        CAST(list_sum(list_transform(t.t, x -> len(x))) AS DOUBLE)
+          / CAST(len(t.t) AS DOUBLE) AS f_wordlen
+      FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE len(t.t) > 0)""",
+        """gfeat AS (SELECT doc_id, len(t) AS n,
+  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+    / greatest(len(t), 1) AS mwl,
+  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+    / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
+  len(list_filter(['the', 'a', 'of', 'and', 'to'],
+      s -> list_contains(t, s))) AS stop_hits,
+  CASE WHEN len(t) = 0 THEN 1.0
+       ELSE CAST(list_max(list_transform(list_distinct(t),
+                 d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+            / greatest(len(t), 1) END AS top_frac
+FROM tok)""",
+        """lbl AS (SELECT doc_id,
+  CAST(((n BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        AND alpha_frac >= 0.8 AND stop_hits >= 2 AND top_frac <= 0.2)
+       AS DOUBLE) AS y FROM gfeat)""",
+        "tr AS (SELECT f.*, lbl.y FROM f JOIN lbl ON lbl.doc_id = f.doc_id)",
+        "w0 AS (SELECT CAST(0 AS DOUBLE) AS b, "
+        + ", ".join(f"CAST(0 AS DOUBLE) AS w_{n}" for n in _PROBE_F)
+        + ")",
+    ]
+    for t in range(steps + 1):
+        blocks.append(
+            f"g{t} AS MATERIALIZED (\n"
+            f"  SELECT avg(ll) AS loss, avg(r) AS g_b,\n  "
+            + ",\n  ".join(
+                f"avg(r * f_{n}) AS g_{n}" for n in _PROBE_F
+            )
+            + f"\n  FROM (SELECT y, "
+            + ", ".join(f"f_{n}" for n in _PROBE_F)
+            + ", (p - y) AS r,\n"
+            "    -(y * ln(least(greatest(p, 1e-12), 1.0 - 1e-12))\n"
+            "      + (1.0 - y) * ln(1.0 - least(greatest(p, 1e-12), "
+            "1.0 - 1e-12))) AS ll\n"
+            f"    FROM (SELECT tr.*, "
+            f"CAST(1.0 AS DOUBLE) / (1.0 + exp(-({z}))) AS p\n"
+            f"          FROM tr CROSS JOIN w{t})))"
+        )
+        if t < steps:
+            blocks.append(
+                f"w{t + 1} AS (SELECT b - {lr} * g_b AS b, "
+                + ", ".join(
+                    f"w_{n} - {lr} * g_{n} AS w_{n}" for n in _PROBE_F
+                )
+                + f" FROM w{t} CROSS JOIN g{t})"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS step, round(loss, 6) AS loss, round(b, 6) AS b, "
+        + ", ".join(f"round(w_{n}, 6) AS w_{n}" for n in _PROBE_F)
+        + f" FROM w{t} CROSS JOIN g{t}"
+        for t in range(steps + 1)
+    )
+    blocks.append(f"trajectory AS ({unions})")
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_quality_probe",
+    oracle=f"""
+WITH {_TOK_CTE},
+{_probe_cte(6, 0.1)}
+SELECT step, loss, b, {", ".join(f"w_{n}" for n in _PROBE_F)}
+FROM trajectory ORDER BY step
+""",
+)
+def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED model-based quality filter (the DataComp-LM / CCNet
+    move, completing the quality family: rules -> fixed logistic ->
+    LEARNED logistic): full-batch logistic regression distilling the
+    Gopher `passed` flag into a soft score over the five lexical
+    features — 6 gradient steps, lr 0.1 (monotone-decreasing loss;
+    lr 0.5 oscillates on these unnormalized O(5) features), fully declarative (weights
+    are a one-row broadcast frame; each step is one scan). Output is
+    the whole training trajectory (loss + weights per step), replayed
+    exactly by the unrolled-GD oracle like q_bpe_train / q_sgns."""
+    return text.train_quality_probe(_docs(spark, sf_dir), steps=6, lr=0.1)

@@ -819,3 +819,21 @@ def test_tile_images_grid_and_ragged_edges(spark):
     assert out[(1, 1)].mean_byte == 40.0
     with pytest.raises(ValueError):
         multimodal.tile_images(media, tile_w=0)
+
+
+def test_train_quality_probe_learns(spark):
+    """GD on the real sf0.001 corpus: the log-loss trajectory must be
+    strictly decreasing from the ln(2) start (the all-zero weights
+    predict 0.5), and weights must move."""
+    import math
+
+    from neo4j_dynagraph_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = text.train_quality_probe(d, steps=6, lr=0.1).collect()
+    assert [r.step for r in rows] == [0, 1, 2, 3, 4, 5, 6]
+    assert rows[0].loss == pytest.approx(math.log(2), abs=1e-5)
+    losses = [r.loss for r in rows]
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    assert any(abs(rows[-1][k]) > 1e-4 for k in
+               ("b", "w_len", "w_ttr", "w_stop", "w_alpha", "w_wordlen"))
