@@ -2862,3 +2862,71 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.densest_subgraph(
         qmod._edges(spark, sf_dir, qmod._day_filter()), rounds=_DS_ROUNDS
     )
+
+
+@query(
+    "q_link_auc",
+    oracle=f"""
+WITH pd AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM (
+  SELECT p1.frame_id, p1.actor AS actor1, p2.actor AS actor2,
+         p1.n_events * p2.n_events AS weight
+  FROM pd p1 JOIN pd p2
+    ON p1.frame_id = p2.frame_id AND p1.actor < p2.actor)),
+pt AS ({_presence_sql(f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY + 1}")}),
+et AS (SELECT DISTINCT actor1, actor2 FROM (
+  SELECT p1.frame_id, p1.actor AS actor1, p2.actor AS actor2,
+         p1.n_events * p2.n_events AS weight
+  FROM pt p1 JOIN pt p2
+    ON p1.frame_id = p2.frame_id AND p1.actor < p2.actor)),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+wedge AS (SELECT s1.dst AS actor1, s2.dst AS actor2
+          FROM sym s1 JOIN sym s2
+            ON s1.src = s2.src AND s1.dst < s2.dst),
+cn AS (SELECT actor1, actor2, CAST(count(*) AS BIGINT) AS score
+       FROM wedge GROUP BY 1, 2),
+cand AS (SELECT cn.* FROM cn LEFT JOIN e
+           ON e.actor1 = cn.actor1 AND e.actor2 = cn.actor2
+         WHERE e.actor1 IS NULL),
+lab AS (SELECT cand.actor1, cand.actor2, score,
+               CASE WHEN et.actor1 IS NULL THEN 0 ELSE 1 END AS label
+        FROM cand LEFT JOIN et
+          ON et.actor1 = cand.actor1 AND et.actor2 = cand.actor2),
+hist AS (SELECT score, count(*) AS cnt, sum(label) AS pos
+         FROM lab GROUP BY 1),
+ranked AS (SELECT score, cnt, pos,
+       coalesce(sum(cnt) OVER (ORDER BY score
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       + (cnt + 1) / 2.0 AS midrank FROM hist),
+ag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cand,
+              CAST(sum(pos) AS BIGINT) AS n_pos,
+              CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+              sum(pos * midrank) AS rank_sum FROM ranked),
+tops AS (SELECT CAST(sum(label) AS BIGINT) AS hits_at_k FROM (
+  SELECT label FROM lab ORDER BY score DESC, actor1, actor2 LIMIT 50))
+SELECT n_cand, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+               / CAST(n_pos * n_neg AS DOUBLE), 6)
+       END AS auc,
+       hits_at_k
+FROM ag CROSS JOIN tops
+""",
+)
+def q_link_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal link-prediction evaluation — the grading row of the
+    link family (q_link_scores/q_link_negatives produce, this one
+    MEASURES): candidates are the pinned day's non-edge wedge pairs
+    scored by common-neighbor count, positives are pairs that really
+    link the NEXT day, and the metric is tie-aware Mann-Whitney AUC
+    plus precision-in-top-50. Integer scores make midranks exact in
+    both engines; top-k is orderBy+limit (TakeOrderedAndProject),
+    never a one-partition window."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    lo = qmod._utc_ns(YEAR, MONTH, DAY)
+    day = 86400 * 1_000_000_000
+    train = qmod._edges(spark, sf_dir, qmod._ns_range(lo, lo + day))
+    test = qmod._edges(spark, sf_dir, qmod._ns_range(lo + day, lo + 2 * day))
+    return graph.link_prediction_eval(train, test, k=50)

@@ -1484,3 +1484,38 @@ def test_densest_subgraph_finds_planted_clique(spark):
     assert out[2].is_best
     # the clique self-destructs at its own threshold: no round 3 rows
     assert 3 not in out
+
+
+def test_link_prediction_eval_closed_form(spark):
+    # train: path 1-2-3 (one candidate wedge pair (1,3), plus star
+    # 4-5,4-6 giving candidate (5,6)); test: edge (1,3) appears ->
+    # (1,3) positive score 1, (5,6) negative score 1 -> tied midrank
+    # 1.5 -> AUC = (1.5 - 1)/1 = 0.5; a second test edge makes it 1.0
+    train = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (4, 6)], "actor1 long, actor2 long"
+    )
+    test1 = spark.createDataFrame([(1, 3)], "actor1 long, actor2 long")
+    r = graph.link_prediction_eval(train, test1).collect()[0]
+    assert (r.n_cand, r.n_pos, r.n_neg) == (2, 1, 1)
+    assert r.auc == pytest.approx(0.5, abs=1e-6)
+    assert r.hits_at_k == 1
+    # score separation: (1,3) gets two common neighbors via 1-7, 7-3,
+    # which also creates candidate (2,7) at score 2 (tie with the
+    # positive) and (5,6) at score 1 below it:
+    # midranks asc = {1: 1.0, 2: 2.5}; AUC = (2.5 - 1) / (1*2) = 0.75
+    train2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 7), (7, 3), (4, 5), (4, 6)],
+        "actor1 long, actor2 long",
+    )
+    r2 = graph.link_prediction_eval(train2, test1).collect()[0]
+    assert (r2.n_cand, r2.n_pos, r2.n_neg) == (3, 1, 2)
+    assert r2.auc == pytest.approx(0.75, abs=1e-6)
+
+
+def test_link_prediction_eval_empty_class_null_auc(spark):
+    train = spark.createDataFrame([(1, 2), (2, 3)], "actor1 long, actor2 long")
+    test = spark.createDataFrame(
+        [(8, 9)], "actor1 long, actor2 long"
+    )  # no candidate links
+    r = graph.link_prediction_eval(train, test).collect()[0]
+    assert r.n_pos == 0 and r.auc is None
