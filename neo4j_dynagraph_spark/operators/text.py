@@ -1676,3 +1676,82 @@ def train_quality_probe(
     for frame in log_rows[1:]:
         out = out.unionByName(frame)
     return out.orderBy("step")
+
+
+def bigram_ppl(
+    docs: DataFrame,
+    train_source: str = "src0",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Conditional-LM perplexity filtering (the CCNet/KenLM modality,
+    one level up from :func:`unigram_logprob`): train an
+    additive-smoothed BIGRAM model on the reference source's docs,
+    score every doc's tokens under it, and report per-source mean
+    log-prob and mean perplexity — the domain-similarity signal a
+    perplexity filter thresholds at corpus scale.
+
+    Model: P(w | v) = (c(v, w) + a) / (c(v) + a * V) with BOS '<s>'
+    contexts, out-of-vocabulary words collapsed to '<unk>', and
+    V = |train vocab| + 1. All counts are integers; the only floats
+    are the terminal ln/exp on the 1e-6 grid (the q_quality_score
+    exp/ln precedent). Scoring is two left equi-joins against the
+    count tables — train-sized sides, corpus-sized stream, no UDF.
+    Columns: source, n_docs, mean_logprob, mean_ppl (round 6).
+    """
+    toks = tokens_df(docs, text_col).where(F.size("t") > 0)
+    pairs_expr = F.expr(
+        "transform(sequence(1, size(t)), i -> struct("
+        "CASE WHEN i = 1 THEN '<s>' ELSE element_at(t, i-1) END AS v, "
+        "element_at(t, i) AS w))"
+    )
+    pr = toks.select(
+        "doc_id", "source", F.explode(pairs_expr).alias("p")
+    ).select("doc_id", "source", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    train = pr.where(F.col("source") == train_source).localCheckpoint()
+    vocab = train.select(F.col("w").alias("tok")).distinct().localCheckpoint()
+    cb = train.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
+    cu = train.groupBy("v").agg(F.count(F.lit(1)).alias("cu"))
+    vs = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("vsize"))
+    vv = vocab.select(F.col("tok").alias("vtok"))
+    vw = vocab.select(F.col("tok").alias("wtok"))
+    sc = (
+        pr.join(vv, pr.v == vv.vtok, "left")
+        .join(vw, pr.w == vw.wtok, "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("v") == "<s>", F.lit("<s>"))
+            .otherwise(F.coalesce(F.col("vtok"), F.lit("<unk>")))
+            .alias("v"),
+            F.coalesce(F.col("wtok"), F.lit("<unk>")).alias("w"),
+        )
+    )
+    lp = (
+        sc.join(cb, ["v", "w"], "left")
+        .join(cu, ["v"], "left")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
+                / (
+                    F.coalesce(F.col("cu"), F.lit(0))
+                    + F.lit(alpha) * F.col("vsize")
+                )
+            ).alias("logp"),
+        )
+    )
+    per_doc = lp.groupBy("doc_id", "source").agg(
+        F.avg("logp").alias("mlp")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mlp"), 6).alias("mean_logprob"),
+            F.round(F.avg(F.exp(-F.col("mlp"))), 6).alias("mean_ppl"),
+        )
+        .orderBy("source")
+    )

@@ -1361,3 +1361,48 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_bigram_ppl",
+    oracle=f"""
+WITH {_TOK_CTE},
+tk AS (SELECT t.doc_id, t.source, t.t FROM tok t WHERE len(t.t) > 0),
+pr AS (SELECT doc_id, source,
+         CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS v, t[i] AS w
+       FROM tk, UNNEST(range(1, len(t) + 1)) AS u(i)),
+tr AS (SELECT v, w FROM pr WHERE source = 'src0'),
+vocab AS (SELECT DISTINCT w AS tok FROM tr),
+cb AS (SELECT v, w, count(*) AS cb FROM tr GROUP BY 1, 2),
+cu AS (SELECT v, count(*) AS cu FROM tr GROUP BY 1),
+vs AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS vsize FROM vocab),
+sc AS (SELECT doc_id, source,
+         CASE WHEN p.v = '<s>' THEN '<s>'
+              WHEN vv.tok IS NOT NULL THEN p.v ELSE '<unk>' END AS v,
+         CASE WHEN vw.tok IS NOT NULL THEN p.w ELSE '<unk>' END AS w
+       FROM pr p LEFT JOIN vocab vv ON vv.tok = p.v
+                 LEFT JOIN vocab vw ON vw.tok = p.w),
+lp AS (SELECT doc_id, source,
+         ln((coalesce(cb.cb, 0) + CAST(0.5 AS DOUBLE))
+            / (coalesce(cu.cu, 0)
+               + CAST(0.5 AS DOUBLE) * (SELECT vsize FROM vs))) AS logp
+       FROM sc LEFT JOIN cb ON cb.v = sc.v AND cb.w = sc.w
+               LEFT JOIN cu ON cu.v = sc.v),
+pd2 AS (SELECT doc_id, source, avg(logp) AS mlp
+        FROM lp GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(mlp), 6) AS mean_logprob,
+       round(avg(exp(-mlp)), 6) AS mean_ppl
+FROM pd2 GROUP BY source ORDER BY source
+""",
+)
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-LM perplexity filter (CCNet/KenLM modality, one
+    level above q_unigram_logprob / q_ppl_buckets): an additive-
+    smoothed bigram model trained on the src0 reference docs scores
+    every document; per-source mean log-prob and mean perplexity are
+    the domain-similarity signal a perplexity filter thresholds.
+    Integer counts, BOS contexts, OOV -> '<unk>', terminal ln/exp on
+    the 1e-6 grid; the oracle replays train counts, vocab mapping,
+    and scoring joins exactly."""
+    return text.bigram_ppl(_docs(spark, sf_dir), train_source="src0")

@@ -837,3 +837,34 @@ def test_train_quality_probe_learns(spark):
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
     assert any(abs(rows[-1][k]) > 1e-4 for k in
                ("b", "w_len", "w_ttr", "w_stop", "w_alpha", "w_wordlen"))
+
+
+def test_bigram_ppl_closed_form(spark):
+    # train 'x y' (src t): vocab {x,y}, V=3; cb[(<s>,x)]=cb[(x,y)]=1;
+    # cu[<s>]=cu[x]=1. Doc 'x y': both bigrams ln(1.5/2.5) -> ppl 5/3.
+    # Doc 'z': OOV, (<s>,unk) -> ln(0.5/2.5) -> ppl 5.
+    d = spark.createDataFrame(
+        [(0, "x y", "t"), (1, "x y", "a"), (2, "z", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in text.bigram_ppl(d, train_source="t").collect()}
+    assert out["a"].mean_ppl == pytest.approx(5 / 3, abs=1e-6)
+    assert out["b"].mean_ppl == pytest.approx(5.0, abs=1e-6)
+    assert out["t"].mean_ppl == pytest.approx(5 / 3, abs=1e-6)
+    assert out["a"].mean_logprob == pytest.approx(
+        __import__("math").log(0.6), abs=1e-6
+    )
+
+
+def test_bigram_ppl_prefers_in_domain(spark):
+    # in-domain word order scores lower ppl than the same words shuffled
+    train = [(i, "the cat sat on the mat", "ref") for i in range(3)]
+    test = [
+        (10, "the cat sat on the mat", "indomain"),
+        (11, "mat the on sat cat the", "shuffled"),
+    ]
+    d = spark.createDataFrame(
+        train + test, "doc_id long, text string, source string"
+    )
+    out = {r.source: r.mean_ppl for r in text.bigram_ppl(d, "ref").collect()}
+    assert out["indomain"] < out["shuffled"]
