@@ -2756,21 +2756,28 @@ def neighbor_sampling(
 
 
 def temporal_closeness(
-    frame_edges: DataFrame, max_iterations: int = 30
+    frame_edges: DataFrame, max_hops: int = 6
 ) -> DataFrame:
-    """All-sources temporal closeness over time-respecting paths (Pan
-    & Saramäki 2011): every source's earliest-arrival frame to every
-    other node — :func:`temporal_reachability` advanced for ALL
-    sources per distributed round (the multi-source convention of
+    """All-sources temporal closeness over time-respecting paths of at
+    most ``max_hops`` edges (Pan & Saramäki 2011): every source's
+    earliest-arrival frame to every other node —
+    :func:`temporal_reachability` advanced for ALL sources per
+    distributed round (the multi-source convention of
     :func:`bounded_distances`) — then per source the harmonic sum of
     1 / (1 + arrival - W0), with W0 the graph's first frame, so
     faster-reaching sources score higher and unreachable nodes
     contribute 0 without a convention fight.
 
-    Arrival state is exact integer frames with min-reduction, run to
-    the fixpoint (bounded by ``max_iterations``); only the terminal
-    harmonic sum is a double on the 1e-6 grid. Cost: O(V^2) arrival
-    state like the rest of the all-pairs family — bound the scope.
+    The hop bound is the family's explicit cost contract (radius-4
+    harmonic / bounded-CTDNE precedent) AND what keeps the loop free
+    of data-dependent actions: exactly ``max_hops`` join+min rounds,
+    no per-round changed-count (measured: the fixpoint variant's
+    count() actions doubled the sf0.1 day-graph wall). Because an
+    earlier arrival can ride every edge a later one can, the merged
+    min-reduction state after round h is exactly the <=h-hop earliest
+    arrival. Exact integer frames; only the terminal harmonic sum is
+    a double on the 1e-6 grid. Cost: O(V^2) arrival state like the
+    rest of the all-pairs family — bound the scope.
     Columns: actor, n_reached, t_closeness (rounded 1e-6, desc).
     """
     sym = symmetrize(
@@ -2786,31 +2793,37 @@ def temporal_closeness(
         )
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    # delta iteration: only arrivals that IMPROVED last round expand
+    # (an earlier arrival can ride every edge a later one can, so the
+    # min-arrival frontier dominates all other path prefixes — the
+    # full-state re-expansion joined ~frontier x frame-degree x H rows
+    # and was 2x slower at sf0.1 even vs the fixpoint form)
+    frontier = arrival
+    for _ in range(max_hops):
         cand = (
-            arrival.join(sym, arrival.v == sym.src)
+            frontier.join(sym, frontier.v == sym.src)
             .where(F.col("frame_id") >= F.col("t"))
-            .select(
-                "s",
-                F.col("dst").alias("v"),
-                F.col("frame_id").alias("t"),
-            )
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.min("frame_id").alias("t"))
         )
-        new_arrival = (
+        merged = (
             arrival.unionByName(cand)
             .groupBy("s", "v")
             .agg(F.min("t").alias("t"))
             .localCheckpoint()
         )
-        changed = (
-            new_arrival.alias("n")
-            .join(arrival.alias("o"), ["s", "v"], "left")
-            .where(F.col("o.t").isNull() | (F.col("n.t") != F.col("o.t")))
-            .count()
+        prev = arrival.select(
+            "s", "v", F.col("t").alias("t_old")
         )
-        arrival = new_arrival
-        if changed == 0:
-            break
+        frontier = (
+            merged.join(prev, ["s", "v"], "left")
+            .where(
+                F.col("t_old").isNull() | (F.col("t") < F.col("t_old"))
+            )
+            .select("s", "v", "t")
+            .localCheckpoint(eager=False)
+        )
+        arrival = merged
     w0 = sym.agg(F.min("frame_id").cast("long").alias("w0"))
     return (
         arrival.where(F.col("v") != F.col("s"))

@@ -2613,11 +2613,12 @@ e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
 sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
         UNION ALL SELECT frame_id, actor2, actor1 FROM e),
 r AS (
-  SELECT src AS s, src AS v, CAST(-1 AS BIGINT) AS t
+  SELECT src AS s, src AS v, CAST(-1 AS BIGINT) AS t, 0 AS h
   FROM (SELECT DISTINCT src FROM sym)
   UNION
-  SELECT r.s, sy.dst AS v, sy.frame_id AS t
+  SELECT r.s, sy.dst AS v, sy.frame_id AS t, r.h + 1 AS h
   FROM r JOIN sym sy ON sy.src = r.v AND sy.frame_id >= r.t
+  WHERE r.h < 6
 ),
 ma AS MATERIALIZED (SELECT s, v, min(t) AS t FROM r GROUP BY 1, 2),
 w0 AS (SELECT min(frame_id) AS w0 FROM sym)
@@ -2632,10 +2633,11 @@ def q_temporal_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-sources temporal closeness of the pinned day (Pan-Saramäki
     temporal-path latency): per source, the harmonic sum of
     1/(1 + earliest_arrival - first_frame) over every node reachable
-    by a time-respecting path — the latency-weighted twin of
-    q_temporal_reach (which is single-source, arrival only). Exact
-    integer arrival fixpoint; the oracle replays it as a recursive
-    CTE over (source, node, arrival) with min-reduction."""
+    by a time-respecting path of <= 6 hops (the family's explicit
+    bound contract) — the latency-weighted twin of q_temporal_reach
+    (which is single-source, arrival only). Exact integer arrivals,
+    one join+min round per hop, no data-dependent actions; the oracle
+    replays it as a hop-bounded recursive CTE with min-reduction."""
     from neo4j_dynagraph_spark import queries as qmod
 
     return graph.temporal_closeness(
