@@ -1519,3 +1519,88 @@ def test_link_prediction_eval_empty_class_null_auc(spark):
     )  # no candidate links
     r = graph.link_prediction_eval(train, test).collect()[0]
     assert r.n_pos == 0 and r.auc is None
+
+
+def test_betweenness_matches_python_brandes_random_graphs(spark):
+    """Property test: radius-8 bounded Brandes on random <=8-node
+    graphs (diameter < 8, so the bound is inactive) must equal the
+    reference Python Brandes exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=14,
+        )
+    )
+    def check(pairs):
+        edge_list = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+        df = spark.createDataFrame(edge_list, "actor1 long, actor2 long")
+        want = _py_brandes(_adj(edge_list))
+        got = {
+            r.actor: r.betweenness
+            for r in graph.betweenness_centrality(df, max_dist=8).collect()
+        }
+        assert set(got) == set(want)
+        for v, b in want.items():
+            assert got[v] == pytest.approx(round(b, 6), abs=1e-6), (
+                v,
+                edge_list,
+            )
+
+    check()
+
+
+def test_minklattice_merge_chop_invariant(spark, tmp_path):
+    """Property test: the streaming sampler's min-k lattice must give
+    the same pruned state for ANY chop of the row stream (merge is
+    associative/commutative/idempotent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_dynagraph_spark.streaming.neighbor_sampling import (
+        MinKLattice,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 4), st.integers(1, 9)),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(1, 19),
+        st.booleans(),
+    )
+    def check(pairs, cut_raw, dup_first_chunk):
+        # h is a deterministic function of (src, dst) — the drain's
+        # contract (hash-keyed), so replayed rows are identical
+        rows = [(s, d, (s * 31 + d * 17) % 50) for s, d in pairs]
+        cut = min(cut_raw, len(rows))
+        chunks = [rows[:cut], rows[cut:]]
+        if dup_first_chunk and rows[:cut]:
+            chunks.append(rows[:cut])  # replay must be a no-op
+        import uuid
+
+        def drain(chunks_):
+            lat = MinKLattice(
+                spark, str(tmp_path / f"lat_{uuid.uuid4().hex}"), k=2
+            )
+            for ch in chunks_:
+                if ch:
+                    lat.merge(
+                        spark.createDataFrame(
+                            ch, "src long, dst long, h long"
+                        )
+                    )
+            st_ = lat.read()
+            return sorted(map(tuple, st_.collect())) if st_ is not None else []
+
+        assert drain(chunks) == drain([rows])
+
+    check()
