@@ -3172,3 +3172,125 @@ def link_prediction_eval(
             "hits_at_k",
         )
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank (GDS ``relationshipWeightProperty`` parity):
+    transition mass splits proportionally to integer edge weights
+    instead of uniformly — rank_{i+1}(v) = (1-d)/n + d * sum over
+    neighbors u of rank_i(u) * w(u,v) / W(u), W(u) = sum of u's
+    weights. Same fixed-iteration deterministic power method, join
+    shapes, and checkpointing as :func:`pagerank`; weights stay exact
+    integers so only the rank vector is floating (1e-6 grid).
+    Input: canonical (actor1, actor2, ``weight_col``) rows, weights
+    pre-aggregated per pair. Columns: actor, rank (round 6, desc).
+    """
+    sym = symmetrize(
+        edges.select("actor1", "actor2", weight_col)
+    ).localCheckpoint()
+    adj = (
+        sym.join(
+            sym.groupBy("src").agg(F.sum(weight_col).alias("wdeg")),
+            "src",
+        )
+        .localCheckpoint()
+    )
+    n = adj.select("src").distinct().count()
+    ranks = (
+        adj.select(F.col("src").alias("actor"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0 / n))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        ranks = (
+            adj.join(ranks, adj.src == ranks.actor)
+            .select(
+                "dst",
+                (
+                    F.col("rank") * F.col(weight_col) / F.col("wdeg")
+                ).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+            .select(
+                F.col("dst").alias("actor"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("mass")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("actor", F.round("rank", 6).alias("rank")).orderBy(
+        F.desc("rank"), "actor"
+    )
+
+
+def hits_bipartite(presence: DataFrame, iterations: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities over the actor x frame incidence of
+    the star schema (Kleinberg 1999) — on a BIPARTITE graph the two
+    HITS vectors are genuinely different objects, unlike on the
+    symmetrized interaction graph where HITS degenerates to
+    eigenvector centrality: hub actors are those active in
+    high-authority frames, authority frames those containing
+    high-hub actors.
+
+    L1-normalized alternating power iteration (the
+    :func:`eigenvector_centrality` convention — the only nonlinearity
+    is a plain double division, so the unrolled oracle hash-matches):
+    a(f) = sum of h(u) over u present in f, normalized; then h(u) =
+    sum of a(f) over f containing u, normalized. One join + aggregate
+    per half-step, both vectors checkpointed per round. Columns:
+    kind ('actor' | 'frame'), id, score (round 6; desc within kind).
+    """
+    inc = presence.select("frame_id", "actor").distinct().localCheckpoint()
+    n_a = inc.select("actor").distinct().count()
+    hub = (
+        inc.select("actor")
+        .distinct()
+        .withColumn("h", F.lit(1.0 / n_a))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            inc.join(hub, "actor")
+            .groupBy("frame_id")
+            .agg(F.sum("h").alias("raw"))
+        )
+        atot = araw.agg(F.sum("raw").alias("t"))
+        auth = (
+            araw.crossJoin(broadcast(atot))
+            .select("frame_id", (F.col("raw") / F.col("t")).alias("a"))
+            .localCheckpoint()
+        )
+        hraw = (
+            inc.join(auth, "frame_id")
+            .groupBy("actor")
+            .agg(F.sum("a").alias("raw"))
+        )
+        htot = hraw.agg(F.sum("raw").alias("t"))
+        hub = (
+            hraw.crossJoin(broadcast(htot))
+            .select("actor", (F.col("raw") / F.col("t")).alias("h"))
+            .localCheckpoint()
+        )
+    out_h = hub.select(
+        F.lit("actor").alias("kind"),
+        F.col("actor").alias("id"),
+        F.round("h", 6).alias("score"),
+    )
+    out_a = auth.select(
+        F.lit("frame").alias("kind"),
+        F.col("frame_id").alias("id"),
+        F.round("a", 6).alias("score"),
+    )
+    return out_h.unionByName(out_a).orderBy(
+        "kind", F.desc("score"), "id"
+    )

@@ -2932,3 +2932,112 @@ def q_link_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = qmod._edges(spark, sf_dir, qmod._ns_range(lo, lo + day))
     test = qmod._edges(spark, sf_dir, qmod._ns_range(lo + day, lo + 2 * day))
     return graph.link_prediction_eval(train, test, k=50)
+
+
+def _wpr_cte(n_iter: int) -> str:
+    """Unrolled weighted PageRank (the _pagerank_cte shapes with
+    weight-proportional transition mass; weights exact BIGINTs)."""
+    blocks = [
+        f"p AS ({_presence_sql(_DAY_SQL)})",
+        f"pw AS (SELECT actor1, actor2, CAST(sum(weight) AS BIGINT) AS w "
+        f"FROM ({_EDGES_FROM_P}) GROUP BY 1, 2)",
+        "sym AS (SELECT actor1 AS src, actor2 AS dst, w FROM pw "
+        "UNION ALL SELECT actor2, actor1, w FROM pw)",
+        "wd AS (SELECT src, sum(w) AS wdeg FROM sym GROUP BY 1)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wd)",
+        'r0 AS (SELECT src AS actor, 1.0 / (SELECT n FROM nn) AS "rank" FROM wd)',
+    ]
+    for i in range(n_iter):
+        blocks.append(
+            f"r{i + 1} AS (SELECT s.dst AS actor, "
+            "(1.0 - 0.85) / (SELECT n FROM nn) "
+            f'+ 0.85 * sum(r."rank" * s.w / d.wdeg) AS "rank" '
+            f"FROM sym s JOIN r{i} r ON r.actor = s.src "
+            "JOIN wd d ON d.src = s.src GROUP BY s.dst)"
+        )
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_pagerank_weighted",
+    oracle=f"""
+WITH {_wpr_cte(10)}
+SELECT actor, round("rank", 6) AS rank
+FROM r10 ORDER BY 2 DESC, actor
+""",
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (10 iterations, d=0.85) over the pinned-day
+    graph with summed frame weights as transition mass — the GDS
+    relationshipWeightProperty knob beside q_pagerank's uniform
+    transitions and q_personalized_pagerank's seeded teleport. Same
+    unrolled-power-method oracle family; weights stay exact BIGINTs
+    through the same double division."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._day_filter())
+    pw = e.groupBy("actor1", "actor2").agg(F.sum("weight").alias("w"))
+    return graph.pagerank_weighted(pw, iterations=10)
+
+
+def _hits_cte(n_iter: int) -> str:
+    """Unrolled alternating HITS over the actor x frame incidence —
+    every raw/normalized CTE MATERIALIZED (each is referenced twice:
+    normalizer sub-select + projection; the q_eigenvector_centrality
+    DuckDB-inlining precedent)."""
+    blocks = [
+        f"p AS ({_presence_sql(_DAY_SQL)})",
+        "inc AS (SELECT DISTINCT frame_id, actor FROM p)",
+        "na AS (SELECT CAST(count(DISTINCT actor) AS DOUBLE) AS n FROM inc)",
+        "h0 AS (SELECT DISTINCT actor, 1.0 / (SELECT n FROM na) AS h FROM inc)",
+    ]
+    for i in range(n_iter):
+        blocks.append(
+            f"araw{i} AS MATERIALIZED (SELECT i.frame_id, sum(h.h) AS raw "
+            f"FROM inc i JOIN h{i} h ON h.actor = i.actor GROUP BY 1)"
+        )
+        blocks.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT frame_id, "
+            f"raw / (SELECT sum(raw) FROM araw{i}) AS a FROM araw{i})"
+        )
+        blocks.append(
+            f"hraw{i} AS MATERIALIZED (SELECT i.actor, sum(a.a) AS raw "
+            f"FROM inc i JOIN a{i + 1} a ON a.frame_id = i.frame_id "
+            f"GROUP BY 1)"
+        )
+        blocks.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT actor, "
+            f"raw / (SELECT sum(raw) FROM hraw{i}) AS h FROM hraw{i})"
+        )
+    return ",\n".join(blocks)
+
+
+_HITS_ROUNDS = 8
+
+
+@query(
+    "q_hits_bipartite",
+    oracle=f"""
+WITH {_hits_cte(_HITS_ROUNDS)}
+SELECT kind, id, score FROM (
+  SELECT 'actor' AS kind, actor AS id, round(h, 6) AS score
+  FROM h{_HITS_ROUNDS}
+  UNION ALL
+  SELECT 'frame', frame_id, round(a, 6) FROM a{_HITS_ROUNDS})
+ORDER BY kind, score DESC, id
+""",
+)
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the pinned day's actor x frame
+    incidence — genuinely bipartite, so the two vectors differ (on
+    the symmetrized interaction graph HITS degenerates to
+    q_eigenvector_centrality): hub actors are active in
+    high-authority frames and vice versa. 8 L1-normalized alternating
+    rounds; the oracle unrolls both half-steps per round with every
+    CTE MATERIALIZED (each is referenced twice)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.hits_bipartite(
+        qmod._presence(spark, sf_dir, qmod._day_filter()),
+        iterations=_HITS_ROUNDS,
+    )

@@ -1604,3 +1604,66 @@ def test_minklattice_merge_chop_invariant(spark, tmp_path):
         assert drain(chunks) == drain([rows])
 
     check()
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(spark, edges):
+    import pyspark.sql.functions as F
+
+    uw = {
+        r.actor: r.rank
+        for r in graph.pagerank(edges, iterations=6).collect()
+    }
+    ew = edges.withColumn("w", F.lit(7))  # any constant weight
+    ww = {
+        r.actor: r.rank
+        for r in graph.pagerank_weighted(ew, iterations=6).collect()
+    }
+    assert ww == pytest.approx(uw, abs=1e-6)
+
+
+def test_pagerank_weighted_numpy_differential(spark):
+    import numpy as np
+
+    rows_ = [(1, 2, 10), (2, 3, 1), (1, 3, 1)]
+    df = spark.createDataFrame(rows_, "actor1 long, actor2 long, w long")
+    got = {
+        r.actor: r.rank
+        for r in graph.pagerank_weighted(df, iterations=10).collect()
+    }
+    nodes = sorted({a for r in rows_ for a in r[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    W = np.zeros((3, 3))
+    for a, b, w in rows_:
+        W[idx[a], idx[b]] = W[idx[b], idx[a]] = w
+    P = W / W.sum(axis=1, keepdims=True)
+    r = np.full(3, 1 / 3)
+    for _ in range(10):
+        r = (1 - 0.85) / 3 + 0.85 * (P.T @ r)
+    for v in nodes:
+        assert got[v] == pytest.approx(round(float(r[idx[v]]), 6), abs=2e-6)
+
+
+def test_hits_bipartite_numpy_differential(spark):
+    import numpy as np
+
+    pres = [(100, 1), (100, 2), (101, 2), (101, 3), (102, 3)]
+    df = spark.createDataFrame(pres, "frame_id long, actor long")
+    out = graph.hits_bipartite(df, iterations=8).collect()
+    h = {r.id: r.score for r in out if r.kind == "actor"}
+    a = {r.id: r.score for r in out if r.kind == "frame"}
+    actors, frames = [1, 2, 3], [100, 101, 102]
+    M = np.zeros((3, 3))  # frames x actors
+    for f, u in pres:
+        M[frames.index(f), actors.index(u)] = 1
+    hv = np.full(3, 1 / 3)
+    for _ in range(8):
+        av = M @ hv
+        av /= av.sum()
+        hv = M.T @ av
+        hv /= hv.sum()
+    for i, u in enumerate(actors):
+        assert h[u] == pytest.approx(round(float(hv[i]), 6), abs=2e-6)
+    for i, f in enumerate(frames):
+        assert a[f] == pytest.approx(round(float(av[i]), 6), abs=2e-6)
+    assert sum(h.values()) == pytest.approx(1.0, abs=1e-4)
+    assert sum(a.values()) == pytest.approx(1.0, abs=1e-4)
