@@ -1699,19 +1699,39 @@ def bigram_ppl(
     count tables — train-sized sides, corpus-sized stream, no UDF.
     Columns: source, n_docs, mean_logprob, mean_ppl (round 6).
     """
+    pr = bigram_pairs(docs, text_col)
+    train = pr.where(F.col("source") == train_source).localCheckpoint()
+    vocab = train.select(F.col("w").alias("tok")).distinct().localCheckpoint()
+    cb = train.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
+    cu = train.groupBy("v").agg(F.count(F.lit(1)).alias("cu"))
+    return bigram_score(pr, vocab, cb, cu, alpha)
+
+
+def bigram_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, source, v, w) BOS-context bigram stream — shared by
+    the batch :func:`bigram_ppl` and the streaming count-maintenance
+    drain (streaming/bigram_lm.py)."""
     toks = tokens_df(docs, text_col).where(F.size("t") > 0)
     pairs_expr = F.expr(
         "transform(sequence(1, size(t)), i -> struct("
         "CASE WHEN i = 1 THEN '<s>' ELSE element_at(t, i-1) END AS v, "
         "element_at(t, i) AS w))"
     )
-    pr = toks.select(
+    return toks.select(
         "doc_id", "source", F.explode(pairs_expr).alias("p")
     ).select("doc_id", "source", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
-    train = pr.where(F.col("source") == train_source).localCheckpoint()
-    vocab = train.select(F.col("w").alias("tok")).distinct().localCheckpoint()
-    cb = train.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
-    cu = train.groupBy("v").agg(F.count(F.lit(1)).alias("cu"))
+
+
+def bigram_score(
+    pr: DataFrame,
+    vocab: DataFrame,
+    cb: DataFrame,
+    cu: DataFrame,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Score a (doc_id, source, v, w) bigram stream under trained
+    count tables (vocab: ``tok``; cb: v, w, cb; cu: v, cu) — the
+    read-time half shared by batch and streaming forms."""
     vs = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("vsize"))
     vv = vocab.select(F.col("tok").alias("vtok"))
     vw = vocab.select(F.col("tok").alias("wtok"))

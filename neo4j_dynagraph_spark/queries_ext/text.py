@@ -1363,9 +1363,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bigram_ppl",
-    oracle=f"""
+_BIGRAM_ORACLE = f"""
 WITH {_TOK_CTE},
 tk AS (SELECT t.doc_id, t.source, t.t FROM tok t WHERE len(t.t) > 0),
 pr AS (SELECT doc_id, source,
@@ -1394,8 +1392,10 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(mlp), 6) AS mean_logprob,
        round(avg(exp(-mlp)), 6) AS mean_ppl
 FROM pd2 GROUP BY source ORDER BY source
-""",
-)
+"""
+
+
+@query("q_bigram_ppl", oracle=_BIGRAM_ORACLE)
 def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-LM perplexity filter (CCNet/KenLM modality, one
     level above q_unigram_logprob / q_ppl_buckets): an additive-
@@ -1406,3 +1406,21 @@ def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1e-6 grid; the oracle replays train counts, vocab mapping,
     and scoring joins exactly."""
     return text.bigram_ppl(_docs(spark, sf_dir), train_source="src0")
+
+
+@query("q_stream_bigram_ppl", oracle=_BIGRAM_ORACLE)
+def q_stream_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING LM-count maintenance: the documents stream drained
+    through incremental bigram/context count partials (additive
+    BatchRowStore class — replay replaces its own batch_id rows),
+    a set-union vocab store, and the batch-keyed doc store; at read
+    the summed counts feed the SAME shared scoring pipeline as the
+    batch operator, so the per-source perplexity table is bit-equal
+    to q_bigram_ppl under any chopping and graded on ITS oracle
+    (streaming/bigram_lm.py; multibatch + late-reference-doc test)."""
+    from neo4j_dynagraph_spark.streaming.bigram_lm import stream_bigram_ppl
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_bigram_ppl(
+        spark, f"{sf_dir}/documents.parquet", schema, train_source="src0"
+    )

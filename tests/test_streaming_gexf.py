@@ -1426,3 +1426,48 @@ def test_stream_neighbor_sampling_multibatch_equals_batch(spark, tmp_path):
 
     h1 = Counter(r[0] for r in s_rows if r[1] == 1)
     assert max(h1.values()) == 2
+
+
+def test_stream_bigram_ppl_multibatch_equals_batch(spark, tmp_path):
+    """The incremental bigram-count drain, one file per micro-batch,
+    must equal batch bigram_ppl bit-for-bit: reference docs split
+    across batches (counts are additive partials), a scored doc
+    arriving BEFORE some reference docs (read-time scoring must see
+    corpus-final counts), and OOV words hitting the unk path."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.text import bigram_ppl
+    from neo4j_dynagraph_spark.streaming.bigram_lm import stream_bigram_ppl
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shards = [
+        [(0, "the cat sat on the mat", "ref"), (10, "the cat sat", "a")],
+        [(11, "zebra quux the cat", "b")],   # scored BEFORE shard 2's ref
+        [(1, "the cat ran off the mat", "ref"), (12, "mat the on", "a")],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_bigram_ppl(
+        spark,
+        str(src),
+        schema,
+        train_source="ref",
+        store_root=str(tmp_path / "lm_store"),
+        max_files_per_trigger=1,
+    )
+    batch = bigram_ppl(spark.read.parquet(str(src)), train_source="ref")
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) == 3
