@@ -3294,3 +3294,110 @@ def hits_bipartite(presence: DataFrame, iterations: int = 8) -> DataFrame:
     return out_h.unionByName(out_a).orderBy(
         "kind", F.desc("score"), "id"
     )
+
+
+def effective_diameter(
+    edges: DataFrame, max_dist: int = 4, q: float = 0.9
+) -> DataFrame:
+    """Effective diameter: the interpolated hop count at which a
+    fraction ``q`` of all reachable ordered pairs is within distance
+    (the "Four Degrees of Separation" statistic, exact via the shared
+    :func:`bounded_distances` BFS; :func:`kmv_neighborhood` is the
+    sketched scale twin). Linear interpolation between the bracketing
+    distances, the HyperANF convention: d-1 + (q*T - N(d-1))/(N(d) -
+    N(d-1)) where N is the cumulative pair count and T the total.
+
+    One row: eff_diameter (round 6), d_lo (the bracketing integer
+    distance), n_pairs (total reached ordered pairs).
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        bounded_distances(edges, max_dist)
+        .where(F.col("d") > 0)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "d",
+        F.sum("n_pairs").over(w_cum).alias("cum"),
+        F.sum("n_pairs").over(w_all).alias("total"),
+    )
+    # the first distance whose cumulative count reaches q*total
+    hit = (
+        cum.where(F.col("cum") >= F.lit(q) * F.col("total"))
+        .orderBy("d")
+        .limit(1)
+    )
+    prev = cum.select(
+        (F.col("d") + 1).alias("d"), F.col("cum").alias("cum_prev")
+    )
+    return (
+        hit.join(prev, "d", "left")
+        .select(
+            F.round(
+                F.col("d") - 1
+                + (
+                    F.lit(q) * F.col("total")
+                    - F.coalesce(F.col("cum_prev"), F.lit(0))
+                )
+                / (F.col("cum") - F.coalesce(F.col("cum_prev"), F.lit(0))),
+                6,
+            ).alias("eff_diameter"),
+            F.col("d").alias("d_lo"),
+            F.col("total").alias("n_pairs"),
+        )
+    )
+
+
+def percolation_criterion(edges: DataFrame) -> DataFrame:
+    """Molloy-Reed percolation criterion of the contact graph — THE
+    epidemic-threshold statistic of the SocioPatterns research domain
+    (a giant component / epidemic outbreak can exist iff
+    kappa = <k^2>/<k> > 2): exact integer degree moments, the
+    branching factor kappa, the criterion margin, and the critical
+    uniform-failure fraction f_c = 1 - 1/(kappa - 1) (Cohen et al.
+    2000) — how many nodes you must remove (vaccinate) to fragment
+    the network.
+
+    One aggregate over the degree table, no iteration. Columns:
+    n_nodes, n_edges, mean_deg, kappa, criterion (kappa - 2 > 0),
+    f_c (round 6; NULL when kappa <= 1, i.e. no giant component to
+    fragment).
+    """
+    d = edges.select("actor1", "actor2").distinct()
+    deg = (
+        symmetrize(d)
+        .groupBy(F.col("src").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("k") / 2).cast("long").alias("n_edges"),
+        F.round(F.avg("k"), 6).alias("mean_deg"),
+        F.round(
+            F.sum(F.col("k") * F.col("k")) / F.sum("k").cast("double"), 6
+        ).alias("kappa"),
+        (
+            F.sum(F.col("k") * F.col("k")) / F.sum("k").cast("double")
+            > F.lit(2.0)
+        ).alias("criterion"),
+        F.when(
+            F.sum(F.col("k") * F.col("k")) / F.sum("k").cast("double")
+            > F.lit(1.0),
+            F.round(
+                F.lit(1.0)
+                - F.lit(1.0)
+                / (
+                    F.sum(F.col("k") * F.col("k"))
+                    / F.sum("k").cast("double")
+                    - F.lit(1.0)
+                ),
+                6,
+            ),
+        ).alias("f_c"),
+    )

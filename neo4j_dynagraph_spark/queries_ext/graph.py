@@ -3041,3 +3041,71 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         qmod._presence(spark, sf_dir, qmod._day_filter()),
         iterations=_HITS_ROUNDS,
     )
+
+
+@query(
+    "q_effective_diameter",
+    oracle=f"""
+WITH RECURSIVE
+{_REACH_CTE},
+hist AS (SELECT d, count(*) AS n_pairs FROM md WHERE d > 0 GROUP BY d),
+cum AS (SELECT d, sum(n_pairs) OVER (ORDER BY d) AS cum,
+               sum(n_pairs) OVER () AS total FROM hist),
+hit AS (SELECT * FROM cum WHERE cum >= 0.9 * total ORDER BY d LIMIT 1),
+prev AS (SELECT d + 1 AS d, cum AS cum_prev FROM cum)
+SELECT round(hit.d - 1 + (0.9 * total - coalesce(cum_prev, 0))
+             / (cum - coalesce(cum_prev, 0)), 6) AS eff_diameter,
+       CAST(hit.d AS INTEGER) AS d_lo,
+       CAST(total AS BIGINT) AS n_pairs
+FROM hit LEFT JOIN prev ON prev.d = hit.d
+""",
+)
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter (0.9-quantile interpolated hop count, the
+    'Four Degrees of Separation' statistic) of the pinned-hour graph
+    — the scalar read off q_distance_distribution's cumulative curve,
+    HyperANF interpolation convention; q_anf_sketch/q_anf_day are the
+    sketched scale path for the same number."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.effective_diameter(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        max_dist=4,
+        q=0.9,
+    )
+
+
+@query(
+    "q_percolation",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+deg AS (SELECT src, count(*) AS k FROM sym GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(k) / 2 AS BIGINT) AS n_edges,
+       round(avg(k), 6) AS mean_deg,
+       round(sum(k * k) / CAST(sum(k) AS DOUBLE), 6) AS kappa,
+       sum(k * k) / CAST(sum(k) AS DOUBLE) > 2.0 AS criterion,
+       CASE WHEN sum(k * k) / CAST(sum(k) AS DOUBLE) > 1.0 THEN
+         round(1.0 - CAST(1.0 AS DOUBLE)
+               / (sum(k * k) / CAST(sum(k) AS DOUBLE) - 1.0), 6)
+       END AS f_c
+FROM deg
+""",
+)
+def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Molloy-Reed percolation criterion of the pinned-day contact
+    graph — the epidemic-threshold statistic of the SocioPatterns
+    domain: branching factor kappa = <k^2>/<k> (outbreak possible iff
+    > 2) and the critical vaccination fraction f_c = 1 - 1/(kappa-1)
+    (Cohen et al. 2000). Exact integer degree moments in one
+    aggregate; the SI-spread dynamics themselves are the temporal
+    family (q_temporal_reach == deterministic SI, q_temporal_closeness
+    its latency profile)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.percolation_criterion(
+        qmod._edges(spark, sf_dir, qmod._day_filter())
+    )

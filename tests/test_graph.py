@@ -1667,3 +1667,33 @@ def test_hits_bipartite_numpy_differential(spark):
         assert a[f] == pytest.approx(round(float(av[i]), 6), abs=2e-6)
     assert sum(h.values()) == pytest.approx(1.0, abs=1e-4)
     assert sum(a.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_effective_diameter_interpolation(spark):
+    # path 1-2-3-4-5: ordered pairs by distance: d1=8, d2=6, d3=4,
+    # d4=2 (total 20); 0.9*20=18 falls in d3 (cum 14->18 exactly):
+    # eff = 2 + (18-14)/4 = 3.0
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "actor1 long, actor2 long"
+    )
+    r = graph.effective_diameter(path, max_dist=4, q=0.9).collect()[0]
+    assert r.n_pairs == 20 and r.d_lo == 3
+    assert r.eff_diameter == pytest.approx(3.0, abs=1e-6)
+
+
+def test_percolation_criterion_closed_form(spark, edges):
+    # degrees {3,2,3,2,2}: sum k=12, sum k^2=30, kappa=2.5 > 2,
+    # f_c = 1 - 1/1.5 = 1/3
+    r = graph.percolation_criterion(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges) == (5, 6)
+    assert r.kappa == pytest.approx(2.5, abs=1e-6)
+    assert r.criterion is True
+    assert r.f_c == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_percolation_subcritical_star_chain(spark):
+    # a 2-chain (single edge): kappa = 1 -> criterion False, f_c NULL
+    one = spark.createDataFrame([(1, 2)], "actor1 long, actor2 long")
+    r = graph.percolation_criterion(one).collect()[0]
+    assert r.kappa == pytest.approx(1.0, abs=1e-6)
+    assert r.criterion is False and r.f_c is None
