@@ -3401,3 +3401,41 @@ def percolation_criterion(edges: DataFrame) -> DataFrame:
             ),
         ).alias("f_c"),
     )
+
+
+def sage_aggregate(
+    blocks: DataFrame,
+    features: DataFrame,
+    feature_cols: list[str],
+    n_hops: int = 2,
+) -> DataFrame:
+    """The GraphSAGE AGGREGATE step over sampled blocks (Hamilton et
+    al. 2017, mean aggregator): per seed and hop, the mean of the
+    sampled neighbors' feature columns — the tensor a GNN trainer
+    consumes, assembled entirely relationally. Consumes
+    :func:`neighbor_sampling`'s (seed, hop, src, dst) blocks and a
+    per-actor feature table; means are over sampled EDGES (a hop-2
+    node reached twice counts twice — the sampled-block convention).
+
+    One equi-join (blocks x features on the dst key) + one grouped
+    conditional aggregate; integer input features make every mean an
+    exact rational, rounded 1e-6. Columns: seed, <feature_cols>
+    (the seed's own features), then per hop h: h{h}_n,
+    h{h}_mean_<col>... (NULL when the hop sampled nothing).
+    """
+    f = features.select(F.col("actor").alias("dst"), *feature_cols)
+    j = blocks.join(f, "dst")
+    aggs = []
+    for h in range(1, n_hops + 1):
+        aggs.append(
+            F.count(F.when(F.col("hop") == h, F.lit(1))).alias(f"h{h}_n")
+        )
+        for c in feature_cols:
+            aggs.append(
+                F.round(
+                    F.avg(F.when(F.col("hop") == h, F.col(c))), 6
+                ).alias(f"h{h}_mean_{c}")
+            )
+    per_seed = j.groupBy("seed").agg(*aggs)
+    own = features.select(F.col("actor").alias("seed"), *feature_cols)
+    return own.join(per_seed, "seed", "left").orderBy("seed")

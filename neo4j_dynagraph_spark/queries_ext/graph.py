@@ -3109,3 +3109,56 @@ def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.percolation_criterion(
         qmod._edges(spark, sf_dir, qmod._day_filter())
     )
+
+
+@query(
+    "q_sage_aggregate",
+    oracle=f"""
+WITH p AS ({_presence_sql(_HOUR_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+{_ns_cte(_NS_FANOUTS)},
+feats AS (SELECT actor, CAST(count(*) AS BIGINT) AS n_frames,
+                 CAST(sum(n_events) AS BIGINT) AS n_events
+          FROM p GROUP BY actor),
+agg AS (SELECT seed,
+  count(CASE WHEN hop = 1 THEN 1 END) AS h1_n,
+  round(avg(CASE WHEN hop = 1 THEN f.n_frames END), 6) AS h1_mean_n_frames,
+  round(avg(CASE WHEN hop = 1 THEN f.n_events END), 6) AS h1_mean_n_events,
+  count(CASE WHEN hop = 2 THEN 1 END) AS h2_n,
+  round(avg(CASE WHEN hop = 2 THEN f.n_frames END), 6) AS h2_mean_n_frames,
+  round(avg(CASE WHEN hop = 2 THEN f.n_events END), 6) AS h2_mean_n_events
+FROM ns JOIN feats f ON f.actor = ns.dst GROUP BY seed)
+SELECT o.actor AS seed, o.n_frames, o.n_events,
+       h1_n, h1_mean_n_frames, h1_mean_n_events,
+       h2_n, h2_mean_n_frames, h2_mean_n_events
+FROM feats o LEFT JOIN agg ON agg.seed = o.actor
+ORDER BY seed
+""",
+)
+def q_sage_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GraphSAGE mean-AGGREGATE step over the pinned-hour sampled
+    blocks: per seed, its own activity features plus the per-hop mean
+    of the sampled neighbors' features — the trainer-facing tensor
+    completing the sampling -> aggregation pipeline
+    (q_neighbor_sampling / q_stream_neighbor_sampling produce the
+    blocks, this row consumes them). Integer features keep every mean
+    an exact rational; the oracle replays the blocks and the
+    conditional aggregates."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    hour = qmod._hour_filter(HOUR, HOUR + 1)
+    edges = qmod._edges(spark, sf_dir, hour)
+    blocks = graph.neighbor_sampling(edges, list(_NS_FANOUTS))
+    feats = (
+        qmod._presence(spark, sf_dir, hour)
+        .groupBy("actor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+    return graph.sage_aggregate(
+        blocks, feats, ["n_frames", "n_events"], n_hops=2
+    )

@@ -1697,3 +1697,37 @@ def test_percolation_subcritical_star_chain(spark):
     r = graph.percolation_criterion(one).collect()[0]
     assert r.kappa == pytest.approx(1.0, abs=1e-6)
     assert r.criterion is False and r.f_c is None
+
+
+def test_sage_aggregate_closed_form(spark):
+    # star 0-(1,2,3) with fanout (2,1): center samples 2 leaves;
+    # leaves sample the center, then hop-2 re-samples one of the
+    # center's neighbors. Features: f(v) = v (identity), so means
+    # are directly readable.
+    star = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3)], "actor1 long, actor2 long"
+    )
+    feats = spark.createDataFrame(
+        [(v, v) for v in range(4)], "actor long, f long"
+    )
+    blocks = graph.neighbor_sampling(star, [2, 1])
+    out = {
+        r.seed: r
+        for r in graph.sage_aggregate(blocks, feats, ["f"], n_hops=2).collect()
+    }
+    b = [(r.seed, r.hop, r.src, r.dst) for r in blocks.collect()]
+    # center: exactly 2 hop-1 samples, mean = mean of those leaf ids
+    h1_center = [d for s, h, _, d in b if s == 0 and h == 1]
+    assert out[0].h1_n == 2
+    assert out[0].h1_mean_f == pytest.approx(
+        round(sum(h1_center) / 2, 6), abs=1e-6
+    )
+    # each leaf: hop-1 is the center (mean 0), hop-2 one center-neighbor
+    for leaf in (1, 2, 3):
+        assert out[leaf].h1_n == 1
+        assert out[leaf].h1_mean_f == pytest.approx(0.0, abs=1e-6)
+        h2 = [d for s, h, _, d in b if s == leaf and h == 2]
+        assert out[leaf].h2_n == len(h2) == 1
+        assert out[leaf].h2_mean_f == pytest.approx(float(h2[0]), abs=1e-6)
+    # own features pass through
+    assert out[3].f == 3
