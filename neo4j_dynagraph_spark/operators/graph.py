@@ -3010,17 +3010,22 @@ def densest_subgraph(edges: DataFrame, rounds: int = 8) -> DataFrame:
     """Greedy densest-subgraph peeling (Charikar 2000 via the
     Bahmani-Kumar-Vassilvitskii 2012 distributed formulation,
     epsilon=0): each round records the remaining graph's density
-    E/V, then removes every node whose degree is <= 2*E/V; the best
-    round's density 2-approximates the optimum. The removal test is
-    the INTEGER cross-multiplication deg * V <= 2 * E — no float
-    compare ever decides membership, so the peel sequence is exact
-    in both engines; only the reported density is a rounded double.
+    E/V, then removes every node whose degree is <= 2*E/V. The
+    removal test is the INTEGER cross-multiplication
+    deg * V <= 2 * E — no float compare ever decides membership, so
+    the peel sequence is exact in both engines; only the reported
+    density is a rounded double.
 
     Fully declarative: per round the (V, E) counts join back as
     broadcast one-row aggregates (no driver-side scalars), edges
     shrink by two semi-joins on the survivor set, every round
-    checkpointed. ``rounds`` is fixed; log2(V) rounds suffice for
-    the guarantee (each round removes a constant node fraction).
+    checkpointed. Guarantee caveat: the Charikar 2-approximation
+    holds only if peeling runs to EXHAUSTION; at epsilon=0 there is
+    no constant-fraction-removal bound (Bahmani et al.'s O(log V)
+    round bound needs epsilon > 0, removing deg <= 2(1+eps)E/V per
+    round). With a fixed ``rounds`` this operator reports the best
+    density SEEN — a lower bound on the optimum, not a certified
+    2-approximation unless the peel empties within the budget.
     Columns: round, n_nodes, n_edges, density (round 6), is_best
     (density equals the max over emitted rounds).
     """
@@ -3249,6 +3254,11 @@ def hits_bipartite(presence: DataFrame, iterations: int = 8) -> DataFrame:
     per half-step, both vectors checkpointed per round. Columns:
     kind ('actor' | 'frame'), id, score (round 6; desc within kind).
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits_bipartite needs iterations >= 1 (got {iterations}): "
+            "the authority vector only exists after the first half-step"
+        )
     inc = presence.select("frame_id", "actor").distinct().localCheckpoint()
     n_a = inc.select("actor").distinct().count()
     hub = (

@@ -1513,6 +1513,11 @@ def hrw_shard_migration(docs: DataFrame, n_small: int = 8) -> DataFrame:
 GOPHER_STOPS = ("the", "a", "of", "and", "to")
 GOPHER_MIN_WORDS = 20
 GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP_FRAC = 0.2
 
 
 def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1563,10 +1568,10 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         top_frac.alias("top_frac"),
     )
     r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-    r_mwl = F.col("mwl").between(3.0, 10.0)
-    r_alpha = F.col("alpha_frac") >= 0.8
-    r_stop = F.col("stop_hits") >= 2
-    r_rep = F.col("top_frac") <= 0.2
+    r_mwl = F.col("mwl").between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
+    r_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    r_rep = F.col("top_frac") <= GOPHER_MAX_TOP_FRAC
     return feat.select(
         *keep,
         "n_words",

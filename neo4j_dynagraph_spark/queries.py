@@ -2245,67 +2245,65 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_shortest_path_weighted, q_neighbor_sampling) plus q_frame_density;
 # retire whichever current rows come back green this round with 3+
 # prior greens. All are parity-pinned meanwhile.
+#
+# ROTATION (round 12): executed as queued, and wider — the registry's
+# never-graded tail must shrink faster than it grows, so EVERY row
+# with 3+ driver greens retires this round (21 rows: q_stream_kmv,
+# q_stream_cms, q_stream_campaign, q_pit_features, q_dedup_prefix,
+# q_dup_spans_exact, q_stratified_sample, q_gopher_rules, q_sq_topk,
+# q_sq_recall, q_ivf_tuning, q_kcore_bounded, q_temporal_paths,
+# q_copurchase_rules, q_token_pmi, q_bpe_train, q_dsir_weights,
+# q_source_divergence, q_tokenizer_fertility, q_skew_audit,
+# q_media_tiles — all remain parity-pinned by the full-registry gate)
+# in favor of 21 never-driver-graded rows: the round-11 distance/
+# centrality completion family (q_betweenness + its Brandes-Pich
+# sampled twin, closeness, harmonic, distance distribution + both ANF
+# sketch forms, effective diameter, percolation, Luby MIS, densest
+# subgraph, rich club, temporal closeness, weighted SSSP), the
+# LM-curation probes (q_quality_probe, q_bigram_ppl + its streaming
+# count-maintenance twin), the weighted/bipartite centrality pair
+# (q_pagerank_weighted, q_hits_bipartite), and the GNN-minibatch pair
+# (q_sage_aggregate, q_stream_neighbor_sampling).
+#
+# STANDING POLICY (round 12 on): every NEW query enters _GRADE_WINDOW
+# in its birth round (the q_stream_ivf_assign precedent, now the
+# rule), displacing the row with the most prior driver greens; a row
+# retires only after 3+ greens unless displaced by a birth-round
+# entry, and retired rows stay pinned by the full-registry parity
+# gate (tools/check_parity.py, `pytest -m parity`).
 
 _GRADE_WINDOW = [
-    # round-11 rotation block: never-graded capstones (see ledger)
+    # round-11 capstones entering their second graded round
     "q_training_mix", "q_semdedup",
     "q_node2vec_walks", "q_link_scores",
     "q_stream_dedup_lsh", "q_stream_embed_topk",
     "q_stream_temperature_mix",
     "q_pq_recall", "q_ivfpq", "q_png_decode",
     "q_stream_ivf_assign", "q_triangles_capped",
-    # sketch surface: incremental KMV + Count-Min drains, the round-9
-    # CMS join-size estimator (never driver-graded until now)
-    "q_stream_kmv", "q_stream_cms", "q_join_size_est",
-    # temporal joins without discretization (q_asof_keyed and
-    # q_interval_overlap rotated out after 4 green rounds —
-    # parity-pinned; the streaming campaign join and the
-    # point-in-time feature join stay)
-    "q_stream_campaign", "q_pit_features",
-    # streaming (batch-equivalence oracles, SURVEY.md §2.9; the edge
-    # builder and sessionizer rotated out after 4 green rounds — both
-    # remain parity-pinned and stream==batch unit-tested). The round-9
-    # incremental drains (quality drift, SQ calibration) and the
-    # round-10 streaming curation capstone rotate IN.
-    "q_stream_gopher", "q_stream_sq_stats", "q_stream_training_mix",
-    # dedup / curation (q_dedup_prefix is the no-false-negative
-    # candidate strategy; q_dup_spans_exact the round-9 exact-substring
-    # span audit; q_gopher_rules the round-9 rule-filter audit;
-    # q_minhash_decontam the fuzzy decontamination gate, now graded on
-    # its superset-candidate contract)
-    "q_dedup_prefix", "q_dup_spans_exact", "q_minhash_decontam",
-    "q_stratified_sample", "q_gopher_rules",
-    # similarity / embeddings: recall grading, distributed PCA, and the
-    # round-9 quantization surface (int8 SQ top-k + recall, IVF nprobe
-    # tuning curve)
-    "q_sq_topk", "q_sq_recall", "q_ivf_tuning",
-    # iterative-graph surface: replay-oracle PageRank, the bounded
-    # k-core peel, link-prediction scores, temporal paths, association
-    # rules — plus the round-9 embedding-training pipeline (DeepWalk
-    # walks -> skip-gram pairs -> SGNS negatives, CTDNE walks) and the
-    # community/topology grading rows, none driver-graded before
-    "q_kcore_bounded", "q_temporal_paths",
-    "q_copurchase_rules",
-    # round-11 session additions, graded in their first round (the
-    # q_stream_ivf_assign precedent): the dynamic-graph evolution
-    # family, the streaming burst twin (graded on the batch row's own
-    # oracle), and the seeded/eigen centrality pair. Retired to make
-    # room: q_pagerank (its seeded twin q_personalized_pagerank
-    # exercises the same unrolled power-method machinery + teleport),
-    # q_adamic_adar + q_node_similarity (both subsumed by the graded
-    # q_link_scores one-pass fusion), q_bm25_search, q_ann_recall,
-    # q_embed_pca (all >= 3 consecutive driver-green; parity-pinned)
+    # 2-green rows held for a third green before retirement
+    "q_join_size_est", "q_stream_gopher", "q_stream_sq_stats",
+    "q_stream_training_mix", "q_minhash_decontam",
+    # round-11 dynamic-graph evolution family (first graded r11)
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     "q_stream_burst", "q_personalized_pagerank",
     "q_eigenvector_centrality",
+    # embedding-training pipeline, 2 greens each
     "q_random_walks", "q_skipgram_pairs", "q_sgns_negatives",
     "q_temporal_walks", "q_modularity", "q_degree_powerlaw",
-    # text / tokenizer / retrieval core (+ round-9 corpus analytics:
-    # source JSD, tokenizer fertility) and the operational skew audit
-    "q_token_pmi", "q_bpe_train", "q_dsir_weights",
-    "q_source_divergence", "q_tokenizer_fertility", "q_skew_audit",
-    # round-9 multimodal: real-decode patchify
-    "q_media_tiles",
+    # ROUND-12 ROTATION BLOCK: the never-driver-graded tail (ledger
+    # above). Distance/centrality completion family —
+    "q_betweenness", "q_betweenness_sampled",
+    "q_closeness_centrality", "q_harmonic_centrality",
+    "q_distance_distribution", "q_anf_day", "q_anf_sketch",
+    "q_effective_diameter", "q_percolation", "q_luby_mis",
+    "q_densest_subgraph", "q_rich_club", "q_temporal_closeness",
+    "q_shortest_path_weighted",
+    # — LM-curation probes (trained quality probe, bigram-LM
+    # perplexity + its incremental streaming twin)
+    "q_quality_probe", "q_bigram_ppl", "q_stream_bigram_ppl",
+    # — weighted/bipartite centrality + the GNN-minibatch pair
+    "q_pagerank_weighted", "q_hits_bipartite",
+    "q_sage_aggregate", "q_stream_neighbor_sampling",
 ]
 
 

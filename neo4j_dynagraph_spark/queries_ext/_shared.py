@@ -63,6 +63,37 @@ def sql_str(term: str) -> str:
     return "'" + term.replace("'", "''") + "'"
 
 
+# Gopher rule replay fragments, interpolated from the operators/text.py
+# constants (never re-typed) so a threshold change there cannot silently
+# desynchronize the q_gopher_rules / q_stream_gopher / q_quality_probe
+# oracles from the Spark-side labels — the _RC_KS/_NS_FANOUTS pattern.
+_G_STOPS_LIST = "[" + ", ".join(sql_str(s) for s in text.GOPHER_STOPS) + "]"
+_GOPHER_FEAT_SQL = f"""len(t) AS n,
+  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+    / greatest(len(t), 1) AS mwl,
+  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+    / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
+  len(list_filter({_G_STOPS_LIST},
+      s -> list_contains(t, s))) AS stop_hits,
+  CASE WHEN len(t) = 0 THEN 1.0
+       ELSE CAST(list_max(list_transform(list_distinct(t),
+                 d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
+            / greatest(len(t), 1) END AS top_frac"""
+_GOPHER_RULES_SQL = f"""\
+(n BETWEEN {text.GOPHER_MIN_WORDS} AND {text.GOPHER_MAX_WORDS}) AS r_wc,
+  (mwl BETWEEN {text.GOPHER_MWL_MIN} AND {text.GOPHER_MWL_MAX}) AS r_mwl,
+  alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC} AS r_alpha,
+  stop_hits >= {text.GOPHER_MIN_STOP_HITS} AS r_stop,
+  top_frac <= {text.GOPHER_MAX_TOP_FRAC} AS r_rep"""
+_GOPHER_PASS_SQL = (
+    f"(n BETWEEN {text.GOPHER_MIN_WORDS} AND {text.GOPHER_MAX_WORDS})"
+    f" AND (mwl BETWEEN {text.GOPHER_MWL_MIN} AND {text.GOPHER_MWL_MAX})"
+    f" AND alpha_frac >= {text.GOPHER_MIN_ALPHA_FRAC}"
+    f" AND stop_hits >= {text.GOPHER_MIN_STOP_HITS}"
+    f" AND top_frac <= {text.GOPHER_MAX_TOP_FRAC}"
+)
+
+
 def _bm25_tf_sql(i: int, t: str) -> str:
     return (
         f"CAST(len(list_filter(t, x -> x = {sql_str(t)})) AS DOUBLE) AS tf{i}"

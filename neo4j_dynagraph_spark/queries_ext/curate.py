@@ -36,6 +36,9 @@ from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
 from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
     _BM25_TERMS,
     _DAY_WHERE,
+    _GOPHER_FEAT_SQL,
+    _GOPHER_PASS_SQL,
+    _GOPHER_RULES_SQL,
     _H64,
     _SH_CTE,
     _TOK,
@@ -43,6 +46,7 @@ from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
     _bm25_term_sql,
     _bm25_tf_sql,
     _docs,
+    sql_str,
 )
 
 
@@ -645,24 +649,10 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_gopher_rules",
     oracle=f"""
 WITH {_TOK_CTE},
-feat AS (SELECT doc_id, source, len(t) AS n,
-  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-    / greatest(len(t), 1) AS mwl,
-  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-    / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
-  len(list_filter(['the', 'a', 'of', 'and', 'to'],
-      s -> list_contains(t, s))) AS stop_hits,
-  CASE WHEN len(t) = 0 THEN 1.0
-       ELSE CAST(list_max(list_transform(list_distinct(t),
-                 d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
-            / greatest(len(t), 1) END AS top_frac
+feat AS (SELECT doc_id, source, {_GOPHER_FEAT_SQL}
 FROM tok),
 rules AS (SELECT source,
-  (n BETWEEN 20 AND 100000) AS r_wc,
-  (mwl BETWEEN 3.0 AND 10.0) AS r_mwl,
-  alpha_frac >= 0.8 AS r_alpha,
-  stop_hits >= 2 AS r_stop,
-  top_frac <= 0.2 AS r_rep
+  {_GOPHER_RULES_SQL}
 FROM feat)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
@@ -714,6 +704,10 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PROBE_F = ("len", "ttr", "stop", "alpha", "wordlen")
+# Interpolated (never re-typed) quality-stopword constant so a change
+# in operators/text.py cannot silently desynchronize this oracle from
+# the Spark-side features; the Gopher fragments live in _shared.py.
+_Q_STOPS_EQ = " OR ".join(f"x = {sql_str(s)}" for s in text._QUALITY_STOPS)
 
 
 def _probe_cte(steps: int, lr: float) -> str:
@@ -723,11 +717,10 @@ def _probe_cte(steps: int, lr: float) -> str:
     gradient per coordinate, and the next weight row."""
     z = "b + " + " + ".join(f"w_{n} * f_{n}" for n in _PROBE_F)
     blocks = [
-        """f AS (SELECT t.doc_id,
+        f"""f AS (SELECT t.doc_id,
         ln(1.0 + CAST(len(t.t) AS DOUBLE)) AS f_len,
         len(list_distinct(t.t)) / CAST(len(t.t) AS DOUBLE) AS f_ttr,
-        len(list_filter(t.t, x -> x = 'the' OR x = 'a' OR x = 'of'
-                               OR x = 'and' OR x = 'to'))
+        len(list_filter(t.t, x -> {_Q_STOPS_EQ}))
           / CAST(greatest(len(t.t), 1) AS DOUBLE) AS f_stop,
         len(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
           / CAST(greatest(len(lower(d.text)), 1) AS DOUBLE) AS f_alpha,
@@ -735,21 +728,9 @@ def _probe_cte(steps: int, lr: float) -> str:
           / CAST(len(t.t) AS DOUBLE) AS f_wordlen
       FROM tok t JOIN documents d ON d.doc_id = t.doc_id
       WHERE len(t.t) > 0)""",
-        """gfeat AS (SELECT doc_id, len(t) AS n,
-  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-    / greatest(len(t), 1) AS mwl,
-  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-    / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
-  len(list_filter(['the', 'a', 'of', 'and', 'to'],
-      s -> list_contains(t, s))) AS stop_hits,
-  CASE WHEN len(t) = 0 THEN 1.0
-       ELSE CAST(list_max(list_transform(list_distinct(t),
-                 d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
-            / greatest(len(t), 1) END AS top_frac
-FROM tok)""",
-        """lbl AS (SELECT doc_id,
-  CAST(((n BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
-        AND alpha_frac >= 0.8 AND stop_hits >= 2 AND top_frac <= 0.2)
+        f"gfeat AS (SELECT doc_id, {_GOPHER_FEAT_SQL}\nFROM tok)",
+        f"""lbl AS (SELECT doc_id,
+  CAST(({_GOPHER_PASS_SQL})
        AS DOUBLE) AS y FROM gfeat)""",
         "tr AS (SELECT f.*, lbl.y FROM f JOIN lbl ON lbl.doc_id = f.doc_id)",
         "w0 AS (SELECT CAST(0 AS DOUBLE) AS b, "

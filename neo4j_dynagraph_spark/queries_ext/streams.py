@@ -37,6 +37,8 @@ from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
     _BM25_TERMS,
     sql_str,
     _DAY_WHERE,
+    _GOPHER_FEAT_SQL,
+    _GOPHER_RULES_SQL,
     _H64,
     _SH_CTE,
     _TOK,
@@ -457,24 +459,10 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_gopher",
     oracle=f"""
 WITH {_TOK_CTE},
-feat AS (SELECT doc_id, source, len(t) AS n,
-  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-    / greatest(len(t), 1) AS mwl,
-  len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
-    / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_frac,
-  len(list_filter(['the', 'a', 'of', 'and', 'to'],
-      s -> list_contains(t, s))) AS stop_hits,
-  CASE WHEN len(t) = 0 THEN 1.0
-       ELSE CAST(list_max(list_transform(list_distinct(t),
-                 d -> len(list_filter(t, x -> x = d)))) AS DOUBLE)
-            / greatest(len(t), 1) END AS top_frac
+feat AS (SELECT doc_id, source, {_GOPHER_FEAT_SQL}
 FROM tok),
 rules AS (SELECT source,
-  (n BETWEEN 20 AND 100000) AS r_wc,
-  (mwl BETWEEN 3.0 AND 10.0) AS r_mwl,
-  alpha_frac >= 0.8 AS r_alpha,
-  stop_hits >= 2 AS r_stop,
-  top_frac <= 0.2 AS r_rep
+  {_GOPHER_RULES_SQL}
 FROM feat)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,

@@ -139,8 +139,14 @@ def stream_neighbor_sampling(
         newp = newp.localCheckpoint()
         if newp.count() == 0:
             return
-        pres.merge(newp)
-        allp = pres.read()  # includes this batch's rows
+        # Commit order matters for crash-replay exactly-once: the
+        # presence store is the dedup gate for the left-anti above, so
+        # it must commit LAST. The lattice merges are idempotent
+        # (hash-keyed min-k), so a replay after a crash between stores
+        # recomputes newp non-empty and re-merges harmlessly; committing
+        # presence first would make a replayed batch's newp empty and
+        # drop its edges from the lattices forever.
+        allp = newp if old is None else old.unionByName(newp)
         pairs = (
             newp.alias("a")
             .join(allp.alias("b"), "frame_id")
@@ -162,6 +168,7 @@ def stream_neighbor_sampling(
             lat.merge(
                 sym_new.select("src", "dst", _hop_hash(hop).alias("h"))
             )
+        pres.merge(newp)  # dedup gate commits last (see above)
 
     q = (
         stream.writeStream.foreachBatch(sample_batch)

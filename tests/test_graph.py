@@ -1643,6 +1643,12 @@ def test_pagerank_weighted_numpy_differential(spark):
         assert got[v] == pytest.approx(round(float(r[idx[v]]), 6), abs=2e-6)
 
 
+def test_hits_bipartite_rejects_zero_iterations(spark):
+    df = spark.createDataFrame([(100, 1)], "frame_id long, actor long")
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        graph.hits_bipartite(df, iterations=0)
+
+
 def test_hits_bipartite_numpy_differential(spark):
     import numpy as np
 

@@ -1428,6 +1428,102 @@ def test_stream_neighbor_sampling_multibatch_equals_batch(spark, tmp_path):
     assert max(h1.values()) == 2
 
 
+def test_stream_neighbor_sampling_crash_between_commits_replays(
+    spark, tmp_path, monkeypatch
+):
+    """Exactly-once under a crash BETWEEN the two store commits: the
+    presence store is the dedup gate for the left-anti, so it must
+    commit LAST. This test kills the drain at the final batch's
+    presence commit — leaving the hop lattices already merged but the
+    presence store without that batch (the exact mid-crash state) —
+    then resumes the same persistent store_root. Structured Streaming
+    replays the batch; because presence lacks its rows, newp comes
+    back NON-empty, the idempotent min-k lattices absorb the re-merge,
+    and the final result equals batch bit-for-bit. Under the old
+    presence-first order the replayed batch's newp was empty and its
+    edges were lost from the lattices forever."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators import graph, ingest
+    from neo4j_dynagraph_spark.streaming.neighbor_sampling import (
+        stream_neighbor_sampling,
+    )
+    from neo4j_dynagraph_spark.streaming.upsert import DimensionStore
+
+    def t(m):
+        return dt.datetime(2024, 1, 15, 10, m, tzinfo=dt.timezone.utc)
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shards = [
+        [(t(1), 1), (t(2), 2)],               # frame A: 1, 2
+        [(t(3), 3), (t(40), 1), (t(41), 4)],  # A gains 3; B: 1, 4
+        [(t(42), 2)],                          # B gains 2 (crash batch)
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    store = str(tmp_path / "ns_store")
+    real_merge = DimensionStore.merge
+    calls = {"n": 0}
+
+    def dying_merge(self, df):
+        # presence merges once per non-empty batch; batch 2 = call 3.
+        # Raise BEFORE the real merge: lattices committed, presence not.
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected crash before presence commit")
+        return real_merge(self, df)
+
+    monkeypatch.setattr(DimensionStore, "merge", dying_merge)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        stream_neighbor_sampling(
+            spark,
+            str(src),
+            schema,
+            fanouts=[2, 1],
+            delta=1800,
+            store_root=store,
+            max_files_per_trigger=1,
+        )
+    monkeypatch.setattr(DimensionStore, "merge", real_merge)
+    # mid-crash state really holds: hop lattices have batch-2 edges,
+    # presence does not have actor 2's frame-B row (frame-A row only)
+    pres = DimensionStore(
+        spark, os.path.join(store, "presence"), ["frame_id", "actor"]
+    ).read()
+    assert pres.where("actor = 2").count() == 1
+    streamed = stream_neighbor_sampling(
+        spark,
+        str(src),
+        schema,
+        fanouts=[2, 1],
+        delta=1800,
+        store_root=store,
+        max_files_per_trigger=1,
+    )
+    edges = ingest.presence_to_frame_interactions(
+        ingest.events_to_presence(spark.read.parquet(str(src)), 1800)
+    )
+    batch = graph.neighbor_sampling(edges, [2, 1])
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_stream_bigram_ppl_multibatch_equals_batch(spark, tmp_path):
     """The incremental bigram-count drain, one file per micro-batch,
     must equal batch bigram_ppl bit-for-bit: reference docs split
