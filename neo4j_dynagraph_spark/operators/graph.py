@@ -2755,6 +2755,52 @@ def neighbor_sampling(
     return out.orderBy("seed", "hop", "src", "dst")
 
 
+def _temporal_arrivals(
+    sym: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Multi-source earliest-arrival table over time-respecting paths:
+    (s, v, t) = min earliest-arrival frame from seed s to node v in
+    <= max_hops edges (t = -1 for v == s, i.e. depart-any-time).
+
+    Delta iteration: only arrivals that IMPROVED last round expand
+    (an earlier arrival can ride every edge a later one can, so the
+    min-arrival frontier dominates all other path prefixes — the
+    full-state re-expansion joined ~frontier x frame-degree x H rows
+    and was 2x slower at sf0.1 even vs the fixpoint form). Exactly
+    ``max_hops`` join+min rounds, no data-dependent actions. State is
+    O(V * |seeds|) — the sampled estimator's scale lever."""
+    arrival = seeds.select(
+        "s",
+        F.col("s").alias("v"),
+        F.lit(-1).cast("long").alias("t"),
+    ).localCheckpoint()
+    frontier = arrival
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(sym, frontier.v == sym.src)
+            .where(F.col("frame_id") >= F.col("t"))
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.min("frame_id").alias("t"))
+        )
+        merged = (
+            arrival.unionByName(cand)
+            .groupBy("s", "v")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint()
+        )
+        prev = arrival.select("s", "v", F.col("t").alias("t_old"))
+        frontier = (
+            merged.join(prev, ["s", "v"], "left")
+            .where(
+                F.col("t_old").isNull() | (F.col("t") < F.col("t_old"))
+            )
+            .select("s", "v", "t")
+            .localCheckpoint(eager=False)
+        )
+        arrival = merged
+    return arrival
+
+
 def temporal_closeness(
     frame_edges: DataFrame, max_hops: int = 6
 ) -> DataFrame:
@@ -2783,47 +2829,8 @@ def temporal_closeness(
     sym = symmetrize(
         frame_edges.select("frame_id", "actor1", "actor2").distinct()
     ).localCheckpoint()
-    arrival = (
-        sym.select(F.col("src").alias("s"))
-        .distinct()
-        .select(
-            "s",
-            F.col("s").alias("v"),
-            F.lit(-1).cast("long").alias("t"),
-        )
-        .localCheckpoint()
-    )
-    # delta iteration: only arrivals that IMPROVED last round expand
-    # (an earlier arrival can ride every edge a later one can, so the
-    # min-arrival frontier dominates all other path prefixes — the
-    # full-state re-expansion joined ~frontier x frame-degree x H rows
-    # and was 2x slower at sf0.1 even vs the fixpoint form)
-    frontier = arrival
-    for _ in range(max_hops):
-        cand = (
-            frontier.join(sym, frontier.v == sym.src)
-            .where(F.col("frame_id") >= F.col("t"))
-            .groupBy("s", F.col("dst").alias("v"))
-            .agg(F.min("frame_id").alias("t"))
-        )
-        merged = (
-            arrival.unionByName(cand)
-            .groupBy("s", "v")
-            .agg(F.min("t").alias("t"))
-            .localCheckpoint()
-        )
-        prev = arrival.select(
-            "s", "v", F.col("t").alias("t_old")
-        )
-        frontier = (
-            merged.join(prev, ["s", "v"], "left")
-            .where(
-                F.col("t_old").isNull() | (F.col("t") < F.col("t_old"))
-            )
-            .select("s", "v", "t")
-            .localCheckpoint(eager=False)
-        )
-        arrival = merged
+    seeds = sym.select(F.col("src").alias("s")).distinct()
+    arrival = _temporal_arrivals(sym, seeds, max_hops)
     w0 = sym.agg(F.min("frame_id").cast("long").alias("w0"))
     return (
         arrival.where(F.col("v") != F.col("s"))
@@ -2840,6 +2847,63 @@ def temporal_closeness(
         )
         .select(F.col("s").alias("actor"), "n_reached", "t_closeness")
         .orderBy(F.desc("t_closeness"), "actor")
+    )
+
+
+def temporal_closeness_sampled(
+    frame_edges: DataFrame, sources: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """Source-sampled estimator of INBOUND temporal closeness — the
+    Eppstein-Wang 2004 / Brandes-Pich 2007 move applied to the
+    temporal family's 61 s all-sources wall: inbound closeness
+    tc_in(v) = sum over sources s of 1 / (1 + arrival(s, v) - W0)
+    decomposes per SOURCE, so a uniform source sample S gives the
+    unbiased estimate (V / |S|) * sum over s in S — the same reason
+    source sampling works for betweenness (each node's score is a sum
+    of per-source dependencies). The per-source OUTBOUND table
+    (:func:`temporal_closeness`) has no such estimator: a node's own
+    outbound score needs its own forward pass. On time-respecting
+    paths arrival is NOT symmetric, so this is genuinely the inbound
+    vector, documented as such.
+
+    ``sources`` (one column ``s``, a deterministic hash-drawn subset
+    so the oracle can replay the draw) seeds the same delta-iterated
+    earliest-arrival loop; state is O(V * |S|) where the exact pass
+    is O(V^2). V and |S| enter as broadcast one-row aggregates — no
+    driver-side scalars. Columns: actor, est_n_reaching (count of
+    reaching sources scaled by V/|S|, round 6), t_closeness_in
+    (scaled harmonic sum, round 6; desc)."""
+    sym = symmetrize(
+        frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    ).localCheckpoint()
+    nodes = sym.select(F.col("src").alias("s")).distinct()
+    seeds = nodes.join(sources, "s").localCheckpoint()
+    arrival = _temporal_arrivals(sym, seeds, max_hops)
+    w0 = sym.agg(F.min("frame_id").cast("long").alias("w0"))
+    nv = nodes.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    ns = seeds.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    return (
+        arrival.where(F.col("v") != F.col("s"))
+        .crossJoin(broadcast(w0))
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_raw"),
+            F.sum(
+                F.lit(1.0) / (F.lit(1) + F.col("t") - F.col("w0"))
+            ).alias("h_raw"),
+        )
+        .crossJoin(broadcast(nv))
+        .crossJoin(broadcast(ns))
+        .select(
+            F.col("v").alias("actor"),
+            F.round(F.col("n_raw") * F.col("nv") / F.col("ns"), 6).alias(
+                "est_n_reaching"
+            ),
+            F.round(F.col("h_raw") * F.col("nv") / F.col("ns"), 6).alias(
+                "t_closeness_in"
+            ),
+        )
+        .orderBy(F.desc("t_closeness_in"), "actor")
     )
 
 

@@ -2281,8 +2281,12 @@ _GRADE_WINDOW = [
     "q_pq_recall", "q_ivfpq", "q_png_decode",
     "q_stream_ivf_assign", "q_triangles_capped",
     # 2-green rows held for a third green before retirement
-    "q_join_size_est", "q_stream_gopher", "q_stream_sq_stats",
+    # (q_join_size_est, 2 greens, displaced by the birth-round entry
+    # q_temporal_closeness_sampled per the standing policy)
+    "q_stream_gopher", "q_stream_sq_stats",
     "q_stream_training_mix", "q_minhash_decontam",
+    # round-12 birth-round entry: the temporal-closeness scale twin
+    "q_temporal_closeness_sampled",
     # round-11 dynamic-graph evolution family (first graded r11)
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     "q_stream_burst", "q_personalized_pagerank",

@@ -2269,6 +2269,12 @@ def _brandes_cte(max_d: int = 4, seed_rel: str | None = None) -> str:
 
 @query(
     "q_betweenness",
+    # bench row for the Brandes family: the hour-scoped EXACT pass
+    # (~4 s at sf0.1). The day-scoped sampled twin was the headline
+    # whale (27.9 s = 26% of the 43-row total, masking regressions in
+    # every other row — VERDICT r11); its day wall is a SCALE.md proof
+    # row instead of a bench row.
+    bench=True,
     oracle=f"""
 WITH RECURSIVE
 {_REACH_CTE},
@@ -2552,7 +2558,10 @@ _BWS_MOD = 4  # deterministic 1-in-4 source sample
 
 @query(
     "q_betweenness_sampled",
-    bench=True,
+    # NOT a bench row: at sf0.1 the day-scoped sampled pass is ~28 s —
+    # 26% of the whole headline total, drowning the other rows'
+    # signal. Its wall lives in SCALE.md (day-scope proof table); the
+    # bench's Brandes representative is the hour-scoped q_betweenness.
     oracle=f"""
 WITH RECURSIVE
 p AS ({_presence_sql(_DAY_SQL)}),
@@ -2643,6 +2652,68 @@ def q_temporal_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.temporal_closeness(
         qmod._edges(spark, sf_dir, qmod._day_filter())
     )
+
+
+_TCS_MOD = 4  # deterministic 1-in-4 source sample (the _BWS_MOD twin)
+
+
+@query(
+    "q_temporal_closeness_sampled",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+nodes AS MATERIALIZED (SELECT DISTINCT src FROM sym),
+seeds AS MATERIALIZED (SELECT src AS s FROM nodes
+  WHERE ({_H64.format(x="'tc:' || src")}) % {_TCS_MOD} = 0),
+r AS (
+  SELECT s, s AS v, CAST(-1 AS BIGINT) AS t, 0 AS h FROM seeds
+  UNION
+  SELECT r.s, sy.dst AS v, sy.frame_id AS t, r.h + 1 AS h
+  FROM r JOIN sym sy ON sy.src = r.v AND sy.frame_id >= r.t
+  WHERE r.h < 6
+),
+ma AS MATERIALIZED (SELECT s, v, min(t) AS t FROM r GROUP BY 1, 2),
+w0 AS (SELECT min(frame_id) AS w0 FROM sym),
+vc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+sc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)
+SELECT v AS actor,
+       round(CAST(count(*) AS DOUBLE)
+             * (SELECT n FROM vc) / (SELECT n FROM sc), 6)
+         AS est_n_reaching,
+       round(sum(CAST(1.0 AS DOUBLE) / (1 + t - (SELECT w0 FROM w0)))
+             * (SELECT n FROM vc) / (SELECT n FROM sc), 6)
+         AS t_closeness_in
+FROM ma WHERE v <> s GROUP BY v
+ORDER BY 3 DESC, actor
+""",
+)
+def q_temporal_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of the family's most expensive member: inbound
+    temporal closeness estimated from a deterministic hash-drawn 1-in-4
+    source sample (Eppstein-Wang / Brandes-Pich estimator — inbound
+    closeness is a sum over sources, so sampled sources scaled by
+    V/|S| are unbiased; see operators/graph.py
+    temporal_closeness_sampled for why the OUTBOUND table admits no
+    such estimator). O(V * |S|) arrival state where the exact
+    all-sources pass is O(V^2) — the 100 TB path. The hash draw makes
+    the estimate itself replayable: the oracle re-runs the seeded
+    delta iteration as a hop-bounded recursive CTE."""
+    from neo4j_dynagraph_spark import functions as dfn
+    from neo4j_dynagraph_spark import queries as qmod
+
+    e = qmod._edges(spark, sf_dir, qmod._day_filter())
+    nodes = e.select(
+        F.explode(F.array("actor1", "actor2")).alias("s")
+    ).distinct()
+    sources = nodes.where(
+        dfn.hash64(F.concat(F.lit("tc:"), F.col("s").cast("string")))
+        % _TCS_MOD
+        == 0
+    )
+    return graph.temporal_closeness_sampled(e, sources)
 
 
 @query(

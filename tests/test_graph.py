@@ -382,6 +382,30 @@ def test_k_truss_cascade(spark):
     assert graph.k_truss(e, k=4).count() == 0
 
 
+def test_k_truss_rounds_matches_fixpoint_when_converged(spark):
+    """Bounded support-peel vs fixpoint (the q_ktruss / q_ktruss_bounded
+    pair): K4 plus a two-layer pendant whose 4-truss cascade needs
+    exactly 2 rounds — round 1 peels (3,5), (4,6), (5,6) (support 1),
+    which only THEN drops (4,5) to support 0 for round 2. So
+    k_truss_rounds(rounds=2) must equal k_truss's fixpoint edge set,
+    while rounds=1 must still hold the mid-cascade edge (4,5) — i.e.
+    the bounded form is the documented superset until convergence."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(3, 5), (4, 5), (4, 6), (5, 6)]
+    e = spark.createDataFrame(k4 + pendant, "actor1 long, actor2 long")
+    fix = {(r.actor1, r.actor2) for r in graph.k_truss(e, k=4).collect()}
+    r2 = {
+        (r.actor1, r.actor2)
+        for r in graph.k_truss_rounds(e, k=4, rounds=2).collect()
+    }
+    assert r2 == fix == set(k4)
+    r1 = {
+        (r.actor1, r.actor2)
+        for r in graph.k_truss_rounds(e, k=4, rounds=1).collect()
+    }
+    assert r1 == set(k4) | {(4, 5)}
+
+
 def test_temporal_path_counts_hand_graph(spark):
     # frame edges: (frame, a1, a2). Paths constrained to f2 in
     # (f1, f1+2]; both orientations of every contact count.

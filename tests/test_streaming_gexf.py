@@ -1428,6 +1428,102 @@ def test_stream_neighbor_sampling_multibatch_equals_batch(spark, tmp_path):
     assert max(h1.values()) == 2
 
 
+def test_watermark_boundary_drop_vs_merge(spark, tmp_path):
+    """Adversarial watermark-boundary fixture (T3): pins Spark's exact
+    drop-vs-merge contract that the reference's mid-list insert
+    (BaseTimeline.java:226-271) maps onto — the timeline region is
+    mutable until flushed, immutable after. 60 s tumbling windows,
+    60 s watermark delay, one file per micro-batch, APPEND mode:
+
+    - batch 1 delivers two late rows BEHIND the announced watermark
+      (10:04:00): window ends 10:03:00 (< wm) and 10:04:00 (== wm).
+      Both MERGE — Spark finalizes a window only when the watermark
+      passes its end, and input merges before that batch's eviction
+      emits, so 'behind the watermark' alone does not drop a row while
+      its window state is still live;
+    - batch 3 delivers a row into a window emitted two batches ago:
+      DROPPED (numRowsDroppedByWatermark), and the already-emitted
+      row is never updated or re-emitted (append exactly-once);
+    - the eviction boundary is window.end <= watermark: the window
+      whose end equals the final watermark exactly IS emitted, the
+      still-open one past it is not."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from neo4j_dynagraph_spark.streaming.frames import stream_tumbling_counts
+
+    def t(m, s=0):
+        return dt.datetime(2024, 1, 15, 10, m, s, tzinfo=dt.timezone.utc)
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shards = [
+        # batch 0: max ts 10:05:00 -> wm announced for batch 1 is 10:04:00
+        [(t(2, 10), 1, 1.0), (t(4, 10), 2, 1.0), (t(5, 0), 3, 1.0)],
+        # batch 1: two late rows behind that wm (window ends 10:03:00
+        # and exactly 10:04:00), one in-horizon late row, one fresh row
+        [(t(3, 59), 4, 1.0), (t(2, 30), 5, 1.0), (t(4, 1), 6, 1.0),
+         (t(7, 30), 7, 1.0)],
+        # batch 2: advance wm to 10:09:00 for batch 3
+        [(t(10, 0), 8, 1.0)],
+        # batch 3: 10:02:40's window was emitted back in batch 1 ->
+        # dropped; 10:12:00 pushes the final wm to exactly 10:11:00
+        [(t(2, 40), 9, 1.0), (t(12, 0), 10, 1.0)],
+    ]
+    for i, rows in enumerate(shards):
+        d = str(tmp_path / f"sh{i}")
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double"
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(d + "/*.parquet")[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(d)
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = stream_tumbling_counts(stream, 60, watermark="60 seconds")
+    name = "wm_boundary_" + uuid.uuid4().hex[:6]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = spark.table(name).collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.window_start % 3600 // 60, []).append(r.n_events)
+    # exactly one row was too late (batch 3's 10:02:40)
+    assert dropped == 1
+    # every emitted window appears exactly once: finalized = immutable
+    assert all(len(v) == 1 for v in by_win.values())
+    assert by_win == {
+        2: [2],   # 10:02:10 + late 10:02:30 MERGED; 10:02:40 dropped
+        3: [1],   # late 10:03:59 merged though its window end == wm
+        4: [2],   # 10:04:10 + in-horizon late 10:04:01
+        5: [1],
+        7: [1],
+        10: [1],  # end 10:11:00 == final wm: equality boundary EMITS
+        # window [10:12, 10:13) still open at drain end: NOT emitted
+    }
+
+
 def test_stream_neighbor_sampling_crash_between_commits_replays(
     spark, tmp_path, monkeypatch
 ):
