@@ -28,6 +28,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql.functions import broadcast
 
 
+def _materialize(
+    df: DataFrame, spill_dir: str | None, name: str
+) -> DataFrame:
+    """Truncate lineage on a DATA-SIZED intermediate. spill_dir=None ->
+    localCheckpoint (fast, but stores deserialized MEMORY_AND_DISK
+    blocks that pin the unified memory region — fine up to ~1e8 rows
+    on the 16g default heap). A spill_dir switches to write-parquet-
+    read-back: bit-identical, columnar on disk, the reliable-checkpoint
+    analogue a real cluster would use. This is the temporal_walks
+    spill_dir contract (SCALE.md sf10 walk postmortem) extended to the
+    whole iterative-graph family: at sf10 the saturated day graph's
+    ~4e9-row symmetrized edge set OOMs localCheckpoint, measured —
+    every operator whose materialized state is E-sized takes the knob.
+    Per-round callers must pass distinct names (the read-back leaves
+    an open handle on the previous round's files)."""
+    if spill_dir is None:
+        return df.localCheckpoint()
+    import os as _os
+
+    path = _os.path.join(spill_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def symmetrize(edges: DataFrame, a1: str = "actor1", a2: str = "actor2") -> DataFrame:
     """Canonical undirected edges -> both orientations (src, dst).
 
@@ -154,7 +178,12 @@ def k_core(edges: DataFrame, k: int = 2, max_iterations: int = 50) -> DataFrame:
     )
 
 
-def k_core_rounds(edges: DataFrame, k: int = 2, rounds: int = 2) -> DataFrame:
+def k_core_rounds(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 2,
+    spill_dir: str | None = None,
+) -> DataFrame:
     """Exactly `rounds` degree-peel rounds toward the k-core — the
     deterministic bounded form of :func:`k_core`, the node-level twin
     of :func:`k_truss_rounds`.
@@ -172,16 +201,20 @@ def k_core_rounds(edges: DataFrame, k: int = 2, rounds: int = 2) -> DataFrame:
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = symmetrize(edges.select("actor1", "actor2").distinct()).localCheckpoint()
-    for _ in range(rounds):
+    e = _materialize(
+        symmetrize(edges.select("actor1", "actor2").distinct()),
+        spill_dir,
+        "kcore_sym",
+    )
+    for r in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.where(F.col("degree") >= k).select("src")
-        e = (
-            e.join(F.broadcast(keep), "src", "semi")
-            .join(
+        e = _materialize(
+            e.join(F.broadcast(keep), "src", "semi").join(
                 F.broadcast(keep.withColumnRenamed("src", "dst")), "dst", "semi"
-            )
-            .localCheckpoint()
+            ),
+            spill_dir,
+            f"kcore_r{r}",
         )
     return (
         e.groupBy(F.col("src").alias("actor"))
@@ -300,7 +333,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFram
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over the undirected interaction graph, fixed-iteration
     power method (deterministic — no convergence test, so two engines
@@ -315,15 +351,18 @@ def pagerank(
     each round's join is co-located (no re-shuffle of the big side).
     Columns: actor, rank (rounded 1e-6, desc).
     """
-    sym = symmetrize(
-        edges.select("actor1", "actor2").distinct()
-    ).localCheckpoint()
-    adj = (
+    sym = _materialize(
+        symmetrize(edges.select("actor1", "actor2").distinct()),
+        spill_dir,
+        "pr_sym",
+    )
+    adj = _materialize(
         sym.join(
             sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree")),
             "src",
-        )
-        .localCheckpoint()
+        ),
+        spill_dir,
+        "pr_adj",
     )
     n = adj.select("src").distinct().count()
     ranks = (
@@ -2566,7 +2605,10 @@ def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
 
 
 def kmv_neighborhood(
-    edges: DataFrame, k: int = 16, max_dist: int = 4
+    edges: DataFrame,
+    k: int = 16,
+    max_dist: int = 4,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Approximate neighborhood function N(d) via per-node KMV
     sketches — HyperANF (Boldi, Rosa & Vigna 2011) with KMV counters
@@ -2601,9 +2643,11 @@ def kmv_neighborhood(
     from neo4j_dynagraph_spark import functions as dfn
     from neo4j_dynagraph_spark.operators.sketch import _TWO_60, kmv_estimate
 
-    sym = symmetrize(
-        edges.select("actor1", "actor2").distinct()
-    ).localCheckpoint()
+    sym = _materialize(
+        symmetrize(edges.select("actor1", "actor2").distinct()),
+        spill_dir,
+        "anf_sym",
+    )
     u = (
         dfn.hash64(F.concat(F.lit("anf:"), F.col("v").cast("string"))) + 1
     ) / F.lit(_TWO_60)
