@@ -145,15 +145,22 @@ def test_wav_decode_real():
 
 
 def test_decode_stub_dispatches_real_codecs():
-    # PPM, PNG, and WAV decode for REAL even with fake=False — the
-    # NotImplementedError boundary now only covers entropy-codec formats
+    # PPM, PNG, JPEG, and WAV decode for REAL even with fake=False —
+    # the NotImplementedError boundary now only covers MP3/MP4
     feats = multimodal.decode_stub(b"P6\n1 1\n255\n\x07\x07\x07", "image", fake=False)
     assert feats[:4] == [1.0, 1.0, 255.0, 3.0]
     png = _mk_png([bytes([7])], 1, 1, 0, [0])
     pfeats = multimodal.decode_stub(png, "image", fake=False)
     assert pfeats[:4] == [1.0, 1.0, 0.0, 1.0] and pfeats[7] == 3.0
-    with pytest.raises(NotImplementedError):
+    # JPEG magic routes to the REAL decoder now: garbage after the
+    # SOI raises the decoder's ValueError, not the env-gate
+    with pytest.raises(ValueError):
         multimodal.decode_stub(b"\xff\xd8\xff\xe0 jpeg", "image", fake=False)
+    # the env-gate survives only for containers with no decoder
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(
+            b"\x00\x00\x00\x18ftypmp42 not decodable", "video", fake=False
+        )
 
 
 def test_encode_decode_roundtrip_spark(spark):
