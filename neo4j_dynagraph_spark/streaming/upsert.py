@@ -24,7 +24,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class DimensionStore:
-    """A tiny versioned parquet dimension table with merge-on-key."""
+    """A tiny versioned parquet dimension table with merge-on-key.
+
+    COMMIT-ORDER CONTRACT for foreachBatch drains that keep more than
+    one store (round-12 audit, prompted by the neighbor-sampling
+    crash-replay hole): a store whose contents GATE the batch's work —
+    the left-anti/novelty side that makes a replayed batch a no-op —
+    must commit LAST in the batch function. All other merges must be
+    replay-idempotent on their own (set union, min/k-min lattices,
+    batch_id-keyed overwrite-own-batch partials), so a crash between
+    commits replays into a re-merge, never a loss. Audited conforming:
+    incremental_dedup (output write before first-seen merge),
+    embed_topk (query gate commits after both score merges),
+    training_mix / bigram_lm / quality / mixture / bursts / cms / kmv /
+    sq_stats / corpus_stats / ivf (single store or idempotent-only),
+    neighbor_sampling (presence gate last — fixed this round, pinned
+    by the injected-crash test)."""
 
     def __init__(self, spark: SparkSession, root: str, key_cols: list[str]) -> None:
         self.spark = spark
