@@ -1727,16 +1727,19 @@ def bigram_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", "source", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
 
 
-def bigram_score(
+def bigram_doc_scores(
     pr: DataFrame,
     vocab: DataFrame,
     cb: DataFrame,
     cu: DataFrame,
     alpha: float = 0.5,
 ) -> DataFrame:
-    """Score a (doc_id, source, v, w) bigram stream under trained
-    count tables (vocab: ``tok``; cb: v, w, cb; cu: v, cu) — the
-    read-time half shared by batch and streaming forms."""
+    """Per-document mean log-prob (and token count) of a
+    (doc_id, source, v, w) bigram stream under trained count tables
+    (vocab: ``tok``; cb: v, w, cb; cu: v, cu) — the scoring core
+    shared by :func:`bigram_score`'s per-source roll-up and
+    :func:`domain_weights`' mixture design. Columns: doc_id, source,
+    mlp (unrounded), n_tok."""
     vs = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("vsize"))
     vv = vocab.select(F.col("tok").alias("vtok"))
     vw = vocab.select(F.col("tok").alias("wtok"))
@@ -1768,15 +1771,109 @@ def bigram_score(
             ).alias("logp"),
         )
     )
-    per_doc = lp.groupBy("doc_id", "source").agg(
-        F.avg("logp").alias("mlp")
+    return lp.groupBy("doc_id", "source").agg(
+        F.avg("logp").alias("mlp"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
     )
+
+
+def bigram_score(
+    pr: DataFrame,
+    vocab: DataFrame,
+    cb: DataFrame,
+    cu: DataFrame,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source perplexity roll-up over :func:`bigram_doc_scores` —
+    the read-time half shared by batch and streaming forms."""
+    per_doc = bigram_doc_scores(pr, vocab, cb, cu, alpha)
     return (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("mlp"), 6).alias("mean_logprob"),
             F.round(F.avg(F.exp(-F.col("mlp"))), 6).alias("mean_ppl"),
+        )
+        .orderBy("source")
+    )
+
+
+def domain_weights(
+    docs: DataFrame,
+    train_source: str = "src0",
+    eta: float = 1.0,
+    smooth: float = 0.2,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, the one-shot
+    multiplicative-weights step): upweight domains whose EXCESS loss
+    under the reference LM is high — the mixture-design signal that
+    closes the curation family's loop (q_dsir_weights reweights DOCS
+    toward a target; this reweights DOMAINS toward what the reference
+    model finds hard, DoReMi's 'worst-case excess loss' objective).
+
+    Deterministic and fully declarative, no proxy-model training loop:
+    the reference loss is the train domain's own mean NLL under the
+    :func:`bigram_ppl` model (in-domain baseline), excess_s =
+    nll_s - nll_ref, and weights follow the exponentiated-gradient
+    update from the token-share prior:
+
+        w_s  propto  token_share_s * exp(eta * excess_s)
+        weight_s = (1 - smooth) * w_s / Z + smooth / |S|
+
+    (the uniform-smoothing term is DoReMi's eq. 1 mixing). Every
+    aggregate is |sources|-bounded after one corpus scoring pass; the
+    four scalars (ref NLL, total tokens, Z, |S|) ride as broadcast
+    one-row frames. Columns: source, n_docs, token_share, excess_nll,
+    weight (round 6; weight sums to 1 up to rounding)."""
+    pr = bigram_pairs(docs, text_col)
+    train = pr.where(F.col("source") == train_source).localCheckpoint()
+    vocab = train.select(F.col("w").alias("tok")).distinct().localCheckpoint()
+    cb = train.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
+    cu = train.groupBy("v").agg(F.count(F.lit(1)).alias("cu"))
+    per_doc = bigram_doc_scores(pr, vocab, cb, cu, alpha)
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.avg("mlp").alias("mlp_src"),
+    ).localCheckpoint()
+    ref = per_src.where(F.col("source") == train_source).select(
+        F.col("mlp_src").alias("mlp_ref")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tok"),
+        F.count(F.lit(1)).cast("double").alias("n_src"),
+    )
+    base = (
+        per_src.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_src",
+            (F.col("n_tokens") / F.col("tot_tok")).alias("token_share"),
+            # nll_s - nll_ref == mlp_ref - mlp_src (mlp is mean LOG-prob)
+            (F.col("mlp_ref") - F.col("mlp_src")).alias("excess_nll"),
+        )
+        .withColumn(
+            "raw",
+            F.col("token_share") * F.exp(F.lit(eta) * F.col("excess_nll")),
+        )
+    )
+    z = base.agg(F.sum("raw").alias("z"))
+    return (
+        base.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("token_share", 6).alias("token_share"),
+            F.round("excess_nll", 6).alias("excess_nll"),
+            F.round(
+                F.lit(1.0 - smooth) * F.col("raw") / F.col("z")
+                + F.lit(smooth) / F.col("n_src"),
+                6,
+            ).alias("weight"),
         )
         .orderBy("source")
     )

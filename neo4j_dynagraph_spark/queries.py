@@ -2291,13 +2291,15 @@ _GRADE_WINDOW = [
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     "q_stream_burst", "q_personalized_pagerank",
     "q_eigenvector_centrality",
-    # embedding-training pipeline, 2 greens each (q_random_walks, 2
-    # greens, displaced by the birth-round entry q_jpeg_decode; its
-    # skip-gram/SGNS/CTDNE family rows stay)
-    "q_skipgram_pairs", "q_sgns_negatives",
+    # embedding-training pipeline, 2 greens each (q_random_walks and
+    # q_skipgram_pairs, 2 greens each, displaced by the birth-round
+    # entries q_jpeg_decode and q_domain_weights; the SGNS/CTDNE
+    # family rows stay)
+    "q_sgns_negatives",
     "q_temporal_walks", "q_modularity", "q_degree_powerlaw",
-    # round-12 birth-round entry: the real-codec JPEG decode
-    "q_jpeg_decode",
+    # round-12 birth-round entries: the real-codec JPEG decode and the
+    # DoReMi domain-reweighting mixture row
+    "q_jpeg_decode", "q_domain_weights",
     # ROUND-12 ROTATION BLOCK: the never-driver-graded tail (ledger
     # above). Distance/centrality completion family —
     "q_betweenness", "q_betweenness_sampled",

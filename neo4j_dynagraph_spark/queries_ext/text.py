@@ -1363,8 +1363,10 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BIGRAM_ORACLE = f"""
-WITH {_TOK_CTE},
+# shared bigram-LM replay CTEs: train counts, vocab mapping, scoring
+# joins, per-doc mean log-prob + token count — the prefix of BOTH the
+# perplexity oracles and the DoReMi domain-weight oracle
+_BIGRAM_CTES = f"""{_TOK_CTE},
 tk AS (SELECT t.doc_id, t.source, t.t FROM tok t WHERE len(t.t) > 0),
 pr AS (SELECT doc_id, source,
          CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END AS v, t[i] AS w
@@ -1386,8 +1388,11 @@ lp AS (SELECT doc_id, source,
                + CAST(0.5 AS DOUBLE) * (SELECT vsize FROM vs))) AS logp
        FROM sc LEFT JOIN cb ON cb.v = sc.v AND cb.w = sc.w
                LEFT JOIN cu ON cu.v = sc.v),
-pd2 AS (SELECT doc_id, source, avg(logp) AS mlp
-        FROM lp GROUP BY doc_id, source)
+pd2 AS (SELECT doc_id, source, avg(logp) AS mlp, count(*) AS ntok
+        FROM lp GROUP BY doc_id, source)"""
+
+_BIGRAM_ORACLE = f"""
+WITH {_BIGRAM_CTES}
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(mlp), 6) AS mean_logprob,
        round(avg(exp(-mlp)), 6) AS mean_ppl
@@ -1423,4 +1428,54 @@ def q_stream_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return stream_bigram_ppl(
         spark, f"{sf_dir}/documents.parquet", schema, train_source="src0"
+    )
+
+
+_DW_ETA, _DW_SMOOTH = 1.0, 0.2
+
+
+@query(
+    "q_domain_weights",
+    oracle=f"""
+WITH {_BIGRAM_CTES},
+ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(ntok) AS BIGINT) AS n_tokens, avg(mlp) AS mlp_src
+       FROM pd2 GROUP BY source),
+rf AS (SELECT mlp_src AS mlp_ref FROM ps WHERE source = 'src0'),
+tt AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tok,
+              CAST(count(*) AS DOUBLE) AS n_src FROM ps),
+b AS (SELECT source, n_docs,
+        n_tokens / (SELECT tot_tok FROM tt) AS token_share,
+        (SELECT mlp_ref FROM rf) - mlp_src AS excess_nll
+      FROM ps),
+r AS (SELECT b.*, token_share * exp({_DW_ETA!r} * excess_nll) AS raw
+      FROM b),
+z AS (SELECT sum(raw) AS z FROM r)
+SELECT source, n_docs,
+       round(token_share, 6) AS token_share,
+       round(excess_nll, 6) AS excess_nll,
+       round({(1.0 - _DW_SMOOTH)!r} * raw / (SELECT z FROM z)
+             + {_DW_SMOOTH!r} / (SELECT n_src FROM tt), 6) AS weight
+FROM r ORDER BY source
+""",
+)
+def q_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) — the
+    mixture-design step that closes the curation loop: q_dsir_weights
+    reweights DOCS toward a target distribution, q_temperature_mix
+    rescales source shares by a power law, THIS row upweights whole
+    DOMAINS by their excess loss under the reference bigram LM
+    (exponentiated-gradient update from the token-share prior, uniform
+    smoothing per DoReMi eq. 1). Deterministic one-shot form: the
+    reference loss is the train domain's own in-domain NLL, so the
+    whole computation — shared bigram scoring pass, |sources|-bounded
+    aggregates, four broadcast scalars — replays in the oracle with no
+    proxy-training loop. Hard domains (high excess NLL) gain weight
+    over their token share; the reference domain itself has excess 0
+    by construction."""
+    return text.domain_weights(
+        _docs(spark, sf_dir),
+        train_source="src0",
+        eta=_DW_ETA,
+        smooth=_DW_SMOOTH,
     )

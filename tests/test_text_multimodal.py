@@ -1075,3 +1075,28 @@ def test_jpeg_feature_branch_in_decode_stub():
     f = multimodal.decode_stub(payload, "image")
     assert f[:4] == [8.0, 8.0, 1.0, 64.0]
     assert abs(f[4] - 72 / 255) < 1e-9 and f[7] == 4.0
+
+
+def test_domain_weights_upweights_hard_domains(spark):
+    """DoReMi semantics on a planted corpus: the reference domain has
+    excess 0 by construction; an OOV-heavy domain scores a positive
+    excess NLL and must gain weight OVER what its token share alone
+    would give (after the uniform smoothing both queries carry);
+    weights sum to 1 up to rounding."""
+    ref = [(i, "the cat sat on the mat and the dog ran", "src0")
+           for i in range(6)]
+    hard = [(10 + i, "zq xv qqk wjj zzp vnm plk qrs ttx yyb", "srcZ")
+            for i in range(6)]
+    d = spark.createDataFrame(
+        ref + hard, "doc_id long, text string, source string"
+    )
+    out = {r.source: r for r in text.domain_weights(d, "src0").collect()}
+    assert set(out) == {"src0", "srcZ"}
+    assert abs(out["src0"].excess_nll) < 1e-9  # reference vs itself
+    assert out["srcZ"].excess_nll > 0.5  # all-OOV is genuinely harder
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-5
+    # equal token shares here, so the hard domain must strictly win
+    assert abs(out["src0"].token_share - 0.5) < 1e-6
+    assert out["srcZ"].weight > out["src0"].weight
+    # smoothing floor: no domain below smooth/|S|
+    assert all(r.weight >= 0.2 / 2 - 1e-9 for r in out.values())
