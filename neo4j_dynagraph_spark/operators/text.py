@@ -1833,6 +1833,19 @@ def domain_weights(
     cb = train.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cb"))
     cu = train.groupBy("v").agg(F.count(F.lit(1)).alias("cu"))
     per_doc = bigram_doc_scores(pr, vocab, cb, cu, alpha)
+    return domain_weights_from_scores(per_doc, train_source, eta, smooth)
+
+
+def domain_weights_from_scores(
+    per_doc: DataFrame,
+    train_source: str = "src0",
+    eta: float = 1.0,
+    smooth: float = 0.2,
+) -> DataFrame:
+    """The arithmetic half of :func:`domain_weights` over a per-doc
+    (doc_id, source, mlp, n_tok) score table — shared with the
+    streaming count-maintenance twin, which assembles the same table
+    from its drained stores at read time."""
     per_src = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),

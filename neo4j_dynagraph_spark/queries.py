@@ -2295,11 +2295,11 @@ _GRADE_WINDOW = [
     # q_skipgram_pairs, 2 greens each, displaced by the birth-round
     # entries q_jpeg_decode and q_domain_weights; the SGNS/CTDNE
     # family rows stay)
-    "q_sgns_negatives",
     "q_temporal_walks", "q_modularity", "q_degree_powerlaw",
     # round-12 birth-round entries: the real-codec JPEG decode and the
-    # DoReMi domain-reweighting mixture row
-    "q_jpeg_decode", "q_domain_weights",
+    # DoReMi domain-reweighting mixture row + its streaming twin
+    # (q_sgns_negatives, 2 greens, displaced by the streaming twin)
+    "q_jpeg_decode", "q_domain_weights", "q_stream_domain_weights",
     # ROUND-12 ROTATION BLOCK: the never-driver-graded tail (ledger
     # above). Distance/centrality completion family —
     "q_betweenness", "q_betweenness_sampled",

@@ -1434,9 +1434,7 @@ def q_stream_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DW_ETA, _DW_SMOOTH = 1.0, 0.2
 
 
-@query(
-    "q_domain_weights",
-    oracle=f"""
+_DW_ORACLE = f"""
 WITH {_BIGRAM_CTES},
 ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(ntok) AS BIGINT) AS n_tokens, avg(mlp) AS mlp_src
@@ -1457,8 +1455,10 @@ SELECT source, n_docs,
        round({(1.0 - _DW_SMOOTH)!r} * raw / (SELECT z FROM z)
              + {_DW_SMOOTH!r} / (SELECT n_src FROM tt), 6) AS weight
 FROM r ORDER BY source
-""",
-)
+"""
+
+
+@query("q_domain_weights", oracle=_DW_ORACLE)
 def q_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain reweighting (Xie et al. 2023) — the
     mixture-design step that closes the curation loop: q_dsir_weights
@@ -1475,6 +1475,30 @@ def q_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction."""
     return text.domain_weights(
         _docs(spark, sf_dir),
+        train_source="src0",
+        eta=_DW_ETA,
+        smooth=_DW_SMOOTH,
+    )
+
+
+@query("q_stream_domain_weights", oracle=_DW_ORACLE)
+def q_stream_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mixture re-estimation: the q_stream_bigram_ppl count
+    drain (idempotent/batch_id-keyed stores — the commit-order
+    contract) with the DoReMi weight arithmetic as the read-time
+    terminal, so every arriving batch shifts every domain's token
+    share, excess NLL, and weight. Bit-equal to batch
+    q_domain_weights under any chopping and graded on ITS oracle
+    (streaming/bigram_lm.py stream_domain_weights; multibatch test)."""
+    from neo4j_dynagraph_spark.streaming.bigram_lm import (
+        stream_domain_weights,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_domain_weights(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        schema,
         train_source="src0",
         eta=_DW_ETA,
         smooth=_DW_SMOOTH,

@@ -1663,3 +1663,53 @@ def test_stream_bigram_ppl_multibatch_equals_batch(spark, tmp_path):
     s_rows = sorted(map(tuple, streamed.collect()))
     b_rows = sorted(map(tuple, batch.collect()))
     assert s_rows == b_rows and len(s_rows) == 3
+
+
+def test_stream_domain_weights_multibatch_equals_batch(spark, tmp_path):
+    """The DoReMi streaming twin over the same count drain, one file
+    per micro-batch, must equal batch domain_weights bit-for-bit:
+    reference docs split across batches (the excess-NLL baseline only
+    exists corpus-final), a domain whose docs all arrive before the
+    last reference shard, and OOV-heavy docs moving the unk path."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.text import domain_weights
+    from neo4j_dynagraph_spark.streaming.bigram_lm import (
+        stream_domain_weights,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shards = [
+        [(0, "the cat sat on the mat", "ref"), (10, "the cat sat", "a")],
+        [(11, "zebra quux the cat", "b"), (13, "qqk wjj zzp", "b")],
+        [(1, "the cat ran off the mat", "ref"), (12, "mat the on", "a")],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_domain_weights(
+        spark,
+        str(src),
+        schema,
+        train_source="ref",
+        store_root=str(tmp_path / "dw_store"),
+        max_files_per_trigger=1,
+    )
+    batch = domain_weights(spark.read.parquet(str(src)), train_source="ref")
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) == 3
+    by_src = {r[0]: r for r in s_rows}
+    assert abs(by_src["ref"][3]) < 1e-9  # reference excess is 0
+    assert by_src["b"][3] > 0  # OOV-heavy domain is harder
