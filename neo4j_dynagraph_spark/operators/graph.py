@@ -3557,3 +3557,334 @@ def sage_aggregate(
     per_seed = j.groupBy("seed").agg(*aggs)
     own = features.select(F.col("actor").alias("seed"), *feature_cols)
     return own.join(per_seed, "seed", "left").orderBy("seed")
+
+
+def si_spread(
+    frame_edges: DataFrame,
+    seed_mod: int = 20,
+    p10: int = 3,
+    max_hops: int = 6,
+    bucket_frames: int = 4,
+) -> DataFrame:
+    """Deterministic SI epidemic over time-respecting contacts — the
+    SocioPatterns domain's headline simulation (the reference's data
+    model exists to serve exactly this analysis; cf. the contact-
+    network epidemic literature the dataset was published for).
+    Seeds are the hash-drawn 1-in-``seed_mod`` actor sample; every
+    directed contact (frame f, u -> v) transmits iff the per-contact
+    coin hash64('sc:'f':'u':'v) mod 10 < ``p10`` (transmissibility
+    beta = p10/10) — q_temporal_reach is the beta = 1 special case.
+    Because the coin depends only on the contact (never on state), an
+    earlier infection can ride every contact a later one can, so the
+    min-merged earliest-infection state after round h is exactly the
+    <= h-hop earliest infection: the same delta-iteration dominance
+    argument as :func:`_temporal_arrivals`, with ONE global state row
+    per node — O(V) state, not the all-sources family's O(V^2).
+
+    The coin filter lands on the symmetrized contact stream BEFORE
+    the loop (one narrow map-side projection, candidate volume cut to
+    ~beta of E per round); exactly ``max_hops`` join+min rounds, no
+    data-dependent actions. Terminal: the epidemic curve — new and
+    cumulative infections per ``bucket_frames``-frame bucket (bucket
+    -1 = the seed generation, t = -1 by the depart-any-time
+    convention), a <= (frames/bucket)-row table whose running sum is
+    a provably bounded window. All decisions integer (hash draws and
+    frame comparisons); no float compare decides membership.
+    Columns: bucket, n_infected, cum_infected (ordered by bucket).
+    """
+    from neo4j_dynagraph_spark import functions as dfn
+    from pyspark.sql import Window
+
+    sym = symmetrize(
+        frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    )
+    trans = sym.where(
+        dfn.hash64(
+            F.concat(
+                F.lit("sc:"),
+                F.col("frame_id").cast("string"),
+                F.lit(":"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        )
+        % 10
+        < p10
+    ).localCheckpoint()
+    nodes = sym.select("src").distinct()
+    state = nodes.where(
+        dfn.hash64(F.concat(F.lit("si:"), F.col("src").cast("string")))
+        % seed_mod
+        == 0
+    ).select(
+        F.col("src").alias("v"), F.lit(-1).cast("long").alias("t")
+    ).localCheckpoint()
+    frontier = state
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(trans, frontier.v == trans.src)
+            .where(F.col("frame_id") >= F.col("t"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("frame_id").cast("long").alias("t"))
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy("v")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint()
+        )
+        prev = state.select("v", F.col("t").alias("t_old"))
+        frontier = (
+            merged.join(prev, "v", "left")
+            .where(
+                F.col("t_old").isNull() | (F.col("t") < F.col("t_old"))
+            )
+            .select("v", "t")
+            .localCheckpoint(eager=False)
+        )
+        state = merged
+    curve = state.groupBy(
+        F.when(F.col("t") < 0, F.lit(-1))
+        .otherwise(F.floor(F.col("t") / bucket_frames))
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_infected"))
+    # running sum over a <= (frames/bucket)-row aggregate: the window
+    # is single-partition by construction but provably bounded
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return curve.select(
+        "bucket",
+        "n_infected",
+        F.sum("n_infected").over(w).cast("long").alias("cum_infected"),
+    ).orderBy("bucket")
+
+
+# two co-prime 31-bit moduli: each neighbor color folds to two
+# independent residues whose SUMS are the commutative multiset
+# fingerprint — sum of V terms < 2^31 stays < 2^54 for V < 2^23-per-
+# class x deg, far inside BIGINT in both engines
+_WL_P1 = 2147483647
+_WL_P2 = 1073741789
+
+
+def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement (the WL graph-
+    isomorphism test; Shervashidze et al. 2011's WL subtree kernel,
+    and the expressivity ceiling of message-passing GNNs, Xu et al.
+    2019 / Morris et al. 2019): round 0 colors each node by degree;
+    every round recolors by (own color, the MULTISET of neighbor
+    colors). Stable color classes = structural roles; the color
+    histogram is the graph's WL fingerprint (graph-dedup signature).
+
+    The textbook round sorts each node's neighbor-color list — a
+    per-hub O(deg log deg) array the saturated day graph turns into
+    exactly the collect_list hub-killer the rest of this module
+    avoids. Instead the multiset is fingerprinted COMMUTATIVELY: two
+    independent 31-bit residue sums + the count, so each round is one
+    E-row equi-join and one V-row aggregate of plain BIGINTs — no
+    arrays, no windows, no skew sensitivity (a hub's sum is one
+    combiner-friendly partial aggregate). Collisions: a pair of
+    distinct multisets collides only if BOTH residue sums and the
+    count agree (~2^-62 per comparison — the same birthday budget as
+    the 60-bit portable hash everywhere else). Colors are hash64
+    values, identical in DuckDB, so the full refinement replays in
+    the oracle. Exactly ``rounds`` rounds (1-WL stabilizes in <= V,
+    3 is the WL-kernel default h).
+
+    Columns: actor, wl_color (the round-``rounds`` color),
+    class_size (nodes sharing it; 1 = structurally unique), ordered
+    by actor.
+    """
+    from neo4j_dynagraph_spark import functions as dfn
+
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    colors = (
+        sym.groupBy(F.col("src").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "actor",
+            dfn.hash64(
+                F.concat(F.lit("wl0:"), F.col("deg").cast("string"))
+            ).alias("color"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(1, rounds + 1):
+        nb = (
+            sym.join(
+                colors.select(
+                    F.col("actor").alias("dst"),
+                    F.col("color").alias("nb_color"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("actor"))
+            .agg(
+                F.sum(F.col("nb_color") % _WL_P1).alias("s1"),
+                F.sum(F.col("nb_color") % _WL_P2).alias("s2"),
+                F.count(F.lit(1)).alias("deg"),
+            )
+        )
+        colors = (
+            nb.join(colors, "actor")
+            .select(
+                "actor",
+                dfn.hash64(
+                    F.concat(
+                        F.lit(f"wl{r}:"),
+                        F.col("color").cast("string"),
+                        F.lit(":"),
+                        F.col("s1").cast("string"),
+                        F.lit(":"),
+                        F.col("s2").cast("string"),
+                        F.lit(":"),
+                        F.col("deg").cast("string"),
+                    )
+                ).alias("color"),
+            )
+            .localCheckpoint()
+        )
+    sizes = colors.groupBy("color").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return (
+        colors.join(sizes, "color")
+        .select(F.col("actor"), F.col("color").alias("wl_color"), "class_size")
+        .orderBy("actor")
+    )
+
+
+def si_attack_rates(
+    frame_edges: DataFrame,
+    seed_mod: int = 20,
+    p10_grid: tuple[int, ...] = (1, 2, 3, 5, 8),
+    max_hops: int = 6,
+) -> DataFrame:
+    """Attack rate vs transmissibility — the epidemic-threshold SWEEP
+    completing the SI family (:func:`si_spread` is one operating
+    point; :func:`percolation_criterion` the static Molloy-Reed
+    prediction; THIS row measures where the outbreak actually takes
+    off on the real temporal contact structure — the knob-grading
+    move of q_ivf_tuning applied to epidemiology).
+
+    One delta iteration for ALL betas at once: the per-contact coin
+    hash64('sc:'f':'u':'v) mod 10 is drawn ONCE (the same coin as
+    :func:`si_spread`, so the p10=3 lane reproduces its infected
+    set exactly); a contact transmits under beta = p10/10 iff
+    coin < p10, so the coin is MONOTONE in beta and the grid join
+    replicates each contact only into the lanes it passes (expected
+    volume = E * sum(p10)/10, not E * |grid|). State is keyed
+    (p10, v) — O(V * |grid|), the multi-source family's shape with
+    the beta lane as the source key. Terminal: per beta the seed
+    count, infected count, and susceptible attack rate
+    n_infected / (V - n_seeds), a |grid|-row table. All infection
+    decisions integer; only the terminal rate is a double on the
+    1e-6 grid. Columns: p10, n_seeds, n_infected, attack_rate
+    (ordered by p10).
+    """
+    from neo4j_dynagraph_spark import functions as dfn
+
+    sym = symmetrize(
+        frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    ).localCheckpoint()
+    grid = sym.sparkSession.createDataFrame(
+        [(int(p),) for p in p10_grid], "p10 long"
+    )
+    trans = (
+        sym.withColumn(
+            "coin",
+            dfn.hash64(
+                F.concat(
+                    F.lit("sc:"),
+                    F.col("frame_id").cast("string"),
+                    F.lit(":"),
+                    F.col("src").cast("string"),
+                    F.lit(":"),
+                    F.col("dst").cast("string"),
+                )
+            )
+            % 10,
+        )
+        .crossJoin(broadcast(grid))
+        .where(F.col("coin") < F.col("p10"))
+        # rename the lane key: localCheckpoint preserves attribute
+        # ids, and state/trans both descend from the same grid frame
+        # (AMBIGUOUS_SELF_JOIN otherwise — the asrc/dsrc precedent)
+        .select(
+            F.col("p10").alias("tp10"), "frame_id", "src", "dst"
+        )
+        .localCheckpoint()
+    )
+    nodes = sym.select("src").distinct()
+    seeds = nodes.where(
+        dfn.hash64(F.concat(F.lit("si:"), F.col("src").cast("string")))
+        % seed_mod
+        == 0
+    )
+    state = (
+        seeds.crossJoin(broadcast(grid))
+        .select(
+            "p10",
+            F.col("src").alias("v"),
+            F.lit(-1).cast("long").alias("t"),
+        )
+        .localCheckpoint()
+    )
+    frontier = state
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(
+                trans,
+                (frontier.p10 == trans.tp10) & (frontier.v == trans.src),
+            )
+            .where(F.col("frame_id") >= F.col("t"))
+            .groupBy(
+                F.col("tp10").alias("p10"), F.col("dst").alias("v")
+            )
+            .agg(F.min("frame_id").cast("long").alias("t"))
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy("p10", "v")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint()
+        )
+        prev = state.select("p10", "v", F.col("t").alias("t_old"))
+        frontier = (
+            merged.join(prev, ["p10", "v"], "left")
+            .where(
+                F.col("t_old").isNull() | (F.col("t") < F.col("t_old"))
+            )
+            .select("p10", "v", "t")
+            .localCheckpoint(eager=False)
+        )
+        state = merged
+    nv = nodes.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    return (
+        state.groupBy("p10")
+        .agg(
+            F.count(F.when(F.col("t") < 0, F.lit(1)))
+            .cast("long")
+            .alias("n_seeds"),
+            F.count(F.when(F.col("t") >= 0, F.lit(1)))
+            .cast("long")
+            .alias("n_infected"),
+        )
+        .crossJoin(broadcast(nv))
+        .select(
+            "p10",
+            "n_seeds",
+            "n_infected",
+            F.round(
+                F.col("n_infected")
+                / (F.col("nv") - F.col("n_seeds")).cast("double"),
+                6,
+            ).alias("attack_rate"),
+        )
+        .orderBy("p10")
+    )

@@ -1890,3 +1890,109 @@ def domain_weights_from_scores(
         )
         .orderBy("source")
     )
+
+
+def unimax_mix(
+    docs: DataFrame,
+    epoch_cap: int = 1,
+    budget_num: int = 95,
+    budget_den: int = 100,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax epoch-capped mixture allocation (Chung et al. 2023) —
+    the third mixture-design rule beside the temperature power law
+    (:func:`temperature_mix`) and loss-driven DoReMi
+    (:func:`domain_weights`): spread a total token budget B =
+    total * budget_num/budget_den as UNIFORMLY as possible across
+    sources, but never take more than ``epoch_cap`` epochs of any one
+    source. Small sources are capped (included in full, no
+    oversampling past the epoch limit); the remaining budget splits
+    equally among the rest — UniMax's fairness guarantee without
+    temperature's arbitrary alpha.
+
+    The paper's sequential waterfill (ascending by size: alloc_i =
+    min(C*n_i, remaining/(k-i+1))) collapses to a closed form because
+    once a source is UNcapped every later (larger) source is too and
+    the uniform share is constant from there: the capped set is the
+    maximal prefix m of the ascending order where
+
+        C * n_i * (k - i + 1)  <=  B - C * P_{i-1}
+
+    (P = capped-allocation prefix sum) — ENTIRELY integer arithmetic,
+    so no float compare decides who is capped; only the terminal
+    epochs/weight divisions are doubles on the 1e-6 grid. One corpus
+    token-count pass, then every window runs over the |sources|-row
+    aggregate (provably bounded). Columns: source, n_docs, n_tokens,
+    capped, alloc_tokens, epochs, weight (alloc/B; ordered by
+    source). Unspent budget (every source capped) is UniMax
+    semantics, not an error.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tc = token_counts(docs, text_col).join(
+        docs.select("doc_id", F.col(source_col).alias("source")), "doc_id"
+    )
+    # materialized |sources|-row table: without it the corpus scan
+    # re-runs under the tot subtree (two passes for one docstring'd)
+    per = (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).select(
+        F.expr(f"(total * {budget_num}) div {budget_den}").alias("b"), "k"
+    )
+    # |sources|-row frame: bounded windows by construction
+    w_ord = Window.orderBy("n_tokens", "source")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cap = F.lit(int(epoch_cap)).cast("long")
+    r = (
+        per.crossJoin(broadcast(tot))
+        .withColumn("i", F.row_number().over(w_ord).cast("long"))
+        .withColumn("pi", F.sum(cap * F.col("n_tokens")).over(w_run))
+    )
+    r = r.withColumn(
+        "viol",
+        F.when(
+            cap * F.col("n_tokens") * (F.col("k") - F.col("i") + 1)
+            > F.col("b") - (F.col("pi") - cap * F.col("n_tokens")),
+            F.col("i"),
+        ),
+    )
+    r = r.withColumn(
+        "m", F.coalesce(F.min("viol").over(w_all) - 1, F.col("k"))
+    ).withColumn(
+        "pm",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("i") <= F.col("m"), cap * F.col("n_tokens"))
+            ).over(w_all),
+            F.lit(0).cast("long"),
+        ),
+    )
+    alloc = F.when(
+        F.col("i") <= F.col("m"), (cap * F.col("n_tokens")).cast("double")
+    ).otherwise(
+        (F.col("b") - F.col("pm"))
+        / (F.col("k") - F.col("m")).cast("double")
+    )
+    return r.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("i") <= F.col("m")).alias("capped"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        F.round(alloc / F.col("b"), 6).alias("weight"),
+    ).orderBy("source")

@@ -2282,11 +2282,16 @@ _GRADE_WINDOW = [
     "q_stream_ivf_assign", "q_triangles_capped",
     # 2-green rows held for a third green before retirement
     # (q_join_size_est, 2 greens, displaced by the birth-round entry
-    # q_temporal_closeness_sampled per the standing policy)
-    "q_stream_gopher", "q_stream_sq_stats",
-    "q_stream_training_mix", "q_minhash_decontam",
-    # round-12 birth-round entry: the temporal-closeness scale twin
+    # q_temporal_closeness_sampled per the standing policy;
+    # q_stream_gopher, q_stream_sq_stats, q_stream_training_mix, and
+    # q_minhash_decontam — all 2 greens — displaced by the round-12
+    # session-2 birth-round entries q_si_spread, q_si_thresholds,
+    # q_wl_colors, q_unimax_mix)
+    # round-12 birth-round entries: the temporal-closeness scale twin,
+    # the SI epidemic curve + threshold sweep, 1-WL color refinement,
+    # UniMax allocation
     "q_temporal_closeness_sampled",
+    "q_si_spread", "q_si_thresholds", "q_wl_colors", "q_unimax_mix",
     # round-11 dynamic-graph evolution family (first graded r11)
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     "q_stream_burst", "q_personalized_pagerank",

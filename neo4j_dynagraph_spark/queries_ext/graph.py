@@ -3233,3 +3233,204 @@ def q_sage_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.sage_aggregate(
         blocks, feats, ["n_frames", "n_events"], n_hops=2
     )
+
+
+_SI_SEED_MOD, _SI_P10, _SI_HOPS, _SI_BUCKET = 20, 3, 6, 4
+
+
+@query(
+    "q_si_spread",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+tr AS MATERIALIZED (SELECT frame_id, src, dst FROM sym
+  WHERE ({_H64.format(x="'sc:' || frame_id || ':' || src || ':' || dst")})
+        % 10 < {_SI_P10}),
+seeds AS (SELECT src AS v FROM (SELECT DISTINCT src FROM sym)
+  WHERE ({_H64.format(x="'si:' || src")}) % {_SI_SEED_MOD} = 0),
+r AS (
+  SELECT v, CAST(-1 AS BIGINT) AS t, 0 AS h FROM seeds
+  UNION
+  SELECT tr.dst AS v, CAST(tr.frame_id AS BIGINT) AS t, r.h + 1 AS h
+  FROM r JOIN tr ON tr.src = r.v AND tr.frame_id >= r.t
+  WHERE r.h < {_SI_HOPS}
+),
+mi AS MATERIALIZED (SELECT v, min(t) AS t FROM r GROUP BY 1),
+cur AS (SELECT CASE WHEN t < 0 THEN CAST(-1 AS BIGINT)
+                    ELSE t // {_SI_BUCKET} END AS bucket,
+               count(*) AS n FROM mi GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n_infected,
+       CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_infected
+FROM cur ORDER BY bucket
+""",
+)
+def q_si_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-coin SI epidemic over the pinned day's time-respecting
+    contacts — the SocioPatterns domain's headline simulation (the
+    contact data was published for exactly this): a 1-in-20
+    hash-drawn seed set, per-contact transmissibility beta = 0.3 via
+    the portable coin, earliest-infection times by the family's
+    delta iteration (q_temporal_reach is the beta = 1 special case;
+    q_percolation the static threshold). State is ONE row per node —
+    O(V), not the all-sources family's O(V^2) — and the coin filter
+    cuts the contact stream to ~beta of E before the loop. Terminal:
+    the epidemic curve (new + cumulative infections per 4-frame (80 s)
+    bucket, seeds at bucket -1), a bounded table whose running
+    sum is a provably bounded window. Every infection decision is
+    integer; the oracle replays seeds, coins, and the bounded
+    recursion."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.si_spread(
+        qmod._edges(spark, sf_dir, qmod._day_filter()),
+        seed_mod=_SI_SEED_MOD,
+        p10=_SI_P10,
+        max_hops=_SI_HOPS,
+        bucket_frames=_SI_BUCKET,
+    )
+
+
+_WL_ROUNDS = 3
+
+
+def _wl_cte(rounds: int) -> str:
+    """DuckDB replay of graph.wl_refinement: round-0 degree colors,
+    then per round the commutative multiset fingerprint (two residue
+    sums + count) — moduli interpolated from operators/graph.py so
+    the oracle can never desynchronize from the Spark labels."""
+    from neo4j_dynagraph_spark.operators.graph import _WL_P1, _WL_P2
+
+    h0 = _H64.format(x="'wl0:' || deg")
+    parts = [
+        "deg0 AS (SELECT src AS actor, count(*) AS deg FROM sym GROUP BY 1)",
+        f"c0 AS (SELECT actor, {h0} AS color FROM deg0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS (SELECT s.src AS actor,\n"
+            f"  sum(c.color % {_WL_P1}) AS s1,\n"
+            f"  sum(c.color % {_WL_P2}) AS s2,\n"
+            f"  count(*) AS deg\n"
+            f"  FROM sym s JOIN c{r - 1} c ON c.actor = s.dst GROUP BY 1)"
+        )
+        hx = _H64.format(
+            x=(
+                f"'wl{r}:' || c.color || ':' || n.s1 || ':' || n.s2"
+                f" || ':' || n.deg"
+            )
+        )
+        parts.append(
+            f"c{r} AS (SELECT n.actor, {hx} AS color\n"
+            f"  FROM n{r} n JOIN c{r - 1} c ON c.actor = n.actor)"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "q_wl_colors",
+    bench=True,
+    oracle=f"""
+WITH p AS ({_presence_sql(_HOUR_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+{_wl_cte(_WL_ROUNDS)},
+cs AS (SELECT color, CAST(count(*) AS BIGINT) AS class_size
+       FROM c{_WL_ROUNDS} GROUP BY 1)
+SELECT c.actor, c.color AS wl_color, cs.class_size
+FROM c{_WL_ROUNDS} c JOIN cs ON cs.color = c.color
+ORDER BY c.actor
+""",
+)
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement of the pinned-hour graph (the
+    Weisfeiler-Leman isomorphism test; the WL subtree kernel of
+    Shervashidze et al. 2011 and the expressivity ceiling of
+    message-passing GNNs): 3 rounds of recolor-by-neighbor-multiset,
+    yielding structural roles (class_size = 1 marks structurally
+    unique actors) and the graph's WL fingerprint. The textbook
+    sorted neighbor-color list is a per-hub array sort — the
+    collect_list hub-killer — so the multiset is fingerprinted
+    COMMUTATIVELY (two independent 31-bit residue sums + count):
+    each round one E-row equi-join + one combiner-friendly V-row
+    aggregate, skew-immune by construction. Colors are portable
+    hash64 values, so the whole refinement replays in the unrolled
+    oracle."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.wl_refinement(
+        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        rounds=_WL_ROUNDS,
+    )
+
+
+_SIT_GRID = (1, 2, 3, 5, 8)
+
+
+@query(
+    "q_si_thresholds",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+grid AS (SELECT unnest([{", ".join(str(p) for p in _SIT_GRID)}]) AS p10),
+tc AS (SELECT frame_id, src, dst,
+    ({_H64.format(x="'sc:' || frame_id || ':' || src || ':' || dst")})
+    % 10 AS coin FROM sym),
+tr AS MATERIALIZED (SELECT CAST(g.p10 AS BIGINT) AS p10, t.frame_id,
+    t.src, t.dst FROM tc t JOIN grid g ON t.coin < g.p10),
+seeds AS (SELECT src AS v FROM (SELECT DISTINCT src FROM sym)
+  WHERE ({_H64.format(x="'si:' || src")}) % {_SI_SEED_MOD} = 0),
+r AS (
+  SELECT CAST(g.p10 AS BIGINT) AS p10, s.v, CAST(-1 AS BIGINT) AS t,
+         0 AS h
+  FROM seeds s, grid g
+  UNION
+  SELECT r.p10, tr.dst AS v, CAST(tr.frame_id AS BIGINT) AS t,
+         r.h + 1 AS h
+  FROM r JOIN tr ON tr.p10 = r.p10 AND tr.src = r.v
+                AND tr.frame_id >= r.t
+  WHERE r.h < {_SI_HOPS}
+),
+mi AS MATERIALIZED (SELECT p10, v, min(t) AS t FROM r GROUP BY 1, 2),
+vc AS (SELECT CAST(count(*) AS BIGINT) AS nv
+       FROM (SELECT DISTINCT src FROM sym))
+SELECT p10,
+       CAST(count(*) FILTER (WHERE t < 0) AS BIGINT) AS n_seeds,
+       CAST(count(*) FILTER (WHERE t >= 0) AS BIGINT) AS n_infected,
+       round(count(*) FILTER (WHERE t >= 0)
+             / CAST((SELECT nv FROM vc)
+                    - count(*) FILTER (WHERE t < 0) AS DOUBLE),
+             6) AS attack_rate
+FROM mi GROUP BY p10 ORDER BY p10
+""",
+)
+def q_si_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attack rate vs transmissibility over the pinned day — the
+    epidemic-threshold sweep: one delta iteration carries ALL five
+    beta lanes (state keyed (beta, v), the multi-source shape with
+    the beta lane as source key; the per-contact coin is drawn once
+    and is monotone in beta, so each contact replicates only into
+    the lanes it passes). This measures empirically where the
+    outbreak takes off on the real temporal contact structure —
+    the dynamic counterpart to q_percolation's static Molloy-Reed
+    prediction, and the knob-grading move of q_ivf_tuning applied
+    to the SI family (q_si_spread is the beta = 0.3 single
+    operating point; its lane here reproduces that infected set
+    coin-for-coin). |grid|-row terminal; every infection decision
+    integer."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.si_attack_rates(
+        qmod._edges(spark, sf_dir, qmod._day_filter()),
+        seed_mod=_SI_SEED_MOD,
+        p10_grid=_SIT_GRID,
+        max_hops=_SI_HOPS,
+    )

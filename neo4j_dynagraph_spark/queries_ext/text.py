@@ -1503,3 +1503,69 @@ def q_stream_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         eta=_DW_ETA,
         smooth=_DW_SMOOTH,
     )
+
+
+_UM_CAP, _UM_NUM, _UM_DEN = 1, 95, 100
+
+_UM_WS = (
+    "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> ''))"
+)
+
+_UM_ORACLE = f"""
+WITH tc AS (SELECT source, {_UM_WS} AS ws FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS n_tokens FROM tc GROUP BY 1),
+tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+              CAST(count(*) AS BIGINT) AS k FROM per),
+bb AS (SELECT (total * {_UM_NUM}) // {_UM_DEN} AS b, k FROM tt),
+r AS (SELECT p.*, CAST(row_number()
+          OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+        sum({_UM_CAP} * n_tokens)
+          OVER (ORDER BY n_tokens, source ROWS UNBOUNDED PRECEDING) AS pi
+      FROM per p),
+v AS (SELECT r.*,
+        CASE WHEN {_UM_CAP} * n_tokens * ((SELECT k FROM bb) - i + 1)
+                  > (SELECT b FROM bb) - (pi - {_UM_CAP} * n_tokens)
+             THEN i END AS viol
+      FROM r),
+m AS (SELECT coalesce(min(viol) - 1, max(i)) AS m FROM v),
+pm AS (SELECT coalesce(sum(CASE WHEN i <= (SELECT m FROM m)
+                           THEN {_UM_CAP} * n_tokens END), 0) AS pm FROM v),
+al AS (SELECT v.*,
+         CASE WHEN i <= (SELECT m FROM m)
+              THEN CAST({_UM_CAP} * n_tokens AS DOUBLE)
+              ELSE ((SELECT b FROM bb) - (SELECT pm FROM pm))
+                   / CAST((SELECT k FROM bb) - (SELECT m FROM m) AS DOUBLE)
+         END AS alloc
+       FROM v)
+SELECT source, n_docs, n_tokens,
+       i <= (SELECT m FROM m) AS capped,
+       round(alloc, 6) AS alloc_tokens,
+       round(alloc / n_tokens, 6) AS epochs,
+       round(alloc / (SELECT b FROM bb), 6) AS weight
+FROM al ORDER BY source
+"""
+
+
+@query("q_unimax_mix", bench=True, oracle=_UM_ORACLE)
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped mixture allocation (Chung et al. 2023) —
+    the third mixture-design rule, completing the family: temperature
+    (q_temperature_mix, power-law shares), loss-driven DoReMi
+    (q_domain_weights), and THIS row's fairness rule — spread a 95%
+    token budget as uniformly as possible with at most one epoch of
+    any source, so small sources are taken in full (capped) and large
+    ones split the remainder equally. The paper's sequential
+    waterfill collapses to a closed form over the ascending size
+    order (the capped set is a provable prefix); who-is-capped is
+    decided ENTIRELY in integer arithmetic — no float boundary — and
+    every window runs over the |sources|-row aggregate. One corpus
+    token-count pass; oracle replays rank, prefix sums, the integer
+    cap test, and the terminal divisions."""
+    return text.unimax_mix(
+        _docs(spark, sf_dir),
+        epoch_cap=_UM_CAP,
+        budget_num=_UM_NUM,
+        budget_den=_UM_DEN,
+    )

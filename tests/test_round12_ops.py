@@ -1,0 +1,244 @@
+"""Round-12 additions: SI epidemic spread, 1-WL color refinement,
+UniMax mixture allocation. Each pinned by a planted fixture or a
+pure-Python differential (the coins/colors use the portable md5 hash,
+so Python can replay every draw exactly)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from neo4j_dynagraph_spark.operators import graph, text
+
+
+def _h64(s: str) -> int:
+    """Pure-Python twin of functions.hash64 (first 15 md5 hex chars)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- SI
+
+
+def _py_si(contacts, seed_mod, p10, max_hops):
+    """Reference SI: BFS over time-respecting coin-passing contacts.
+    contacts: list of (frame, a, b) undirected."""
+    nodes = {a for _, a, _ in contacts} | {b for _, _, b in contacts}
+    inf = {v: -1 for v in nodes if _h64(f"si:{v}") % seed_mod == 0}
+    directed = [(f, a, b) for f, a, b in contacts] + [
+        (f, b, a) for f, a, b in contacts
+    ]
+    passing = [
+        (f, u, v)
+        for f, u, v in directed
+        if _h64(f"sc:{f}:{u}:{v}") % 10 < p10
+    ]
+    for _ in range(max_hops):
+        new = {}
+        for f, u, v in passing:
+            if u in inf and f >= inf[u]:
+                t = min(new.get(v, f), f)
+                if v not in inf or t < inf[v]:
+                    new[v] = t
+        changed = False
+        for v, t in new.items():
+            if v not in inf or t < inf[v]:
+                inf[v] = t
+                changed = True
+        if not changed:
+            break
+    return inf
+
+
+CONTACTS = [
+    # a little temporal graph: chain 1-2-3-4 with time-increasing
+    # frames, a shortcut, and a late isolated pair
+    (100, 1, 2),
+    (101, 2, 3),
+    (102, 3, 4),
+    (100, 1, 5),
+    (105, 5, 6),
+    (99, 7, 8),
+    (103, 4, 7),
+    (104, 6, 2),
+]
+
+
+def _si_df(spark):
+    return spark.createDataFrame(
+        CONTACTS, "frame_id long, actor1 long, actor2 long"
+    )
+
+
+def test_si_spread_differential(spark):
+    """Spark SI curve == pure-Python replay of the same hash coins,
+    across several (seed_mod, beta) operating points."""
+    for seed_mod, p10 in ((1, 10), (2, 10), (2, 5), (3, 3), (1, 0)):
+        inf = _py_si(CONTACTS, seed_mod, p10, max_hops=6)
+        want = {}
+        for v, t in inf.items():
+            b = -1 if t < 0 else t // 4
+            want[b] = want.get(b, 0) + 1
+        got = {
+            r.bucket: r.n_infected
+            for r in graph.si_spread(
+                _si_df(spark),
+                seed_mod=seed_mod,
+                p10=p10,
+                max_hops=6,
+                bucket_frames=4,
+            ).collect()
+        }
+        assert got == want, (seed_mod, p10, got, want)
+
+
+def test_si_spread_beta1_is_temporal_reach(spark):
+    """beta = 1 (p10=10): the infected set must equal time-respecting
+    reachability from the seed set, and the cumulative column must be
+    a running sum."""
+    rows = graph.si_spread(
+        _si_df(spark), seed_mod=2, p10=10, max_hops=6, bucket_frames=4
+    ).collect()
+    cum = 0
+    for r in rows:
+        cum += r.n_infected
+        assert r.cum_infected == cum
+    inf = _py_si(CONTACTS, 2, 10, 6)
+    assert cum == len(inf)
+    # monotone in beta: lower transmissibility infects a subset
+    low = _py_si(CONTACTS, 2, 3, 6)
+    assert set(low) <= set(inf)
+
+
+# ---------------------------------------------------------------- WL
+
+
+def test_wl_c6_vs_two_triangles_indistinguishable(spark):
+    """The classic 1-WL counterexample: C6 and 2xC3 are both
+    2-regular, so every node keeps the same color forever — one color
+    class of size 12 (the invariance that makes WL a sound, not
+    complete, isomorphism test)."""
+    c6 = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6)]
+    tri2 = [(11, 12), (12, 13), (11, 13), (14, 15), (15, 16), (14, 16)]
+    e = spark.createDataFrame(c6 + tri2, "actor1 long, actor2 long")
+    rows = graph.wl_refinement(e, rounds=3).collect()
+    assert len(rows) == 12
+    assert len({r.wl_color for r in rows}) == 1
+    assert all(r.class_size == 12 for r in rows)
+
+
+def test_wl_path_splits_by_role(spark):
+    """P4 (a-b-c-d): ends {a,d} and middles {b,c} are the two orbits;
+    WL must find exactly those classes and be deterministic."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "actor1 long, actor2 long"
+    )
+    rows = {r.actor: (r.wl_color, r.class_size) for r in
+            graph.wl_refinement(e, rounds=3).collect()}
+    assert rows[1] == rows[4] and rows[2] == rows[3]
+    assert rows[1][0] != rows[2][0]
+    assert rows[1][1] == 2 and rows[2][1] == 2
+    again = {r.actor: (r.wl_color, r.class_size) for r in
+             graph.wl_refinement(e, rounds=3).collect()}
+    assert rows == again
+
+
+def test_wl_star_refines_past_degree(spark):
+    """Star + pendant chain: node 5 and the leaves share degree 1 at
+    round 0 only if symmetric — here leaf-of-hub vs leaf-of-path
+    split once neighbor colors flow (round >= 2). Fixture: hub 1 with
+    leaves 2,3,4 and a path 4-5."""
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (4, 5)], "actor1 long, actor2 long"
+    )
+    rows = {r.actor: r.wl_color for r in
+            graph.wl_refinement(e, rounds=3).collect()}
+    # leaves of the hub (2,3) identical; 5 (leaf of a degree-2 node)
+    # must differ from them even though all three have degree 1
+    assert rows[2] == rows[3]
+    assert rows[5] != rows[2]
+    assert len({rows[1], rows[4]}) == 2  # hub vs bridge distinct
+
+
+# ------------------------------------------------------------ UniMax
+
+
+def _docs_df(spark, sizes):
+    """One doc per source with an exact whitespace-token count."""
+    rows = [
+        (i, f"s{i}", " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate(sizes)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_unimax_waterfill_mixed(spark):
+    """Sizes 10/10/100, cap 1, budget 95% of 120 = 114: both small
+    sources capped in full, the big one takes the 94-token remainder
+    (hand-computed waterfill)."""
+    out = {
+        r.source: r
+        for r in text.unimax_mix(
+            _docs_df(spark, [10, 10, 100]),
+            epoch_cap=1, budget_num=95, budget_den=100,
+        ).collect()
+    }
+    assert out["s0"].capped and out["s1"].capped and not out["s2"].capped
+    assert out["s0"].alloc_tokens == 10.0
+    assert out["s1"].alloc_tokens == 10.0
+    assert out["s2"].alloc_tokens == 94.0
+    assert out["s2"].epochs == 0.94
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-5
+
+
+def test_unimax_all_capped_leaves_budget_unspent(spark):
+    """Budget 3x the corpus with cap 1: every source capped at one
+    epoch, total allocation < budget (UniMax semantics, not an
+    error)."""
+    out = text.unimax_mix(
+        _docs_df(spark, [5, 7]), epoch_cap=1, budget_num=300,
+        budget_den=100,
+    ).collect()
+    assert all(r.capped for r in out)
+    assert sum(r.alloc_tokens for r in out) == 12.0
+    assert all(r.epochs == 1.0 for r in out)
+
+
+def test_unimax_uniform_when_budget_tight(spark):
+    """Budget below k*min(cap*n): nobody capped, everyone gets B/k.
+    Sizes 50/60, cap 1, budget 50% of 110 = 55 -> 27.5 each."""
+    out = text.unimax_mix(
+        _docs_df(spark, [50, 60]), epoch_cap=1, budget_num=50,
+        budget_den=100,
+    ).collect()
+    assert all(not r.capped for r in out)
+    assert all(r.alloc_tokens == 27.5 for r in out)
+
+
+def test_si_attack_rates_differential(spark):
+    """Every beta lane of the sweep == an independent pure-Python SI
+    replay at that beta; attack rate monotone non-decreasing in
+    beta; the p10=3 lane's infected count == si_spread's."""
+    grid = (1, 3, 5, 10)
+    rows = {
+        r.p10: r
+        for r in graph.si_attack_rates(
+            _si_df(spark), seed_mod=2, p10_grid=grid, max_hops=6
+        ).collect()
+    }
+    assert set(rows) == set(grid)
+    prev = -1.0
+    for p10 in grid:
+        inf = _py_si(CONTACTS, 2, p10, 6)
+        n_seeds = sum(1 for t in inf.values() if t < 0)
+        n_inf = sum(1 for t in inf.values() if t >= 0)
+        assert rows[p10].n_seeds == n_seeds
+        assert rows[p10].n_infected == n_inf
+        assert rows[p10].attack_rate >= prev
+        prev = rows[p10].attack_rate
+    spread = graph.si_spread(
+        _si_df(spark), seed_mod=2, p10=3, max_hops=6, bucket_frames=4
+    ).collect()
+    assert sum(r.n_infected for r in spread if r.bucket >= 0) == (
+        rows[3].n_infected
+    )
