@@ -1928,9 +1928,6 @@ def unimax_mix(
     source). Unspent budget (every source capped) is UniMax
     semantics, not an error.
     """
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
-
     tc = token_counts(docs, text_col).join(
         docs.select("doc_id", F.col(source_col).alias("source")), "doc_id"
     )
@@ -1944,6 +1941,25 @@ def unimax_mix(
         )
         .localCheckpoint()
     )
+    return unimax_from_counts(per, epoch_cap, budget_num, budget_den)
+
+
+def unimax_from_counts(
+    per: DataFrame,
+    epoch_cap: int = 1,
+    budget_num: int = 95,
+    budget_den: int = 100,
+) -> DataFrame:
+    """The waterfill half of :func:`unimax_mix` over a prepared
+    ``(source, n_docs, n_tokens)`` table — shared by the batch
+    operator and the streaming twin, which drains per-batch count
+    PARTIALS and sums them at read time (the allocation is a pure
+    function of the FINAL per-source totals, so it cannot finalize
+    earlier — the temperature-mix late-binding class). Same output
+    contract as :func:`unimax_mix`."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
     tot = per.agg(
         F.sum("n_tokens").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("k"),

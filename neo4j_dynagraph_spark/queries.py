@@ -2277,7 +2277,9 @@ _GRADE_WINDOW = [
     "q_training_mix", "q_semdedup",
     "q_node2vec_walks", "q_link_scores",
     "q_stream_dedup_lsh", "q_stream_embed_topk",
-    "q_stream_temperature_mix",
+    # (q_stream_temperature_mix, 1 green, displaced by its own
+    # family's birth-round entry q_stream_unimax_mix — ties among
+    # 1-green rows break toward keeping capstones graded)
     "q_pq_recall", "q_ivfpq", "q_png_decode",
     "q_stream_ivf_assign", "q_triangles_capped",
     # 2-green rows held for a third green before retirement
@@ -2292,6 +2294,7 @@ _GRADE_WINDOW = [
     # UniMax allocation
     "q_temporal_closeness_sampled",
     "q_si_spread", "q_si_thresholds", "q_wl_colors", "q_unimax_mix",
+    "q_stream_unimax_mix",
     # round-11 dynamic-graph evolution family (first graded r11)
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     "q_stream_burst", "q_personalized_pagerank",

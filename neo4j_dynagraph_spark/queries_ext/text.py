@@ -1569,3 +1569,29 @@ def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_num=_UM_NUM,
         budget_den=_UM_DEN,
     )
+
+
+@query("q_stream_unimax_mix", oracle=_UM_ORACLE)
+def q_stream_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING UniMax re-estimation: the documents stream drained
+    into per-batch per-source token-count PARTIALS (|sources| rows
+    per batch, batch_id-keyed — the commit-order contract), with the
+    epoch-capped waterfill assembled at READ time via the shared
+    unimax_from_counts core. Every arriving batch shifts every
+    source's total and can move the capped-prefix boundary, so the
+    allocation is late-bound by construction — but unlike the
+    temperature twin's per-doc catalog, the drained state here is
+    counts only (the mixture family's cheapest store). Bit-equal to
+    batch q_unimax_mix under any chopping and graded on ITS oracle
+    (streaming/unimax.py; multibatch boundary-shift test)."""
+    from neo4j_dynagraph_spark.streaming.unimax import stream_unimax_mix
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_unimax_mix(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        schema,
+        epoch_cap=_UM_CAP,
+        budget_num=_UM_NUM,
+        budget_den=_UM_DEN,
+    )

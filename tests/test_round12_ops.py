@@ -242,3 +242,65 @@ def test_si_attack_rates_differential(spark):
     assert sum(r.n_infected for r in spread if r.bucket >= 0) == (
         rows[3].n_infected
     )
+
+
+def test_stream_unimax_multibatch_boundary_shifts(spark, tmp_path):
+    """The UniMax allocation drained one micro-batch at a time must
+    equal the batch operator exactly — planted hazard: the last batch
+    floods one source with tokens, moving the capped-prefix boundary
+    computed from batches 0-1 (sources capped early must become
+    uncapped-relative or stay, and every allocation rebinds)."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.streaming.unimax import stream_unimax_mix
+
+    def doc(i, src, n):
+        return (i, src, " ".join(f"w{j}" for j in range(n)))
+
+    shards = [
+        [doc(1, "a", 10), doc(2, "b", 12)],
+        [doc(3, "c", 30), doc(4, "a", 5)],
+        # the flood: source c gains 200 tokens last
+        [doc(5, "c", 200)],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = sorted(
+        map(
+            tuple,
+            stream_unimax_mix(
+                spark, str(src), schema, epoch_cap=1, budget_num=95,
+                budget_den=100, max_files_per_trigger=1,
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            text.unimax_mix(
+                spark.read.parquet(str(src)), epoch_cap=1,
+                budget_num=95, budget_den=100,
+            ).collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) == 3
+    by_source = {r[0]: r for r in streamed}
+    # totals: a=15, b=12, c=230 -> B = 244 (95% of 257); ascending
+    # b(12): 12*3=36 <= 244 capped; a(15): 15*2=30 <= 232 capped;
+    # c(230): 230 > 244-27=217 -> uncapped, takes 217
+    assert by_source["b"][3] and by_source["a"][3]
+    assert not by_source["c"][3]
+    assert by_source["c"][4] == 217.0
