@@ -3888,3 +3888,78 @@ def si_attack_rates(
         )
         .orderBy("p10")
     )
+
+
+def influence_seeds(edges: DataFrame, k: int = 8, p10: int = 3) -> DataFrame:
+    """Degree-discount influence maximization (Chen, Wang & Yang, KDD
+    2009) — the 'whom to target' completion of the epidemic family:
+    :func:`si_spread` simulates an outbreak, :func:`si_attack_rates`
+    sweeps its transmissibility, :func:`percolation_criterion` gives
+    the vaccination fraction, THIS picks the k seed/immunization
+    targets. Greedy: each round selects the node with the highest
+    DISCOUNTED degree dd(v) = d(v) - 2 t(v) - (d(v) - t(v)) t(v) p
+    (t = already-selected neighbors, p = transmission probability) —
+    the cheap 1/1000th-cost stand-in for greedy IC simulation the
+    paper shows within ~1-4% of it.
+
+    Portability: with p = p10/10 every dd is a rational with
+    denominator 10, so the operator ranks dd10 = 10 d - 20 t -
+    (d - t) t p10 — INTEGER, no float compare decides selection; ties
+    break on the smaller actor id. Each of the k rounds is one E-row
+    join against the <= k-row broadcast seed set (a map-side filter),
+    one V-row aggregate, and a top-1 TakeOrderedAndProject — no
+    driver-side scalars; the seed set stays a DataFrame. Columns:
+    round, actor, degree, dd10 (the score at selection), ordered by
+    round.
+    """
+    sym = symmetrize(
+        edges.select("actor1", "actor2").distinct()
+    ).localCheckpoint()
+    deg = (
+        sym.groupBy(F.col("src").alias("actor"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()
+    )
+    chosen = deg.sparkSession.createDataFrame(
+        [], "round long, actor long, degree long, dd10 long"
+    )
+    for r in range(1, k + 1):
+        t = (
+            sym.join(
+                broadcast(chosen.select(F.col("actor").alias("dst"))),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("actor"))
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        )
+        dd = (
+            deg.join(t, "actor", "left")
+            .join(
+                broadcast(chosen.select("actor")), "actor", "left_anti"
+            )
+            .select(
+                "actor",
+                "d",
+                (
+                    F.lit(10) * F.col("d")
+                    - F.lit(20) * F.coalesce(F.col("t"), F.lit(0))
+                    - (F.col("d") - F.coalesce(F.col("t"), F.lit(0)))
+                    * F.coalesce(F.col("t"), F.lit(0))
+                    * F.lit(p10)
+                )
+                .cast("long")
+                .alias("dd10"),
+            )
+        )
+        pick = (
+            dd.orderBy(F.desc("dd10"), "actor")
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "actor",
+                F.col("d").alias("degree"),
+                "dd10",
+            )
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint()
+    return chosen.orderBy("round")

@@ -3434,3 +3434,86 @@ def q_si_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         p10_grid=_SIT_GRID,
         max_hops=_SI_HOPS,
     )
+
+
+_DDK, _DDP10 = 8, 3
+
+
+def _dd_cte(k: int, p10: int) -> str:
+    """DuckDB replay of graph.influence_seeds: k unrolled greedy
+    rounds — discounted-degree table, integer-exact argmax with
+    smaller-actor tie-break, chosen-set union. Chosen sets are
+    multi-referenced per round, so MATERIALIZED."""
+    parts = [
+        "deg AS MATERIALIZED (SELECT src AS actor, count(*) AS d "
+        "FROM sym GROUP BY 1)"
+    ]
+    prev = None
+    for r in range(1, k + 1):
+        if prev is None:
+            parts.append(
+                f"dd{r} AS (SELECT actor, d, 10 * d AS dd10 FROM deg)"
+            )
+        else:
+            parts.append(
+                f"t{r} AS (SELECT s.src AS actor, count(*) AS t\n"
+                f"  FROM sym s JOIN {prev} c ON c.actor = s.dst "
+                f"GROUP BY 1)"
+            )
+            parts.append(
+                f"dd{r} AS (SELECT g.actor, g.d,\n"
+                f"  10 * g.d - 20 * coalesce(t.t, 0)\n"
+                f"  - (g.d - coalesce(t.t, 0)) * coalesce(t.t, 0) * {p10}"
+                f" AS dd10\n"
+                f"  FROM deg g LEFT JOIN t{r} t ON t.actor = g.actor\n"
+                f"  WHERE g.actor NOT IN (SELECT actor FROM {prev}))"
+            )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT {r} AS round, actor, d, dd10\n"
+            f"  FROM dd{r} ORDER BY dd10 DESC, actor LIMIT 1)"
+        )
+        if prev is None:
+            parts.append(
+                f"ch{r} AS MATERIALIZED (SELECT actor FROM p{r})"
+            )
+        else:
+            parts.append(
+                f"ch{r} AS MATERIALIZED (SELECT actor FROM {prev} "
+                f"UNION ALL SELECT actor FROM p{r})"
+            )
+        prev = f"ch{r}"
+    return ",\n".join(parts)
+
+
+@query(
+    "q_influence_seeds",
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT actor2, actor1 FROM e),
+{_dd_cte(_DDK, _DDP10)}
+SELECT CAST(round AS BIGINT) AS round, actor,
+       CAST(d AS BIGINT) AS degree, CAST(dd10 AS BIGINT) AS dd10
+FROM ({" UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(1, _DDK + 1))})
+ORDER BY round
+""",
+)
+def q_influence_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-discount influence maximization over the pinned-day
+    graph (Chen et al. KDD 2009) — the 'whom to target' completion
+    of the epidemic family (q_si_spread simulates, q_si_thresholds
+    sweeps beta, q_percolation predicts the threshold, THIS picks
+    the 8 seed/immunization targets at the SI family's beta = 0.3).
+    Discounted degrees are ranked as the INTEGER dd10 (p folded into
+    the numerator), so no float compare decides selection and the
+    greedy argmax replays bit-for-bit; each round is one E-row join
+    against the <= 8-row broadcast seed set + a top-1
+    TakeOrderedAndProject. The oracle unrolls all 8 rounds."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.influence_seeds(
+        qmod._edges(spark, sf_dir, qmod._day_filter()),
+        k=_DDK,
+        p10=_DDP10,
+    )

@@ -304,3 +304,61 @@ def test_stream_unimax_multibatch_boundary_shifts(spark, tmp_path):
     assert by_source["b"][3] and by_source["a"][3]
     assert not by_source["c"][3]
     assert by_source["c"][4] == 217.0
+
+
+# ---------------------------------------------------- degree-discount
+
+
+def _py_degree_discount(pairs, k, p10):
+    """Reference greedy (Chen et al. 2009), integer dd10 scores."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    chosen, out = set(), []
+    for r in range(1, k + 1):
+        best = None
+        for v in sorted(adj):
+            if v in chosen:
+                continue
+            d = len(adj[v])
+            t = len(adj[v] & chosen)
+            dd10 = 10 * d - 20 * t - (d - t) * t * p10
+            if best is None or dd10 > best[0] or (
+                dd10 == best[0] and v < best[1]
+            ):
+                best = (dd10, v, d)
+        if best is None:
+            break
+        chosen.add(best[1])
+        out.append((r, best[1], best[2], best[0]))
+    return out
+
+
+def test_influence_seeds_avoids_hub_neighborhood(spark):
+    """The degree-discount signature move: after picking hub 1, its
+    degree-4 NEIGHBOR (node 2) is discounted below the independent
+    degree-4 hub (node 10), so round 2 jumps to the other community —
+    plain greedy-by-degree would not."""
+    pairs = (
+        [(1, v) for v in (2, 3, 4, 5, 6)]
+        + [(2, v) for v in (7, 8, 9)]
+        + [(10, v) for v in (11, 12, 13, 14)]
+    )
+    e = spark.createDataFrame(pairs, "actor1 long, actor2 long")
+    rows = graph.influence_seeds(e, k=4, p10=3).collect()
+    assert (rows[0].round, rows[0].actor) == (1, 1)
+    assert (rows[1].round, rows[1].actor) == (2, 10)
+    got = [(r.round, r.actor, r.degree, r.dd10) for r in rows]
+    assert got == _py_degree_discount(pairs, 4, 3)
+
+
+def test_influence_seeds_k_exceeds_nodes(spark):
+    """k larger than V: selection stops at V rows (both engines'
+    LIMIT-of-empty semantics), every node selected exactly once."""
+    pairs = [(1, 2), (2, 3)]
+    e = spark.createDataFrame(pairs, "actor1 long, actor2 long")
+    rows = graph.influence_seeds(e, k=8, p10=3).collect()
+    assert len(rows) == 3
+    assert {r.actor for r in rows} == {1, 2, 3}
+    assert [r.round for r in rows] == [1, 2, 3]
