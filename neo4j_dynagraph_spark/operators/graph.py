@@ -3565,6 +3565,7 @@ def si_spread(
     p10: int = 3,
     max_hops: int = 6,
     bucket_frames: int = 4,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic SI epidemic over time-respecting contacts — the
     SocioPatterns domain's headline simulation (the reference's data
@@ -3611,7 +3612,12 @@ def si_spread(
         )
         % 10
         < p10
-    ).localCheckpoint()
+    )
+    # the coin-filtered contact stream is E-sized: the family's
+    # _materialize/spill_dir contract applies (SCALE.md sf1 epidemic
+    # postmortem: lingering E-sized deserialized blocks from one
+    # query starve the NEXT query's heap in a shared session)
+    trans = _materialize(trans, spill_dir, "si_trans")
     nodes = sym.select("src").distinct()
     state = nodes.where(
         dfn.hash64(F.concat(F.lit("si:"), F.col("src").cast("string")))
@@ -3764,6 +3770,7 @@ def si_attack_rates(
     seed_mod: int = 20,
     p10_grid: tuple[int, ...] = (1, 2, 3, 5, 8),
     max_hops: int = 6,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Attack rate vs transmissibility — the epidemic-threshold SWEEP
     completing the SI family (:func:`si_spread` is one operating
@@ -3789,9 +3796,13 @@ def si_attack_rates(
     """
     from neo4j_dynagraph_spark import functions as dfn
 
-    sym = symmetrize(
-        frame_edges.select("frame_id", "actor1", "actor2").distinct()
-    ).localCheckpoint()
+    sym = _materialize(
+        symmetrize(
+            frame_edges.select("frame_id", "actor1", "actor2").distinct()
+        ),
+        spill_dir,
+        "sit_sym",
+    )
     grid = sym.sparkSession.createDataFrame(
         [(int(p),) for p in p10_grid], "p10 long"
     )
@@ -3818,8 +3829,10 @@ def si_attack_rates(
         .select(
             F.col("p10").alias("tp10"), "frame_id", "src", "dst"
         )
-        .localCheckpoint()
     )
+    # replicated into ~sum(p10)/10 lanes: the heaviest E-sized frame
+    # in the family — the spill_dir knob matters here first
+    trans = _materialize(trans, spill_dir, "sit_trans")
     nodes = sym.select("src").distinct()
     seeds = nodes.where(
         dfn.hash64(F.concat(F.lit("si:"), F.col("src").cast("string")))
