@@ -3559,42 +3559,19 @@ def sage_aggregate(
     return own.join(per_seed, "seed", "left").orderBy("seed")
 
 
-def si_spread(
+def _si_state(
     frame_edges: DataFrame,
-    seed_mod: int = 20,
-    p10: int = 3,
-    max_hops: int = 6,
-    bucket_frames: int = 4,
-    spill_dir: str | None = None,
-) -> DataFrame:
-    """Deterministic SI epidemic over time-respecting contacts — the
-    SocioPatterns domain's headline simulation (the reference's data
-    model exists to serve exactly this analysis; cf. the contact-
-    network epidemic literature the dataset was published for).
-    Seeds are the hash-drawn 1-in-``seed_mod`` actor sample; every
-    directed contact (frame f, u -> v) transmits iff the per-contact
-    coin hash64('sc:'f':'u':'v) mod 10 < ``p10`` (transmissibility
-    beta = p10/10) — q_temporal_reach is the beta = 1 special case.
-    Because the coin depends only on the contact (never on state), an
-    earlier infection can ride every contact a later one can, so the
-    min-merged earliest-infection state after round h is exactly the
-    <= h-hop earliest infection: the same delta-iteration dominance
-    argument as :func:`_temporal_arrivals`, with ONE global state row
-    per node — O(V) state, not the all-sources family's O(V^2).
-
-    The coin filter lands on the symmetrized contact stream BEFORE
-    the loop (one narrow map-side projection, candidate volume cut to
-    ~beta of E per round); exactly ``max_hops`` join+min rounds, no
-    data-dependent actions. Terminal: the epidemic curve — new and
-    cumulative infections per ``bucket_frames``-frame bucket (bucket
-    -1 = the seed generation, t = -1 by the depart-any-time
-    convention), a <= (frames/bucket)-row table whose running sum is
-    a provably bounded window. All decisions integer (hash draws and
-    frame comparisons); no float compare decides membership.
-    Columns: bucket, n_infected, cum_infected (ordered by bucket).
-    """
+    seed_mod: int,
+    p10: int,
+    max_hops: int,
+    spill_dir: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared SI core: the coin-filtered contact stream and the
+    converged (v, t) earliest-infection state — consumed by
+    :func:`si_spread` (the curve) and :func:`si_offspring` (the
+    who-infected-whom attribution). Delta iteration with ONE global
+    state row per node; see si_spread for the dominance argument."""
     from neo4j_dynagraph_spark import functions as dfn
-    from pyspark.sql import Window
 
     sym = symmetrize(
         frame_edges.select("frame_id", "actor1", "actor2").distinct()
@@ -3650,6 +3627,46 @@ def si_spread(
             .localCheckpoint(eager=False)
         )
         state = merged
+    return trans, state
+
+
+def si_spread(
+    frame_edges: DataFrame,
+    seed_mod: int = 20,
+    p10: int = 3,
+    max_hops: int = 6,
+    bucket_frames: int = 4,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic SI epidemic over time-respecting contacts — the
+    SocioPatterns domain's headline simulation (the reference's data
+    model exists to serve exactly this analysis; cf. the contact-
+    network epidemic literature the dataset was published for).
+    Seeds are the hash-drawn 1-in-``seed_mod`` actor sample; every
+    directed contact (frame f, u -> v) transmits iff the per-contact
+    coin hash64('sc:'f':'u':'v) mod 10 < ``p10`` (transmissibility
+    beta = p10/10) — q_temporal_reach is the beta = 1 special case.
+    Because the coin depends only on the contact (never on state), an
+    earlier infection can ride every contact a later one can, so the
+    min-merged earliest-infection state after round h is exactly the
+    <= h-hop earliest infection: the same delta-iteration dominance
+    argument as :func:`_temporal_arrivals`, with ONE global state row
+    per node — O(V) state, not the all-sources family's O(V^2).
+
+    The coin filter lands on the symmetrized contact stream BEFORE
+    the loop (one narrow map-side projection, candidate volume cut to
+    ~beta of E per round); exactly ``max_hops`` join+min rounds, no
+    data-dependent actions. Terminal: the epidemic curve — new and
+    cumulative infections per ``bucket_frames``-frame bucket (bucket
+    -1 = the seed generation, t = -1 by the depart-any-time
+    convention), a <= (frames/bucket)-row table whose running sum is
+    a provably bounded window. All decisions integer (hash draws and
+    frame comparisons); no float compare decides membership.
+    Columns: bucket, n_infected, cum_infected (ordered by bucket).
+    """
+    from pyspark.sql import Window
+
+    trans, state = _si_state(frame_edges, seed_mod, p10, max_hops, spill_dir)
     curve = state.groupBy(
         F.when(F.col("t") < 0, F.lit(-1))
         .otherwise(F.floor(F.col("t") / bucket_frames))
@@ -3976,3 +3993,58 @@ def influence_seeds(edges: DataFrame, k: int = 8, p10: int = 3) -> DataFrame:
         )
         chosen = chosen.unionByName(pick).localCheckpoint()
     return chosen.orderBy("round")
+
+
+def si_offspring(
+    frame_edges: DataFrame,
+    seed_mod: int = 20,
+    p10: int = 3,
+    max_hops: int = 6,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """Who-infected-whom attribution over the :func:`si_spread`
+    outbreak: each infected node's PARENT is the smallest-id earlier-
+    infected node among the coin-passing contacts at its infection
+    frame (strict time order only — same-frame chains, where the
+    infector's own time equals the victim's, stay honestly
+    unattributed rather than risk a tie-cycle). The offspring
+    histogram (how many infectors produced exactly k secondary
+    infections) is the transmission-tree statistic behind R_effective
+    and superspreading dispersion — the SocioPatterns contact data's
+    published purpose.
+
+    One extra equi-join pass over the converged state (contacts at
+    the infection frame x the infection table twice), one bounded
+    histogram terminal — no new iteration. Every attribution decision
+    is integer (times and ids). Columns: n_offspring, n_actors
+    (over ALL infected-or-seed nodes; k=0 rows included), ordered by
+    n_offspring.
+    """
+    trans, state = _si_state(frame_edges, seed_mod, p10, max_hops, spill_dir)
+    vt = state.select("v", "t")
+    cand = (
+        vt.where(F.col("t") >= 0)
+        .join(
+            trans,
+            (trans.dst == vt.v) & (trans.frame_id == vt.t),
+        )
+        .select("v", "t", F.col("src").alias("u"))
+    )
+    ut = state.select(F.col("v").alias("u"), F.col("t").alias("tu"))
+    parents = (
+        cand.join(ut, "u")
+        .where(F.col("tu") < F.col("t"))
+        .groupBy("v")
+        .agg(F.min("u").alias("parent"))
+    )
+    off = parents.groupBy(F.col("parent").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_off")
+    )
+    base = state.join(off, "v", "left").select(
+        "v", F.coalesce(F.col("n_off"), F.lit(0)).alias("n_offspring")
+    )
+    return (
+        base.groupBy(F.col("n_offspring").cast("long").alias("n_offspring"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_actors"))
+        .orderBy("n_offspring")
+    )

@@ -2276,8 +2276,9 @@ _GRADE_WINDOW = [
     # round-11 capstones entering their second graded round
     "q_training_mix", "q_semdedup",
     "q_node2vec_walks", "q_link_scores",
-    "q_stream_dedup_lsh",
-    # (q_stream_embed_topk, 1 green, displaced by the birth-round
+    # (q_stream_dedup_lsh, 1 green, displaced by the birth-round
+    # entry q_si_offspring;
+    # q_stream_embed_topk, 1 green, displaced by the birth-round
     # entry q_influence_seeds;
     # q_stream_temperature_mix, 1 green, displaced by its own
     # family's birth-round entry q_stream_unimax_mix — ties among
@@ -2296,7 +2297,7 @@ _GRADE_WINDOW = [
     # UniMax allocation
     "q_temporal_closeness_sampled",
     "q_si_spread", "q_si_thresholds", "q_wl_colors", "q_unimax_mix",
-    "q_stream_unimax_mix", "q_influence_seeds",
+    "q_stream_unimax_mix", "q_influence_seeds", "q_si_offspring",
     # round-11 dynamic-graph evolution family (first graded r11)
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     "q_stream_burst", "q_personalized_pagerank",

@@ -3517,3 +3517,57 @@ def q_influence_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_DDK,
         p10=_DDP10,
     )
+
+
+@query(
+    "q_si_offspring",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+        UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+tr AS MATERIALIZED (SELECT frame_id, src, dst FROM sym
+  WHERE ({_H64.format(x="'sc:' || frame_id || ':' || src || ':' || dst")})
+        % 10 < {_SI_P10}),
+seeds AS (SELECT src AS v FROM (SELECT DISTINCT src FROM sym)
+  WHERE ({_H64.format(x="'si:' || src")}) % {_SI_SEED_MOD} = 0),
+r AS (
+  SELECT v, CAST(-1 AS BIGINT) AS t, 0 AS h FROM seeds
+  UNION
+  SELECT tr.dst AS v, CAST(tr.frame_id AS BIGINT) AS t, r.h + 1 AS h
+  FROM r JOIN tr ON tr.src = r.v AND tr.frame_id >= r.t
+  WHERE r.h < {_SI_HOPS}
+),
+mi AS MATERIALIZED (SELECT v, min(t) AS t FROM r GROUP BY 1),
+par AS (SELECT m.v, min(t2.src) AS parent
+        FROM mi m
+        JOIN tr t2 ON t2.dst = m.v AND t2.frame_id = m.t
+        JOIN mi mu ON mu.v = t2.src AND mu.t < m.t
+        WHERE m.t >= 0 GROUP BY m.v),
+off AS (SELECT parent AS v, count(*) AS n_off FROM par GROUP BY 1)
+SELECT CAST(coalesce(o.n_off, 0) AS BIGINT) AS n_offspring,
+       CAST(count(*) AS BIGINT) AS n_actors
+FROM mi m LEFT JOIN off o ON o.v = m.v
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_si_offspring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transmission-tree offspring histogram of the q_si_spread
+    outbreak — who-infected-whom attribution (parent = smallest-id
+    strictly-earlier-infected coin-passing contact at the infection
+    frame; same-frame chains honestly unattributed) rolled up into
+    the secondary-infection distribution behind R_effective and
+    superspreading dispersion, the statistic the SocioPatterns
+    contact data was published to enable. One extra equi-join pass
+    over the converged SI state, bounded histogram terminal, every
+    attribution integer-decided; the oracle replays the recursion
+    and the argmin attribution."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.si_offspring(
+        qmod._edges(spark, sf_dir, qmod._day_filter()),
+        seed_mod=_SI_SEED_MOD,
+        p10=_SI_P10,
+        max_hops=_SI_HOPS,
+    )

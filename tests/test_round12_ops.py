@@ -362,3 +362,51 @@ def test_influence_seeds_k_exceeds_nodes(spark):
     assert len(rows) == 3
     assert {r.actor for r in rows} == {1, 2, 3}
     assert [r.round for r in rows] == [1, 2, 3]
+
+
+def _py_offspring(contacts, seed_mod, p10, max_hops):
+    """Reference attribution: parent = min-id strictly-earlier
+    infected coin-passing contact at the victim's infection frame."""
+    inf = _py_si(contacts, seed_mod, p10, max_hops)
+    directed = [(f, a, b) for f, a, b in contacts] + [
+        (f, b, a) for f, a, b in contacts
+    ]
+    passing = {
+        (f, u, v)
+        for f, u, v in directed
+        if _h64(f"sc:{f}:{u}:{v}") % 10 < p10
+    }
+    noff = {v: 0 for v in inf}
+    for v, t in inf.items():
+        if t < 0:
+            continue
+        cands = [
+            u
+            for f, u, vv in passing
+            if vv == v and f == t and u in inf and inf[u] < t
+        ]
+        if cands:
+            noff[min(cands)] += 1
+    hist = {}
+    for k in noff.values():
+        hist[k] = hist.get(k, 0) + 1
+    return hist
+
+
+def test_si_offspring_differential(spark):
+    """Offspring histogram == pure-Python attribution replay; total
+    attributed offspring <= non-seed infections (same-frame chains
+    unattributed, never double-counted)."""
+    for seed_mod, p10 in ((1, 10), (2, 10), (2, 5), (3, 3)):
+        want = _py_offspring(CONTACTS, seed_mod, p10, 6)
+        got = {
+            r.n_offspring: r.n_actors
+            for r in graph.si_offspring(
+                _si_df(spark), seed_mod=seed_mod, p10=p10, max_hops=6
+            ).collect()
+        }
+        assert got == want, (seed_mod, p10, got, want)
+        inf = _py_si(CONTACTS, seed_mod, p10, 6)
+        n_nonseed = sum(1 for t in inf.values() if t >= 0)
+        attributed = sum(k * n for k, n in got.items())
+        assert attributed <= n_nonseed
