@@ -410,3 +410,85 @@ def test_si_offspring_differential(spark):
         n_nonseed = sum(1 for t in inf.values() if t >= 0)
         attributed = sum(k * n for k, n in got.items())
         assert attributed <= n_nonseed
+
+
+# ------------------------------------------------------- MP4 demux
+
+
+def test_mp4_roundtrip_closed_form():
+    from neo4j_dynagraph_spark.operators import multimodal as mm
+
+    for mid in (0, 1, 7, 123, 976, 10_000):
+        d = mm.decode_mp4(mm.mp4_fixture(mid))
+        n = 1 + mid % 7
+        assert d["timescale"] == 1000
+        assert d["duration"] == 500 + mid % 977
+        assert d["n_tracks"] == 1 and d["codec"] == "mp4v"
+        assert (d["width"], d["height"]) == (64 + mid % 16, 48 + mid % 9)
+        assert d["n_samples"] == n
+        assert d["sample_bytes"] == sum(
+            16 + (mid + i) % 32 for i in range(n)
+        )
+
+
+def test_mp4_truncation_fuzz():
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_dynagraph_spark.operators import multimodal as mm
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), frac=st.floats(0.0, 1.0))
+    def check(mid, frac):
+        full = mm.mp4_fixture(mid)
+        cut = full[: int(len(full) * frac)]
+        if cut == full:
+            mm.decode_mp4(cut)
+            return
+        with pytest.raises(ValueError):
+            mm.decode_mp4(cut)
+
+    check()
+
+
+def test_mp4_stsz_mdat_mismatch_rejected():
+    """Corrupting one stsz sample size must be caught by the
+    sum(stsz) == mdat cross-check — the proof the table parse is
+    real, not a header skim."""
+    import struct
+
+    import pytest
+
+    from neo4j_dynagraph_spark.operators import multimodal as mm
+
+    full = bytearray(mm.mp4_fixture(42))
+    i = bytes(full).index(b"stsz")
+    # first entry of the size table: stsz fourcc + vf(4) + fixed(4)
+    # + count(4) -> entry 0 at i+16
+    (v,) = struct.unpack(">I", full[i + 16 : i + 20])
+    struct.pack_into(">I", full, i + 16, v + 1)
+    with pytest.raises(ValueError, match="stsz total"):
+        mm.decode_mp4(bytes(full))
+
+
+def test_mp4_largesize_box_supported():
+    """A 64-bit largesize mdat (size field == 1 + uint64) must parse
+    identically — the walker's big-file path."""
+    import struct
+
+    from neo4j_dynagraph_spark.operators import multimodal as mm
+
+    full = mm.mp4_fixture(9)
+    i = full.index(b"mdat") - 4
+    (size,) = struct.unpack(">I", full[i : i + 4])
+    body = full[i + 8 :]
+    assert len(body) == size - 8
+    large = (
+        full[:i]
+        + struct.pack(">I", 1)
+        + b"mdat"
+        + struct.pack(">Q", 16 + len(body))
+        + body
+    )
+    assert mm.decode_mp4(large) == mm.decode_mp4(full)
