@@ -1219,7 +1219,10 @@ def encode_test_media(ids: DataFrame, kind: str = "image") -> DataFrame:
         )
         return hdr + data
 
-    enc = {"image": ppm, "png": png, "jpeg": jpeg, "mp4": mp4_fixture}.get(kind, wav)
+    enc = {
+        "image": ppm, "png": png, "jpeg": jpeg,
+        "mp4": mp4_fixture, "mp3": mp3_fixture,
+    }.get(kind, wav)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1301,6 +1304,123 @@ def demux_video_meta(media: DataFrame) -> DataFrame:
         "media_id long, timescale long, duration long, n_tracks long, "
         "codec string, width long, height long, n_samples long, "
         "sample_bytes long, mean_sample double",
+    )
+
+
+# MPEG-1 Layer III header tables (ISO/IEC 11172-3): bitrate kbps by
+# bitrate_index, sample rate Hz by samplerate_index
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320, 0]
+_MP3_RATES = [44100, 48000, 32000, 0]
+
+
+def mp3_fixture(mid: int) -> bytes:
+    """Deterministic spec-shaped MPEG-1 Layer III stream: valid frame
+    HEADERS (sync, version, layer, CRC-off, bitrate/samplerate
+    indices, padding bit alternating by frame parity) whose frame
+    lengths follow the standard 144*bitrate/samplerate + padding
+    arithmetic; frame bodies are deterministic filler (a frame WALK
+    needs valid headers and exact lengths, not valid Huffman data —
+    the sample decode is the documented env-gate)."""
+    br_idx = 1 + mid % 14          # 32..320 kbps, never free/bad
+    sr_idx = mid % 3               # 44100/48000/32000
+    nframes = 3 + mid % 9
+    bitrate = _MP3_BITRATES[br_idx] * 1000
+    rate = _MP3_RATES[sr_idx]
+    out = bytearray()
+    for f in range(nframes):
+        pad = (mid + f) % 2
+        flen = (144 * bitrate) // rate + pad
+        hdr = (
+            0b11111111111 << 21          # sync
+            | 0b11 << 19                 # MPEG-1
+            | 0b01 << 17                 # Layer III
+            | 0b1 << 16                  # no CRC
+            | br_idx << 12
+            | sr_idx << 10
+            | pad << 9
+            | 0b11 << 6                  # mono
+        )
+        out += hdr.to_bytes(4, "big")
+        out += bytes((mid + f + j) % 256 for j in range(flen - 4))
+    return bytes(out)
+
+
+def decode_mp3_frames(payload: bytes) -> dict:
+    """REAL MP3 frame walk: per frame, re-derive the sync word,
+    version/layer, bitrate and sample-rate table lookups, padding
+    bit, and the 144*bitrate/samplerate + padding frame length — and
+    require each frame to END exactly where the next sync begins (or
+    at EOF), so a misparsed header cannot walk the stream. Returns
+    frame count, total samples (1152/frame), duration_ms, mean
+    bitrate, and the byte total. Entropy-coded sample data is never
+    interpreted (env-gate). Raises ValueError on malformed input."""
+    pos, n, kbps_sum, rate0 = 0, 0, 0, None
+    while pos < len(payload):
+        if len(payload) - pos < 4:
+            raise ValueError("truncated frame header")
+        hdr = int.from_bytes(payload[pos : pos + 4], "big")
+        if hdr >> 21 != 0b11111111111:
+            raise ValueError(f"lost sync at byte {pos}")
+        if (hdr >> 19) & 0b11 != 0b11 or (hdr >> 17) & 0b11 != 0b01:
+            raise ValueError("not MPEG-1 Layer III")
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 0b11
+        pad = (hdr >> 9) & 0b1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free/bad bitrate or reserved sample rate")
+        bitrate = _MP3_BITRATES[br_idx] * 1000
+        rate = _MP3_RATES[sr_idx]
+        if rate0 is None:
+            rate0 = rate
+        elif rate != rate0:
+            raise ValueError("sample-rate change mid-stream")
+        flen = (144 * bitrate) // rate + pad
+        if pos + flen > len(payload):
+            raise ValueError("frame overruns payload")
+        pos += flen
+        n += 1
+        kbps_sum += _MP3_BITRATES[br_idx]
+    if n == 0:
+        raise ValueError("no frames")
+    samples = 1152 * n
+    return {
+        "n_frames": n,
+        "sample_rate": rate0,
+        "n_samples": samples,
+        "duration_ms": (samples * 1000) // rate0,
+        "mean_kbps": kbps_sum / n,
+        "n_bytes": len(payload),
+    }
+
+
+def demux_audio_frames(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL MP3 frame walk per payload
+    (decode_mp3_frames) — the audio twin of :func:`demux_video_meta`."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_mp3_frames(bytes(p))
+                rows.append(
+                    (int(mid), d["n_frames"], d["sample_rate"],
+                     d["n_samples"], d["duration_ms"], d["mean_kbps"],
+                     d["n_bytes"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "sample_rate",
+                         "n_samples", "duration_ms", "mean_kbps",
+                         "n_bytes"],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, n_frames long, sample_rate long, "
+        "n_samples long, duration_ms long, mean_kbps double, "
+        "n_bytes long",
     )
 
 

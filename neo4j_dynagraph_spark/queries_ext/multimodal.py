@@ -394,3 +394,47 @@ def q_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean_sample", F.round("mean_sample", 6))
         .orderBy("media_id")
     )
+
+
+@query(
+    "q_mp3_framewalk",
+    oracle="""
+WITH g AS (SELECT doc_id,
+   ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320,0])
+     [(1 + doc_id % 14) + 1] AS kbps,
+   ([44100,48000,32000])[(doc_id % 3) + 1] AS rate,
+   3 + doc_id % 9 AS n
+ FROM documents),
+b AS (SELECT doc_id, kbps, rate, n,
+   (144 * kbps * 1000) // rate AS base,
+   list_sum(list_transform(range(0, n), f -> (doc_id + f) % 2)) AS pads
+ FROM g)
+SELECT doc_id AS media_id,
+  CAST(n AS BIGINT) AS n_frames,
+  CAST(rate AS BIGINT) AS sample_rate,
+  CAST(1152 * n AS BIGINT) AS n_samples,
+  CAST((1152 * n * 1000) // rate AS BIGINT) AS duration_ms,
+  round(CAST(kbps AS DOUBLE), 6) AS mean_kbps,
+  CAST(n * base + pads AS BIGINT) AS n_bytes
+FROM b ORDER BY media_id
+""",
+)
+def q_mp3_framewalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame walk, hash-verified end-to-end — the audio twin
+    of q_mp4_demux's gate-narrowing: deterministic spec-shaped
+    MPEG-1 Layer III streams (valid headers, standard
+    144*bitrate/samplerate + padding frame lengths, alternating
+    padding bits) are walked frame-by-frame re-deriving sync,
+    version/layer, both table lookups, and the length arithmetic —
+    each frame must END exactly at the next sync or EOF, so a
+    misparsed header cannot finish the walk. Duration, sample count,
+    and mean bitrate land on the closed-form oracle. The audio
+    env-gate narrows to entropy-coded SAMPLE decode (Huffman
+    granules), exactly like video."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+    media = multimodal.encode_test_media(ids, kind="mp3")
+    return (
+        multimodal.demux_audio_frames(media)
+        .withColumn("mean_kbps", F.round("mean_kbps", 6))
+        .orderBy("media_id")
+    )

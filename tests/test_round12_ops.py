@@ -492,3 +492,56 @@ def test_mp4_largesize_box_supported():
         + body
     )
     assert mm.decode_mp4(large) == mm.decode_mp4(full)
+
+
+def test_mp3_truncation_and_mutation():
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neo4j_dynagraph_spark.operators import multimodal as mm
+
+    @settings(max_examples=120, deadline=None)
+    @given(mid=st.integers(0, 10_000), frac=st.floats(0.0, 1.0))
+    def check_trunc(mid, frac):
+        full = mm.mp3_fixture(mid)
+        cut = full[: int(len(full) * frac)]
+        # MP3 is a self-framing stream: a cut exactly ON a frame
+        # boundary is VALID (that many whole frames) — unlike PNG's
+        # length-bearing container; only a mid-frame cut must raise
+        kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320, 0][1 + mid % 14] * 1000
+        rate = [44100, 48000, 32000][mid % 3]
+        bounds, pos = {0}, 0
+        for f in range(3 + mid % 9):
+            pos += (144 * kbps) // rate + (mid + f) % 2
+            bounds.add(pos)
+        if len(cut) in bounds and len(cut) > 0:
+            got = mm.decode_mp3_frames(cut)
+            assert got["n_bytes"] == len(cut)
+        else:
+            with pytest.raises(ValueError):
+                mm.decode_mp3_frames(cut)
+
+    check_trunc()
+
+    # flipping a HEADER bit is either rejected (sync loss, reserved
+    # index, layer mismatch, mid-frame landing) or yields a walk that
+    # still lands EXACTLY on EOF — CRC-less MP3 has no stronger
+    # integrity than its framing, so a flipped bitrate/padding bit
+    # CAN produce a different internally-consistent walk; what the
+    # walker guarantees is that it never returns from a stream whose
+    # frame arithmetic does not tile the payload
+    full = mm.mp3_fixture(77)
+    rejected = 0
+    for i in range(4):
+        for bit in (0x01, 0x80, 0x40):
+            mut = bytearray(full)
+            mut[i] ^= bit
+            try:
+                got = mm.decode_mp3_frames(bytes(mut))
+            except ValueError:
+                rejected += 1
+                continue
+            assert got["n_bytes"] == len(mut)
+    assert rejected >= 6  # most single-bit header flips must reject
