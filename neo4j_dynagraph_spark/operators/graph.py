@@ -3782,6 +3782,50 @@ def wl_refinement(edges: DataFrame, rounds: int = 3) -> DataFrame:
     )
 
 
+def _si_multi(
+    trans: DataFrame,
+    state: DataFrame,
+    max_hops: int,
+    key: str,
+    tkey: str,
+) -> DataFrame:
+    """Lane-keyed SI delta iteration shared by the threshold sweep
+    (key = beta lane) and the immunization evaluation (key =
+    removal-policy lane): trans carries (``tkey``, frame_id, src,
+    dst) — the lane key pre-renamed because localCheckpoint preserves
+    attribute ids (asrc/dsrc precedent) — and state/frontier carry
+    (``key``, v, t). Exactly ``max_hops`` join+min rounds, O(V *
+    lanes) state; the min-merge dominance argument is si_spread's."""
+    frontier = state
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(
+                trans,
+                (frontier[key] == trans[tkey]) & (frontier.v == trans.src),
+            )
+            .where(F.col("frame_id") >= F.col("t"))
+            .groupBy(F.col(tkey).alias(key), F.col("dst").alias("v"))
+            .agg(F.min("frame_id").cast("long").alias("t"))
+        )
+        merged = (
+            state.unionByName(cand)
+            .groupBy(key, "v")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint()
+        )
+        prev = state.select(key, "v", F.col("t").alias("t_old"))
+        frontier = (
+            merged.join(prev, [key, "v"], "left")
+            .where(
+                F.col("t_old").isNull() | (F.col("t") < F.col("t_old"))
+            )
+            .select(key, "v", "t")
+            .localCheckpoint(eager=False)
+        )
+        state = merged
+    return state
+
+
 def si_attack_rates(
     frame_edges: DataFrame,
     seed_mod: int = 20,
@@ -3865,35 +3909,7 @@ def si_attack_rates(
         )
         .localCheckpoint()
     )
-    frontier = state
-    for _ in range(max_hops):
-        cand = (
-            frontier.join(
-                trans,
-                (frontier.p10 == trans.tp10) & (frontier.v == trans.src),
-            )
-            .where(F.col("frame_id") >= F.col("t"))
-            .groupBy(
-                F.col("tp10").alias("p10"), F.col("dst").alias("v")
-            )
-            .agg(F.min("frame_id").cast("long").alias("t"))
-        )
-        merged = (
-            state.unionByName(cand)
-            .groupBy("p10", "v")
-            .agg(F.min("t").alias("t"))
-            .localCheckpoint()
-        )
-        prev = state.select("p10", "v", F.col("t").alias("t_old"))
-        frontier = (
-            merged.join(prev, ["p10", "v"], "left")
-            .where(
-                F.col("t_old").isNull() | (F.col("t") < F.col("t_old"))
-            )
-            .select("p10", "v", "t")
-            .localCheckpoint(eager=False)
-        )
-        state = merged
+    state = _si_multi(trans, state, max_hops, key="p10", tkey="tp10")
     nv = nodes.agg(F.count(F.lit(1)).cast("long").alias("nv"))
     return (
         state.groupBy("p10")
@@ -4047,4 +4063,159 @@ def si_offspring(
         base.groupBy(F.col("n_offspring").cast("long").alias("n_offspring"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_actors"))
         .orderBy("n_offspring")
+    )
+
+
+def si_immunized(
+    frame_edges: DataFrame,
+    k: int = 8,
+    seed_mod: int = 20,
+    p10: int = 3,
+    max_hops: int = 6,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """Targeted-immunization EVALUATION — the epidemic family's
+    closing loop: re-run the :func:`si_spread` outbreak under three
+    removal policies in ONE lane-keyed delta iteration and compare
+    attack rates. Lanes: 'baseline' (nobody removed), 'random' (the
+    k hash-smallest actors — the null policy, deterministic so the
+    oracle replays the draw), 'targeted' (the k
+    :func:`influence_seeds` degree-discount picks — the vaccination
+    strategy q_percolation's f_c motivates). Removed actors neither
+    seed nor transmit nor count as infected: their contacts are
+    anti-joined out of each lane's transmission stream before the
+    loop.
+
+    This measures what the selection is FOR: targeted removal should
+    depress the attack rate at least as much as random removal on
+    hub-bearing graphs (pinned by the planted two-community test; on
+    a saturated clique-like day every policy saturates — documented,
+    the q_degree_powerlaw health-check flags which regime the data
+    is in). Attack rate = n_infected / (V - n_removed - n_seeds),
+    every count integer. Columns: policy, n_removed, n_seeds,
+    n_infected, attack_rate (ordered by policy)."""
+    from neo4j_dynagraph_spark import functions as dfn
+
+    sym = _materialize(
+        symmetrize(
+            frame_edges.select("frame_id", "actor1", "actor2").distinct()
+        ),
+        spill_dir,
+        "sii_sym",
+    )
+    nodes = sym.select("src").distinct().localCheckpoint()
+    targeted = influence_seeds(frame_edges, k=k, p10=p10).select(
+        F.lit("targeted").alias("policy"), F.col("actor").alias("rm")
+    )
+    rand = (
+        nodes.orderBy(
+            dfn.hash64(F.concat(F.lit("rv:"), F.col("src").cast("string"))),
+            "src",
+        )
+        .limit(k)
+        .select(F.lit("random").alias("policy"), F.col("src").alias("rm"))
+    )
+    removed = targeted.unionByName(rand).localCheckpoint()
+    lanes = sym.sparkSession.createDataFrame(
+        [("baseline",), ("random",), ("targeted",)], "policy string"
+    )
+    coin = sym.where(
+        dfn.hash64(
+            F.concat(
+                F.lit("sc:"),
+                F.col("frame_id").cast("string"),
+                F.lit(":"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        )
+        % 10
+        < p10
+    )
+    trans = (
+        coin.crossJoin(broadcast(lanes))
+        .join(
+            broadcast(
+                removed.select("policy", F.col("rm").alias("src"))
+            ),
+            ["policy", "src"],
+            "left_anti",
+        )
+        .join(
+            broadcast(
+                removed.select("policy", F.col("rm").alias("dst"))
+            ),
+            ["policy", "dst"],
+            "left_anti",
+        )
+        .select(
+            F.col("policy").alias("tpolicy"), "frame_id", "src", "dst"
+        )
+    )
+    trans = _materialize(trans, spill_dir, "sii_trans")
+    seeds = (
+        nodes.where(
+            dfn.hash64(F.concat(F.lit("si:"), F.col("src").cast("string")))
+            % seed_mod
+            == 0
+        )
+        .crossJoin(broadcast(lanes))
+        .join(
+            broadcast(removed.select("policy", F.col("rm").alias("src"))),
+            ["policy", "src"],
+            "left_anti",
+        )
+        .select(
+            "policy",
+            F.col("src").alias("v"),
+            F.lit(-1).cast("long").alias("t"),
+        )
+        .localCheckpoint()
+    )
+    state = _si_multi(trans, seeds, max_hops, key="policy", tkey="tpolicy")
+    nv = nodes.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    nrm = removed.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    per = state.groupBy("policy").agg(
+        F.count(F.when(F.col("t") < 0, F.lit(1)))
+        .cast("long")
+        .alias("n_seeds"),
+        F.count(F.when(F.col("t") >= 0, F.lit(1)))
+        .cast("long")
+        .alias("n_infected"),
+    )
+    # anchor on the lane dim: a seedless tiny-SF graph must still
+    # emit all three policy rows (zero counts), matching the oracle
+    return (
+        lanes.join(per, "policy", "left")
+        .join(broadcast(nrm), "policy", "left")
+        .select(
+            "policy",
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_seeds"), F.lit(0))
+            .cast("long")
+            .alias("n_seeds"),
+            F.coalesce(F.col("n_infected"), F.lit(0))
+            .cast("long")
+            .alias("n_infected"),
+        )
+        .crossJoin(broadcast(nv))
+        .select(
+            "policy",
+            "n_removed",
+            "n_seeds",
+            "n_infected",
+            F.round(
+                F.col("n_infected")
+                / (
+                    F.col("nv") - F.col("n_removed") - F.col("n_seeds")
+                ).cast("double"),
+                6,
+            ).alias("attack_rate"),
+        )
+        .orderBy("policy")
     )

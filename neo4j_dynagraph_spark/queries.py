@@ -2298,7 +2298,7 @@ _GRADE_WINDOW = [
     "q_temporal_closeness_sampled",
     "q_si_spread", "q_si_thresholds", "q_wl_colors", "q_unimax_mix",
     "q_stream_unimax_mix", "q_influence_seeds", "q_si_offspring",
-    "q_mp4_demux", "q_mp3_framewalk",
+    "q_mp4_demux", "q_mp3_framewalk", "q_si_immunized",
     # round-11 dynamic-graph evolution family (first graded r11)
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     "q_stream_burst", "q_personalized_pagerank",
@@ -2307,10 +2307,10 @@ _GRADE_WINDOW = [
     # q_skipgram_pairs, 2 greens each, displaced by the birth-round
     # entries q_jpeg_decode and q_domain_weights; the SGNS/CTDNE
     # family rows stay)
-    "q_modularity",
     # (q_degree_powerlaw, 1 green, displaced by the birth-round entry
     # q_mp4_demux; q_temporal_walks, 1 green, displaced by
-    # q_mp3_framewalk)
+    # q_mp3_framewalk; q_modularity, 1 green, displaced by
+    # q_si_immunized)
     # round-12 birth-round entries: the real-codec JPEG decode and the
     # DoReMi domain-reweighting mixture row + its streaming twin
     # (q_sgns_negatives, 2 greens, displaced by the streaming twin)

@@ -3571,3 +3571,83 @@ def q_si_offspring(spark: SparkSession, sf_dir: str) -> DataFrame:
         p10=_SI_P10,
         max_hops=_SI_HOPS,
     )
+
+
+@query(
+    "q_si_immunized",
+    oracle=f"""
+WITH RECURSIVE
+p AS ({_presence_sql(_DAY_SQL)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+ep AS (SELECT DISTINCT actor1, actor2 FROM e),
+sym AS (SELECT actor1 AS src, actor2 AS dst FROM ep
+        UNION ALL SELECT actor2, actor1 FROM ep),
+{_dd_cte(_DDK, _DDP10)},
+symf AS (SELECT frame_id, actor1 AS src, actor2 AS dst FROM e
+         UNION ALL SELECT frame_id, actor2, actor1 FROM e),
+lanes AS (SELECT unnest(['baseline', 'random', 'targeted']) AS policy),
+rmt AS (SELECT 'targeted' AS policy, actor AS rm FROM ch{_DDK}),
+rmr AS (SELECT 'random' AS policy, src AS rm
+        FROM (SELECT DISTINCT src FROM symf)
+        ORDER BY ({_H64.format(x="'rv:' || src")}), src LIMIT {_DDK}),
+removed AS MATERIALIZED (SELECT * FROM rmt UNION ALL SELECT * FROM rmr),
+tc AS (SELECT frame_id, src, dst FROM symf
+  WHERE ({_H64.format(x="'sc:' || frame_id || ':' || src || ':' || dst")})
+        % 10 < {_SI_P10}),
+trl AS MATERIALIZED (SELECT l.policy, t.frame_id, t.src, t.dst
+  FROM tc t CROSS JOIN lanes l
+  LEFT JOIN removed r1 ON r1.policy = l.policy AND r1.rm = t.src
+  LEFT JOIN removed r2 ON r2.policy = l.policy AND r2.rm = t.dst
+  WHERE r1.rm IS NULL AND r2.rm IS NULL),
+sd AS (SELECT l.policy, s.src AS v
+  FROM (SELECT DISTINCT src FROM symf) s CROSS JOIN lanes l
+  LEFT JOIN removed r ON r.policy = l.policy AND r.rm = s.src
+  WHERE ({_H64.format(x="'si:' || s.src")}) % {_SI_SEED_MOD} = 0
+    AND r.rm IS NULL),
+r AS (
+  SELECT policy, v, CAST(-1 AS BIGINT) AS t, 0 AS h FROM sd
+  UNION
+  SELECT r.policy, t.dst AS v, CAST(t.frame_id AS BIGINT) AS t, r.h + 1
+  FROM r JOIN trl t ON t.policy = r.policy AND t.src = r.v
+                   AND t.frame_id >= r.t
+  WHERE r.h < {_SI_HOPS}
+),
+mi AS MATERIALIZED (SELECT policy, v, min(t) AS t FROM r GROUP BY 1, 2),
+vc AS (SELECT CAST(count(*) AS BIGINT) AS nv
+       FROM (SELECT DISTINCT src FROM symf)),
+nr AS (SELECT policy, CAST(count(*) AS BIGINT) AS n_removed
+       FROM removed GROUP BY 1)
+SELECT l.policy,
+       CAST(coalesce(any_value(nr.n_removed), 0) AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE mi.t < 0) AS BIGINT) AS n_seeds,
+       CAST(count(*) FILTER (WHERE mi.t >= 0) AS BIGINT) AS n_infected,
+       round(count(*) FILTER (WHERE mi.t >= 0)
+             / CAST((SELECT nv FROM vc)
+                    - coalesce(any_value(nr.n_removed), 0)
+                    - count(*) FILTER (WHERE mi.t < 0) AS DOUBLE),
+             6) AS attack_rate
+FROM lanes l
+LEFT JOIN mi ON mi.policy = l.policy
+LEFT JOIN nr ON nr.policy = l.policy
+GROUP BY l.policy ORDER BY l.policy
+""",
+)
+def q_si_immunized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-immunization evaluation — the epidemic family's
+    closing loop (select -> immunize -> measure): the q_si_spread
+    outbreak re-run under three removal policies in ONE lane-keyed
+    delta iteration — baseline, random (k hash-smallest actors, the
+    replayable null policy), targeted (the q_influence_seeds
+    degree-discount picks). Removed actors neither seed nor transmit
+    nor count; attack rates compare what the selection is FOR.
+    The oracle replays the 8-round greedy, both removal draws, the
+    per-lane anti-joins, and the bounded recursion."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.si_immunized(
+        qmod._edges(spark, sf_dir, qmod._day_filter()),
+        k=_DDK,
+        seed_mod=_SI_SEED_MOD,
+        p10=_SI_P10,
+        max_hops=_SI_HOPS,
+    )

@@ -545,3 +545,44 @@ def test_mp3_truncation_and_mutation():
                 continue
             assert got["n_bytes"] == len(mut)
     assert rejected >= 6  # most single-bit header flips must reject
+
+
+def _py_si_removed(contacts, seed_mod, p10, max_hops, removed):
+    """SI over the contact set with `removed` actors deleted."""
+    kept = [
+        (f, a, b)
+        for f, a, b in contacts
+        if a not in removed and b not in removed
+    ]
+    inf = _py_si(kept, seed_mod, p10, max_hops)
+    return {v: t for v, t in inf.items() if v not in removed}
+
+
+def test_si_immunized_differential(spark):
+    """All three policy lanes == pure-Python replays: the greedy
+    degree-discount picks, the hash-smallest random draw, and the SI
+    under each removal; a removed lane can never infect MORE than
+    baseline (path-subset argument)."""
+    pairs = sorted({(min(a, b), max(a, b)) for _, a, b in CONTACTS})
+    k = 2
+    targeted = {a for _, a, _, _ in _py_degree_discount(pairs, k, 3)}
+    nodes = {a for _, a, _ in CONTACTS} | {b for _, _, b in CONTACTS}
+    rand = set(sorted(nodes, key=lambda v: (_h64(f"rv:{v}"), v))[:k])
+    rows = {
+        r.policy: r
+        for r in graph.si_immunized(
+            _si_df(spark), k=k, seed_mod=2, p10=5, max_hops=6
+        ).collect()
+    }
+    base = _py_si(CONTACTS, 2, 5, 6)
+    expect = {
+        "baseline": (set(), base),
+        "random": (rand, _py_si_removed(CONTACTS, 2, 5, 6, rand)),
+        "targeted": (targeted, _py_si_removed(CONTACTS, 2, 5, 6, targeted)),
+    }
+    for pol, (rm, inf) in expect.items():
+        r = rows[pol]
+        assert r.n_removed == len(rm), pol
+        assert r.n_seeds == sum(1 for t in inf.values() if t < 0), pol
+        assert r.n_infected == sum(1 for t in inf.values() if t >= 0), pol
+        assert r.n_infected <= rows["baseline"].n_infected
