@@ -4219,3 +4219,137 @@ def si_immunized(
         )
         .orderBy("policy")
     )
+
+
+def wl_day_similarity(
+    frame_edges: DataFrame, rounds: int = 2, frames_per_day: int = 24
+) -> DataFrame:
+    """GRAPH-LEVEL near-duplicate detection across the month's daily
+    contact graphs — the WL subtree kernel applied as dedup (the
+    document-near-dup move lifted to whole graphs): each day's graph
+    gets :func:`wl_refinement` colors (keyed (day, actor), every
+    round still ONE equi-join + one aggregate for ALL days at once),
+    its color HISTOGRAM is the day's WL fingerprint, and day pairs
+    score weighted Jaccard over histograms:
+
+        sim(a, b) = sum_c min(n_a(c), n_b(c))
+                    / sum_c max(n_a(c), n_b(c))
+
+    with the denominator as V_a + V_b - sum(min) — so one equi-join
+    on color computes everything and zero-overlap pairs survive via
+    the |days|^2-bounded pair base (full outer semantics without a
+    full outer join). Two structurally identical days score 1.0 even
+    on disjoint actor sets (colors are structural, not identities);
+    the exact-identity check is q_graph_diff's. Integer numerators/
+    denominators — only the terminal ratio is a double. Columns:
+    day_a, day_b, n_a, n_b, common, wl_jaccard (round 6; day pairs
+    ordered)."""
+    he = (
+        frame_edges.select(
+            F.floor(F.col("frame_id") / frames_per_day)
+            .cast("long")
+            .alias("day"),
+            "actor1",
+            "actor2",
+        )
+        .distinct()
+    )
+    sym = symmetrize(he.select("day", "actor1", "actor2")).select(
+        "day", "src", "dst"
+    ).localCheckpoint()
+    colors = (
+        sym.groupBy("day", F.col("src").alias("actor"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "day",
+            "actor",
+            dfn_hash64_str("wl0:", F.col("deg")).alias("color"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(1, rounds + 1):
+        nb = (
+            sym.join(
+                colors.select(
+                    F.col("day").alias("nd"),
+                    F.col("actor").alias("ndst"),
+                    F.col("color").alias("nb_color"),
+                ),
+                (sym.day == F.col("nd")) & (sym.dst == F.col("ndst")),
+            )
+            .groupBy(sym.day, F.col("src").alias("actor"))
+            .agg(
+                F.sum(F.col("nb_color") % _WL_P1).alias("s1"),
+                F.sum(F.col("nb_color") % _WL_P2).alias("s2"),
+                F.count(F.lit(1)).alias("deg"),
+            )
+        )
+        colors = (
+            nb.join(colors, ["day", "actor"])
+            .select(
+                "day",
+                "actor",
+                dfn_hash64_str(
+                    f"wl{r}:",
+                    F.col("color"),
+                    F.col("s1"),
+                    F.col("s2"),
+                    F.col("deg"),
+                ).alias("color"),
+            )
+            .localCheckpoint()
+        )
+    hist = colors.groupBy("day", "color").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = hist.groupBy("day").agg(F.sum("n").cast("long").alias("nv"))
+    ha = hist.select(
+        F.col("day").alias("day_a"), "color", F.col("n").alias("na")
+    )
+    hb = hist.select(
+        F.col("day").alias("day_b"), "color", F.col("n").alias("nb")
+    )
+    common = (
+        ha.join(hb, "color")
+        .where(F.col("day_a") < F.col("day_b"))
+        .groupBy("day_a", "day_b")
+        .agg(F.sum(F.least("na", "nb")).cast("long").alias("common"))
+    )
+    ta = tot.select(F.col("day").alias("day_a"), F.col("nv").alias("n_a"))
+    tb = tot.select(F.col("day").alias("day_b"), F.col("nv").alias("n_b"))
+    pairs = ta.crossJoin(tb).where(F.col("day_a") < F.col("day_b"))
+    return (
+        pairs.join(common, ["day_a", "day_b"], "left")
+        .select(
+            "day_a",
+            "day_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("common"), F.lit(0))
+            .cast("long")
+            .alias("common"),
+            F.round(
+                F.coalesce(F.col("common"), F.lit(0))
+                / (
+                    F.col("n_a") + F.col("n_b")
+                    - F.coalesce(F.col("common"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("wl_jaccard"),
+        )
+        .orderBy("day_a", "day_b")
+    )
+
+
+def dfn_hash64_str(prefix: str, *cols) -> "F.Column":  # noqa: ANN002
+    """hash64 over prefix + ':'-joined stringified columns — the WL
+    color-hash convention shared by wl_refinement and
+    wl_day_similarity (identical in the DuckDB replay)."""
+    from neo4j_dynagraph_spark import functions as dfn
+
+    parts = [F.lit(prefix)]
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(":"))
+        parts.append(c.cast("string"))
+    return dfn.hash64(F.concat(*parts))

@@ -3335,7 +3335,7 @@ def _wl_cte(rounds: int) -> str:
     "q_wl_colors",
     bench=True,
     oracle=f"""
-WITH p AS ({_presence_sql(_HOUR_SQL)}),
+WITH p AS ({_presence_sql(_DAY_SQL)}),
 e AS (SELECT DISTINCT actor1, actor2 FROM ({_EDGES_FROM_P})),
 sym AS (SELECT actor1 AS src, actor2 AS dst FROM e
         UNION ALL SELECT actor2, actor1 FROM e),
@@ -3348,7 +3348,7 @@ ORDER BY c.actor
 """,
 )
 def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-WL color refinement of the pinned-hour graph (the
+    """1-WL color refinement of the pinned-DAY graph (the
     Weisfeiler-Leman isomorphism test; the WL subtree kernel of
     Shervashidze et al. 2011 and the expressivity ceiling of
     message-passing GNNs): 3 rounds of recolor-by-neighbor-multiset,
@@ -3363,8 +3363,12 @@ def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from neo4j_dynagraph_spark import queries as qmod
 
+    # day scope, not hour: with DELTA=3600 a single frame's
+    # co-presence graph is a CLIQUE (one WL class, measured — the
+    # degenerate case); the day graph is a union of 24 hourly
+    # cliques with real structural roles
     return graph.wl_refinement(
-        qmod._edges(spark, sf_dir, qmod._hour_filter(HOUR, HOUR + 1)),
+        qmod._edges(spark, sf_dir, qmod._day_filter()),
         rounds=_WL_ROUNDS,
     )
 
@@ -3650,4 +3654,88 @@ def q_si_immunized(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_mod=_SI_SEED_MOD,
         p10=_SI_P10,
         max_hops=_SI_HOPS,
+    )
+
+
+_WLD_ROUNDS = 2
+
+
+def _wld_cte(rounds: int) -> str:
+    """Day-keyed DuckDB replay of graph.wl_day_similarity's
+    refinement rounds (moduli interpolated from operators/graph.py,
+    same as _wl_cte)."""
+    from neo4j_dynagraph_spark.operators.graph import _WL_P1, _WL_P2
+
+    h0 = _H64.format(x="'wl0:' || deg")
+    parts = [
+        "deg0 AS (SELECT day, src AS actor, count(*) AS deg "
+        "FROM symd GROUP BY 1, 2)",
+        f"c0 AS (SELECT day, actor, {h0} AS color FROM deg0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS (SELECT s.day, s.src AS actor,\n"
+            f"  sum(c.color % {_WL_P1}) AS s1,\n"
+            f"  sum(c.color % {_WL_P2}) AS s2,\n"
+            f"  count(*) AS deg\n"
+            f"  FROM symd s JOIN c{r - 1} c\n"
+            f"    ON c.day = s.day AND c.actor = s.dst GROUP BY 1, 2)"
+        )
+        hx = _H64.format(
+            x=(
+                f"'wl{r}:' || c.color || ':' || n.s1 || ':' || n.s2"
+                f" || ':' || n.deg"
+            )
+        )
+        parts.append(
+            f"c{r} AS (SELECT n.day, n.actor, {hx} AS color\n"
+            f"  FROM n{r} n JOIN c{r - 1} c\n"
+            f"    ON c.day = n.day AND c.actor = n.actor)"
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "q_wl_day_similarity",
+    oracle=f"""
+WITH p AS ({_presence_sql()}),
+e AS (SELECT DISTINCT frame_id // 24 AS day, actor1, actor2
+      FROM ({_EDGES_FROM_P})),
+symd AS (SELECT day, actor1 AS src, actor2 AS dst FROM e
+         UNION ALL SELECT day, actor2, actor1 FROM e),
+{_wld_cte(_WLD_ROUNDS)},
+hist AS (SELECT day, color, CAST(count(*) AS BIGINT) AS n
+         FROM c{_WLD_ROUNDS} GROUP BY 1, 2),
+tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS nv FROM hist GROUP BY 1),
+cm AS (SELECT a.day AS day_a, b.day AS day_b,
+              CAST(sum(least(a.n, b.n)) AS BIGINT) AS common
+       FROM hist a JOIN hist b ON a.color = b.color AND a.day < b.day
+       GROUP BY 1, 2)
+SELECT ta.day AS day_a, tb.day AS day_b, ta.nv AS n_a, tb.nv AS n_b,
+       CAST(coalesce(cm.common, 0) AS BIGINT) AS common,
+       round(coalesce(cm.common, 0)
+             / CAST(ta.nv + tb.nv - coalesce(cm.common, 0) AS DOUBLE),
+             6) AS wl_jaccard
+FROM tot ta JOIN tot tb ON ta.day < tb.day
+LEFT JOIN cm ON cm.day_a = ta.day AND cm.day_b = tb.day
+ORDER BY day_a, day_b
+""",
+)
+def q_wl_day_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-LEVEL near-dup across the month's daily contact graphs —
+    the WL subtree kernel applied as dedup, bridging the graph and
+    dedup families: every day's graph is WL-colored in the SAME two
+    rounds (day-keyed equi-joins, all days at once), its color
+    histogram is the day's structural fingerprint, and day pairs
+    score weighted Jaccard (sum-min over sum-max, denominator by the
+    V_a + V_b - common identity so ONE color equi-join computes
+    everything; zero-overlap pairs survive via the |days|^2-bounded
+    pair base). Structural, not identity-based: two days with the
+    same contact SHAPE on different actors score 1.0 (q_graph_diff
+    is the identity check). The oracle replays both rounds and the
+    pairwise arithmetic."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    return graph.wl_day_similarity(
+        qmod._edges(spark, sf_dir), rounds=_WLD_ROUNDS
     )

@@ -586,3 +586,26 @@ def test_si_immunized_differential(spark):
         assert r.n_seeds == sum(1 for t in inf.values() if t < 0), pol
         assert r.n_infected == sum(1 for t in inf.values() if t >= 0), pol
         assert r.n_infected <= rows["baseline"].n_infected
+
+
+def test_wl_day_similarity_structural_twins(spark):
+    """Two days with the SAME contact shape on disjoint actor sets
+    must score wl_jaccard 1.0 (structural, not identity); a clique
+    day vs a path day must score < 1; output covers every day pair
+    including zero-overlap ones."""
+    tri_day0 = [(1, 11, 12), (1, 12, 13), (1, 11, 13)]
+    tri_day1 = [(30, 21, 22), (30, 22, 23), (30, 21, 23)]
+    path_day2 = [(55, 31, 32), (55, 32, 33), (56, 33, 34)]
+    e = spark.createDataFrame(
+        tri_day0 + tri_day1 + path_day2,
+        "frame_id long, actor1 long, actor2 long",
+    )
+    rows = {
+        (r.day_a, r.day_b): r
+        for r in graph.wl_day_similarity(e, rounds=2).collect()
+    }
+    assert len(rows) == 3  # all 3 day pairs present
+    d0, d1, d2 = 0, 1, 2
+    assert rows[(d0, d1)].wl_jaccard == 1.0
+    assert rows[(d0, d2)].wl_jaccard < 1.0
+    assert rows[(d0, d2)].n_a == 3 and rows[(d0, d2)].n_b == 4
