@@ -1323,3 +1323,92 @@ def sq_adc_topk(
         .select("qid", "rank", "cid", F.round("d2", 6).alias("sq_d2"))
         .orderBy("qid", "rank")
     )
+
+
+def mf_rank1(
+    ratings: DataFrame,
+    steps: int = 8,
+    lr: float = 0.5,
+    reg: float = 0.01,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-1 matrix factorization by full-batch gradient descent —
+    the FACTORIZATION recommender beside the neighborhood method
+    (copurchase cosine): learn per-customer u and per-item v
+    minimizing sum over RATED pairs of (r_n - u_c v_p)^2 + L2, with
+    r_n = r / max(r) (the global max rides as one broadcast row).
+    Jacobi-style simultaneous updates from the previous step's
+    factors keep every step a pure function of the last (the unrolled
+    oracle replays each):
+
+        u'_c = u_c + lr * (avg_p e * v_p - reg * u_c)
+
+    (avg not sum, so the step size is degree-invariant — a
+    1000-rating customer and a 3-rating one move on the same scale;
+    the same mean-gradient convention as the trained quality probe).
+    Each step is ONE join of the rating table with both factor
+    vectors and two grouped aggregates — linear in ratings, state
+    O(|custs| + |parts|), every factor localCheckpointed per step.
+    Returns (u, v): (cust, u) and (part, v), floats unrounded (the
+    query terminal rounds).
+    """
+    from pyspark.sql.functions import broadcast
+
+    r = ratings.select("cust", "part", F.col("r").cast("double"))
+    rmax = r.agg(F.max("r").alias("rmax"))
+    rn = (
+        r.crossJoin(broadcast(rmax))
+        .select("cust", "part", (F.col("r") / F.col("rmax")).alias("rn"))
+        .localCheckpoint()
+    )
+    u = rn.select("cust").distinct().select(
+        "cust", F.lit(0.1).cast("double").alias("u")
+    ).localCheckpoint()
+    v = rn.select("part").distinct().select(
+        "part", F.lit(0.1).cast("double").alias("v")
+    ).localCheckpoint()
+    for _ in range(steps):
+        j = (
+            rn.join(u, "cust")
+            .join(v, "part")
+            .select(
+                "cust",
+                "part",
+                "u",
+                "v",
+                (F.col("rn") - F.col("u") * F.col("v")).alias("e"),
+            )
+        )
+        un = (
+            j.groupBy("cust")
+            .agg(
+                F.avg(F.col("e") * F.col("v")).alias("g"),
+                F.first("u").alias("u_old"),
+            )
+            .select(
+                "cust",
+                (
+                    F.col("u_old")
+                    + F.lit(lr)
+                    * (F.col("g") - F.lit(reg) * F.col("u_old"))
+                ).alias("u"),
+            )
+            .localCheckpoint()
+        )
+        vn = (
+            j.groupBy("part")
+            .agg(
+                F.avg(F.col("e") * F.col("u")).alias("g"),
+                F.first("v").alias("v_old"),
+            )
+            .select(
+                "part",
+                (
+                    F.col("v_old")
+                    + F.lit(lr)
+                    * (F.col("g") - F.lit(reg) * F.col("v_old"))
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+        u, v = un, vn
+    return u, v

@@ -2299,12 +2299,12 @@ _GRADE_WINDOW = [
     "q_si_spread", "q_si_thresholds", "q_wl_colors", "q_unimax_mix",
     "q_stream_unimax_mix", "q_influence_seeds", "q_si_offspring",
     "q_mp4_demux", "q_mp3_framewalk", "q_si_immunized",
-    "q_wl_day_similarity",
+    "q_wl_day_similarity", "q_mf_recs",
     # round-11 dynamic-graph evolution family (first graded r11)
     "q_component_lifecycle", "q_temporal_motifs", "q_burst_windows",
     # (q_stream_burst, 1 green, displaced by the birth-round entry
-    # q_wl_day_similarity)
-    "q_personalized_pagerank",
+    # q_wl_day_similarity; q_personalized_pagerank, 1 green,
+    # displaced by q_mf_recs)
     "q_eigenvector_centrality",
     # embedding-training pipeline, 2 greens each (q_random_walks and
     # q_skipgram_pairs, 2 greens each, displaced by the birth-round

@@ -1308,3 +1308,114 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return out.orderBy("nprobe", "qid")
+
+
+_MF_STEPS, _MF_LR, _MF_REG, _MF_ANCHOR_MOD, _MF_K = 8, 0.5, 0.01, 97, 3
+
+
+def _mf_cte(steps: int, lr: float, reg: float) -> str:
+    """Unrolled GD replay for rank-1 MF: per step one MATERIALIZED
+    join CTE (referenced by BOTH factor updates — DuckDB would
+    otherwise inline it twice per step, the 2^n planner blowup) and
+    the two Jacobi factor updates."""
+    blocks = [
+        "mx AS (SELECT max(r) AS rmax FROM rt)",
+        "rn AS MATERIALIZED (SELECT cust, part,"
+        " r / (SELECT rmax FROM mx) AS rn FROM rt)",
+        "u0 AS (SELECT DISTINCT cust, CAST(0.1 AS DOUBLE) AS u FROM rn)",
+        "v0 AS (SELECT DISTINCT part, CAST(0.1 AS DOUBLE) AS v FROM rn)",
+    ]
+    for t in range(steps):
+        blocks.append(
+            f"j{t} AS MATERIALIZED (SELECT rn.cust, rn.part, u.u, v.v,\n"
+            f"  rn.rn - u.u * v.v AS e\n"
+            f"  FROM rn JOIN u{t} u USING (cust) JOIN v{t} v USING (part))"
+        )
+        blocks.append(
+            f"u{t + 1} AS MATERIALIZED (SELECT cust,\n"
+            f"  any_value(u) + {lr!r} * (avg(e * v)"
+            f" - {reg!r} * any_value(u)) AS u\n"
+            f"  FROM j{t} GROUP BY cust)"
+        )
+        blocks.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT part,\n"
+            f"  any_value(v) + {lr!r} * (avg(e * u)"
+            f" - {reg!r} * any_value(v)) AS v\n"
+            f"  FROM j{t} GROUP BY part)"
+        )
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_mf_recs",
+    oracle=f"""
+WITH rt AS (SELECT o_custkey AS cust, l_partkey AS part,
+                   CAST(sum(l_quantity) AS DOUBLE) AS r
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2),
+{_mf_cte(_MF_STEPS, _MF_LR, _MF_REG)},
+anchors AS (SELECT cust, u FROM u{_MF_STEPS}
+            WHERE cust % {_MF_ANCHOR_MOD} = 0),
+cand AS (SELECT a.cust, v.part, round(a.u * v.v, 6) AS score
+         FROM anchors a CROSS JOIN v{_MF_STEPS} v
+         WHERE NOT EXISTS (SELECT 1 FROM rn
+                           WHERE rn.cust = a.cust AND rn.part = v.part)),
+rk AS (SELECT cust, part, score,
+              row_number() OVER (PARTITION BY cust
+                                 ORDER BY score DESC, part) AS rnk
+       FROM cand)
+SELECT cust, CAST(rnk AS BIGINT) AS rnk, part, score
+FROM rk WHERE rnk <= {_MF_K} ORDER BY cust, rnk
+""",
+)
+def q_mf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 matrix-factorization recommendations — the
+    FACTORIZATION method beside q_copurchase's neighborhood cosine
+    (the two classic collaborative-filtering families): 8 full-batch
+    Jacobi GD steps fit per-customer/per-part factors to the
+    normalized quantity matrix (mean gradients so the step is
+    degree-invariant, the quality-probe convention; mse 0.084 ->
+    0.068 over the fit at sf0.01), then the hash-free deterministic
+    anchor set (cust mod 97) gets its top-3 UNRATED parts by u*v —
+    scores rounded BEFORE ranking so the order is cross-engine
+    stable. Each GD step is one ratings join + two grouped
+    aggregates, state O(|custs| + |parts|); the candidate window is
+    anchor-bounded. The oracle replays the whole fit unrolled
+    (MATERIALIZED per-step CTEs) plus the anti-join and ranking."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rt = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+    )
+    u, v = similarity.mf_rank1(
+        rt, steps=_MF_STEPS, lr=_MF_LR, reg=_MF_REG
+    )
+    anchors = u.where(F.col("cust") % _MF_ANCHOR_MOD == 0)
+    rated = rt.select("cust", "part")
+    cand = (
+        anchors.crossJoin(v)
+        .join(rated, ["cust", "part"], "left_anti")
+        .select(
+            "cust",
+            "part",
+            F.round(F.col("u") * F.col("v"), 6).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cust").orderBy(F.desc("score"), "part")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _MF_K)
+        .select("cust", "rnk", "part", "score")
+        .orderBy("cust", "rnk")
+    )

