@@ -4222,7 +4222,10 @@ def si_immunized(
 
 
 def wl_day_similarity(
-    frame_edges: DataFrame, rounds: int = 2, frames_per_day: int = 24
+    frame_edges: DataFrame,
+    rounds: int = 2,
+    frames_per_day: int = 24,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """GRAPH-LEVEL near-duplicate detection across the month's daily
     contact graphs — the WL subtree kernel applied as dedup (the
@@ -4254,9 +4257,16 @@ def wl_day_similarity(
         )
         .distinct()
     )
-    sym = symmetrize(he.select("day", "actor1", "actor2")).select(
-        "day", "src", "dst"
-    ).localCheckpoint()
+    # month-wide day-keyed edges are E-sized x days: the family's
+    # spill_dir contract applies (at sf1 the saturated month is
+    # ~1.2G sym rows — past localCheckpoint's comfortable range)
+    sym = _materialize(
+        symmetrize(he.select("day", "actor1", "actor2")).select(
+            "day", "src", "dst"
+        ),
+        spill_dir,
+        "wld_sym",
+    )
     colors = (
         sym.groupBy("day", F.col("src").alias("actor"))
         .agg(F.count(F.lit(1)).alias("deg"))
