@@ -3926,10 +3926,16 @@ def si_attack_rates(
             "p10",
             "n_seeds",
             "n_infected",
-            F.round(
-                F.col("n_infected")
-                / (F.col("nv") - F.col("n_seeds")).cast("double"),
-                6,
+            # zero-denominator guard (every node a seed): explicit
+            # NULL in both engines — Spark returns NULL on /0 but
+            # DuckDB's double division may not, breaking bit-equality
+            F.when(
+                F.col("nv") - F.col("n_seeds") > 0,
+                F.round(
+                    F.col("n_infected")
+                    / (F.col("nv") - F.col("n_seeds")).cast("double"),
+                    6,
+                ),
             ).alias("attack_rate"),
         )
         .orderBy("p10")
@@ -4209,12 +4215,19 @@ def si_immunized(
             "n_removed",
             "n_seeds",
             "n_infected",
-            F.round(
-                F.col("n_infected")
-                / (
-                    F.col("nv") - F.col("n_removed") - F.col("n_seeds")
-                ).cast("double"),
-                6,
+            # zero-denominator guard (k ~ V removes everyone):
+            # explicit NULL in both engines (si_attack_rates note)
+            F.when(
+                F.col("nv") - F.col("n_removed") - F.col("n_seeds") > 0,
+                F.round(
+                    F.col("n_infected")
+                    / (
+                        F.col("nv")
+                        - F.col("n_removed")
+                        - F.col("n_seeds")
+                    ).cast("double"),
+                    6,
+                ),
             ).alias("attack_rate"),
         )
         .orderBy("policy")

@@ -352,37 +352,54 @@ def decode_mp4(payload: bytes) -> dict:
         "sample_sizes": [], "mdat_bytes": None,
     }
 
-    def full(buf, body):  # version/flags header of a FullBox
+    def full(buf, body, bend, four):  # version/flags header of a FullBox
+        if bend - body < 4:
+            raise ValueError(f"{four.decode('latin1')} too short for FullBox")
         return buf[body], body + 4
+
+    def need(bend, upto, four):
+        # inner-field reads must stay inside the DECLARED box end: a
+        # box-tree-consistent payload with an undersized body must
+        # raise ValueError (the documented contract), never a bare
+        # struct.error / silently-truncated slice (r12 advice)
+        if upto > bend:
+            raise ValueError(
+                f"{four.decode('latin1')} body shorter than its fixed layout"
+            )
 
     def parse(buf, start, end, depth=0):
         for four, body, bend in walk(buf, start, end):
             if four in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
                 parse(buf, body, bend, depth + 1)
             elif four == b"mvhd":
-                ver, p2 = full(buf, body)
+                ver, p2 = full(buf, body, bend, four)
                 if ver != 0:
                     raise ValueError("mvhd v1 not emitted by the fixture")
+                need(bend, p2 + 16, four)
                 out["timescale"], out["duration"] = struct.unpack(
                     ">II", buf[p2 + 8 : p2 + 16]
                 )
             elif four == b"tkhd":
                 out["n_tracks"] += 1
                 # v0 tkhd: width/height are the LAST 8 bytes, 16.16
+                need(bend, body + 8, four)
                 w, h = struct.unpack(">II", buf[bend - 8 : bend])
                 out["width"], out["height"] = w >> 16, h >> 16
             elif four == b"stsd":
-                _, p2 = full(buf, body)
+                _, p2 = full(buf, body, bend, four)
+                need(bend, p2 + 12, four)
                 (n_entries,) = struct.unpack(">I", buf[p2 : p2 + 4])
                 if n_entries < 1:
                     raise ValueError("empty stsd")
                 out["codec"] = buf[p2 + 8 : p2 + 12].decode("ascii")
             elif four == b"stsz":
-                _, p2 = full(buf, body)
+                _, p2 = full(buf, body, bend, four)
+                need(bend, p2 + 8, four)
                 fixed, cnt = struct.unpack(">II", buf[p2 : p2 + 8])
                 if fixed:
                     out["sample_sizes"] = [fixed] * cnt
                 else:
+                    need(bend, p2 + 8 + 4 * cnt, four)
                     out["sample_sizes"] = list(
                         struct.unpack(
                             f">{cnt}I", buf[p2 + 8 : p2 + 8 + 4 * cnt]
@@ -391,7 +408,11 @@ def decode_mp4(payload: bytes) -> dict:
             elif four == b"mdat":
                 out["mdat_bytes"] = bend - body
 
-    parse(payload, 0, len(payload))
+    try:
+        parse(payload, 0, len(payload))
+    except (struct.error, IndexError) as exc:  # belt-and-braces: any
+        # remaining short read still honors the ValueError contract
+        raise ValueError(f"malformed ISO-BMFF structure: {exc}") from exc
     if out["timescale"] is None or out["mdat_bytes"] is None:
         raise ValueError("missing mvhd or mdat")
     if sum(out["sample_sizes"]) != out["mdat_bytes"]:
@@ -1490,13 +1511,14 @@ FRAME_SCHEMA = StructType(
 
 
 def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """Resize decode boundary (images). The fake double is deterministic:
-    it re-chunks the payload to exactly width*height bytes (truncate or
-    cycle), so tests can assert output size without a codec."""
+    """Legacy fake resize double (kept for the batch-shape tests): it
+    re-chunks the payload to exactly width*height bytes (truncate or
+    cycle) with no decode. The REAL path is :func:`resize_image_nn`."""
     if not fake:
         raise NotImplementedError(
-            "image resize requires an image library not available here; "
-            "run with fake=True for the deterministic test double"
+            "resize_stub is the deterministic test double; the real "
+            "resample is resize_image_nn (used by resize_images "
+            "fake=False, the default)"
         )
     target = max(1, width * height)
     if not payload:
@@ -1505,12 +1527,42 @@ def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> 
     return (payload * reps)[:target]
 
 
+def resize_image_nn(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor image resample over the already-real
+    decoded pixel plane (PPM/PGM or PNG, dispatched on the container
+    magic — decode_ppm_pixels / decode_png_pixels), re-encoded as an
+    8-bit P6 PPM. Pure integer index map src = (dst * src_dim) //
+    dst_dim (the classic NN grid, deterministic — no float sampling),
+    grayscale planes replicate to RGB on the way out. Raises
+    ValueError on malformed input or 16-bit samples (the documented
+    8-bit contract; 16-bit needs a resample-then-requantize policy
+    decision, not silent truncation)."""
+    if width < 1 or height < 1:
+        raise ValueError("resize dimensions must be >= 1")
+    b = bytes(payload)
+    d = decode_png_pixels(b) if b[:8] == _PNG_SIG else decode_ppm_pixels(b)
+    if d["maxval"] > 255:
+        raise ValueError("16-bit resample not supported (8-bit contract)")
+    w, h, ch, plane = d["width"], d["height"], d["channels"], d["plane"]
+    out = bytearray()
+    for y in range(height):
+        base = ((y * h) // height) * w * ch
+        for x in range(width):
+            off = base + ((x * w) // width) * ch
+            px = plane[off : off + ch]
+            out += px if ch == 3 else bytes(px) * 3
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(out)
+
+
 def resize_images(
-    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = False
 ) -> DataFrame:
     """mapInPandas image resize: payload -> payload (1:1 rows), metadata
     recomputed JVM-side afterwards so it can never drift from the new
-    bytes. Same batch-shape discipline as extract_features."""
+    bytes. Same batch-shape discipline as extract_features. The default
+    is the REAL nearest-neighbor resample (:func:`resize_image_nn`)
+    over real decoded pixels; ``fake=True`` keeps the legacy
+    size-contract double for payloads that aren't decodable images."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1520,7 +1572,9 @@ def resize_images(
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": [
-                        resize_stub(p, width, height, fake=fake)
+                        resize_stub(p, width, height, fake=True)
+                        if fake
+                        else resize_image_nn(p, width, height)
                         for p in pdf["payload"]
                     ],
                 }
@@ -1534,6 +1588,98 @@ def resize_images(
     )
 
 
+def mp4_samples(payload: bytes) -> list[bytes]:
+    """REAL sample extraction over the MP4 demux: decode_mp4 recovers
+    the stsz size table (and verifies sum(stsz) == mdat length), then
+    a top-level box walk locates the mdat body and slices it into the
+    per-sample byte ranges — the 'frame' units a training pipeline
+    samples/budgets on. Entropy DECODE of the samples stays the
+    documented env-gate; the container-level sample walk is exact.
+    Raises ValueError on malformed input (decode_mp4's contract)."""
+    import struct
+
+    meta = decode_mp4(payload)  # validates the whole tree first
+    sizes: list[int] = []
+    pos, end = 0, len(payload)
+    body = None
+    while pos < end:
+        size = struct.unpack(">I", payload[pos : pos + 4])[0]
+        four = payload[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", payload[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if four == b"mdat":
+            body = pos + hdr
+            break
+        pos += size
+    if body is None:  # decode_mp4 already required mdat; belt-and-braces
+        raise ValueError("mdat not found at top level")
+    out, off = [], body
+    for sz in _mp4_stsz_sizes(payload, meta):
+        out.append(payload[off : off + sz])
+        off += sz
+    return out
+
+
+def _mp4_stsz_sizes(payload: bytes, meta: dict) -> list[int]:
+    """Recover the per-sample size list consistent with decode_mp4's
+    verified totals (n_samples / sample_bytes): re-walk to stsz.
+    Kept separate so mp4_samples slices with the SAME table the
+    demux verified against mdat."""
+    import struct
+
+    i = payload.index(b"stsz") + 4
+    fixed, cnt = struct.unpack(">II", payload[i + 4 : i + 12])
+    if fixed:
+        sizes = [fixed] * cnt
+    else:
+        sizes = list(struct.unpack(f">{cnt}I", payload[i + 12 : i + 12 + 4 * cnt]))
+    if len(sizes) != meta["n_samples"] or sum(sizes) != meta["sample_bytes"]:
+        raise ValueError("stsz re-walk disagrees with verified demux")
+    return sizes
+
+
+MP4_FRAME_SCHEMA = (
+    "media_id long, frame_idx long, payload binary, "
+    "payload_len long, byte_sum long"
+)
+
+
+def sample_mp4_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """mapInPandas REAL video frame sampling: each MP4 payload demuxes
+    into its stsz-delimited samples (:func:`mp4_samples`) and every
+    ``every_nth`` sample becomes one output row with its bytes, length,
+    and byte sum (the oracle's closed-form cross-check) — the same
+    1-to-many Arrow-batch contract as the fake-frame sibling, now over
+    a real container walk. At 100 TB this runs where the bytes live;
+    nothing shuffles until whatever consumes the frames."""
+    import pandas as pd
+
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples = mp4_samples(bytes(p))
+                for i in range(0, len(samples), every_nth):
+                    s = samples[i]
+                    rows.append((int(mid), i, s, len(s), sum(s)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "payload",
+                    "payload_len", "byte_sum",
+                ],
+            )
+
+    return media.mapInPandas(run, MP4_FRAME_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, frame_bytes: int = 64, every_nth: int = 2, fake: bool = True
 ) -> DataFrame:
@@ -1541,7 +1687,8 @@ def sample_frames(
     frame rows — the 1-to-many batch shape (generator output rows need
     not align with input rows). The fake double treats the payload as a
     concatenation of fixed-size frames and keeps every `every_nth` one;
-    a real implementation would seek keyframes via a codec."""
+    the REAL container-walk sibling is :func:`sample_mp4_frames`
+    (stsz-delimited samples over the verified MP4 demux)."""
     import pandas as pd
 
     if not fake:

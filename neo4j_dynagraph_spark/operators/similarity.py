@@ -1348,8 +1348,10 @@ def mf_rank1(
     Each step is ONE join of the rating table with both factor
     vectors and two grouped aggregates — linear in ratings, state
     O(|custs| + |parts|), every factor localCheckpointed per step.
-    Returns (u, v): (cust, u) and (part, v), floats unrounded (the
-    query terminal rounds).
+    The mean gradient is an exact 1e-9-grid integer sum (see inline
+    comment) so the fitted factors are bit-identical across
+    partitionings and engines. Returns (u, v): (cust, u) and
+    (part, v), floats unrounded (the query terminal rounds).
     """
     from pyspark.sql.functions import broadcast
 
@@ -1378,12 +1380,22 @@ def mf_rank1(
                 (F.col("rn") - F.col("u") * F.col("v")).alias("e"),
             )
         )
+        # mean gradient as an EXACT integer sum on the 1e-9 grid
+        # (round-boundary safety, the DoReMi r12 convention): a float
+        # avg sums in partition/morsel order, so Spark and DuckDB can
+        # drift by an ULP per step and compound over 8 steps; integer
+        # partials make every step a single-valued function of the
+        # previous factors whatever the partitioning.
+        def _grad(x: str) -> F.Column:
+            return F.sum(
+                F.round(F.col("e") * F.col(x) * F.lit(1e9))
+                .cast("long")
+                .cast("decimal(38,0)")
+            ).cast("double") / (F.count(F.lit(1)) * F.lit(1e9))
+
         un = (
             j.groupBy("cust")
-            .agg(
-                F.avg(F.col("e") * F.col("v")).alias("g"),
-                F.first("u").alias("u_old"),
-            )
+            .agg(_grad("v").alias("g"), F.first("u").alias("u_old"))
             .select(
                 "cust",
                 (
@@ -1396,10 +1408,7 @@ def mf_rank1(
         )
         vn = (
             j.groupBy("part")
-            .agg(
-                F.avg(F.col("e") * F.col("u")).alias("g"),
-                F.first("v").alias("v_old"),
-            )
+            .agg(_grad("u").alias("g"), F.first("v").alias("v_old"))
             .select(
                 "part",
                 (

@@ -1738,8 +1738,18 @@ def bigram_doc_scores(
     (doc_id, source, v, w) bigram stream under trained count tables
     (vocab: ``tok``; cb: v, w, cb; cu: v, cu) — the scoring core
     shared by :func:`bigram_score`'s per-source roll-up and
-    :func:`domain_weights`' mixture design. Columns: doc_id, source,
-    mlp (unrounded), n_tok."""
+    :func:`domain_weights`' mixture design.
+
+    ROUND-BOUNDARY SAFETY (the r12 driver hash-fail): per-token
+    log-probs are snapped to the 1e-6 grid as BIGINT (``lp6``), so
+    every downstream aggregate is an EXACT integer sum — independent
+    of partition count, morsel boundaries, and engine summation
+    order (DuckDB's parallel avg over doubles sums in a different
+    order than Spark's, and a ULP flip at a round-6 .5 boundary is
+    exactly what a float avg chain cannot guard against; the WL
+    integer-numerator convention, operators/graph.py). Columns:
+    doc_id, source, mlp_i6 (BIGINT mean log-prob x 1e6, ties away
+    from zero), mlp (mlp_i6/1e6 as double, for consumers), n_tok."""
     vs = vocab.agg((F.count(F.lit(1)) + 1).cast("double").alias("vsize"))
     vv = vocab.select(F.col("tok").alias("vtok"))
     vw = vocab.select(F.col("tok").alias("wtok"))
@@ -1762,18 +1772,39 @@ def bigram_doc_scores(
         .select(
             "doc_id",
             "source",
-            F.log(
-                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
-                / (
-                    F.coalesce(F.col("cu"), F.lit(0))
-                    + F.lit(alpha) * F.col("vsize")
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("cu"), F.lit(0))
+                        + F.lit(alpha) * F.col("vsize")
+                    )
                 )
-            ).alias("logp"),
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lp6"),
         )
     )
-    return lp.groupBy("doc_id", "source").agg(
-        F.avg("logp").alias("mlp"),
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
+    # slp6: exact integer sum (order-free); mlp_i6 = round(slp6/n_tok)
+    # is a single-valued function of two integers (long/long division
+    # is double in both Spark and DuckDB; round ties away from zero in
+    # both) — no float accumulation anywhere.
+    return (
+        lp.groupBy("doc_id", "source")
+        .agg(
+            F.sum("lp6").alias("slp6"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("slp6") / F.col("n_tok"))
+            .cast("long")
+            .alias("mlp_i6"),
+            "n_tok",
+        )
+        .withColumn("mlp", F.col("mlp_i6") / F.lit(1e6))
     )
 
 
@@ -1785,14 +1816,39 @@ def bigram_score(
     alpha: float = 0.5,
 ) -> DataFrame:
     """Per-source perplexity roll-up over :func:`bigram_doc_scores` —
-    the read-time half shared by batch and streaming forms."""
-    per_doc = bigram_doc_scores(pr, vocab, cb, cu, alpha)
+    the read-time half shared by batch and streaming forms.
+
+    Order-free arithmetic: per-doc mlp_i6 / ppl_i6 are integers on
+    the 1e-6 grid, per-source sums are exact decimal(38,0) (DuckDB:
+    sum(BIGINT) -> HUGEINT, also exact), and the means are single
+    terminal divisions — bit-identical across partitionings and
+    engines (see :func:`bigram_doc_scores`)."""
+    per_doc = bigram_doc_scores(pr, vocab, cb, cu, alpha).withColumn(
+        "ppl_i6",
+        F.round(F.exp(-F.col("mlp_i6") / F.lit(1e6)) * F.lit(1e6)).cast(
+            "long"
+        ),
+    )
     return (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("mlp"), 6).alias("mean_logprob"),
-            F.round(F.avg(F.exp(-F.col("mlp"))), 6).alias("mean_ppl"),
+            F.sum(F.col("mlp_i6").cast("decimal(38,0)")).alias("s_mlp"),
+            F.sum(F.col("ppl_i6").cast("decimal(38,0)")).alias("s_ppl"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("s_mlp").cast("double")
+                / (F.col("n_docs") * F.lit(1e6)),
+                6,
+            ).alias("mean_logprob"),
+            F.round(
+                F.col("s_ppl").cast("double")
+                / (F.col("n_docs") * F.lit(1e6)),
+                6,
+            ).alias("mean_ppl"),
         )
         .orderBy("source")
     )
@@ -1843,20 +1899,30 @@ def domain_weights_from_scores(
     smooth: float = 0.2,
 ) -> DataFrame:
     """The arithmetic half of :func:`domain_weights` over a per-doc
-    (doc_id, source, mlp, n_tok) score table — shared with the
+    (doc_id, source, mlp_i6, n_tok) score table — shared with the
     streaming count-maintenance twin, which assembles the same table
-    from its drained stores at read time."""
+    from its drained stores at read time.
+
+    Round-boundary safety (the r12 driver hash-fail fix): every
+    aggregate here is an EXACT integer/decimal sum — per-source mean
+    log-prob rides as the rational (sum(mlp_i6), n_docs), excess_nll
+    is one terminal double expression of four exact integers, the
+    exp input is the round-6 excess itself (bit-identical in both
+    engines), raw is re-snapped to a 1e-12 integer grid before the
+    normalizer sum so Z is exact whatever the summation order. No
+    float accumulation survives anywhere in the chain."""
     per_src = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
-        F.avg("mlp").alias("mlp_src"),
+        F.sum(F.col("mlp_i6").cast("decimal(38,0)")).alias("s_mlp"),
     ).localCheckpoint()
     ref = per_src.where(F.col("source") == train_source).select(
-        F.col("mlp_src").alias("mlp_ref")
+        F.col("s_mlp").alias("ref_num"),
+        F.col("n_docs").alias("ref_den"),
     )
     tot = per_src.agg(
-        F.sum("n_tokens").cast("double").alias("tot_tok"),
-        F.count(F.lit(1)).cast("double").alias("n_src"),
+        F.sum("n_tokens").cast("long").alias("tot_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
     )
     base = (
         per_src.crossJoin(F.broadcast(ref))
@@ -1866,24 +1932,39 @@ def domain_weights_from_scores(
             "n_docs",
             "n_src",
             (F.col("n_tokens") / F.col("tot_tok")).alias("token_share"),
-            # nll_s - nll_ref == mlp_ref - mlp_src (mlp is mean LOG-prob)
-            (F.col("mlp_ref") - F.col("mlp_src")).alias("excess_nll"),
+            # nll_s - nll_ref == mlp_ref - mlp_src (mlp is mean
+            # LOG-prob); exact-integer rationals, one double terminal
+            F.round(
+                (
+                    F.col("ref_num").cast("double")
+                    / F.col("ref_den").cast("double")
+                    - F.col("s_mlp").cast("double")
+                    / F.col("n_docs").cast("double")
+                )
+                / F.lit(1e6),
+                6,
+            ).alias("excess_nll"),
         )
         .withColumn(
-            "raw",
-            F.col("token_share") * F.exp(F.lit(eta) * F.col("excess_nll")),
+            "raw_i",
+            F.round(
+                F.col("token_share")
+                * F.exp(F.lit(eta) * F.col("excess_nll"))
+                * F.lit(1e12)
+            ).cast("long"),
         )
     )
-    z = base.agg(F.sum("raw").alias("z"))
+    z = base.agg(F.sum(F.col("raw_i").cast("decimal(38,0)")).alias("z_i"))
     return (
         base.crossJoin(F.broadcast(z))
         .select(
             "source",
             "n_docs",
             F.round("token_share", 6).alias("token_share"),
-            F.round("excess_nll", 6).alias("excess_nll"),
+            "excess_nll",
             F.round(
-                F.lit(1.0 - smooth) * F.col("raw") / F.col("z")
+                F.lit(1.0 - smooth)
+                * (F.col("raw_i") / F.col("z_i").cast("double"))
                 + F.lit(smooth) / F.col("n_src"),
                 6,
             ).alias("weight"),
@@ -2009,6 +2090,13 @@ def unimax_from_counts(
         "n_tokens",
         (F.col("i") <= F.col("m")).alias("capped"),
         F.round(alloc, 6).alias("alloc_tokens"),
-        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
-        F.round(alloc / F.col("b"), 6).alias("weight"),
+        # zero-denominator guards (a zero-token source / an empty
+        # corpus budget): explicit NULL in both engines — Spark
+        # returns NULL on /0 but DuckDB's double division may differ
+        F.when(
+            F.col("n_tokens") > 0, F.round(alloc / F.col("n_tokens"), 6)
+        ).alias("epochs"),
+        F.when(
+            F.col("b") > 0, F.round(alloc / F.col("b"), 6)
+        ).alias("weight"),
     ).orderBy("source")

@@ -2272,7 +2272,60 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry, and retired rows stay pinned by the full-registry parity
 # gate (tools/check_parity.py, `pytest -m parity`).
 
+# ROTATION (round 13): executed per the r12 verdict's next-round list.
+# (a) The only red rows re-enter post-fix: q_domain_weights +
+# q_stream_domain_weights (integer-grid DoReMi terminal) with their
+# arithmetic-sharing siblings q_bigram_ppl / q_stream_bigram_ppl
+# (same 1e-6-grid core, values changed -> must re-grade).
+# (b) The two STALE FAILs re-enter: q_stream_edges_stateful (code
+# fixed since r04 at streaming/edges.py:238-247, record still red)
+# and q_embed_ann_lsh (r03 no_oracle; an oracle now exists).
+# (c) Rows whose results/plans changed this round re-enter:
+# q_mf_recs (de-cartesianed candidate window + integer-grid GD),
+# q_media_resize (REAL nearest-neighbor resample, new oracle),
+# q_kcore / q_ktruss (upgraded rows-only -> full fixpoint value
+# oracles). Birth-round entry: q_media_frames_mp4 (real stsz-sample
+# walk). (d) The remaining 39 slots rotate to the never-driver-graded
+# tail, prioritized exactly as the verdict lists: the whole
+# token-stats/PII/langid/curation sub-family, the decontam rows,
+# q11_count_hour (the last §2 row without a driver entry), the
+# streaming doc drains, the media/codec rows, and the span/dedup
+# tail. EVERY displaced row was r12-green (most with 2+ cumulative
+# greens) and stays pinned by the full-registry parity gate.
 _GRADE_WINDOW = [
+    # (a) the r12 red pair + arithmetic-sharing siblings
+    "q_domain_weights", "q_stream_domain_weights",
+    "q_bigram_ppl", "q_stream_bigram_ppl",
+    # (b) stale-FAIL re-grades
+    "q_stream_edges_stateful", "q_embed_ann_lsh",
+    # (c) changed-this-round + birth-round
+    "q_mf_recs", "q_kcore", "q_ktruss",
+    "q_media_resize", "q_media_frames_mp4",
+    # (d) never-driver-graded rotation block
+    "q11_count_hour",
+    # token-stats / PII / langid / curation family
+    "q_token_freq", "q_token_zipf", "q_pii_redact", "q_pii_count",
+    "q_lang_stats", "q_langid_accuracy", "q_vocab_prune",
+    "q_bpe_encode", "q_pack_sequences", "q_token_budget_sample",
+    "q_unigram_logprob", "q_ppl_buckets", "q_quality_score",
+    "q_quality_sample", "q_temperature_mix", "q_train_split",
+    "q_train_shards", "q_rank_fusion",
+    # decontamination rows
+    "q_decontam", "q_bloom_decontam", "q_ngram_containment",
+    # streaming document drains
+    "q_stream_dedup_docs", "q_stream_corpus_stats",
+    # media / codec rows
+    "q_media_frames", "q_binary_meta", "q_multimodal_features",
+    "q_ppm_decode", "q_wav_decode",
+    # span-audit / dedup tail
+    "q_chunk_dups", "q_dup_spans", "q_span_removal",
+    "q_span_removal_exact", "q_dedup_clusters", "q_dedup_minhash_b4r4",
+    # graph / utility tail
+    "q_hrw_shards", "q_widest_paths", "q_triadic_closure",
+    "q_scd2_history",
+]
+
+_GRADE_WINDOW_R12 = [
     # round-11 capstones entering their second graded round
     "q_training_mix", "q_semdedup",
     "q_node2vec_walks", "q_link_scores",

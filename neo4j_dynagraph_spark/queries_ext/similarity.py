@@ -1333,13 +1333,17 @@ def _mf_cte(steps: int, lr: float, reg: float) -> str:
         )
         blocks.append(
             f"u{t + 1} AS MATERIALIZED (SELECT cust,\n"
-            f"  any_value(u) + {lr!r} * (avg(e * v)"
+            f"  any_value(u) + {lr!r} * (CAST(sum(CAST(round(e * v"
+            f" * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+            f" / (count(*) * 1000000000.0)"
             f" - {reg!r} * any_value(u)) AS u\n"
             f"  FROM j{t} GROUP BY cust)"
         )
         blocks.append(
             f"v{t + 1} AS MATERIALIZED (SELECT part,\n"
-            f"  any_value(v) + {lr!r} * (avg(e * u)"
+            f"  any_value(v) + {lr!r} * (CAST(sum(CAST(round(e * u"
+            f" * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+            f" / (count(*) * 1000000000.0)"
             f" - {reg!r} * any_value(v)) AS v\n"
             f"  FROM j{t} GROUP BY part)"
         )
@@ -1356,13 +1360,21 @@ WITH rt AS (SELECT o_custkey AS cust, l_partkey AS part,
 {_mf_cte(_MF_STEPS, _MF_LR, _MF_REG)},
 anchors AS (SELECT cust, u FROM u{_MF_STEPS}
             WHERE cust % {_MF_ANCHOR_MOD} = 0),
-cand AS (SELECT a.cust, v.part, round(a.u * v.v, 6) AS score
-         FROM anchors a CROSS JOIN v{_MF_STEPS} v
+ac AS (SELECT rn.cust, count(*) AS c FROM rn
+       JOIN anchors a ON a.cust = rn.cust GROUP BY rn.cust),
+rmx AS (SELECT coalesce(max(c), 0) AS rmax FROM ac),
+tp AS (SELECT part, v,
+              row_number() OVER (ORDER BY v DESC, part) AS pr
+       FROM v{_MF_STEPS}),
+tpw AS (SELECT part, v FROM tp
+        WHERE pr <= {_MF_K} + (SELECT rmax FROM rmx)),
+cand AS (SELECT a.cust, t.part, t.v, round(a.u * t.v, 6) AS score
+         FROM anchors a CROSS JOIN tpw t
          WHERE NOT EXISTS (SELECT 1 FROM rn
-                           WHERE rn.cust = a.cust AND rn.part = v.part)),
+                           WHERE rn.cust = a.cust AND rn.part = t.part)),
 rk AS (SELECT cust, part, score,
               row_number() OVER (PARTITION BY cust
-                                 ORDER BY score DESC, part) AS rnk
+                                 ORDER BY v DESC, part) AS rnk
        FROM cand)
 SELECT cust, CAST(rnk AS BIGINT) AS rnk, part, score
 FROM rk WHERE rnk <= {_MF_K} ORDER BY cust, rnk
@@ -1373,15 +1385,26 @@ def q_mf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FACTORIZATION method beside q_copurchase's neighborhood cosine
     (the two classic collaborative-filtering families): 8 full-batch
     Jacobi GD steps fit per-customer/per-part factors to the
-    normalized quantity matrix (mean gradients so the step is
-    degree-invariant, the quality-probe convention; mse 0.084 ->
-    0.068 over the fit at sf0.01), then the hash-free deterministic
-    anchor set (cust mod 97) gets its top-3 UNRATED parts by u*v —
-    scores rounded BEFORE ranking so the order is cross-engine
-    stable. Each GD step is one ratings join + two grouped
-    aggregates, state O(|custs| + |parts|); the candidate window is
-    anchor-bounded. The oracle replays the whole fit unrolled
-    (MATERIALIZED per-step CTEs) plus the anti-join and ranking."""
+    normalized quantity matrix (mean gradients on the exact
+    1e-9-grid integer sum, so the step is degree-invariant AND
+    bit-stable across partitionings; mse 0.084 -> 0.068 over the fit
+    at sf0.01), then the hash-free deterministic anchor set (cust
+    mod 97) gets its top-3 UNRATED parts.
+
+    NO CARTESIAN (the r12 verdict fix): rank-1 exactness means every
+    positive-u anchor ranks parts in the SAME global (v desc, part)
+    order, so the per-anchor top-K unrated set lies inside the
+    global top-(K + max_rated_per_anchor) parts — one
+    TakeOrderedAndProject + a broadcast of that tiny window + an
+    anti-join, instead of |anchors| x |parts| through a shuffle (at
+    100 TB the cross was (|C|/97)*|P| rows). The ranking key IS the
+    item factor (v desc, part): identical to u*v score order for
+    positive factors, and float-tie-free cross-engine; the displayed
+    score stays round(u*v, 6) (all fitted u are positive here —
+    pinned by test). One scalar collect (max rated-per-anchor, a
+    1-row agg) sizes the window literal for the distributed top-K.
+    The oracle replays the whole fit unrolled (MATERIALIZED per-step
+    CTEs) plus the window cut, anti-join, and ranking."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
@@ -1401,18 +1424,30 @@ def q_mf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anchors = u.where(F.col("cust") % _MF_ANCHOR_MOD == 0)
     rated = rt.select("cust", "part")
+    # bounded candidate window: max #rated over anchors is a 1-row
+    # scalar by contract (sizes the top-K limit literal)
+    rmax_row = (
+        rated.join(anchors.select("cust"), "cust", "left_semi")
+        .groupBy("cust")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()
+    )
+    n_window = _MF_K + int(rmax_row[0][0] or 0)
+    top_parts = v.orderBy(F.desc("v"), "part").limit(n_window)
     cand = (
-        anchors.crossJoin(v)
+        anchors.crossJoin(F.broadcast(top_parts))
         .join(rated, ["cust", "part"], "left_anti")
         .select(
             "cust",
             "part",
+            "v",
             F.round(F.col("u") * F.col("v"), 6).alias("score"),
         )
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("cust").orderBy(F.desc("score"), "part")
+    w = Window.partitionBy("cust").orderBy(F.desc("v"), "part")
     return (
         cand.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= _MF_K)

@@ -1383,20 +1383,31 @@ sc AS (SELECT doc_id, source,
        FROM pr p LEFT JOIN vocab vv ON vv.tok = p.v
                  LEFT JOIN vocab vw ON vw.tok = p.w),
 lp AS (SELECT doc_id, source,
-         ln((coalesce(cb.cb, 0) + CAST(0.5 AS DOUBLE))
+         CAST(round(ln((coalesce(cb.cb, 0) + CAST(0.5 AS DOUBLE))
             / (coalesce(cu.cu, 0)
-               + CAST(0.5 AS DOUBLE) * (SELECT vsize FROM vs))) AS logp
+               + CAST(0.5 AS DOUBLE) * (SELECT vsize FROM vs)))
+            * 1000000.0) AS BIGINT) AS lp6
        FROM sc LEFT JOIN cb ON cb.v = sc.v AND cb.w = sc.w
                LEFT JOIN cu ON cu.v = sc.v),
-pd2 AS (SELECT doc_id, source, avg(logp) AS mlp, count(*) AS ntok
-        FROM lp GROUP BY doc_id, source)"""
+pd AS (SELECT doc_id, source, sum(lp6) AS slp6, count(*) AS ntok
+       FROM lp GROUP BY doc_id, source),
+pd2 AS (SELECT doc_id, source,
+          CAST(round(CAST(slp6 AS DOUBLE) / ntok) AS BIGINT) AS mlp_i6,
+          ntok
+        FROM pd)"""
 
 _BIGRAM_ORACLE = f"""
-WITH {_BIGRAM_CTES}
+WITH {_BIGRAM_CTES},
+pp AS (SELECT source, mlp_i6,
+         CAST(round(exp(-(CAST(mlp_i6 AS DOUBLE) / 1000000.0))
+              * 1000000.0) AS BIGINT) AS ppl_i6
+       FROM pd2)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(mlp), 6) AS mean_logprob,
-       round(avg(exp(-mlp)), 6) AS mean_ppl
-FROM pd2 GROUP BY source ORDER BY source
+       round(CAST(sum(mlp_i6) AS DOUBLE) / (count(*) * 1000000.0), 6)
+         AS mean_logprob,
+       round(CAST(sum(ppl_i6) AS DOUBLE) / (count(*) * 1000000.0), 6)
+         AS mean_ppl
+FROM pp GROUP BY source ORDER BY source
 """
 
 
@@ -1437,22 +1448,31 @@ _DW_ETA, _DW_SMOOTH = 1.0, 0.2
 _DW_ORACLE = f"""
 WITH {_BIGRAM_CTES},
 ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(ntok) AS BIGINT) AS n_tokens, avg(mlp) AS mlp_src
+              CAST(sum(ntok) AS BIGINT) AS n_tokens,
+              sum(mlp_i6) AS s_mlp
        FROM pd2 GROUP BY source),
-rf AS (SELECT mlp_src AS mlp_ref FROM ps WHERE source = 'src0'),
-tt AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tok,
-              CAST(count(*) AS DOUBLE) AS n_src FROM ps),
+rf AS (SELECT s_mlp AS ref_num, n_docs AS ref_den
+       FROM ps WHERE source = 'src0'),
+tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+              CAST(count(*) AS BIGINT) AS n_src FROM ps),
 b AS (SELECT source, n_docs,
-        n_tokens / (SELECT tot_tok FROM tt) AS token_share,
-        (SELECT mlp_ref FROM rf) - mlp_src AS excess_nll
+        CAST(n_tokens AS DOUBLE) / (SELECT tot_tok FROM tt)
+          AS token_share,
+        round((CAST((SELECT ref_num FROM rf) AS DOUBLE)
+                 / CAST((SELECT ref_den FROM rf) AS DOUBLE)
+               - CAST(s_mlp AS DOUBLE) / CAST(n_docs AS DOUBLE))
+              / 1000000.0, 6) AS excess_nll
       FROM ps),
-r AS (SELECT b.*, token_share * exp({_DW_ETA!r} * excess_nll) AS raw
+r AS (SELECT b.*, CAST(round(token_share
+          * exp({_DW_ETA!r} * excess_nll)
+          * 1000000000000.0) AS BIGINT) AS raw_i
       FROM b),
-z AS (SELECT sum(raw) AS z FROM r)
+z AS (SELECT sum(raw_i) AS z_i FROM r)
 SELECT source, n_docs,
        round(token_share, 6) AS token_share,
-       round(excess_nll, 6) AS excess_nll,
-       round({(1.0 - _DW_SMOOTH)!r} * raw / (SELECT z FROM z)
+       excess_nll,
+       round({(1.0 - _DW_SMOOTH)!r}
+               * (raw_i / CAST((SELECT z_i FROM z) AS DOUBLE))
              + {_DW_SMOOTH!r} / (SELECT n_src FROM tt), 6) AS weight
 FROM r ORDER BY source
 """
@@ -1542,8 +1562,10 @@ al AS (SELECT v.*,
 SELECT source, n_docs, n_tokens,
        i <= (SELECT m FROM m) AS capped,
        round(alloc, 6) AS alloc_tokens,
-       round(alloc / n_tokens, 6) AS epochs,
-       round(alloc / (SELECT b FROM bb), 6) AS weight
+       CASE WHEN n_tokens > 0
+            THEN round(alloc / n_tokens, 6) END AS epochs,
+       CASE WHEN (SELECT b FROM bb) > 0
+            THEN round(alloc / (SELECT b FROM bb), 6) END AS weight
 FROM al ORDER BY source
 """
 

@@ -45,6 +45,7 @@ def stream_unimax_mix(
     budget_num: int = 95,
     budget_den: int = 100,
     source_col: str = "source",
+    text_col: str = "text",
     store_root: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
@@ -71,8 +72,10 @@ def stream_unimax_mix(
     stream = reader.parquet(docs_path)
 
     def counts_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # text_col passes through to the tokenizer so the twin tracks
+        # batch unimax_mix's full signature (r12 advice)
         part = (
-            token_counts(batch_df)
+            token_counts(batch_df, text_col)
             .join(
                 batch_df.select(
                     "doc_id", F.col(source_col).alias("source")

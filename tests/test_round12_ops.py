@@ -472,6 +472,69 @@ def test_mp4_stsz_mdat_mismatch_rejected():
         mm.decode_mp4(bytes(full))
 
 
+def test_mp4_undersized_inner_box_raises_valueerror():
+    """A box-tree-CONSISTENT payload whose mvhd/stsz/stsd body is
+    shorter than its fixed layout must raise ValueError (the
+    documented contract), not escape as struct.error or return a
+    silently-truncated codec string (r12 advice)."""
+    import struct
+
+    import pytest
+
+    from neo4j_dynagraph_spark.operators import multimodal as mm
+
+    def boxed(four: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + four + body
+
+    ftyp = boxed(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    # mvhd declared size covers only 12 body bytes (needs >= 20)
+    short_mvhd = boxed(b"mvhd", b"\x00" * 12)
+    with pytest.raises(ValueError, match="mvhd"):
+        mm.decode_mp4(ftyp + boxed(b"moov", short_mvhd))
+    # stsz with cnt=4 but only one table entry present
+    stsz_body = b"\x00" * 4 + struct.pack(">II", 0, 4) + b"\x00\x00\x00\x08"
+    mvhd = boxed(b"mvhd", b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, 5000) + b"\x00" * 80)
+    with pytest.raises(ValueError, match="stsz"):
+        mm.decode_mp4(
+            ftyp + boxed(b"moov", mvhd + boxed(b"stsz", stsz_body))
+        )
+    # stsd with a 4-byte body: too short to hold even its entry count
+    with pytest.raises(ValueError, match="stsd"):
+        mm.decode_mp4(
+            ftyp
+            + boxed(b"moov", mvhd + boxed(b"stsd", b"\x00" * 8))
+        )
+    # undersized tkhd (cannot hold the trailing width/height dwords)
+    with pytest.raises(ValueError, match="tkhd"):
+        mm.decode_mp4(
+            ftyp + boxed(b"moov", mvhd + boxed(b"tkhd", b"\x00" * 6))
+        )
+
+
+def test_mp4_samples_reconstruct_mdat():
+    """mp4_samples must slice the mdat into exactly the stsz-declared
+    ranges: concatenating them reproduces the payload body, each
+    sample matches its closed-form fixture bytes, and a corrupted
+    table still raises (decode_mp4 runs first)."""
+    import pytest
+
+    from neo4j_dynagraph_spark.operators import multimodal as mm
+
+    for mid in (0, 5, 42, 997):
+        full = mm.mp4_fixture(mid)
+        samples = mm.mp4_samples(full)
+        nsamp = 1 + mid % 7
+        assert len(samples) == nsamp
+        for i, s in enumerate(samples):
+            sz = 16 + (mid + i) % 32
+            assert len(s) == sz
+            assert s == bytes((mid + i + j) % 256 for j in range(sz))
+        i = full.index(b"mdat") + 4
+        assert b"".join(samples) == full[i:]
+    with pytest.raises(ValueError):
+        mm.mp4_samples(mm.mp4_fixture(7)[:40])
+
+
 def test_mp4_largesize_box_supported():
     """A 64-bit largesize mdat (size field == 1 + uint64) must parse
     identically — the walker's big-file path."""
@@ -646,3 +709,31 @@ def test_mf_rank1_converges_and_recommends_unrated(spark):
     u2, v2 = mf_rank1(rt, steps=4, lr=0.5, reg=0.01)
     assert sorted(map(tuple, u1.collect())) == sorted(map(tuple, u2.collect()))
     assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
+
+
+def test_mf_rank1_factors_positive_at_testdata(spark):
+    """q_mf_recs' de-cartesianed candidate window ranks by (v desc,
+    part) and claims that equals u*v score order — true iff every
+    fitted u is positive. Pin it on the real sf0.001 ratings (0.1
+    init, nonnegative ratings, mean gradients keep factors in the
+    positive cone at our lr/reg)."""
+    from neo4j_dynagraph_spark.operators.similarity import mf_rank1
+    from neo4j_dynagraph_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    od = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rt = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+    )
+    u, v = mf_rank1(rt, steps=8, lr=0.5, reg=0.01)
+    assert u.where(F.col("u") <= 0).count() == 0
+    assert v.where(F.col("v") <= 0).count() == 0

@@ -65,8 +65,12 @@ def test_multimodal_pipeline(docs):
 
 
 def test_resize_fixed_output_size(docs):
+    # fake double: text payloads aren't decodable images — the stub
+    # checks only the mapInPandas batch shape + size contract
     media = multimodal.docs_as_media(docs, kind="image")
-    out = multimodal.resize_images(media, width=8, height=4).collect()
+    out = multimodal.resize_images(
+        media, width=8, height=4, fake=True
+    ).collect()
     assert len(out) == 3
     for r in out:
         assert r.payload_len == 32 == len(r.payload)
@@ -75,6 +79,39 @@ def test_resize_fixed_output_size(docs):
 
     for r in out:
         assert r.payload_md5 == hashlib.md5(bytes(r.payload)).hexdigest()
+
+
+def test_resize_image_nn_real_resample():
+    """The REAL nearest-neighbor path: downsample a known 4x2 RGB PPM
+    to 2x1 and check the exact source pixels picked by the integer
+    grid; grayscale P5 replicates to RGB; upsampling repeats pixels;
+    16-bit and garbage payloads raise."""
+    import pytest
+
+    px = bytes(
+        [
+            10, 11, 12,  20, 21, 22,  30, 31, 32,  40, 41, 42,
+            50, 51, 52,  60, 61, 62,  70, 71, 72,  80, 81, 82,
+        ]
+    )
+    ppm = b"P6\n4 2\n255\n" + px
+    out = multimodal.resize_image_nn(ppm, 2, 1)
+    # src x = (0*4)//2=0, (1*4)//2=2; src y = (0*2)//1 = 0
+    assert out == b"P6\n2 1\n255\n" + bytes([10, 11, 12, 30, 31, 32])
+    # upsample 1x1 -> 3x2: the single pixel repeats
+    one = b"P6\n1 1\n255\n" + bytes([7, 8, 9])
+    up = multimodal.resize_image_nn(one, 3, 2)
+    assert up == b"P6\n3 2\n255\n" + bytes([7, 8, 9] * 6)
+    # grayscale P5 replicates channels
+    pgm = b"P5\n2 1\n255\n" + bytes([100, 200])
+    g = multimodal.resize_image_nn(pgm, 2, 1)
+    assert g == b"P6\n2 1\n255\n" + bytes([100] * 3 + [200] * 3)
+    with pytest.raises(ValueError):
+        multimodal.resize_image_nn(b"P6\n1 1\n65535\n" + bytes(6), 2, 2)
+    with pytest.raises(ValueError):
+        multimodal.resize_image_nn(b"not an image", 2, 2)
+    with pytest.raises(ValueError):
+        multimodal.resize_image_nn(ppm, 0, 2)
 
 
 def test_sample_frames_one_to_many(docs):
@@ -1100,3 +1137,40 @@ def test_domain_weights_upweights_hard_domains(spark):
     assert out["srcZ"].weight > out["src0"].weight
     # smoothing floor: no domain below smooth/|S|
     assert all(r.weight >= 0.2 / 2 - 1e-9 for r in out.values())
+
+
+def test_domain_weights_bit_stable_under_partitioning(spark):
+    """The r12 driver hash-fail regression guard: domain_weights (and
+    the shared bigram scoring core under it) must be BIT-identical —
+    raw doubles, no tolerance — whatever the input partitioning and
+    shuffle-partition count, because every aggregate is an exact
+    integer sum with one terminal double expression. A float avg
+    chain fails this under permuted summation order; the integer
+    grid cannot."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run() -> list[tuple]:
+        out = text.domain_weights(docs_v, train_source="src0")
+        return sorted(tuple(r) for r in out.collect())
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for nshuf, npart in [(1, 1), (7, 13), (32, 3)]:
+            spark.conf.set("spark.sql.shuffle.partitions", str(nshuf))
+            docs_v = docs.repartition(npart)
+            results.append(run())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]
+    # and the per-source perplexity terminal rides the same core
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    a = sorted(
+        tuple(r)
+        for r in text.bigram_ppl(docs.repartition(17), "src0").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in text.bigram_ppl(docs.coalesce(1), "src0").collect()
+    )
+    assert a == b
