@@ -806,3 +806,70 @@ def minhash_decontaminate(
             ),
         )
     )
+
+
+def soft_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SOFT deduplication: reweight instead of remove. Every document
+    in an exact-content group of size n carries weight 1/n, so a
+    corpus with heavy boilerplate keeps its diversity while repeated
+    content contributes one document's worth of training mass in
+    total — the downweighting alternative to :func:`exact_duplicates`'
+    survivor selection (the repetition/memorization trade the
+    dedup-or-reweight literature studies), and the per-SOURCE
+    effective-mass report is the mixture-design input (a source that
+    is 90% internal duplicates has far less effective data than its
+    row count claims).
+
+    House round-boundary convention: per-doc weights ride as BIGINT
+    on the 1e-6 grid (w6 = round(1e6/n), tw6 = round(tokens*1e6/n) —
+    single-valued integer functions), per-source sums are exact, and
+    the effective masses are one terminal division each — bit-stable
+    across partitionings and engines. One content-hash aggregate
+    (|groups| rows) joined back by hash, one |sources|-row terminal.
+    Columns: source, n_docs, dup_docs, effective_docs,
+    effective_tokens (round 6; ordered by source).
+    """
+    h = F.md5(F.col(text_col)).alias("h")
+    groups = docs.select(h).groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "source",
+            h,
+            F.size(dfn.tokens(F.col(text_col))).cast("long").alias("ws"),
+        )
+        .join(groups, "h")
+        .select(
+            "source",
+            "n",
+            F.round(F.lit(1e6) / F.col("n")).cast("long").alias("w6"),
+            F.round(F.col("ws") * F.lit(1e6) / F.col("n"))
+            .cast("long")
+            .alias("tw6"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("n") > 1, F.lit(1)))
+            .cast("long")
+            .alias("dup_docs"),
+            F.sum(F.col("w6").cast("decimal(38,0)")).alias("sw6"),
+            F.sum(F.col("tw6").cast("decimal(38,0)")).alias("stw6"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            F.round(F.col("sw6").cast("double") / F.lit(1e6), 6).alias(
+                "effective_docs"
+            ),
+            F.round(F.col("stw6").cast("double") / F.lit(1e6), 6).alias(
+                "effective_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

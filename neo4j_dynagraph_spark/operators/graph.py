@@ -4376,3 +4376,104 @@ def dfn_hash64_str(prefix: str, *cols) -> "F.Column":  # noqa: ANN002
             parts.append(F.lit(":"))
         parts.append(c.cast("string"))
     return dfn.hash64(F.concat(*parts))
+
+
+def temporal_pagerank(
+    frame_edges: DataFrame,
+    frame_ids: list[int],
+    beta: float = 0.85,
+) -> DataFrame:
+    """TEMPORAL PageRank: mass flows only FORWARD in time (the
+    Rozenshtein & Gionis 2016 temporal-walk shape, in its
+    frame-synchronous form). Frames are processed in ascending order;
+    at frame f every node ACTIVE in f passes a beta fraction of its
+    current mass along that frame's edges (split equally), inactive
+    nodes hold theirs — so rank measures where mass accumulates along
+    TIME-RESPECTING paths, the centrality a static PageRank
+    structurally cannot see (a->b at noon then b->c at 1pm feeds c;
+    the reverse order does not — test-pinned).
+
+    House round-boundary convention throughout: mass rides as BIGINT
+    on the 1e-9 grid, the per-edge share s = round(beta*r/deg) is a
+    single-valued integer function, a sender keeps EXACTLY
+    r - deg*s, and receivers sum exact integers — conservation is
+    exact in integers (sum(r) invariant, test-pinned) and the whole
+    recursion is bit-identical across partitionings and engines
+    whatever the summation order. The unrolled per-frame oracle
+    replays every slot, absent frames degrading to the identity.
+
+    Scale: one E_f-row equi-join + one V-row aggregate per frame,
+    state O(V), frontier checkpointed per frame; frames are
+    sequential BY SEMANTICS (time order), so wall grows with the
+    slot count, not the graph — at day scope that is 24 rounds.
+    ``frame_ids`` are the FIXED slots (absent ones are no-ops), so
+    the plan is static and replayable. Columns: actor, tpr (round 6),
+    ordered by actor.
+
+    DEEP-LOOP SHAPE (measured, round 13): the textbook update
+    r' = r LEFT JOIN sends LEFT JOIN receives is a per-round
+    SELF-JOIN diamond on the checkpointed state (sends/receives
+    derive from r), and Spark's self-join resolution on a 20+-round
+    chain of such diamonds goes EXPONENTIAL in driver time (~2.5x
+    per round past depth ~15; minimal repro in the round-13 notes —
+    the 10-round power-method operators never hit it). The update is
+    therefore a UNION of delta rows (+r, -deg*s per sender, +s per
+    receipt) collapsed by one groupBy SUM — no state self-join
+    anywhere, flat ~0.1 s/round at any depth, and the integer
+    arithmetic is identical (exact sums commute).
+    """
+    e = (
+        frame_edges.select("frame_id", "actor1", "actor2")
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = (
+        e.select("frame_id", F.col("actor1").alias("src"), F.col("actor2").alias("dst"))
+        .unionByName(
+            e.select(
+                "frame_id",
+                F.col("actor2").alias("src"),
+                F.col("actor1").alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    actors = sym.select(F.col("src").alias("actor")).distinct()
+    nv = actors.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    from pyspark.sql.functions import broadcast
+
+    r = (
+        actors.crossJoin(broadcast(nv))
+        .select(
+            "actor",
+            F.round(F.lit(1e9) / F.col("nv")).cast("long").alias("r"),
+        )
+        .localCheckpoint()
+    )
+    for fid in sorted(frame_ids):
+        ef = sym.where(F.col("frame_id") == fid)
+        deg = ef.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        s = r.join(deg, r.actor == deg.src).select(
+            "actor",
+            "deg",
+            F.round(F.lit(beta) * F.col("r") / F.col("deg"))
+            .cast("long")
+            .alias("s"),
+        )
+        # delta-union update (no state self-join — docstring note):
+        # +r carried, -deg*s per sender, +s per edge receipt
+        sent = s.select("actor", (-F.col("deg") * F.col("s")).alias("r"))
+        recv = ef.join(s, ef.src == s.actor).select(
+            F.col("dst").alias("actor"), F.col("s").alias("r")
+        )
+        r = (
+            r.unionByName(sent)
+            .unionByName(recv)
+            .groupBy("actor")
+            .agg(F.sum("r").alias("r"))
+            .localCheckpoint()
+        )
+    return (
+        r.select("actor", F.round(F.col("r") / F.lit(1e9), 6).alias("tpr"))
+        .orderBy("actor")
+    )

@@ -2321,8 +2321,14 @@ _GRADE_WINDOW = [
     "q_chunk_dups", "q_dup_spans", "q_span_removal",
     "q_span_removal_exact", "q_dedup_clusters", "q_dedup_minhash_b4r4",
     # graph / utility tail
-    "q_hrw_shards", "q_widest_paths", "q_triadic_closure",
-    "q_scd2_history",
+    "q_hrw_shards", "q_triadic_closure",
+    # round-13 birth-round entries (standing policy): temporal
+    # PageRank and soft dedup displace q_widest_paths +
+    # q_scd2_history — both never driver-graded, but both among the
+    # r12 VERDICT's own 18/18 driver-identical spot-checks, so they
+    # are the two rows whose displacement loses the least; they stay
+    # parity-pinned and rotate in next round
+    "q_temporal_pagerank", "q_soft_dedup",
 ]
 
 _GRADE_WINDOW_R12 = [

@@ -64,6 +64,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_soft_dedup",
+    oracle=f"""
+WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+d AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(len({_TOK}) AS BIGINT) AS ws
+      FROM documents),
+j AS (SELECT d.source, g.n,
+             CAST(round(1000000.0 / g.n) AS BIGINT) AS w6,
+             CAST(round(d.ws * 1000000.0 / g.n) AS BIGINT) AS tw6
+      FROM d JOIN g USING (h))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS dup_docs,
+       round(CAST(sum(w6) AS DOUBLE) / 1000000.0, 6) AS effective_docs,
+       round(CAST(sum(tw6) AS DOUBLE) / 1000000.0, 6) AS effective_tokens
+FROM j GROUP BY source ORDER BY source
+""",
+)
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication — reweight instead of remove: every doc in
+    an exact-content group of size n carries weight 1/n, and the
+    per-source EFFECTIVE document/token mass is the mixture-design
+    input (a source that is mostly internal boilerplate has far less
+    real data than its row count claims; the downweight-vs-drop trade
+    of the dedup literature, completing the family beside
+    q_dedup_exact's survivor selection and q_corpus_report's dup
+    rate). Integer 1e-6-grid weights with exact per-source sums (the
+    DoReMi round-boundary convention from birth); one content-hash
+    aggregate + one hash join + a |sources|-row terminal."""
+    return dedup.soft_dedup(_docs(spark, sf_dir))
+
+
+@query(
     "q_dedup_minhash",
     oracle=(
         f"WITH {_TOK_CTE}, {_SH_CTE}, "

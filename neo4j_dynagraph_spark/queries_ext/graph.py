@@ -3107,6 +3107,98 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_weighted(pw, iterations=10)
 
 
+# Pinned-day frame slots for temporal PageRank: 24 hourly frames from
+# the day's first frame id (floor(epoch(day 00:00Z)/DELTA)) — FIXED
+# slots so the unrolled oracle is a static string; absent frames
+# degrade to the identity round in both engines.
+import datetime as _dt
+
+_TPR_BASE_FID = (
+    int(
+        _dt.datetime(
+            YEAR, MONTH, DAY, tzinfo=_dt.timezone.utc
+        ).timestamp()
+    )
+    // DELTA
+)
+_TPR_BETA = 0.85
+
+
+def _tpr_cte(beta: float, base_fid: int, n_slots: int) -> str:
+    """Unrolled frame-synchronous temporal-PageRank recursion as
+    DuckDB CTE blocks — the SQL twin of
+    operators/graph.py:temporal_pagerank, one (deg, share, recv,
+    update) quadruple per frame slot, every block MATERIALIZED (each
+    r{i} is referenced three times; the 3^rounds inlining blowup
+    precedent). All state is BIGINT on the 1e-9 grid: the share is a
+    single-valued integer function round(beta*r/deg), senders keep
+    exactly r - deg*share, receivers sum exact integers — so the
+    recursion is bit-identical to Spark's whatever DuckDB's morsel
+    order."""
+    day = f"WHERE year(ts)={YEAR} AND month(ts)={MONTH} AND day(ts)={DAY}"
+    blocks = [
+        f"p AS ({_presence_sql(day)})",
+        f"e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P}))",
+        "sym AS MATERIALIZED (SELECT frame_id, actor1 AS src, actor2 AS dst "
+        "FROM e UNION ALL SELECT frame_id, actor2, actor1 FROM e)",
+        "act AS (SELECT DISTINCT src AS actor FROM sym)",
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM act)",
+        "r0 AS MATERIALIZED (SELECT actor, CAST(round(1000000000.0 "
+        "/ (SELECT nv FROM nv)) AS BIGINT) AS r FROM act)",
+    ]
+    for i in range(n_slots):
+        fid = base_fid + i
+        blocks += [
+            f"d{i} AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) "
+            f"AS deg FROM sym WHERE frame_id = {fid} GROUP BY 1)",
+            f"s{i} AS MATERIALIZED (SELECT r.actor, d.deg, "
+            f"CAST(round(CAST({beta!r} AS DOUBLE) * r.r / d.deg) AS BIGINT) "
+            f"AS s FROM r{i} r JOIN d{i} d ON d.src = r.actor)",
+            f"g{i} AS MATERIALIZED (SELECT y.dst AS actor, sum(s.s) AS recv "
+            f"FROM sym y JOIN s{i} s ON s.actor = y.src "
+            f"WHERE y.frame_id = {fid} GROUP BY 1)",
+            f"r{i + 1} AS MATERIALIZED (SELECT r.actor, "
+            f"r.r - coalesce(s.deg * s.s, 0) + coalesce(g.recv, 0) AS r "
+            f"FROM r{i} r LEFT JOIN s{i} s ON s.actor = r.actor "
+            f"LEFT JOIN g{i} g ON g.actor = r.actor)",
+        ]
+    return ",\n".join(blocks)
+
+
+@query(
+    "q_temporal_pagerank",
+    oracle=f"""
+WITH {_tpr_cte(_TPR_BETA, _TPR_BASE_FID, 24)}
+SELECT actor, round(r / 1000000000.0, 6) AS tpr
+FROM r24 ORDER BY actor
+""",
+)
+def q_temporal_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL PageRank of the pinned day (Rozenshtein & Gionis 2016
+    shape, frame-synchronous form): mass flows only FORWARD in time —
+    the 24 hourly frames are processed in order, each frame's active
+    nodes passing beta=0.85 of their mass along that frame's edges —
+    so rank accumulates along TIME-RESPECTING paths, the centrality
+    static q_pagerank structurally cannot see (and the ranking
+    counterpart to q_temporal_reach/q_temporal_paths' enumeration).
+    House integer convention end to end: 1e-9-grid BIGINT mass,
+    integer-exact conservation (sum invariant, test-pinned),
+    bit-stable across partitionings — the DoReMi-class fragility
+    designed out from birth. One E_f join + V-row aggregate per
+    frame, O(V) state, frames sequential by semantics; the oracle
+    unrolls all 24 slots (absent frames = identity rounds)."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "frame_id", "actor1", "actor2"
+    )
+    return graph.temporal_pagerank(
+        edges,
+        [_TPR_BASE_FID + i for i in range(24)],
+        beta=_TPR_BETA,
+    )
+
+
 def _hits_cte(n_iter: int) -> str:
     """Unrolled alternating HITS over the actor x frame incidence —
     every raw/normalized CTE MATERIALIZED (each is referenced twice:
