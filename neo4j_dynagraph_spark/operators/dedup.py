@@ -829,18 +829,36 @@ def soft_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Columns: source, n_docs, dup_docs, effective_docs,
     effective_tokens (round 6; ordered by source).
     """
-    h = F.md5(F.col(text_col)).alias("h")
-    groups = docs.select(h).groupBy("h").agg(
+    return soft_dedup_from_fingerprints(soft_dedup_fingerprints(docs, text_col))
+
+
+def soft_dedup_fingerprints(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The per-doc fingerprint projection of :func:`soft_dedup`:
+    (doc_id, source, h, ws) — content digest + whitespace token
+    count, ~40 bytes/doc instead of the text. This is what the
+    STREAMING twin stores (streaming/soft_dedup.py): group sizes and
+    weights are late-bound at read time, so a duplicate arriving in
+    any later batch re-weights every earlier copy."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col(text_col)).alias("h"),
+        F.size(dfn.tokens(F.col(text_col))).cast("long").alias("ws"),
+    )
+
+
+def soft_dedup_from_fingerprints(fp: DataFrame) -> DataFrame:
+    """The arithmetic half of :func:`soft_dedup` over a (doc_id,
+    source, h, ws) fingerprint table — shared with the streaming
+    drain, which assembles the same table from its store at read
+    time. Same integer-grid contract as the full operator."""
+    groups = fp.select("h").groupBy("h").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     per_doc = (
-        docs.select(
-            "doc_id",
-            "source",
-            h,
-            F.size(dfn.tokens(F.col(text_col))).cast("long").alias("ws"),
-        )
-        .join(groups, "h")
+        fp.join(groups, "h")
         .select(
             "source",
             "n",

@@ -4477,3 +4477,72 @@ def temporal_pagerank(
         r.select("actor", F.round(F.col("r") / F.lit(1e9), 6).alias("tpr"))
         .orderBy("actor")
     )
+
+
+def persistent_degree_core(
+    frame_edges: DataFrame,
+    frame_ids: list[int],
+    k: int = 10,
+    delta: int = 4,
+) -> DataFrame:
+    """Delta-PERSISTENT degree core: actors whose per-frame degree is
+    >= k in EVERY frame of a delta-frame sliding window — temporal
+    cohesion that a static day-graph k-core cannot see (an actor can
+    be day-aggregate-dense yet never sustain k contacts across any
+    contiguous window; span-core literature, Galimberti et al. 2018:
+    this is the per-frame-degree candidate set, the standard pruning
+    superset of the induced span-core, computed exactly and
+    declaratively — no fixpoint).
+
+    One per-(frame, actor) degree aggregate over the symmetrized
+    frame edges, filtered to >= k BEFORE the window replication (the
+    qualifying rows are the sparse survivors), then each row joins
+    the <= delta window starts it can serve — a broadcast of the
+    |slots| window list, each row replicated <= delta times — and a
+    (window, actor) count == delta closes the ALL-frames requirement.
+    Everything after the first aggregate is bounded by |qualifying
+    rows| x delta; integers end to end, no float anywhere.
+
+    ``frame_ids`` are the FIXED consecutive slots (the day's 24
+    hourly frames); windows are indexed by offset 0..len-delta.
+    Columns: window_start (slot offset), actor, min_deg (the actor's
+    weakest frame in the window) — ordered by window_start, actor.
+    """
+    if delta < 1 or len(frame_ids) < delta:
+        raise ValueError("need delta >= 1 and at least delta frame slots")
+    base = min(frame_ids)
+    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    sym = e.select("frame_id", F.col("actor1").alias("actor")).unionByName(
+        e.select("frame_id", F.col("actor2").alias("actor"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    deg = (
+        sym.where(F.col("frame_id").isin([int(f) for f in frame_ids]))
+        .groupBy("frame_id", "actor")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") >= k)
+        .select(
+            (F.col("frame_id") - F.lit(base)).alias("i"), "actor", "deg"
+        )
+    )
+    n_windows = len(frame_ids) - delta + 1
+    spark = frame_edges.sparkSession
+    wins = spark.range(n_windows).select(F.col("id").alias("w"))
+    return (
+        deg.join(
+            broadcast(wins),
+            (F.col("i") >= F.col("w"))
+            & (F.col("i") <= F.col("w") + delta - 1),
+        )
+        .groupBy("w", "actor")
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.min("deg").alias("min_deg"),
+        )
+        .where(F.col("nf") == delta)
+        .select(
+            F.col("w").alias("window_start"), "actor", "min_deg"
+        )
+        .orderBy("window_start", "actor")
+    )

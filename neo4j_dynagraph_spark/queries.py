@@ -2320,15 +2320,15 @@ _GRADE_WINDOW = [
     # span-audit / dedup tail
     "q_chunk_dups", "q_dup_spans", "q_span_removal",
     "q_span_removal_exact", "q_dedup_clusters", "q_dedup_minhash_b4r4",
-    # graph / utility tail
-    "q_hrw_shards", "q_triadic_closure",
     # round-13 birth-round entries (standing policy): temporal
-    # PageRank and soft dedup displace q_widest_paths +
-    # q_scd2_history — both never driver-graded, but both among the
-    # r12 VERDICT's own 18/18 driver-identical spot-checks, so they
-    # are the two rows whose displacement loses the least; they stay
-    # parity-pinned and rotate in next round
+    # PageRank, soft dedup + its streaming twin, and the span core
+    # displace q_widest_paths, q_scd2_history, q_hrw_shards, and
+    # q_triadic_closure — all four never driver-graded but all four
+    # among the r12 VERDICT's own 18/18 driver-identical spot-checks,
+    # so they are the rows whose displacement loses the least; they
+    # stay parity-pinned and rotate in next round
     "q_temporal_pagerank", "q_soft_dedup",
+    "q_stream_soft_dedup", "q_span_core",
 ]
 
 _GRADE_WINDOW_R12 = [

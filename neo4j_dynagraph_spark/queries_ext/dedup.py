@@ -63,9 +63,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_docs(spark, sf_dir)).orderBy("keep_id")
 
 
-@query(
-    "q_soft_dedup",
-    oracle=f"""
+_SOFT_DEDUP_ORACLE = f"""
 WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
            FROM documents GROUP BY 1),
 d AS (SELECT doc_id, source, md5(text) AS h,
@@ -80,8 +78,10 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(w6) AS DOUBLE) / 1000000.0, 6) AS effective_docs,
        round(CAST(sum(tw6) AS DOUBLE) / 1000000.0, 6) AS effective_tokens
 FROM j GROUP BY source ORDER BY source
-""",
-)
+"""
+
+
+@query("q_soft_dedup", oracle=_SOFT_DEDUP_ORACLE)
 def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOFT deduplication — reweight instead of remove: every doc in
     an exact-content group of size n carries weight 1/n, and the
@@ -94,6 +94,27 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DoReMi round-boundary convention from birth); one content-hash
     aggregate + one hash join + a |sources|-row terminal."""
     return dedup.soft_dedup(_docs(spark, sf_dir))
+
+
+@query("q_stream_soft_dedup", oracle=_SOFT_DEDUP_ORACLE)
+def q_stream_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING soft dedup: the documents stream drained into the
+    per-doc FINGERPRINT store (batch_id-keyed (doc_id, source,
+    content digest, token count) — ~40 bytes/doc, never the text);
+    group sizes and the 1/n integer-grid weights are late-bound at
+    read time through the shared batch core, so a duplicate arriving
+    in any later batch re-weights every earlier copy — nothing
+    finalizes mid-stream, the mixture-twin contract. Bit-equal to
+    batch q_soft_dedup under any chopping and graded on ITS oracle
+    (streaming/soft_dedup.py; multibatch test)."""
+    from neo4j_dynagraph_spark.streaming.soft_dedup import (
+        stream_soft_dedup,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return stream_soft_dedup(
+        spark, f"{sf_dir}/documents.parquet", schema
+    )
 
 
 @query(

@@ -416,6 +416,70 @@ def q_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_core_rounds(edges, k=18, rounds=2)
 
 
+_SPAN_K, _SPAN_DELTA, _SPAN_SLOTS = 8, 2, 24
+
+# first hourly frame id of the pinned day (floor(epoch(00:00Z)/DELTA))
+# — shared by the span-core and temporal-PageRank slot lists
+import datetime as _dt
+
+_DAY_BASE_FID = (
+    int(
+        _dt.datetime(YEAR, MONTH, DAY, tzinfo=_dt.timezone.utc).timestamp()
+    )
+    // DELTA
+)
+
+
+@query(
+    "q_span_core",
+    empty_ok=True,
+    oracle=f"""
+WITH p AS ({_presence_sql(_DAY_WHERE)}),
+e AS (SELECT DISTINCT frame_id, actor1, actor2 FROM ({_EDGES_FROM_P})),
+sym AS (SELECT frame_id, actor1 AS actor FROM e
+        UNION ALL SELECT frame_id, actor2 FROM e),
+d AS (SELECT frame_id - {_DAY_BASE_FID} AS i, actor,
+             CAST(count(*) AS BIGINT) AS deg
+      FROM sym
+      WHERE frame_id BETWEEN {_DAY_BASE_FID}
+                         AND {_DAY_BASE_FID} + {_SPAN_SLOTS - 1}
+      GROUP BY 1, 2 HAVING count(*) >= {_SPAN_K}),
+w AS (SELECT d.i, d.actor, d.deg, u.w
+      FROM d, unnest(range(0, {_SPAN_SLOTS - _SPAN_DELTA + 1})) AS u(w)
+      WHERE d.i >= u.w AND d.i <= u.w + {_SPAN_DELTA - 1})
+SELECT CAST(w AS BIGINT) AS window_start, actor,
+       CAST(min(deg) AS BIGINT) AS min_deg
+FROM w GROUP BY 1, 2 HAVING count(*) = {_SPAN_DELTA}
+ORDER BY window_start, actor
+""",
+)
+def q_span_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-PERSISTENT degree core of the pinned day (the span-core
+    candidate set, Galimberti et al. 2018): actors sustaining frame
+    degree >= 8 across EVERY frame of a 2-hour sliding window —
+    temporal cohesion the static day k-core cannot see. Parameters
+    measured-then-scoped: per-frame degrees run 9-16 (median 13) at
+    sf0.01 but actors ROTATE hour to hour, so persistence is the
+    scarce signal — (k=8, delta=2) keeps a real 26-row core while
+    (6, 4) is already empty; on the sf0.001 fixture (5 active frames,
+    max degree < 8) the empty core is the CORRECT answer, declared
+    empty_ok. Declarative, no fixpoint: one per-(frame, actor) degree
+    aggregate filtered to >= k BEFORE the <= delta-fold window
+    replication (broadcast 23-row window list), count == delta closes
+    the all-frames requirement. Integers end to end."""
+    from neo4j_dynagraph_spark import queries as qmod
+
+    edges = qmod._edges(spark, sf_dir, qmod._day_filter()).select(
+        "frame_id", "actor1", "actor2"
+    )
+    return graph.persistent_degree_core(
+        edges,
+        [_DAY_BASE_FID + i for i in range(_SPAN_SLOTS)],
+        k=_SPAN_K,
+        delta=_SPAN_DELTA,
+    )
+
+
 def _attach_fixpoint_oracles() -> None:
     """Upgrade q_kcore / q_ktruss from rows-only to FULL value oracles
     (r12 verdict #6): the fixpoint is replayed as a generously
@@ -3107,20 +3171,11 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_weighted(pw, iterations=10)
 
 
-# Pinned-day frame slots for temporal PageRank: 24 hourly frames from
-# the day's first frame id (floor(epoch(day 00:00Z)/DELTA)) — FIXED
-# slots so the unrolled oracle is a static string; absent frames
-# degrade to the identity round in both engines.
-import datetime as _dt
-
-_TPR_BASE_FID = (
-    int(
-        _dt.datetime(
-            YEAR, MONTH, DAY, tzinfo=_dt.timezone.utc
-        ).timestamp()
-    )
-    // DELTA
-)
+# Pinned-day frame slots for temporal PageRank: the same 24 hourly
+# frames as the span-core (_DAY_BASE_FID above) — FIXED slots so the
+# unrolled oracle is a static string; absent frames degrade to the
+# identity round in both engines.
+_TPR_BASE_FID = _DAY_BASE_FID
 _TPR_BETA = 0.85
 
 

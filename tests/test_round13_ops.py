@@ -145,3 +145,74 @@ def test_soft_dedup_reweights_planted_duplicates(spark):
     # token mass: 3 tokens per doc
     assert abs(out["A"].effective_tokens - 4 * 3 * 0.2) < 1e-5
     assert abs(out["B"].effective_tokens - (3 * 0.2 + 3.0)) < 1e-5
+
+
+def test_stream_soft_dedup_multibatch_equals_batch(spark, tmp_path):
+    """The soft-dedup streaming twin, one file per micro-batch, must
+    equal batch soft_dedup bit-for-bit: a duplicate whose copies
+    arrive in DIFFERENT batches (the late-arrival reweight the store
+    exists for) plus a within-batch duplicate group."""
+    import glob
+    import os
+    import shutil
+
+    from neo4j_dynagraph_spark.operators.dedup import soft_dedup
+    from neo4j_dynagraph_spark.streaming.soft_dedup import stream_soft_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    shards = [
+        [(0, "shared boilerplate text", "A"), (1, "unique alpha words", "A")],
+        [(2, "shared boilerplate text", "B"), (3, "shared boilerplate text", "B")],
+        [(4, "unique beta words", "B"), (5, "shared boilerplate text", "A")],
+    ]
+    for i, rows in enumerate(shards):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.parquet(str(src / f"shard_{i}"))
+    for i in range(len(shards)):
+        part = glob.glob(str(src / f"shard_{i}" / "*.parquet"))[0]
+        shutil.move(part, str(src / f"s{i}.parquet"))
+        shutil.rmtree(str(src / f"shard_{i}"))
+        os.utime(str(src / f"s{i}.parquet"), (1000 + i, 1000 + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    streamed = stream_soft_dedup(
+        spark,
+        str(src),
+        schema,
+        store_root=str(tmp_path / "sd_store"),
+        max_files_per_trigger=1,
+    )
+    batch = soft_dedup(spark.read.parquet(str(src)))
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert s_rows == b_rows and len(s_rows) == 2
+    by_src = {r[0]: r for r in s_rows}
+    # 'shared boilerplate text' has 4 copies across batches/sources:
+    # A holds 2 of them (weight 0.25 each) + 1 unique doc
+    assert abs(by_src["A"][3] - (2 * 0.25 + 1.0)) < 1e-6
+    assert by_src["A"][2] == 2 and by_src["B"][2] == 2  # dup_docs
+
+
+def test_persistent_degree_core_planted(spark):
+    """Planted persistence: a star hub with degree 2 in frames 0-2
+    qualifies for both 2-frame windows at k=2; a hub equally dense in
+    aggregate but active only in frame 1 (the rotating-actor case)
+    qualifies for none; leaves never qualify. min_deg reports the
+    weakest frame in the window."""
+    rows = (
+        # hub 1: deg 2 in frames 0,1; deg 3 in frame 2
+        [(0, 1, 2), (0, 1, 3), (1, 1, 2), (1, 1, 4),
+         (2, 1, 2), (2, 1, 3), (2, 1, 5)]
+        # hub 9: deg 3 but only in frame 1
+        + [(1, 9, 6), (1, 9, 7), (1, 9, 8)]
+    )
+    e = spark.createDataFrame(rows, "frame_id long, actor1 long, actor2 long")
+    out = {
+        (r.window_start, r.actor): r.min_deg
+        for r in graph.persistent_degree_core(
+            e, [0, 1, 2], k=2, delta=2
+        ).collect()
+    }
+    assert out == {(0, 1): 2, (1, 1): 2}
