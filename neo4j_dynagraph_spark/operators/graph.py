@@ -1351,14 +1351,19 @@ def random_walks(
     """
     if n_steps < 1:
         raise ValueError("n_steps must be >= 1")
-    from pyspark.sql import Window
-
     from neo4j_dynagraph_spark import functions as dfn
 
-    # checkpoint the ranked adjacency ONCE (the LPA/PageRank precedent:
-    # without it every hop's join re-derives the full presence->edges->
-    # symmetrize subtree, multiplying the scan n_steps times)
-    adj0 = (
+    # Per-node SORTED neighbor arrays, checkpointed ONCE (r13
+    # optimization; the LPA/PageRank checkpoint precedent still
+    # applies). The old shape ranked the adjacency with a per-src
+    # window and ran TWO equi-joins per hop (degree lookup + the
+    # (src, rnk) == (node, idx) pick); the dst-sorted array carries
+    # rank AND degree implicitly, so each hop is ONE small join plus
+    # an in-row element_at — per hop: 2 joins -> 1, and the ranked-
+    # window build disappears (guide §2.4). array_sort(collect_list)
+    # over the distinct adjacency is exactly the old window's ORDER BY
+    # dst, so the drawn corpus is bit-identical.
+    adj_arr = (
         edges.select(F.col("actor1").alias("src"), F.col("actor2").alias("dst"))
         .unionByName(
             edges.select(
@@ -1366,25 +1371,13 @@ def random_walks(
             )
         )
         .distinct()
-    )
-    # localCheckpoint PRESERVES output attribute ids, and deg/adj both
-    # inherit adj0's `src` id — rename each side so the per-hop joins
-    # resolve unambiguously against the checkpointed frontier
-    adj = (
-        adj0.withColumn(
-            "rnk", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
-        )
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
         .localCheckpoint()
-        .select(F.col("src").alias("asrc"), "dst", "rnk")
     )
-    deg = (
-        adj0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
-        .select(F.col("src").alias("dsrc"), "deg")
-    )
-    cur = deg.select(
-        F.col("dsrc").alias("walk_id"), F.lit(0).alias("step"),
-        F.col("dsrc").alias("node"),
+    cur = adj_arr.select(
+        F.col("src").alias("walk_id"), F.lit(0).alias("step"),
+        F.col("src").alias("node"),
     )
     out = cur
     for i in range(1, n_steps + 1):
@@ -1397,20 +1390,16 @@ def random_walks(
                         F.lit(f":{i}"),
                     )
                 ),
-                F.col("deg"),
+                F.size("nbrs").cast("long"),
             )
             + 1
-        )
+        ).cast("int")
         cur = (
-            cur.join(deg, F.col("dsrc") == F.col("node"))
-            .withColumn("idx", idx)
-            .join(
-                adj,
-                (F.col("asrc") == F.col("node"))
-                & (F.col("rnk") == F.col("idx")),
-            )
+            cur.join(adj_arr, adj_arr.src == F.col("node"))
             .select(
-                "walk_id", F.lit(i).alias("step"), F.col("dst").alias("node")
+                "walk_id",
+                F.lit(i).alias("step"),
+                F.element_at("nbrs", idx).alias("node"),
             )
             # frontier checkpoint: without it hop i re-executes hops
             # 1..i-1 inside BOTH the next hop's lineage and the final
@@ -1767,10 +1756,22 @@ def temporal_walks(
     """
     if n_steps < 1:
         raise ValueError("n_steps must be >= 1")
-    from pyspark.sql import Window
-
     from neo4j_dynagraph_spark import functions as dfn
 
+    # Per-node SORTED temporal adjacency arrays (r13 optimization):
+    # the hop used to explode every walk's full candidate set —
+    # frontier x later-frame edges — through an Exchange plus a
+    # per-walk sort window just to pick ONE ranked row. The candidate
+    # rank/count live inside the node's (frame_id, dst)-sorted array
+    # instead: each hop is a V-row equi-join on the node plus an O(deg)
+    # in-row array filter (JVM codegen, no shuffle of candidates, no
+    # sort) — guide §2.4 'remove shuffles outright'. Semantics are
+    # byte-identical: array_sort on struct(frame_id, dst) is exactly
+    # the old window's ORDER BY frame_id, dst; filter preserves order;
+    # element_at(flt, pmod(hash, size)+1) is the same rk == idx draw.
+    # Skew note: a hub's whole candidate array sits in one row, but the
+    # old per-walk window funneled the identical rows into one task —
+    # same bound, fewer moves.
     adj = (
         frame_edges.select(
             "frame_id", F.col("actor1").alias("src"), F.col("actor2").alias("dst")
@@ -1784,46 +1785,49 @@ def temporal_walks(
         )
         .distinct()
     )
+    adj_arr = adj.groupBy("src").agg(
+        F.array_sort(F.collect_list(F.struct("frame_id", "dst"))).alias("nbrs")
+    )
     if spill_dir is None:
-        adj = adj.localCheckpoint()
+        adj_arr = adj_arr.localCheckpoint()
     else:
         import os as _os
 
         path = _os.path.join(spill_dir, "twalk_adj")
-        adj.write.mode("overwrite").parquet(path)
-        adj = adj.sparkSession.read.parquet(path)
+        adj_arr.write.mode("overwrite").parquet(path)
+        adj_arr = adj_arr.sparkSession.read.parquet(path)
     if max_gap is None:
-        cur = adj.select(F.col("src").alias("walk_id")).distinct().select(
-            "walk_id",
+        cur = adj_arr.select(
+            F.col("src").alias("walk_id"),
             F.lit(0).alias("step"),
-            F.col("walk_id").alias("node"),
+            F.col("src").alias("node"),
             F.lit(-1).cast("long").alias("t"),
         )
     else:
         if max_gap < 1:
             raise ValueError("max_gap must be >= 1")
-        cur = adj.groupBy("src").agg(
-            (F.min("frame_id") - 1).cast("long").alias("t")
-        ).select(
+        # nbrs is sorted by frame_id: the node's first active frame is
+        # element 1 — the old separate min(frame_id) aggregate, free
+        cur = adj_arr.select(
             F.col("src").alias("walk_id"),
             F.lit(0).alias("step"),
             F.col("src").alias("node"),
-            "t",
+            (F.element_at("nbrs", 1).getField("frame_id") - 1)
+            .cast("long")
+            .alias("t"),
         )
     out = cur
-    w = Window.partitionBy("walk_id")
     for i in range(1, n_steps + 1):
-        hop_cond = (adj.src == cur.node) & (adj.frame_id > cur.t)
-        if max_gap is not None:
-            hop_cond = hop_cond & (adj.frame_id <= cur.t + max_gap)
-        cand = (
-            cur.join(adj, hop_cond)
-            .withColumn(
-                "rk",
-                F.row_number().over(w.orderBy("frame_id", "dst")),
+        if max_gap is None:
+            flt = F.filter(
+                F.col("nbrs"), lambda x: x.getField("frame_id") > F.col("t")
             )
-            .withColumn("n", F.count(F.lit(1)).over(w))
-        )
+        else:
+            flt = F.filter(
+                F.col("nbrs"),
+                lambda x: (x.getField("frame_id") > F.col("t"))
+                & (x.getField("frame_id") <= F.col("t") + F.lit(max_gap)),
+            )
         idx = (
             F.pmod(
                 dfn.hash64(
@@ -1833,16 +1837,23 @@ def temporal_walks(
                         F.lit(f":{i}"),
                     )
                 ),
-                F.col("n"),
+                F.size("flt").cast("long"),
             )
             + 1
+        ).cast("int")
+        cur = (
+            cur.join(adj_arr, adj_arr.src == cur.node)
+            .withColumn("flt", flt)
+            .where(F.size("flt") >= 1)
+            .withColumn("pick", F.element_at("flt", idx))
+            .select(
+                "walk_id",
+                F.lit(i).alias("step"),
+                F.col("pick").getField("dst").alias("node"),
+                F.col("pick").getField("frame_id").alias("t"),
+            )
+            .localCheckpoint(eager=False)  # frontier checkpoint — see random_walks
         )
-        cur = cand.where(F.col("rk") == idx).select(
-            "walk_id",
-            F.lit(i).alias("step"),
-            F.col("dst").alias("node"),
-            F.col("frame_id").alias("t"),
-        ).localCheckpoint(eager=False)  # frontier checkpoint — see random_walks
         out = out.unionByName(cur)
     return out
 
@@ -2641,7 +2652,7 @@ def kmv_neighborhood(
     cost is one E*k-row shuffle per round.
     """
     from neo4j_dynagraph_spark import functions as dfn
-    from neo4j_dynagraph_spark.operators.sketch import _TWO_60, kmv_estimate
+    from neo4j_dynagraph_spark.operators.sketch import _TWO_60
 
     sym = _materialize(
         symmetrize(edges.select("actor1", "actor2").distinct()),
@@ -2651,45 +2662,57 @@ def kmv_neighborhood(
     u = (
         dfn.hash64(F.concat(F.lit("anf:"), F.col("v").cast("string"))) + 1
     ) / F.lit(_TWO_60)
+    # ARRAY state: one row per node holding its sorted <= k smallest
+    # hashes. The exploded (v, u) row form cost TWO wide shuffles per
+    # round (distinct on E*k rows + the prune window's partitionBy) —
+    # the array form's propagate ships E rows (each a <= k-double
+    # array) through ONE groupBy whose merge (flatten -> distinct ->
+    # sort -> slice k) is the identical KMV union-then-prune, and the
+    # state side of the propagate join is V rows, broadcast/cheap
+    # (guide §2.3 'shuffle fewer bytes', §2.4 'remove shuffles').
     state = (
         sym.select(F.col("src").alias("v"))
         .distinct()
-        .select("v", u.alias("u"))
+        .select("v", F.array(u).alias("us"))
         .localCheckpoint()
+    )
+    merged_us = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("us")))),
+        1,
+        k,
+    ).alias("us")
+    # (k-1)/u_k estimator via operators.sketch.kmv_estimate semantics,
+    # computed straight off the sorted array: exact (= ball size) when
+    # the sketch holds fewer than k hashes. Per-node round(..., 6)
+    # BEFORE the sum replays kmv_estimate's est_distinct rounding —
+    # the oracle sums the rounded per-node estimates
+    est = F.round(
+        F.when(F.size("us") < k, F.size("us").cast("double")).otherwise(
+            F.lit(k - 1) / F.element_at("us", k)
+        ),
+        6,
     )
     per_d = []
     for d in range(1, max_dist + 1):
         prop = state.join(sym, state.v == sym.dst).select(
-            F.col("src").alias("v"), "u"
+            F.col("src").alias("v"), "us"
         )
-        state = kmv_prune(
-            state.unionByName(prop).distinct(), k
-        ).localCheckpoint()
+        state = (
+            state.unionByName(prop)
+            .groupBy("v")
+            .agg(merged_us)
+            .localCheckpoint()
+        )
         per_d.append(
-            kmv_estimate(state, "v", k).agg(
+            state.select(est.alias("e")).agg(
                 F.lit(d).alias("d"),
-                F.round(F.sum(F.col("est_distinct") - 1), 6).alias(
-                    "est_pairs"
-                ),
+                F.round(F.sum(F.col("e") - 1), 6).alias("est_pairs"),
             )
         )
     out = per_d[0]
     for frame in per_d[1:]:
         out = out.unionByName(frame)
     return out.orderBy("d")
-
-
-def kmv_prune(vals: DataFrame, k: int) -> DataFrame:
-    """Keep each node's k smallest hashes — the KMV merge prune,
-    shared by :func:`kmv_neighborhood`'s rounds."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("v").orderBy("u")
-    return (
-        vals.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("v", "u")
-    )
 
 
 def shortest_paths_weighted(

@@ -100,6 +100,17 @@ EDGE_SCHEMA = StructType(
         StructField("weight", LongType()),
     ]
 )
+# flush rows cross the Python->JVM boundary as ONE row per completed
+# frame (sorted actor/count arrays); the quadratic pair expansion runs
+# JVM-side (guide §4.1/§2.3: move metadata, not the payload, across the
+# Python boundary — n*(n-1)/2 rows never pay Arrow serialization)
+_FLUSH_SCHEMA = StructType(
+    [
+        StructField("frame_id", LongType()),
+        StructField("actors", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
 _EDGE_STATE_SCHEMA = StructType(
     [
         StructField("actors", ArrayType(LongType())),
@@ -144,24 +155,23 @@ def stateful_frame_edges(
             state.remove()
             if overflow or len(actors) < 2:
                 yield pd.DataFrame(
-                    {"frame_id": [], "actor1": [], "actor2": [], "weight": []}
+                    {"frame_id": [], "actors": [], "counts": []}
                 )
                 return
-            # vectorized pair expansion: a frame with n actors emits
-            # n*(n-1)/2 rows, and a Python tuple loop over millions of
-            # pairs dominated the whole drain — numpy triu indexing
-            # builds the same canonical (actor1<actor2) pairs in C
+            # ONE row per completed frame: the sorted actor/count
+            # arrays. The n*(n-1)/2 canonical pair expansion used to
+            # happen here (numpy triu) and flood the Python->JVM Arrow
+            # boundary with millions of 32-byte rows; it now runs
+            # JVM-side in the generator projection below, so only
+            # O(actors-per-frame) values are serialized per frame
             a_arr = np.asarray(actors, dtype=np.int64)
             c_arr = np.asarray(counts, dtype=np.int64)
             order = np.argsort(a_arr)
-            a_arr, c_arr = a_arr[order], c_arr[order]
-            i, j = np.triu_indices(len(a_arr), k=1)
             yield pd.DataFrame(
                 {
-                    "frame_id": np.full(len(i), int(frame_id), dtype=np.int64),
-                    "actor1": a_arr[i],
-                    "actor2": a_arr[j],
-                    "weight": c_arr[i] * c_arr[j],
+                    "frame_id": [int(frame_id)],
+                    "actors": [a_arr[order]],
+                    "counts": [c_arr[order]],
                 }
             )
             return
@@ -192,12 +202,12 @@ def stateful_frame_edges(
         state.setTimeoutTimestamp(
             max(frame_end_ms, state.getCurrentWatermarkMs() + 1)
         )
-        yield pd.DataFrame({"frame_id": [], "actor1": [], "actor2": [], "weight": []})
+        yield pd.DataFrame({"frame_id": [], "actors": [], "counts": []})
 
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    return (
+    flush = (
         df.select(
             (F.unix_timestamp(F.col(ts_col)) / delta_seconds)
             .cast("long")
@@ -210,10 +220,46 @@ def stateful_frame_edges(
         .groupBy("frame_id")
         .applyInPandasWithState(
             fn,
-            outputStructType=EDGE_SCHEMA,
+            outputStructType=_FLUSH_SCHEMA,
             stateStructType=_EDGE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf="EventTimeTimeout",
+        )
+    )
+    # JVM-side canonical pair expansion over the sorted arrays: two
+    # stateless whole-stage-codegen generators, identical output to the
+    # old in-Python triu expansion (actors ascending => actor1 < actor2).
+    # sequence(0, size-2) needs size >= 2 (Spark's sequence runs
+    # DESCENDING for start > stop — a size-1 array would emit [0, -1]);
+    # the Python side only ever yields frames with >= 2 actors, and the
+    # where() keeps the invariant locally explicit.
+    return (
+        flush.where(F.size("actors") >= 2)
+        .select(
+            "frame_id",
+            "actors",
+            "counts",
+            F.explode(F.expr("sequence(0, size(actors) - 2)")).alias("i"),
+        )
+        .select(
+            "frame_id",
+            F.expr("actors[i]").alias("actor1"),
+            F.expr("counts[i]").alias("c1"),
+            F.expr("slice(actors, i + 2, size(actors) - i - 1)").alias("a2s"),
+            F.expr("slice(counts, i + 2, size(counts) - i - 1)").alias("c2s"),
+        )
+        .select(
+            "frame_id",
+            "actor1",
+            F.posexplode("a2s").alias("p", "actor2"),
+            "c1",
+            "c2s",
+        )
+        .select(
+            "frame_id",
+            "actor1",
+            "actor2",
+            (F.col("c1") * F.expr("c2s[p]")).cast("long").alias("weight"),
         )
     )
 
