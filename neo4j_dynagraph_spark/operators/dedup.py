@@ -592,6 +592,13 @@ def exact_dup_spans(
             F.concat_ws(" ", F.expr(f"slice(t, start + 1, {span})"))
         ).alias("h"),
     )
+    # the fingerprint stream feeds BOTH the cross-doc aggregate and the
+    # dup-start semi-join; Spark has no cross-branch CSE, so without a
+    # checkpoint the explode+slice+hash projection (span x corpus-token
+    # string work) executes twice (r13, guide §1.2). 32 bytes/window.
+    # At cluster scale swap for the write-parquet-read-back pattern if
+    # the window stream outgrows the unified memory region.
+    wins = wins.localCheckpoint()
     dup = (
         wins.groupBy("h")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))

@@ -250,21 +250,30 @@ def temporal_reachability(
         cand = (
             sym.join(arrival, sym.src == arrival.actor)
             .where(F.col("frame_id") >= F.col("t"))
-            .select(F.col("dst").alias("actor"), F.col("frame_id").alias("t"))
+            .select(
+                F.col("dst").alias("actor"),
+                F.col("frame_id").alias("t"),
+                F.lit(False).alias("is_old"),
+            )
         )
+        # the old arrival rides through the same min-aggregate tagged
+        # is_old, so convergence (new min differs from the old row, or
+        # the actor is new) is decided inline — no separate new-vs-old
+        # join job per round
         new_arrival = (
-            arrival.unionByName(cand)
+            arrival.select("actor", "t", F.lit(True).alias("is_old"))
+            .unionByName(cand)
             .groupBy("actor")
-            .agg(F.min("t").alias("t"))
+            .agg(
+                F.min("t").alias("t"),
+                F.min(F.when(F.col("is_old"), F.col("t"))).alias("old_t"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_arrival.alias("n")
-            .join(arrival.alias("o"), "actor", "left")
-            .where(F.col("o.t").isNull() | (F.col("n.t") != F.col("o.t")))
-            .count()
-        )
-        arrival = new_arrival
+        changed = new_arrival.where(
+            F.col("old_t").isNull() | (F.col("t") != F.col("old_t"))
+        ).count()
+        arrival = new_arrival.select("actor", "t")
         if changed == 0:
             break
     return arrival.select("actor", F.col("t").alias("arrival_frame")).orderBy("actor")
@@ -303,6 +312,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFram
         )
         stepped = labels.join(nbr_min, labels.actor == nbr_min.src, "left").select(
             "actor",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -312,21 +322,25 @@ def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFram
         lmap = stepped.select(
             F.col("actor").alias("l_actor"), F.col("label").alias("l_label")
         )
+        # the changed flag rides INSIDE the round's plan (old_label is
+        # already in flight), so convergence detection is a bare scan
+        # of the checkpoint — the old form re-joined new vs old labels
+        # as a separate per-round action (guide §1.2: don't add jobs
+        # the plan can answer for free)
         new_labels = (
             stepped.join(lmap, stepped.label == lmap.l_actor, "left")
             .select(
                 "actor",
                 F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+                (
+                    F.coalesce(F.col("l_label"), F.col("label"))
+                    != F.col("old_label")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "actor")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.select("actor", "label")
         if changed == 0:
             break
     return labels.select("actor", F.col("label").alias("component")).orderBy("actor")
@@ -1914,6 +1928,7 @@ def connected_components_per_frame(
         ).select(
             labels.frame_id,
             "actor",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -1924,6 +1939,9 @@ def connected_components_per_frame(
             F.col("actor").alias("l_actor"),
             F.col("label").alias("l_label"),
         )
+        # changed flag computed inline (see connected_components): the
+        # convergence check is a scan of the checkpoint, not a second
+        # join job per round
         new_labels = (
             stepped.join(
                 lmap,
@@ -1934,16 +1952,15 @@ def connected_components_per_frame(
                 stepped.frame_id,
                 "actor",
                 F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+                (
+                    F.coalesce(F.col("l_label"), F.col("label"))
+                    != F.col("old_label")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), ["frame_id", "actor"])
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.select("frame_id", "actor", "label")
         if changed == 0:
             break
     return labels.select("frame_id", "actor", F.col("label").alias("component"))

@@ -343,15 +343,22 @@ def decontaminate(
 
     def grams(df: DataFrame) -> DataFrame:
         toked = df.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
+        # per-doc dedup happens IN-ROW (array_distinct over the doc's
+        # own gram array) before the explode: a document's n-grams all
+        # live in one row, so the old post-explode `.distinct()` —
+        # a full Exchange of every (doc_id, gram-hash) position in the
+        # corpus — bought nothing the in-row dedup doesn't (guide
+        # §2.4 'a distinct on data that is already unique'). The
+        # exploded stream is distinct-per-doc by construction; the
+        # only remaining shuffle is the final per-doc aggregation.
         g = F.expr(
-            f"transform(sequence(0, size(t) - {n}), "
-            f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+            f"array_distinct(transform(sequence(0, size(t) - {n}), "
+            f"i -> concat_ws(' ', slice(t, i + 1, {n}))))"
         )
         return (
             toked.where(F.size("t") >= n)
             .select("doc_id", F.explode(g).alias("gram"))
             .select("doc_id", dfn.hash64(F.col("gram")).alias("gh"))
-            .distinct()
         )
     bench_hashes = (
         grams(benchmark).select("gh").distinct().withColumn("hit", F.lit(1))

@@ -265,7 +265,21 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d2.where(F.col("doc_id") % 97 != 0)
     contam = text.decontaminate(train, bench, n=4).select("doc_id")
     clean = train.join(contam, "doc_id", "left_anti")
-    return text.pack_sequences(clean, seq_len=128)
+    # r13: checkpoint the (doc_id, n_tok) packing input ONCE. The
+    # packing core's two-phase prefix sum references its input twice
+    # (chunk totals + the spans join), and Spark has no cross-branch
+    # CSE — without this the ENTIRE dedup -> quality -> decontam
+    # pipeline (and its document scans/tokenizations) executed twice:
+    # the audited plan carried 36 parquet scans, now 18 + a 16-byte/doc
+    # checkpointed table (guide §1.2 'don't recompute'). Output
+    # identical; same-session warm wall 2.6 -> ~1.6 s at sf0.1.
+    counts = (
+        text.tokens_df(clean)
+        .select("doc_id", F.size("t").cast("long").alias("n_tok"))
+        .where(F.col("n_tok") > 0)
+        .localCheckpoint()
+    )
+    return text.pack_token_counts(counts, seq_len=128)
 
 
 _QUALITY_SQL = """
