@@ -462,6 +462,13 @@ def triangles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     e = edges.select("actor1", "actor2").distinct()
     if max_degree is not None:
         e = degree_cap_subgraph(e, max_degree)
+    # r13: e1/e2/e3 are THREE references to the deduped edge set —
+    # without a checkpoint the time-restricted presence -> pair
+    # subtree (scan + self-join + distinct) executed once per
+    # reference (q11_anchored's audited plan carried 24 scans / 68
+    # Exchanges). The set is small by the time-restriction contract —
+    # the join below broadcasts it twice already.
+    e = e.localCheckpoint()
     e1 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("b"))
     e2 = e.select(F.col("actor1").alias("b"), F.col("actor2").alias("c"))
     e3 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("c"))
@@ -2063,7 +2070,15 @@ def temporal_motifs(
     day-wide graph needs the ``max_degree`` guardrail at density.
     Columns: span, n_motifs.
     """
-    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    # r13: ab/bc/ac below are THREE references to this frame-edge
+    # stream (plus a fourth for structure when structure_edges is
+    # None) — without the checkpoint the presence -> pair-expansion
+    # subtree executed once per reference (guide §1.2)
+    e = (
+        frame_edges.select("frame_id", "actor1", "actor2")
+        .distinct()
+        .localCheckpoint()
+    )
     struct_src = structure_edges if structure_edges is not None else e
     tri = triangles(
         struct_src.select("actor1", "actor2"), max_degree=max_degree
@@ -2478,7 +2493,12 @@ def betweenness_centrality(
         .localCheckpoint()
     )
     layers = [layer]
-    seen = layer.select("s", "v").localCheckpoint()
+    # seen is a UNION of already-checkpointed layer frames: its lineage
+    # stays <= max_dist LogicalRDD scans, so re-checkpointing it each
+    # layer only added an eager job per round (r13; the layer
+    # checkpoints themselves stay — each layer is reused by the next
+    # round's anti-join AND the backward pass)
+    seen = layer.select("s", "v")
     for _ in range(max_dist):
         expanded = (
             layer.join(sym, layer.v == sym.src)
@@ -2486,7 +2506,7 @@ def betweenness_centrality(
             .agg(F.sum("sigma").alias("sigma"))
         )
         layer = expanded.join(seen, ["s", "v"], "left_anti").localCheckpoint()
-        seen = seen.unionByName(layer.select("s", "v")).localCheckpoint()
+        seen = seen.unionByName(layer.select("s", "v"))
         layers.append(layer)
     deltas: list[DataFrame | None] = [None] * (max_dist + 1)
     deltas[max_dist] = layers[max_dist].withColumn(

@@ -615,8 +615,15 @@ def pack_token_counts(
 
     if seq_len <= 0 or chunk <= 0:
         raise ValueError("seq_len and chunk must be positive")
-    n = counts.select("doc_id", "n_tok").withColumn(
-        "chunk_id", F.expr(f"doc_id div {chunk}")
+    # r13: the counts table feeds BOTH the chunk-total aggregate and
+    # the spans join below, and Spark has no cross-branch CSE — every
+    # caller's upstream (q_training_mix's whole curation pipeline,
+    # q_pack_sequences' tokenization, the streaming stores' join
+    # algebra) executed twice without this. 16 bytes/doc, eager.
+    n = (
+        counts.select("doc_id", "n_tok")
+        .withColumn("chunk_id", F.expr(f"doc_id div {chunk}"))
+        .localCheckpoint()
     )
     totals = n.groupBy("chunk_id").agg(F.sum("n_tok").alias("c_tot"))
     # the ONLY global window runs over chunk totals (corpus/chunk rows)
@@ -825,9 +832,21 @@ def dsir_weights(
         )
         .withColumn("bkt", F.pmod(dfn.hash64(F.col("w")), F.lit(n_buckets)))
     )
-    counts = u.groupBy("bkt").agg(
-        F.sum("_tgt").alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    # r13: pre-aggregate the token stream to per-(doc, bucket) counts
+    # ONCE and checkpoint (<= n_buckets rows per doc, plain longs).
+    # The old shape referenced the tokenize+explode stream from three
+    # branches (target counts, raw counts, scoring), so the string
+    # tokenization ran three times; everything below now derives from
+    # the compact count table, and the per-doc weight is the identical
+    # sum expressed as sum(n * logratio) — the oracle mirrors it.
+    gb = (
+        u.groupBy("doc_id", "_tgt", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    counts = gb.groupBy("bkt").agg(
+        F.sum(F.col("n") * F.col("_tgt")).alias("ct"),
+        F.sum("n").alias("cr"),
     )
     totals = counts.agg(
         F.sum("ct").cast("double").alias("nt"),
@@ -841,11 +860,13 @@ def dsir_weights(
         ).alias("logratio"),
     )
     return (
-        u.join(F.broadcast(ratio), "bkt")
+        gb.join(F.broadcast(ratio), "bkt")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tok"),
-            F.round(F.sum("logratio"), 6).alias("dsir_weight"),
+            F.sum("n").cast("long").alias("n_tok"),
+            F.round(F.sum(F.col("n") * F.col("logratio")), 6).alias(
+                "dsir_weight"
+            ),
         )
     )
 

@@ -459,6 +459,11 @@ def q9_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor sets (SURVEY.md §2.3 J6) — no array materialization, and
     each neighbor set comes from the presence fact directly
     (graph.co_present), skipping the pairwise edge explosion."""
+    # r13 note: checkpointing p here measured NO improvement (the
+    # anchor side's actor-equality filter pushes down into the
+    # presence aggregate and the events scan, so two of the four
+    # apparent derivations are near-free) and an eager checkpoint
+    # would forfeit exactly that pushdown — left as-is deliberately.
     p = _presence(spark, sf_dir)
     return (
         graph.co_present(p, ACTOR1)

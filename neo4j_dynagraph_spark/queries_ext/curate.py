@@ -265,21 +265,12 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d2.where(F.col("doc_id") % 97 != 0)
     contam = text.decontaminate(train, bench, n=4).select("doc_id")
     clean = train.join(contam, "doc_id", "left_anti")
-    # r13: checkpoint the (doc_id, n_tok) packing input ONCE. The
-    # packing core's two-phase prefix sum references its input twice
-    # (chunk totals + the spans join), and Spark has no cross-branch
-    # CSE — without this the ENTIRE dedup -> quality -> decontam
-    # pipeline (and its document scans/tokenizations) executed twice:
-    # the audited plan carried 36 parquet scans, now 18 + a 16-byte/doc
-    # checkpointed table (guide §1.2 'don't recompute'). Output
-    # identical; same-session warm wall 2.6 -> ~1.6 s at sf0.1.
-    counts = (
-        text.tokens_df(clean)
-        .select("doc_id", F.size("t").cast("long").alias("n_tok"))
-        .where(F.col("n_tok") > 0)
-        .localCheckpoint()
-    )
-    return text.pack_token_counts(counts, seq_len=128)
+    # r13: pack_token_counts eagerly checkpoints its (doc_id, n_tok)
+    # input, so the ENTIRE dedup -> quality -> decontam pipeline above
+    # executes exactly once (its two-phase prefix sum references the
+    # input twice and Spark has no cross-branch CSE — the audited plan
+    # used to carry 36 parquet scans of documents).
+    return text.pack_sequences(clean, seq_len=128)
 
 
 _QUALITY_SQL = """
@@ -445,14 +436,15 @@ WITH tok AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
 u AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
              unnest(t) AS w FROM tok),
 b AS (SELECT doc_id, tgt, ({_H64.format(x="w")}) % 64 AS bkt FROM u),
-c AS (SELECT bkt, sum(tgt) AS ct, count(*) AS cr FROM b GROUP BY 1),
+g AS (SELECT doc_id, tgt, bkt, count(*) AS n FROM b GROUP BY 1, 2, 3),
+c AS (SELECT bkt, sum(n * tgt) AS ct, sum(n) AS cr FROM g GROUP BY 1),
 t2 AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
               CAST(sum(cr) AS DOUBLE) AS nr FROM c),
 r AS (SELECT bkt, ln((ct + 1) / (nt + 64)) - ln((cr + 1) / (nr + 64))
              AS logratio FROM c CROSS JOIN t2),
-s AS (SELECT b.doc_id, count(*) AS n_tok,
-             round(sum(r.logratio), 6) AS dsir_weight
-      FROM b JOIN r USING (bkt) GROUP BY 1)
+s AS (SELECT g.doc_id, CAST(sum(g.n) AS BIGINT) AS n_tok,
+             round(sum(g.n * r.logratio), 6) AS dsir_weight
+      FROM g JOIN r USING (bkt) GROUP BY 1)
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, dsir_weight
 FROM s ORDER BY dsir_weight DESC, doc_id LIMIT 50
 """,

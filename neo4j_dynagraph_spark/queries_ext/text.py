@@ -341,10 +341,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.tokens_df(_docs(spark, sf_dir))
         .select("doc_id", F.explode("t").alias("token"))
     )
-    tf = tu.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        tu.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # r13: df derives FROM tf (tf rows are distinct (doc, token) by
+    # construction, so counting them per token IS the document
+    # frequency) — the old second reference to tu re-tokenized the
+    # corpus and re-shuffled the full token stream through a distinct.
+    # tf is checkpointed because both df and the scoring join read it.
+    tf = (
+        tu.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a broadcast 1-row aggregate: construction stays
     # fully lazy (no eager driver count()), one job at action time
     n = _docs(spark, sf_dir).agg(

@@ -140,34 +140,53 @@ def stream_training_mix(
     )
 
     def mix_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         bid = F.lit(batch_id).cast("long").alias("batch_id")
-        # stage 1 — dedup lattice: batch-local min per hash, then merge
-        dedup_store.merge(
-            batch_df.select(
-                F.md5("text").alias("content_hash"), "doc_id"
-            ).groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-        )
-        # stage 2 — per-doc quality stats (the batch pipeline's exact
-        # text_stats projection, so the rounded ttr gate matches)
-        stats_store.merge(
-            text_stats(batch_df).select(bid, "doc_id", "n_tokens", "ttr")
-        )
-        # stage 3 — n-gram split: train pairs keyed by batch, bench
-        # hashes as a set-union lattice
+        # the batch's text is tokenized/hashed by BOTH gram commits
+        # (train split + bench split) — checkpoint the per-batch gram
+        # table once (r13)
         toked = batch_df.select(
             "doc_id", dfn.tokens(F.col("text")).alias("t")
         ).where(F.size("t") >= ngram)
-        grams = toked.select(
-            "doc_id", F.explode(gram).alias("g")
-        ).select("doc_id", dfn.hash64(F.col("g")).alias("gh")).distinct()
-        tgram_store.merge(
-            grams.where(F.col("doc_id") % bench_mod != 0).select(
-                bid, "doc_id", "gh"
-            )
+        grams = (
+            toked.select("doc_id", F.explode(gram).alias("g"))
+            .select("doc_id", dfn.hash64(F.col("g")).alias("gh"))
+            .distinct()
+            .localCheckpoint()
         )
-        bgram_store.merge(
-            grams.where(F.col("doc_id") % bench_mod == 0).select("gh")
-        )
+        # the four store commits are independent of each other — run
+        # them as concurrent jobs so each commit's write tail
+        # back-fills the others' idle cores (guide §2.6 'overlap
+        # independent jobs'); each store owns its own directory, so
+        # the commits share no mutable state
+        tasks = [
+            # stage 1 — dedup lattice: batch-local min per hash + merge
+            lambda: dedup_store.merge(
+                batch_df.select(
+                    F.md5("text").alias("content_hash"), "doc_id"
+                ).groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+            ),
+            # stage 2 — per-doc quality stats (the batch pipeline's
+            # exact text_stats projection, so the rounded ttr gate
+            # matches)
+            lambda: stats_store.merge(
+                text_stats(batch_df).select(bid, "doc_id", "n_tokens", "ttr")
+            ),
+            # stage 3 — n-gram split: train pairs keyed by batch,
+            # bench hashes as a set-union lattice
+            lambda: tgram_store.merge(
+                grams.where(F.col("doc_id") % bench_mod != 0).select(
+                    bid, "doc_id", "gh"
+                )
+            ),
+            lambda: bgram_store.merge(
+                grams.where(F.col("doc_id") % bench_mod == 0).select("gh")
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for f in [pool.submit(t) for t in tasks]:
+                f.result()
 
     q = (
         stream.writeStream.foreachBatch(mix_batch)
