@@ -968,7 +968,9 @@ def triadic_closure(e1: DataFrame, e2: DataFrame) -> DataFrame:
     the same Θ as one k-truss support round, and like it, linear-time
     degree/k-core analyses are the right tool past that density.
     """
-    d1 = e1.select("actor1", "actor2").distinct()
+    # r13: d1 feeds the symmetrized self-join (x2) and the openness
+    # anti-join — checkpoint the window-scoped set once
+    d1 = e1.select("actor1", "actor2").distinct().localCheckpoint()
     # explode both orientations once (single scan), like `degree`
     sym = d1.select(
         F.explode(
@@ -1049,13 +1051,24 @@ def negative_edges(
             F.explode(F.array("actor1", "actor2")).alias("actor")
         ).distinct()
     )
-    idx = two_phase_rank(
-        actors,
-        bucket=F.floor(F.col("actor") / 1024),
-        order_cols=[F.col("actor")],
-        rank_col="rank",
-    ).select("actor", (F.col("rank") - 1).alias("idx"))
-    nrow = actors.agg(F.count(F.lit(1)).alias("n_actors"))
+    # r13: idx is the fan-out hub (both seed draws + the target side +
+    # the row count) and two_phase_rank itself references its input
+    # twice — without the checkpoint the edges -> actors -> rank
+    # subtree executed ~6x (36 parquet scans in the audited plan).
+    # V-row frame of two longs: always checkpoint-sized.
+    idx = (
+        two_phase_rank(
+            actors,
+            bucket=F.floor(F.col("actor") / 1024),
+            order_cols=[F.col("actor")],
+            rank_col="rank",
+        )
+        .select("actor", (F.col("rank") - 1).alias("idx"))
+        .localCheckpoint()
+    )
+    # one row per actor by construction, so counting idx IS counting
+    # actors — and it reads the checkpoint instead of re-deriving d
+    nrow = idx.agg(F.count(F.lit(1)).alias("n_actors"))
     cands = None
     src = idx.crossJoin(F.broadcast(nrow))
     for s in range(n_seeds):
@@ -1103,8 +1116,13 @@ def _wedge_pairs(
     centers dominate the 10⁹-wedge stream while contributing near-zero
     information per pair (1/ln(deg) -> 0 in Adamic-Adar; union-size
     blowup in Jaccard); capping makes the stream Σ min(deg, cap)² —
-    linear in |V| for fixed cap (measured at sf1 in SCALE.md)."""
-    d = edges.select("actor1", "actor2").distinct()
+    linear in |V| for fixed cap (measured at sf1 in SCALE.md).
+
+    Input contract (r13): ``edges`` must ALREADY be the canonical
+    DISTINCT pair set — every caller passes its deduped (and usually
+    checkpointed) ``d``, and the old internal ``.distinct()`` here was
+    a full second shuffle of data already unique (guide §2.4)."""
+    d = edges.select("actor1", "actor2")
     sym = d.select(
         F.explode(
             F.array(
@@ -1152,7 +1170,10 @@ def adamic_adar(
     anti-joins the known edges, and terminates in TakeOrderedAndProject.
     Columns: actor1, actor2, n_common, aa_score (round 6), top k.
     """
-    d = edges.select("actor1", "actor2").distinct()
+    # r13: d fans out into degree, the wedge stream (x2 via the
+    # self-join) and the anti-join — checkpointed so the hour-scoped
+    # scan+distinct subtree executes once, not 4x (guide §1.2)
+    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
     deg = degree(d).select(
         F.col("actor").alias("center"), F.col("degree").alias("cdeg")
     )
@@ -1189,8 +1210,10 @@ def neighbor_jaccard(
     edges (GDS semantics — similarity, not link prediction).
     Columns: actor1, actor2, n_common, jaccard (round 6), top k.
     """
-    d = edges.select("actor1", "actor2").distinct()
-    deg = degree(d)
+    # r13: d feeds degree + the wedge self-join, deg feeds both
+    # endpoint dimensions — checkpoint the V/E-bounded frames once
+    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    deg = degree(d).localCheckpoint()
     common = (
         _wedge_pairs(d, max_center_degree=max_center_degree)
         .groupBy("actor1", "actor2")
@@ -1241,8 +1264,11 @@ def link_scores(
     aa_score. Columns: actor1, actor2, n_common, aa_score, jaccard,
     is_edge.
     """
-    d = edges.select("actor1", "actor2").distinct()
-    deg = degree(d)
+    # r13: d fans out 5 ways (degree, wedge self-join x2, is_edge,
+    # and deg fans into cdeg/d1/d2) — checkpoint both once; the edge
+    # set is time-restricted by every caller (triangles() precedent)
+    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    deg = degree(d).localCheckpoint()
     cdeg = deg.select(
         F.col("actor").alias("center"), F.col("degree").alias("cdeg")
     )
@@ -1507,6 +1533,11 @@ def sgns_negatives(
     off = bsum.withColumn(
         "_off", F.coalesce(F.sum("_bw").over(woff), F.lit(0).cast("long"))
     ).select("_b", "_off")
+    # r13: cdf is the fan-out hub (total, the grid explode, and the
+    # final interval probe all read it) and its own two-phase build
+    # references d twice — without the checkpoint the edges -> adj ->
+    # deg subtree executed once per reference (48 parquet scans / 188
+    # Exchanges in the audited plan). V rows of three longs.
     cdf = (
         d.join(F.broadcast(off), "_b")
         .select(
@@ -1514,6 +1545,7 @@ def sgns_negatives(
             (F.col("hi_local") + F.col("_off") - F.col("w")).alias("lo"),
             (F.col("hi_local") + F.col("_off")).alias("hi"),
         )
+        .localCheckpoint()
     )
     # one-row (total, cell width) broadcast; cw = ceil(total/n_buckets)
     # in INTEGER arithmetic (div), so both sides compute identical cells
@@ -3280,7 +3312,9 @@ def link_prediction_eval(
     """
     from pyspark.sql import Window
 
-    d = train_edges.select("actor1", "actor2").distinct()
+    # r13: d feeds the wedge self-join (x2) and the candidate
+    # anti-join — checkpoint the day-window set once
+    d = train_edges.select("actor1", "actor2").distinct().localCheckpoint()
     cn = (
         _wedge_pairs(d, max_center_degree=max_center_degree)
         .groupBy("actor1", "actor2")

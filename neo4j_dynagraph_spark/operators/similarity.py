@@ -306,6 +306,33 @@ def ivf_assign(
     )
 
 
+def rerank_probed_cells(
+    cellsv: DataFrame, probes: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine re-rank of probed IVF cells — the shared terminal
+    of :func:`ivf_topk` / :func:`ivf_topk_from_cells`, exposed (r13) so
+    callers that hold ONE precomputed assignment (``cellsv``: cid, v2,
+    cell) and ONE probe table (``probes``: qid, v1, cell) can evaluate
+    several probe depths without re-deriving the coarse quantizer per
+    depth (q_ivf_tuning's audited plan carried 60 parquet scans).
+    Identical expression tree to the previous inline form."""
+    from pyspark.sql import Window
+
+    sim = F.expr(_DOT12) / (
+        F.expr(_NORM.format(c="v1")) * F.expr(_NORM.format(c="v2"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
+    return (
+        cellsv.join(F.broadcast(probes), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", sim.alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("qid", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -326,8 +353,6 @@ def ivf_topk(
     the data. Output schema matches brute_force_topk; with
     nprobe == n_centroids the result IS the exact answer (tested).
     """
-    from pyspark.sql import Window
-
     centroids = corpus.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
     )
@@ -341,19 +366,7 @@ def ivf_topk(
         vec_col,
         nprobe=nprobe,
     ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v1"), "cell")
-    sim = F.expr(_DOT12) / (
-        F.expr(_NORM.format(c="v1")) * F.expr(_NORM.format(c="v2"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
-    return (
-        cells.join(F.broadcast(probes), "cell")
-        .where(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", sim.alias("sim_raw"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
-        .orderBy("qid", "rank")
-    )
+    return rerank_probed_cells(cells, probes, k)
 
 
 def write_ivf_corpus(
@@ -396,8 +409,6 @@ def ivf_topk_from_cells(
     (multibatch equality pinned in tests). Probes are broadcast; the
     candidate join is the cell equi-join, nprobe/C of the corpus at
     rest."""
-    from pyspark.sql import Window
-
     cellsv = (
         cells.select(id_col, "cell")
         .join(corpus.select(id_col, vec_col), id_col)
@@ -412,19 +423,7 @@ def ivf_topk_from_cells(
         vec_col,
         nprobe=nprobe,
     ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v1"), "cell")
-    sim = F.expr(_DOT12) / (
-        F.expr(_NORM.format(c="v1")) * F.expr(_NORM.format(c="v2"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("sim_raw"), "cid")
-    return (
-        cellsv.join(F.broadcast(probes), "cell")
-        .where(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", sim.alias("sim_raw"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "cid", F.round("sim_raw", 6).alias("sim"))
-        .orderBy("qid", "rank")
-    )
+    return rerank_probed_cells(cellsv, probes, k)
 
 
 def pandas_cosine_topk(
@@ -1020,6 +1019,13 @@ def pq_codebooks(
                     "transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)"
                 ).alias("_cv")
             )
+            # r13: m*k rows — without the per-round cut, round i's
+            # assign embeds round i-1's whole plan and every CONSUMER
+            # of the returned books (encode + the ADC table, i.e. two
+            # references in each pq consumer) re-executes the entire
+            # unrolled training (q_pq_recall's audited plan carried
+            # 44 parquet scans)
+            .localCheckpoint()
         )
     return cent.select("j", "cid", F.col("_cv").alias("cv"))
 

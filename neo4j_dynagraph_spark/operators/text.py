@@ -927,8 +927,15 @@ def ppl_buckets(
     scored = unigram_logprob(docs, text_col).select(
         "doc_id", F.col("avg_neg_logp").alias("nlp")
     )
-    d = docs.select("doc_id", F.col(lang_col).alias("lang")).join(
-        scored, "doc_id"
+    # r13: d feeds the two-phase rank (which references its input
+    # twice) AND the per-language totals — without the checkpoint the
+    # unigram-LM scoring pass (corpus tokenize + broadcast LM join)
+    # executed 3x (audited q_ppl_buckets plan: 24 parquet scans).
+    # V rows x 3 narrow columns.
+    d = (
+        docs.select("doc_id", F.col(lang_col).alias("lang"))
+        .join(scored, "doc_id")
+        .localCheckpoint()
     )
     ranked = two_phase_rank(
         d,

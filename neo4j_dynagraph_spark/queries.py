@@ -2022,6 +2022,11 @@ def q11_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edges(spark, sf_dir, _hour_filter(HOUR, HOUR + 1))
         .select("actor1", "actor2")
         .distinct()
+        # r13: referenced by the symmetrized anchor probe (x2), both
+        # neighbor-set semi-joins, and the closing-edge check — the
+        # audited plan carried 24 scans / 68 Exchanges of the same
+        # hour subtree; hour-bounded set, triangles() precedent
+        .localCheckpoint()
     )
     anchor = (
         _events(spark, sf_dir)

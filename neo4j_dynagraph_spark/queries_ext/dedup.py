@@ -339,7 +339,16 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization boundaries; every stage is the already-tested
     operator."""
     docs = _docs(spark, sf_dir)
-    keep1 = dedup.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    # r13: keep1 gates both downstream tokenization passes AND is
+    # itself the surviving id set — checkpoint the id list once (V
+    # longs) and emit it directly as the terminal left side instead of
+    # a third docs scan (docs1.doc_id == keep1 by construction: keep
+    # ids are distinct doc_ids drawn from docs)
+    keep1 = (
+        dedup.exact_duplicates(docs)
+        .select(F.col("keep_id").alias("doc_id"))
+        .localCheckpoint()
+    )
     docs1 = docs.join(keep1, "doc_id", "semi")
     cand = dedup.lsh_candidate_pairs(
         dedup.minhash_signatures(dedup.shingles_df(docs1), num_hashes=8)
@@ -347,8 +356,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = dedup.ngram_jaccard_pairs(docs1, threshold=0.6, block_col=None)
     drops = jac.join(cand, ["d1", "d2"], "semi").select(F.col("d2").alias("doc_id"))
     return (
-        docs1.select("doc_id")
-        .join(drops, "doc_id", "left_anti")
+        keep1.join(drops, "doc_id", "left_anti")
         .orderBy("doc_id")
     )
 
@@ -544,8 +552,15 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, and exact overlap bit-for-bit."""
     docs = _docs(spark, sf_dir)
     sh = dedup.shingles_df(docs)
-    sigs = dedup.minhash_signatures(sh, num_hashes=8)
-    cands = dedup.lsh_candidate_pairs(sigs, rows_per_band=2, max_bucket=64)
+    # r13: sigs fans out into banding + both signature sides, cands
+    # into the estimate and both id projections — without the
+    # checkpoints the audited plan re-ran the corpus tokenization /
+    # signature pass per reference (22 parquet scans / 66 Exchanges).
+    # sigs is V x 8 longs; cands is the capped candidate-pair set.
+    sigs = dedup.minhash_signatures(sh, num_hashes=8).localCheckpoint()
+    cands = dedup.lsh_candidate_pairs(
+        sigs, rows_per_band=2, max_bucket=64
+    ).localCheckpoint()
     sa = sigs.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
@@ -566,7 +581,16 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(ids, "doc_id", "left_semi").select("doc_id", "shingle")
+    # r13: candidate-bounded shingle slice, checkpointed — it feeds
+    # BOTH the pairwise intersection and the per-doc sizes (the sizes
+    # only ever re-attach to candidate docs through the d1/d2 inner
+    # joins below, so computing them from the slice is value-identical
+    # and drops the second full-corpus shingle pass)
+    sh_c = (
+        sh.join(ids, "doc_id", "left_semi")
+        .select("doc_id", "shingle")
+        .localCheckpoint()
+    )
     inter = (
         sh_c.alias("a")
         .join(
@@ -579,7 +603,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
     c0 = F.coalesce(F.col("c"), F.lit(0))

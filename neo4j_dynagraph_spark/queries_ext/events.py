@@ -473,11 +473,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_dynagraph_spark.operators.rank import two_phase_rank
 
     orders = load_table(spark, sf_dir, "orders")
+    # r13: cust feeds the row count plus three two-phase ranks (each
+    # referencing its input twice) — 7 executions of the orders
+    # aggregate without the checkpoint (audited plan: 18 parquet
+    # scans). Customer-dimension rows, 4 narrow columns.
     cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
-    )
+    ).localCheckpoint()
     nrow = cust.agg(F.count(F.lit(1)).cast("double").alias("nc"))
 
     def quintile(measure, bucket, name: str) -> DataFrame:  # noqa: ANN001
@@ -714,12 +718,16 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("k")
     )
     cnts = li.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    # r13: ranked feeds the global stats, both percentile probes and
+    # the heavy-10 cut — checkpoint the |keys|-row rank table once so
+    # the lineitem count + two-phase rank run once, not 4x (audited
+    # plan: 16 parquet scans)
     ranked = two_phase_rank(
         cnts,
         bucket=F.floor(F.col("cnt") / 8),
         order_cols=[F.col("cnt"), F.col("k")],
         rank_col="rn",
-    )
+    ).localCheckpoint()
     glob = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),

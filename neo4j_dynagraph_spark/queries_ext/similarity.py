@@ -324,7 +324,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    exact = similarity.brute_force_topk(emb, queries_df, k=10).select("qid", "cid")
+    # r13: exact is referenced by n_exact and BOTH per-method
+    # semi-joins — 5x10 rows, checkpoint so the brute-force pass
+    # executes once instead of 3x
+    exact = (
+        similarity.brute_force_topk(emb, queries_df, k=10)
+        .select("qid", "cid")
+        .localCheckpoint()
+    )
     approx = {
         "ivf": similarity.ivf_topk(
             emb, queries_df, k=10, n_centroids=32, nprobe=4
@@ -1258,26 +1265,54 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    exact = similarity.brute_force_topk(emb, queries_df, k=10).select(
-        "qid", "cid"
+    # r13: exact ground truth is referenced by all three per-depth
+    # semi-joins — 5x10 rows, checkpoint once
+    exact = (
+        similarity.brute_force_topk(emb, queries_df, k=10)
+        .select("qid", "cid")
+        .localCheckpoint()
     )
     cents = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    cells = similarity.ivf_assign(emb, cents, nprobe=1).select(
-        F.col("vec_id").alias("cid"), "cell"
+    # r13: ONE coarse-assignment pass shared by all three probe
+    # depths, as the docstring promises — the old loop called
+    # ivf_topk per depth, re-deriving the corpus assignment each time
+    # (audited plan: 60 parquet scans). cellsv is the local stand-in
+    # for write_ivf_corpus's at-rest cell layout; probes at the
+    # DEEPEST depth once, and rank <= p slices it exactly (the
+    # cell_rank window is deterministic, so the first p of 4 ranked
+    # cells IS the nprobe=p assignment). Identical arithmetic ->
+    # identical rows (oracle unchanged, parity-proved).
+    cellsv = (
+        similarity.ivf_assign(emb, cents, nprobe=1)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("v2"), "cell")
+        .localCheckpoint()
     )
-    parts = []
-    for p in (1, 2, 4):
-        probes = similarity.ivf_assign(
+    cells = cellsv.select("cid", "cell")
+    probes4 = (
+        similarity.ivf_assign(
             queries_df.select(
                 F.col("qid").alias("vec_id"), F.col("qv").alias("v")
             ),
             cents,
-            nprobe=p,
-        ).select(F.col("vec_id").alias("qid"), "cell")
+            nprobe=4,
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("v1"),
+            "cell",
+            "cell_rank",
+        )
+        .localCheckpoint()
+    )
+    parts = []
+    for p in (1, 2, 4):
+        probes = probes4.where(F.col("cell_rank") <= p).select(
+            "qid", "v1", "cell"
+        )
         cand = (
-            cells.join(F.broadcast(probes), "cell")
+            cells.join(F.broadcast(probes.select("qid", "cell")), "cell")
             .where(F.col("cid") != F.col("qid"))
             .select("qid", "cid")
             .distinct()
@@ -1285,9 +1320,9 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cands = cand.groupBy("qid").agg(
             F.count(F.lit(1)).cast("long").alias("n_cands")
         )
-        topk = similarity.ivf_topk(
-            emb, queries_df, k=10, n_centroids=32, nprobe=p
-        ).select("qid", "cid")
+        topk = similarity.rerank_probed_cells(cellsv, probes, k=10).select(
+            "qid", "cid"
+        )
         n_hit = (
             exact.join(topk, ["qid", "cid"], "semi")
             .groupBy("qid")

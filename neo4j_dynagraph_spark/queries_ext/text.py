@@ -1275,17 +1275,25 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = dedup.tokens_df(_docs(spark, sf_dir)).select(
         "source", F.explode("t").alias("token")
     )
+    # r13: vocab / cnts / grid are each referenced twice downstream
+    # (vocab by the count filter AND the grid cross; cnts by the grid
+    # AND the totals; grid by both sides of the pair join) — without
+    # the checkpoints each reference re-ran the corpus tokenization
+    # (audited plan: 24 parquet scans). All three are dimension-sized
+    # (64, |sources|x64, |sources|x64 rows).
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
         .limit(K)
         .select("token")
+        .localCheckpoint()
     )
     cnts = (
         tok.join(F.broadcast(vocab), "token")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     tots = cnts.groupBy("source").agg(F.sum("c").alias("tot"))
     srcs = _docs(spark, sf_dir).select("source").distinct()
@@ -1301,6 +1309,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.coalesce("tot", F.lit(0)) + F.lit(float(K)))
             ).alias("p"),
         )
+        .localCheckpoint()
     )
     a, b = grid.alias("a"), grid.alias("b")
     term = 0.5 * (
