@@ -365,10 +365,15 @@ def prefix_jaccard_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # r13: toks is referenced four ways (df table, the sized prefix
+    # build, and both verify sides) and prefix twice (the candidate
+    # self-join) — checkpoint each once so the corpus tokenization and
+    # the df/window build run once (guide §1.2 step 1)
     toks = (
         tokens_df(docs, text_col)
         .select("doc_id", F.explode("t").alias("token"))
         .distinct()
+        .localCheckpoint()
     )
     df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     sized = toks.join(df_counts, "token").withColumn(
@@ -384,6 +389,7 @@ def prefix_jaccard_join(
         )
         .where(F.col("pos") <= prefix_len)
         .select("doc_id", "token", "n")
+        .localCheckpoint()
     )
     cand = (
         prefix.alias("a")
@@ -759,8 +765,14 @@ def minhash_decontaminate(
             f"rows_per_band={rows_per_band}"
         )
     flagged = docs.select("doc_id", is_benchmark.alias("_is_bench"), text_col)
-    sigs = minhash_signatures(shingles_df(flagged, text_col)).join(
-        flagged.select("doc_id", "_is_bench"), "doc_id"
+    # r13: sigs is referenced four ways (train/bench band explodes +
+    # the verify join + the broadcast benchmark signatures) — without
+    # the cut the corpus signature pass executed once per reference.
+    # V rows x (num_hashes + 1) narrow columns.
+    sigs = (
+        minhash_signatures(shingles_df(flagged, text_col))
+        .join(flagged.select("doc_id", "_is_bench"), "doc_id")
+        .localCheckpoint()
     )
     bench = sigs.where(F.col("_is_bench")).drop("_is_bench")
     train = sigs.where(~F.col("_is_bench")).drop("_is_bench")

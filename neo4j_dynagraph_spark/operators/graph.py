@@ -551,7 +551,12 @@ def assortativity(edges: DataFrame) -> DataFrame:
     Columns: assortativity (round 6), n_directed_edges.
     """
     e = edges.select("actor1", "actor2").distinct()
-    deg = degree(e)
+    # r13: deg is broadcast to BOTH endpoint joins — without the cut
+    # each broadcast re-derived e (three edge-subtree executions, not
+    # the docstring's two). Node-sized (V rows of two longs), so the
+    # checkpoint avoids the sf1 memory hazard that ruled out
+    # checkpointing the 112M-row e itself.
+    deg = degree(e).localCheckpoint()
     j = (
         e.join(
             broadcast(
@@ -825,7 +830,14 @@ def _temporal_2hop_paths(
     f2): the window-in-join-key construction documented on
     :func:`temporal_path_counts`; consumed by it and by
     :func:`broker_counts`."""
-    e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
+    # r13: sym feeds BOTH hop sides of the path join — checkpoint the
+    # day-scoped distinct edge set once so the presence -> pair
+    # derivation runs once, not twice (guide §1.2 step 1)
+    e = (
+        frame_edges.select("frame_id", "actor1", "actor2")
+        .distinct()
+        .localCheckpoint()
+    )
     sym = e.select(
         "frame_id",
         F.explode(
@@ -1337,9 +1349,13 @@ def triangle_formation_spans(frame_edges: DataFrame) -> DataFrame:
     joins on the pair keys when a window is genuinely huge. The span
     histogram is a frames-bounded aggregate.
     """
+    # r13: fp feeds all three triangle-join dimensions — checkpoint
+    # the |pairs|-row first-frame table once instead of re-running the
+    # windowed min-aggregate per dimension (guide §1.2 step 1)
     fp = (
         frame_edges.groupBy("actor1", "actor2")
         .agg(F.min("frame_id").alias("f"))
+        .localCheckpoint()
     )
     e1 = fp.select(
         F.col("actor1").alias("a"), F.col("actor2").alias("b"),
@@ -3581,10 +3597,13 @@ def percolation_criterion(edges: DataFrame) -> DataFrame:
     f_c (round 6; NULL when kappa <= 1, i.e. no giant component to
     fragment).
     """
+    # r13: one explode generator instead of the symmetrize union —
+    # the union evaluated the day-pruned distinct subtree once per
+    # branch (the `degree` precedent; guide §2.4)
     d = edges.select("actor1", "actor2").distinct()
     deg = (
-        symmetrize(d)
-        .groupBy(F.col("src").alias("actor"))
+        d.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
+        .groupBy("actor")
         .agg(F.count(F.lit(1)).alias("k"))
     )
     return deg.agg(
@@ -4605,9 +4624,12 @@ def persistent_degree_core(
     if delta < 1 or len(frame_ids) < delta:
         raise ValueError("need delta >= 1 and at least delta frame slots")
     base = min(frame_ids)
+    # r13: one explode generator instead of the two-branch union —
+    # the union evaluated the distinct frame-edge subtree twice
+    # (the `degree` precedent; guide §2.4)
     e = frame_edges.select("frame_id", "actor1", "actor2").distinct()
-    sym = e.select("frame_id", F.col("actor1").alias("actor")).unionByName(
-        e.select("frame_id", F.col("actor2").alias("actor"))
+    sym = e.select(
+        "frame_id", F.explode(F.array("actor1", "actor2")).alias("actor")
     )
     from pyspark.sql.functions import broadcast
 

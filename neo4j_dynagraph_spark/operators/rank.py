@@ -109,7 +109,10 @@ def time_shuffle(
     """
     from neo4j_dynagraph_spark import functions as dfn
 
-    e = interactions.select("frame_id", "actor1", "actor2")
+    # r13: e feeds BOTH rank sides, and two_phase_rank references its
+    # input twice — four executions of the upstream edge derivation
+    # without the cut (guide §1.2 step 1). Window-scoped edge set.
+    e = interactions.select("frame_id", "actor1", "actor2").localCheckpoint()
     hk = dfn.hash64(
         F.concat(
             F.lit(seed),

@@ -885,10 +885,21 @@ def cooccurrence_topk(
 
     Columns: item1, item2 (item1 < item2), n_co, cosine (round 6).
     """
-    m = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
-    ).distinct()
-    marg = m.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r13: m feeds the marginals and both pair-join sides, marg both
+    # item dimensions — checkpoint each once so the basket scan +
+    # distinct runs once, not four times (guide §1.2 step 1)
+    m = (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    marg = (
+        m.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
     a = m.alias("a")
     bdf = m.alias("b")
     co = (
@@ -1083,11 +1094,17 @@ def pq_adc_topk(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes: the
     query keeps its EXACT subvectors; each corpus vector is represented
     only by its m centroid ids, and the approximate squared distance is
     the sum of m table lookups d2(q_j, centroid[j, code_j]).
+
+    ``codebooks`` (r13): pass a pre-trained pq_codebooks frame to skip
+    the in-place training — lets a caller evaluating several PQ
+    consumers over ONE corpus (q_pq_recall's flat + IVF-PQ pair) train
+    once instead of per consumer. None keeps the self-training shape.
 
     This is the read-path shape that matters at 100 TB: after encoding,
     a query never touches corpus FLOATS — it scans the m-int code table
@@ -1104,7 +1121,13 @@ def pq_adc_topk(
     """
     from pyspark.sql import Window
 
-    books = pq_codebooks(corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(
+            corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    )
     codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
     qsub = queries.select(
         F.col("qid"),
@@ -1154,6 +1177,7 @@ def ivfpq_topk(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition that IS the
     billion-scale ANN index layout (FAISS's IVFADC, Jégou et al. 2011
@@ -1192,8 +1216,14 @@ def ivfpq_topk(
         vec_col,
         nprobe=nprobe,
     ).select(F.col(id_col).alias("qid"), "cell")
-    books = pq_codebooks(
-        corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    # r13: same pre-trained-codebooks escape as pq_adc_topk (one
+    # training shared across the flat + IVF-PQ consumers)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(
+            corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
     )
     codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
     qsub = queries.select(
@@ -1309,7 +1339,10 @@ def sq_adc_topk(
     """
     from pyspark.sql import Window
 
-    stats = sq_stats_row(corpus, vec_col)
+    # r13: the one-row calibration aggregate is broadcast twice
+    # (encode + reconstruction) — checkpoint it so the corpus-wide
+    # min/max pass runs once, not twice
+    stats = sq_stats_row(corpus, vec_col).localCheckpoint()
     codes = sq_encode(corpus, stats, id_col, vec_col)
     d2 = F.round(
         F.expr(

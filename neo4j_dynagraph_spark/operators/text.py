@@ -1260,8 +1260,15 @@ def temperature_mix_from_catalog(
     so it cannot finalize earlier). Same output contract."""
     docs = catalog
     source_col = "source"
-    c = docs.groupBy(F.col(source_col).alias("source")).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # r13: c fans out into the totals, the rate table, and (through
+    # r/rt) the max-ratio probe — without the cut the corpus count
+    # aggregate re-ran per reference (audited q_temperature_mix plan:
+    # 18 scans). |sources| rows; rt likewise feeds the broadcast keep
+    # filter AND the terminal left side.
+    c = (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
     )
     tot = c.agg(
         F.sum("n").cast("double").alias("total"),
@@ -1276,14 +1283,18 @@ def temperature_mix_from_catalog(
         ),
     )
     mx = r.agg(F.max(F.col("target") / F.col("share")).alias("mr"))
-    rt = r.crossJoin(F.broadcast(mx)).select(
-        "source",
-        "n",
-        "share",
-        "target",
-        F.round((F.col("target") / F.col("share")) / F.col("mr"), 6).alias(
-            "rate"
-        ),
+    rt = (
+        r.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "n",
+            "share",
+            "target",
+            F.round(
+                (F.col("target") / F.col("share")) / F.col("mr"), 6
+            ).alias("rate"),
+        )
+        .localCheckpoint()
     )
     u = (
         dfn.hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))

@@ -429,8 +429,27 @@ def q8_neighbors_on_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("user_id").alias("src"))
     )
-    sym = graph.symmetrize(
-        _edges(spark, sf_dir, _day_filter()).select("actor1", "actor2")
+    # r13: one explode generator instead of the symmetrize union —
+    # the union evaluated the whole day-pruned edge subtree once per
+    # orientation branch (the `degree` precedent; guide §2.4)
+    sym = (
+        _edges(spark, sf_dir, _day_filter())
+        .select("actor1", "actor2")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("actor1").alias("src"),
+                        F.col("actor2").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("actor2").alias("src"),
+                        F.col("actor1").alias("dst"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.src", "s.dst")
     )
     return (
         sym.join(F.broadcast(anchor), "src")
@@ -570,12 +589,21 @@ def q_frame_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise). One day-pruned edge build, a self-join on
     (frame_id+1, pair) for the intersection, per-frame counts for the
     union — no per-frame driver loop, frames processed in parallel."""
+    # r13: e feeds the per-frame counts AND both sides of the
+    # consecutive-frame intersection join; c feeds both the current
+    # and shifted frame dimension — checkpoint each once (day-scoped
+    # pair set / frames-row count table, guide §1.2 step 1)
     e = (
         _edges(spark, sf_dir, _day_filter())
         .select("frame_id", "actor1", "actor2")
         .distinct()
+        .localCheckpoint()
     )
-    c = e.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_edges"))
+    c = (
+        e.groupBy("frame_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .localCheckpoint()
+    )
     nxt = e.select(
         (F.col("frame_id") - 1).alias("frame_id"), "actor1", "actor2"
     )
@@ -1262,7 +1290,15 @@ def q_actor_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame vanished (n_left, attributed to the frame they miss). The
     frame-over-frame set-diff shape — anti-joins on the shifted frame
     key, one shuffle each."""
-    pa = _presence(spark, sf_dir).select("frame_id", "actor").distinct()
+    # r13: pa is referenced five ways (both anti-join sides twice via
+    # the shifted copy, plus the frame spine) — checkpoint the
+    # (frame, actor) presence set once (guide §1.2 step 1)
+    pa = (
+        _presence(spark, sf_dir)
+        .select("frame_id", "actor")
+        .distinct()
+        .localCheckpoint()
+    )
     prev = pa.select((F.col("frame_id") + 1).alias("frame_id"), "actor")
     joined = (
         pa.join(prev, ["frame_id", "actor"], "left_anti")
@@ -1452,11 +1488,15 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             _utc_ns(YEAR, MONTH, 1),
             _utc_ns(YEAR + (MONTH == 12), MONTH % 12 + 1, 1),
         )
+        # r13: each side is referenced by all three set ops (intersect
+        # + both exceptAll orientations) — checkpoint the <= 31-row
+        # day set once instead of six point-lookup scans
         return (
             _events(spark, sf_dir)
             .where((F.col("user_id") == actor) & month_range)
             .select(F.dayofmonth("ts").cast("long").alias("day"))
             .distinct()
+            .localCheckpoint()
         )
 
     d1, d2 = active_days(ACTOR1), active_days(ACTOR2)

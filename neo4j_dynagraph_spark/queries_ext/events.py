@@ -402,14 +402,22 @@ def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GK sketch / hash-sample twin (q_approx_quantiles /
     q_sample_quantiles) — the flagging pass is unchanged."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    m = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    # r13: m and m2 are the tiny per-type stats tables, each broadcast
+    # into a branch that re-references the event stream — checkpoint
+    # both so the exact-percentile aggregates run once each (j itself
+    # stays unmaterialized: event-row-sized, two cheap scans)
+    m = (
+        ev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
+        .localCheckpoint()
     )
     j = ev.join(F.broadcast(m), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
     )
-    m2 = j.groupBy("event_type").agg(
-        F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad")
+    m2 = (
+        j.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"))
+        .localCheckpoint()
     )
     return (
         j.join(F.broadcast(m2), "event_type")

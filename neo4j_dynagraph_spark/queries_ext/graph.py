@@ -1053,10 +1053,14 @@ def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actor")
         .agg(F.count(F.lit(1)).cast("long").alias("day_partners"))
     )
+    # r13: eh feeds the triangle build AND the hour-degree explode —
+    # checkpoint the hour pair set once (triangles() re-checkpoints
+    # its deduped view, which then reads this cut instead of the scan)
     eh = (
         qmod._edges(spark, sf_dir, qmod._hour_filter(qmod.HOUR, qmod.HOUR + 1))
         .select("actor1", "actor2")
         .distinct()
+        .localCheckpoint()
     )
     tri = graph.triangles(eh)
     tc = (
@@ -2233,10 +2237,13 @@ def q_frame_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     networks sit orders of magnitude lower."""
     from neo4j_dynagraph_spark import queries as qmod
 
+    # r13: e feeds both the edge-count and actor-count branches —
+    # checkpoint the day-scoped frame-edge set once
     e = (
         qmod._edges(spark, sf_dir, qmod._day_filter())
         .select("frame_id", "actor1", "actor2")
         .distinct()
+        .localCheckpoint()
     )
     ec = e.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_edges"))
     ac = (

@@ -523,15 +523,22 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
         .select(F.transform("sm", lambda s: s["m"]).alias("mv"))
     )
-    dist = emb.crossJoin(F.broadcast(mean_arr)).select(
-        "vec_id",
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("v", "mv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("dist"),
+    # r13: dist feeds the moment aggregate AND the z terminal —
+    # checkpoint the V-row (id, dist) table so the distance projection
+    # + per-dim mean subtree runs once, not twice
+    dist = (
+        emb.crossJoin(F.broadcast(mean_arr))
+        .select(
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("v", "mv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("dist"),
+        )
+        .localCheckpoint()
     )
     st = dist.agg(
         F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
@@ -760,13 +767,20 @@ def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals and the 1-row basket count attach by broadcast; top-20
     as TakeOrderedAndProject. Oracle replays all three metrics."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r13: m feeds four branches (basket count, marginals, both pair
+    # sides) and mg both rule dimensions — checkpoint each once so the
+    # lineitem scan + distinct runs once, not four times
     m = li.select(
         F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint()
     nb = m.agg(
         F.countDistinct("bk").cast("double").alias("n_baskets")
     )
-    mg = m.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mg = (
+        m.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
     a = m.alias("a")
     b = m.alias("b")
     co = (
@@ -1037,11 +1051,24 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("qid", "cid", F.lit(1).alias("hit"))
     )
+    # r13: both indexes train the IDENTICAL codebooks (same corpus,
+    # same m/k/n_iter, deterministic init) — train once and pass the
+    # shared frame to both consumers (the Lloyd rounds inside
+    # pq_codebooks are already per-round checkpointed)
+    books = similarity.pq_codebooks(emb, m=2, k=4, n_iter=2)
     pq5 = similarity.pq_adc_topk(
-        emb, queries_df, topk=5, m=2, k=4, n_iter=2
+        emb, queries_df, topk=5, m=2, k=4, n_iter=2, codebooks=books
     ).select(F.lit("pq").alias("method"), "qid", "cid")
     ivfpq5 = similarity.ivfpq_topk(
-        emb, queries_df, topk=5, n_centroids=32, nprobe=4, m=2, k=4, n_iter=2
+        emb,
+        queries_df,
+        topk=5,
+        n_centroids=32,
+        nprobe=4,
+        m=2,
+        k=4,
+        n_iter=2,
+        codebooks=books,
     ).select(F.lit("ivfpq").alias("method"), "qid", "cid")
     ap = ivfpq5.unionByName(pq5)
     return (

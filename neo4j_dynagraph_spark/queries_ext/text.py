@@ -661,14 +661,19 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = text.chunk_documents(docs, window=50, stride=25).where(
         F.col("n_chunk_tokens") >= 50
     )
+    # r13: cd and d each feed BOTH sides of their self-join — without
+    # the cuts the chunk tokenization (cd) and the md5 scan (d) each
+    # executed twice. Both are distinct (fingerprint, source) pairs.
     cd = (
         ch.join(docs.select("doc_id", "source"), "doc_id")
         .select("chunk_hash", "source")
         .distinct()
+        .localCheckpoint()
     )
     d = (
         docs.select(F.md5(F.col("text")).alias("h"), "source")
         .distinct()
+        .localCheckpoint()
     )
     shared_chunks = (
         cd.select("chunk_hash", F.col("source").alias("src_a"))
@@ -743,8 +748,17 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", dfn.tokens(F.col("text")).alias("t"))
         .select("doc_id", F.posexplode("t").alias("pos", "w"))
     )
-    nt = u.agg(F.count(F.lit(1)).cast("double").alias("nt"))
-    cw = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r13: cw is vocab-bounded and feeds both marginal dimensions —
+    # checkpoint it once; nt (total tokens) is the SUM of the per-word
+    # counts, so deriving it from the checkpointed cw is
+    # value-identical and spares a third full tokenization pass.
+    # u itself stays unmaterialized (corpus-sized strings — the
+    # vocab_prune trade); it now tokenizes 3x (cw + both pair-join
+    # sides) instead of 6x.
+    cw = (
+        u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    nt = cw.agg(F.sum("c").cast("double").alias("nt"))
     rep = (
         u.withColumn("_d", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
         .select(
@@ -753,6 +767,9 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + F.col("_d")).alias("pos"),
         )
     )
+    # r13: pr (the expensive corpus x 3-offset pair join) feeds both
+    # the pair total and the scored terminal — checkpoint the
+    # vocab^2-bounded count table so the join runs once, not twice
     pr = (
         rep.join(
             u.select("doc_id", "pos", F.col("w").alias("w_b")),
@@ -760,6 +777,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w_a", "w_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint()
     )
     np_ = pr.agg(F.sum("c_ab").cast("double").alias("np"))
     ca = cw.select(F.col("w").alias("w_a"), F.col("c").alias("ca"))
@@ -1021,7 +1039,14 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("tf_sum"),
     )
-    base = text.bm25_scores(docs, list(_BM25_TERMS)).join(toked, "doc_id")
+    # r13: base feeds both rankers (bm25 cut + tf cut) — checkpoint
+    # the per-doc score table once so the two tokenization passes +
+    # corpus stats run once, not twice (guide §1.2 step 1)
+    base = (
+        text.bm25_scores(docs, list(_BM25_TERMS))
+        .join(toked, "doc_id")
+        .localCheckpoint()
+    )
     ra = (
         base.orderBy(F.desc("bm25"), "doc_id")
         .limit(100)

@@ -373,6 +373,39 @@ def test_pq_adc_exact_duplicate_is_nearest_with_zero_distance(spark):
     assert out[0].adc_d2 <= out[-1].adc_d2
 
 
+def test_pq_topk_pretrained_codebooks_equal_self_trained(spark):
+    # r13: pq_adc_topk / ivfpq_topk accept a pre-trained codebooks
+    # frame (shared-training path used by q_pq_recall) — passing the
+    # books trained with the SAME params must be row-identical to the
+    # self-training default in both consumers
+    from neo4j_dynagraph_spark.operators import similarity as sim
+
+    rows = [
+        (i, [float((i * 7) % 5) + 1.0, float((i * 3) % 4) + 1.0,
+             float((i * 11) % 6) + 1.0, float(i % 3) + 1.0])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 0.0]), (101, [4.0, 0.0, 5.0, 2.0])],
+        "qid long, qv array<double>",
+    )
+    books = sim.pq_codebooks(corpus, m=2, k=4, n_iter=2)
+    a1 = sorted(map(tuple, sim.pq_adc_topk(
+        corpus, queries, topk=3, m=2, k=4, n_iter=2).collect()))
+    a2 = sorted(map(tuple, sim.pq_adc_topk(
+        corpus, queries, topk=3, m=2, k=4, n_iter=2,
+        codebooks=books).collect()))
+    assert a1 == a2
+    b1 = sorted(map(tuple, sim.ivfpq_topk(
+        corpus, queries, topk=3, n_centroids=8, nprobe=2,
+        m=2, k=4, n_iter=2).collect()))
+    b2 = sorted(map(tuple, sim.ivfpq_topk(
+        corpus, queries, topk=3, n_centroids=8, nprobe=2,
+        m=2, k=4, n_iter=2, codebooks=books).collect()))
+    assert b1 == b2
+
+
 def test_pq_rejects_bad_params(spark):
     import pytest as _pytest
 
