@@ -424,13 +424,19 @@ def degree_cap_subgraph(edges: DataFrame, max_degree: int) -> DataFrame:
     Two degree-bounded aggregates + two broadcast-able semi-joins;
     no new shuffle shape.
     """
-    d = edges.select("actor1", "actor2").distinct()
+    # r13: d feeds the degree build AND the semi-join chain, keep both
+    # endpoint filters, and every CONSUMER of the returned subgraph
+    # (triangles + degree in the clustering rows) re-referenced the
+    # whole derivation — checkpoint the window-scoped pair set and the
+    # V-row keep list once (guide §1.2 step 1)
+    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
     keep = (
         d.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
         .groupBy("actor")
         .agg(F.count(F.lit(1)).alias("_deg"))
         .where(F.col("_deg") <= max_degree)
         .select("actor")
+        .localCheckpoint()
     )
     return (
         d.join(keep.withColumnRenamed("actor", "actor1"), "actor1", "semi")
