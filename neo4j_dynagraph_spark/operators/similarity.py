@@ -1095,6 +1095,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "v",
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes: the
     query keeps its EXACT subvectors; each corpus vector is represented
@@ -1105,6 +1106,9 @@ def pq_adc_topk(
     the in-place training — lets a caller evaluating several PQ
     consumers over ONE corpus (q_pq_recall's flat + IVF-PQ pair) train
     once instead of per consumer. None keeps the self-training shape.
+    ``codes`` (r13): likewise a pre-encoded pq_encode frame
+    (id_col, j, cid) so the corpus encode pass is shared too; must
+    have been produced with the SAME codebooks/m.
 
     This is the read-path shape that matters at 100 TB: after encoding,
     a query never touches corpus FLOATS — it scans the m-int code table
@@ -1128,7 +1132,8 @@ def pq_adc_topk(
             corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
     )
-    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
     qsub = queries.select(
         F.col("qid"),
         F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"),
@@ -1178,6 +1183,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "v",
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition that IS the
     billion-scale ANN index layout (FAISS's IVFADC, Jégou et al. 2011
@@ -1216,8 +1222,9 @@ def ivfpq_topk(
         vec_col,
         nprobe=nprobe,
     ).select(F.col(id_col).alias("qid"), "cell")
-    # r13: same pre-trained-codebooks escape as pq_adc_topk (one
-    # training shared across the flat + IVF-PQ consumers)
+    # r13: same pre-trained codebooks / pre-encoded codes escape as
+    # pq_adc_topk (one training + one encode shared across the flat +
+    # IVF-PQ consumers)
     books = (
         codebooks
         if codebooks is not None
@@ -1225,7 +1232,8 @@ def ivfpq_topk(
             corpus, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
     )
-    codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(corpus, books, m=m, id_col=id_col, vec_col=vec_col)
     qsub = queries.select(
         F.col("qid"),
         F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"),

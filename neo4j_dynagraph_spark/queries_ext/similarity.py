@@ -1051,13 +1051,16 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("qid", "cid", F.lit(1).alias("hit"))
     )
-    # r13: both indexes train the IDENTICAL codebooks (same corpus,
-    # same m/k/n_iter, deterministic init) — train once and pass the
-    # shared frame to both consumers (the Lloyd rounds inside
-    # pq_codebooks are already per-round checkpointed)
+    # r13: both indexes train the IDENTICAL codebooks and encode the
+    # IDENTICAL code table (same corpus, same m/k/n_iter,
+    # deterministic init) — train once, encode once (the checkpointed
+    # (vec_id, j, cid) table is the COMPRESSED representation, m ints
+    # per vector), and pass both to the two consumers
     books = similarity.pq_codebooks(emb, m=2, k=4, n_iter=2)
+    codes = similarity.pq_encode(emb, books, m=2).localCheckpoint()
     pq5 = similarity.pq_adc_topk(
-        emb, queries_df, topk=5, m=2, k=4, n_iter=2, codebooks=books
+        emb, queries_df, topk=5, m=2, k=4, n_iter=2,
+        codebooks=books, codes=codes,
     ).select(F.lit("pq").alias("method"), "qid", "cid")
     ivfpq5 = similarity.ivfpq_topk(
         emb,
@@ -1069,6 +1072,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         n_iter=2,
         codebooks=books,
+        codes=codes,
     ).select(F.lit("ivfpq").alias("method"), "qid", "cid")
     ap = ivfpq5.unionByName(pq5)
     return (

@@ -391,18 +391,19 @@ def test_pq_topk_pretrained_codebooks_equal_self_trained(spark):
         "qid long, qv array<double>",
     )
     books = sim.pq_codebooks(corpus, m=2, k=4, n_iter=2)
+    codes = sim.pq_encode(corpus, books, m=2)
     a1 = sorted(map(tuple, sim.pq_adc_topk(
         corpus, queries, topk=3, m=2, k=4, n_iter=2).collect()))
     a2 = sorted(map(tuple, sim.pq_adc_topk(
         corpus, queries, topk=3, m=2, k=4, n_iter=2,
-        codebooks=books).collect()))
+        codebooks=books, codes=codes).collect()))
     assert a1 == a2
     b1 = sorted(map(tuple, sim.ivfpq_topk(
         corpus, queries, topk=3, n_centroids=8, nprobe=2,
         m=2, k=4, n_iter=2).collect()))
     b2 = sorted(map(tuple, sim.ivfpq_topk(
         corpus, queries, topk=3, n_centroids=8, nprobe=2,
-        m=2, k=4, n_iter=2, codebooks=books).collect()))
+        m=2, k=4, n_iter=2, codebooks=books, codes=codes).collect()))
     assert b1 == b2
 
 
