@@ -294,7 +294,18 @@ def _shingle_pair_overlaps(
                  F.col("a.doc_id") < F.col("b.doc_id")]
     if block_col and block_col in sh.columns:
         join_keys.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r13 (guide §1.2 step 1): the size table is referenced twice (na
+    # and nb below) and each reference re-ran the whole corpus
+    # tokenize+shingle pass — checkpoint the one-narrow-row-per-doc
+    # aggregate so only the self-join's two sides still derive from the
+    # raw stream. The shingle stream itself stays lazy by the round's
+    # convention: materializing corpus-sized 3-gram strings trades the
+    # memory-pin hazard for two scans of pushed-down parquet.
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), join_keys[0] & join_keys[1] & (join_keys[2] if len(join_keys) > 2 else F.lit(True)))
@@ -684,6 +695,14 @@ def remove_exact_dup_spans(
             F.concat_ws(" ", F.expr(f"slice(t, start + 1, {span})"))
         ).alias("h"),
     )
+    # the fingerprint stream feeds BOTH the cross-doc dup test and the
+    # dup-start semi-join; Spark has no cross-branch CSE, so without a
+    # checkpoint the explode+slice+hash projection (span x corpus-token
+    # string work) executes twice (r13, guide §1.2 — the same cut
+    # exact_dup_spans carries above). 24 bytes/window. At cluster scale
+    # swap for the write-parquet-read-back pattern if the window stream
+    # outgrows the unified memory region.
+    wins = wins.localCheckpoint()
     dup = (
         wins.groupBy("h")
         .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))

@@ -121,6 +121,40 @@ def cms_table(tokens: DataFrame, d: int = 4, w: int = 1024) -> DataFrame:
     )
 
 
+def cms_table_from_counts(
+    counts: DataFrame, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """:func:`cms_table` built from a pre-aggregated ``(token, cnt)``
+    frequency table instead of the raw occurrence stream: each cell's
+    counter is ``sum(cnt)`` over the tokens hashing there — integer
+    sums grouped the same way, so the counter table is BIT-EQUAL to
+    cms_table over the occurrences the counts summarize (pinned by
+    unit test). The win is input volume: the d-cell explode runs over
+    ~|vocab| rows instead of every corpus occurrence (r13, guide §2.2
+    — shuffle and process fewer bytes when an upstream aggregate
+    already exists). Columns: r, c, cnt.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    dfn.hash64(
+                        F.concat(F.lit(f"cms{r}:"), F.col("token"))
+                    ),
+                    F.lit(w),
+                ).alias("c"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        counts.select(F.explode(cells).alias("cell"), "cnt")
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def cms_estimates(
     tokens: DataFrame, probe: DataFrame, d: int = 4, w: int = 1024
 ) -> DataFrame:

@@ -517,8 +517,16 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     :func:`quality_score` and the GD-trained :func:`train_quality_probe`
     — one narrow codegen projection, no shuffle. Columns: doc_id,
     n_tokens, f_len, f_ttr, f_stop, f_alpha, f_wordlen."""
-    toks = tokens_df(docs, text_col).join(
-        docs.select("doc_id", F.lower(F.col(text_col)).alias("_low")), "doc_id"
+    # r13 (guide §3.4): tokens and the lowered raw text come from the
+    # SAME row — computing both in one projection replaces the former
+    # tokens⋈lower(text) self-join of the corpus (2 scans + a join at
+    # 100 TB, purely to reunite two projections of one table). The
+    # isnotnull guard reproduces the old inner join's null-key drop
+    # bit-for-bit.
+    toks = docs.where(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        dfn.tokens(F.col(text_col)).alias("t"),
+        F.lower(F.col(text_col)).alias("_low"),
     )
     n = F.size("t").cast("double")
     return toks.where(F.size("t") > 0).select(
@@ -778,7 +786,16 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     u = tokens_df(docs, text_col).select(
         "doc_id", F.explode("t").alias("w")
     )
-    f = u.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # r13 (guide §1.2 step 1): f is referenced twice (the 1-row total
+    # and the scoring broadcast) and each reference re-ran the corpus
+    # tokenize+explode — checkpoint the vocab-sized count table once
+    # (the q_token_pmi convention: totals derive from the checkpointed
+    # vocab counts; the corpus token stream itself stays lazy).
+    f = (
+        u.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     total = f.agg(F.sum("c").cast("double").alias("total"))
     scored = u.join(F.broadcast(f), "w").crossJoin(F.broadcast(total))
     return (

@@ -1197,10 +1197,15 @@ def q_degree_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour frames), not per event; for second-granularity frames over
     years, partition the window by a coarse date key and stitch the
     2-row boundary overlap."""
-    p = _presence(spark, sf_dir)
+    # r13 (guide §1.2 step 1): the presence aggregate fed BOTH the
+    # per-frame actor count and the edge derivation, executing the
+    # events scan + presence shuffle twice — checkpoint the narrow
+    # (frame, actor) fact once (the q_actor_churn precedent) and
+    # derive both sides from it.
+    p = _presence(spark, sf_dir).localCheckpoint()
     v = p.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_actors"))
     e = (
-        _edges(spark, sf_dir)
+        ingest.presence_to_frame_interactions(p)
         .select("frame_id", "actor1", "actor2")
         .distinct()
         .groupBy("frame_id")

@@ -105,9 +105,16 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     day. The day grid is semi-joined back so partial future windows
     past the last active day are not emitted."""
     ev = load_table(spark, sf_dir, "events")
-    p = ev.select(
-        F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct()
+    # r13 (guide §1.2 step 1): the distinct (day, user) presence set
+    # feeds THREE branches (day grid, the 7-day contribution explode,
+    # DAU) and each re-ran the corpus scan + distinct shuffle —
+    # checkpoint the narrow presence fact once (the q_actor_churn
+    # precedent: activity-bounded, 2 narrow columns).
+    p = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
     days = p.select("day").distinct()
     contrib = p.select(
         F.explode(

@@ -207,22 +207,24 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates graded against exact
     counts for the top-20 tokens — the third portable sketch beside
     KMV (cardinality) and hash-sample quantiles: d=4 x w=1024
-    counters built in ONE pass whose shuffle is sketch-sized (map-side
-    combine collapses to <= d*w cells per partition), probed by
-    broadcast. CMS's one-sided guarantee (est >= exact) is pinned by
-    unit test; the overshoot column measures the realized error.
-    Oracle replays every counter and every probe."""
-    from neo4j_dynagraph_spark.operators.sketch import cms_estimates
+    counters whose shuffle is sketch-sized (map-side combine collapses
+    to <= d*w cells per partition), probed by broadcast. CMS's
+    one-sided guarantee (est >= exact) is pinned by unit test; the
+    overshoot column measures the realized error. Oracle replays every
+    counter and every probe. r13 (guide §1.2/§2.2): the exact top-20
+    and the sketch both need the corpus token counts, so ONE
+    checkpointed vocab-sized frequency table feeds both — the sketch
+    counters come from cms_table_from_counts (integer sums, bit-equal
+    to the occurrence-stream build) instead of a second corpus
+    tokenize+explode."""
+    from neo4j_dynagraph_spark.operators.sketch import (
+        cms_probe,
+        cms_table_from_counts,
+    )
 
-    occ = text.tokens_df(_docs(spark, sf_dir)).select(
-        F.explode("t").alias("token")
-    )
-    top = (
-        text.token_frequencies(_docs(spark, sf_dir))
-        .orderBy(F.desc("cnt"), "token")
-        .limit(20)
-    )
-    est = cms_estimates(occ, top.select("token"))
+    freq = text.token_frequencies(_docs(spark, sf_dir)).localCheckpoint()
+    top = freq.orderBy(F.desc("cnt"), "token").limit(20)
+    est = cms_probe(cms_table_from_counts(freq), top.select("token"))
     return (
         top.join(est, "token")
         .select(

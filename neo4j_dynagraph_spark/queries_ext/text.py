@@ -539,7 +539,14 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     qs = text.quality_score(docs).select("doc_id", "n_tokens", "quality")
     d = docs.withColumn("_h", F.md5("text"))
-    k = d.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    # r13 (guide §1.2 step 1): the keep table re-derived its own docs
+    # scan + md5 inside the flags join — checkpoint the
+    # one-narrow-row-per-distinct-text aggregate once
+    k = (
+        d.groupBy("_h")
+        .agg(F.min("doc_id").alias("_keep"))
+        .localCheckpoint()
+    )
     flags = d.join(k, "_h").select(
         "doc_id",
         "source",

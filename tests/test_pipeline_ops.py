@@ -759,6 +759,24 @@ def test_gini_length_extremes(spark):
     assert skew.gini > 0.85
 
 
+def test_cms_table_from_counts_bit_equal(spark):
+    """The r13 q_cms_freq rewire: counters built from a pre-aggregated
+    (token, cnt) table must equal the occurrence-stream build
+    BIT-FOR-BIT — integer sums grouped identically, only the input
+    volume differs (guide §2.2)."""
+    from neo4j_dynagraph_spark.operators.sketch import (
+        cms_table,
+        cms_table_from_counts,
+    )
+
+    rows = [(str(k),) for k in range(150) for _ in range(1 + k % 5)]
+    occ = spark.createDataFrame(rows, "token string")
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    a = {(r.r, r.c): r.cnt for r in cms_table(occ).collect()}
+    b = {(r.r, r.c): r.cnt for r in cms_table_from_counts(counts).collect()}
+    assert a == b
+
+
 def test_join_size_est_one_sided(spark):
     """CMS self-join-size estimate: collisions only add nonnegative
     cross terms, so est >= exact always; on a skewed planted key set
