@@ -257,6 +257,16 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
+    # ALSO keep a per-core-count copy (round 14, VERDICT r13 "What's
+    # wrong" #3): when the driver runs a second bench at a different
+    # core count in the same checkout (the 8-core scaling probe), the
+    # unconditional overwrite above destroyed the 32-core run's full
+    # 45-row payload and PERF could only compare the compact top-10
+    # tail. Additions-only: BENCH_local.json stays the canonical record.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+    with open(os.path.join(here, f"BENCH_local_c{cpus}.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
     print(json.dumps(payload))
     # The driver keeps only a TAIL of stdout; a wide registry's full
     # payload line overflows it and the recorded BENCH_r{N}.json parses

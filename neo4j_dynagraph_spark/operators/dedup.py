@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from neo4j_dynagraph_spark import functions as dfn
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub, stage_corpus_scale
 
 # Positional (per-offset, duplicates kept) word-3-gram expression; the
 # distinct form below is DERIVED from it so the two can never drift.
@@ -304,7 +305,7 @@ def _shingle_pair_overlaps(
     sizes = (
         sh.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     inter = (
         sh.alias("a")
@@ -384,7 +385,7 @@ def prefix_jaccard_join(
         tokens_df(docs, text_col)
         .select("doc_id", F.explode("t").alias("token"))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     df_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     sized = toks.join(df_counts, "token").withColumn(
@@ -400,7 +401,7 @@ def prefix_jaccard_join(
         )
         .where(F.col("pos") <= prefix_len)
         .select("doc_id", "token", "n")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     cand = (
         prefix.alias("a")
@@ -788,10 +789,14 @@ def minhash_decontaminate(
     # the verify join + the broadcast benchmark signatures) — without
     # the cut the corpus signature pass executed once per reference.
     # V rows x (num_hashes + 1) narrow columns.
-    sigs = (
-        minhash_signatures(shingles_df(flagged, text_col))
-        .join(flagged.select("doc_id", "_is_bench"), "doc_id")
-        .localCheckpoint()
+    # doc_id + num_hashes signature columns + the flag: wider than the
+    # default hub bound but V-bounded — the explicit override the
+    # helper's contract requires for legit wide hubs
+    sigs = checkpoint_hub(
+        minhash_signatures(shingles_df(flagged, text_col)).join(
+            flagged.select("doc_id", "_is_bench"), "doc_id"
+        ),
+        max_width=num_hashes + 2,
     )
     bench = sigs.where(F.col("_is_bench")).drop("_is_bench")
     train = sigs.where(~F.col("_is_bench")).drop("_is_bench")

@@ -27,6 +27,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import broadcast
 
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub
+
 
 def _materialize(
     df: DataFrame, spill_dir: str | None, name: str
@@ -429,14 +431,14 @@ def degree_cap_subgraph(edges: DataFrame, max_degree: int) -> DataFrame:
     # (triangles + degree in the clustering rows) re-referenced the
     # whole derivation — checkpoint the window-scoped pair set and the
     # V-row keep list once (guide §1.2 step 1)
-    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    d = edges.select("actor1", "actor2").distinct().transform(checkpoint_hub)
     keep = (
         d.select(F.explode(F.array("actor1", "actor2")).alias("actor"))
         .groupBy("actor")
         .agg(F.count(F.lit(1)).alias("_deg"))
         .where(F.col("_deg") <= max_degree)
         .select("actor")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     return (
         d.join(keep.withColumnRenamed("actor", "actor1"), "actor1", "semi")
@@ -474,7 +476,7 @@ def triangles(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
     # reference (q11_anchored's audited plan carried 24 scans / 68
     # Exchanges). The set is small by the time-restriction contract —
     # the join below broadcasts it twice already.
-    e = e.localCheckpoint()
+    e = checkpoint_hub(e)
     e1 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("b"))
     e2 = e.select(F.col("actor1").alias("b"), F.col("actor2").alias("c"))
     e3 = e.select(F.col("actor1").alias("a"), F.col("actor2").alias("c"))
@@ -562,7 +564,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
     # the docstring's two). Node-sized (V rows of two longs), so the
     # checkpoint avoids the sf1 memory hazard that ruled out
     # checkpointing the 112M-row e itself.
-    deg = degree(e).localCheckpoint()
+    deg = degree(e).transform(checkpoint_hub)
     j = (
         e.join(
             broadcast(
@@ -988,7 +990,7 @@ def triadic_closure(e1: DataFrame, e2: DataFrame) -> DataFrame:
     """
     # r13: d1 feeds the symmetrized self-join (x2) and the openness
     # anti-join — checkpoint the window-scoped set once
-    d1 = e1.select("actor1", "actor2").distinct().localCheckpoint()
+    d1 = e1.select("actor1", "actor2").distinct().transform(checkpoint_hub)
     # explode both orientations once (single scan), like `degree`
     sym = d1.select(
         F.explode(
@@ -1082,7 +1084,7 @@ def negative_edges(
             rank_col="rank",
         )
         .select("actor", (F.col("rank") - 1).alias("idx"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     # one row per actor by construction, so counting idx IS counting
     # actors — and it reads the checkpoint instead of re-deriving d
@@ -1139,7 +1141,24 @@ def _wedge_pairs(
     Input contract (r13): ``edges`` must ALREADY be the canonical
     DISTINCT pair set — every caller passes its deduped (and usually
     checkpointed) ``d``, and the old internal ``.distinct()`` here was
-    a full second shuffle of data already unique (guide §2.4)."""
+    a full second shuffle of data already unique (guide §2.4).
+
+    r14 (VERDICT r13 #4): the contract is CHECKED, not comment-only —
+    under ``SPARK_GRAFT_CHECK_INVARIANTS=1`` (set by the test gate;
+    never in timed paths, the check is two extra actions) a duplicated
+    input raises instead of silently double-counting wedges."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_CHECK_INVARIANTS"):
+        n = edges.count()
+        nd = edges.select("actor1", "actor2").distinct().count()
+        if n != nd:
+            raise AssertionError(
+                f"_wedge_pairs input contract violated: {n} edge rows but "
+                f"only {nd} distinct (actor1, actor2) pairs — the caller "
+                "must pass the canonical deduped pair set (see r13 "
+                "contract above); a duplicated input double-counts wedges"
+            )
     d = edges.select("actor1", "actor2")
     sym = d.select(
         F.explode(
@@ -1191,7 +1210,7 @@ def adamic_adar(
     # r13: d fans out into degree, the wedge stream (x2 via the
     # self-join) and the anti-join — checkpointed so the hour-scoped
     # scan+distinct subtree executes once, not 4x (guide §1.2)
-    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
+    d = edges.select("actor1", "actor2").distinct().transform(checkpoint_hub)
     deg = degree(d).select(
         F.col("actor").alias("center"), F.col("degree").alias("cdeg")
     )
@@ -1230,8 +1249,8 @@ def neighbor_jaccard(
     """
     # r13: d feeds degree + the wedge self-join, deg feeds both
     # endpoint dimensions — checkpoint the V/E-bounded frames once
-    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
-    deg = degree(d).localCheckpoint()
+    d = edges.select("actor1", "actor2").distinct().transform(checkpoint_hub)
+    deg = degree(d).transform(checkpoint_hub)
     common = (
         _wedge_pairs(d, max_center_degree=max_center_degree)
         .groupBy("actor1", "actor2")
@@ -1285,8 +1304,8 @@ def link_scores(
     # r13: d fans out 5 ways (degree, wedge self-join x2, is_edge,
     # and deg fans into cdeg/d1/d2) — checkpoint both once; the edge
     # set is time-restricted by every caller (triangles() precedent)
-    d = edges.select("actor1", "actor2").distinct().localCheckpoint()
-    deg = degree(d).localCheckpoint()
+    d = edges.select("actor1", "actor2").distinct().transform(checkpoint_hub)
+    deg = degree(d).transform(checkpoint_hub)
     cdeg = deg.select(
         F.col("actor").alias("center"), F.col("degree").alias("cdeg")
     )
@@ -1361,7 +1380,7 @@ def triangle_formation_spans(frame_edges: DataFrame) -> DataFrame:
     fp = (
         frame_edges.groupBy("actor1", "actor2")
         .agg(F.min("frame_id").alias("f"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     e1 = fp.select(
         F.col("actor1").alias("a"), F.col("actor2").alias("b"),
@@ -3336,7 +3355,7 @@ def link_prediction_eval(
 
     # r13: d feeds the wedge self-join (x2) and the candidate
     # anti-join — checkpoint the day-window set once
-    d = train_edges.select("actor1", "actor2").distinct().localCheckpoint()
+    d = train_edges.select("actor1", "actor2").distinct().transform(checkpoint_hub)
     cn = (
         _wedge_pairs(d, max_center_degree=max_center_degree)
         .groupBy("actor1", "actor2")

@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub
+
 
 def two_phase_rank(
     df: DataFrame,
@@ -112,7 +114,9 @@ def time_shuffle(
     # r13: e feeds BOTH rank sides, and two_phase_rank references its
     # input twice — four executions of the upstream edge derivation
     # without the cut (guide §1.2 step 1). Window-scoped edge set.
-    e = interactions.select("frame_id", "actor1", "actor2").localCheckpoint()
+    e = interactions.select("frame_id", "actor1", "actor2").transform(
+        checkpoint_hub
+    )
     hk = dfn.hash64(
         F.concat(
             F.lit(seed),

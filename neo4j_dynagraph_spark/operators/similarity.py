@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from neo4j_dynagraph_spark import functions as dfn
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub
 
 _DOT = "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 _NORM = "sqrt(aggregate(transform({c}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
@@ -551,6 +552,14 @@ def kmeans_fixed(
                     "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
                 ).alias("_cv")
             )
+            # r14 (VERDICT r13 #6): checkpoint the k-row centroid table
+            # per Lloyd round. Without the cut, round i's broadcast
+            # build re-executes every prior round's assign (map-only
+            # over the corpus — no Exchange for ReuseExchange to
+            # dedup), so the job chain re-scans the corpus O(n_iter^2)
+            # times; with it each round is exactly one corpus pass.
+            # k x 2 narrow columns — the textbook hub.
+            .transform(checkpoint_hub)
         )
     return assign(cent).select(id_col, F.col("cid").alias("cluster"))
 
@@ -588,7 +597,7 @@ def semantic_dedup(
     # and the final keep join; Spark has no common-subplan reuse across
     # DataFrame references, so without materialization the entire
     # multi-round Lloyd lineage (scan + k assignments + centroid
-    # updates) executes once per reference. EAGER localCheckpoint, not
+    # updates) executes once per reference. localCheckpoint, not
     # persist(): CacheManager matches persist() by canonical plan, so
     # repeated invocations silently shared one InMemoryRelation until
     # the ContextCleaner dropped it on a GC — making wall time BIMODAL
@@ -596,7 +605,9 @@ def semantic_dedup(
     # GC timing; diagnosed round 10, SCALE.md). localCheckpoint gives
     # every invocation its own materialization: deterministic cost,
     # no cross-invocation coupling.
-    assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col).localCheckpoint()
+    assign = kmeans_fixed(corpus, k, n_iter, id_col, vec_col).transform(
+        checkpoint_hub
+    )
     withv = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -691,7 +702,7 @@ def pca_top_component(
         )
         .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
         .agg(F.sum("e.p").alias("g"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     vec = gram.select("i").distinct().select(
         F.col("i").alias("j"), F.lit(1.0).alias("val")
@@ -893,12 +904,12 @@ def cooccurrence_topk(
             F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
         )
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     marg = (
         m.groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     a = m.alias("a")
     bdf = m.alias("b")
@@ -1350,7 +1361,7 @@ def sq_adc_topk(
     # r13: the one-row calibration aggregate is broadcast twice
     # (encode + reconstruction) — checkpoint it so the corpus-wide
     # min/max pass runs once, not twice
-    stats = sq_stats_row(corpus, vec_col).localCheckpoint()
+    stats = sq_stats_row(corpus, vec_col).transform(checkpoint_hub)
     codes = sq_encode(corpus, stats, id_col, vec_col)
     d2 = F.round(
         F.expr(

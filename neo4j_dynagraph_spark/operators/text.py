@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.operators.dedup import shingles_df, tokens_df
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub
 
 # tiny, deterministic stopword profiles for the heuristic language-ID
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -325,15 +326,37 @@ def decontaminate(
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = 8,
+    bloom_prefilter: bool = False,
+    n_words: int = 32768,
+    n_hashes: int = 4,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word n-gram with a benchmark/eval set (the GPT-3/PaLM-style 8-gram
     overlap rule, computed on portable n-gram hashes).
 
-    Scale shape: the benchmark side is distinct-hashed and BROADCAST —
-    eval sets are tiny relative to a 100 TB corpus, so the check is a
-    map-side semi-join against the training n-gram stream; the only
-    shuffle is the final per-doc aggregation (map-side combined).
+    Scale shape (r14 restructure, guide §3.2/§2.3): the per-doc gram
+    total is computed IN-ROW (size of the doc's own distinct-gram
+    array) and carried on every gram row, so the join against the
+    benchmark set is a pure INNER hit-join — only MATCHING grams reach
+    the per-doc aggregation, instead of every gram row flowing through
+    a left join + count. The benchmark side is distinct-hashed and
+    BROADCAST (eval sets are tiny relative to a 100 TB corpus).
+
+    ``bloom_prefilter`` (r14, VERDICT r13 #5): the manual runtime
+    Bloom filter for the scale regime where the distinct benchmark
+    gram table outgrows the broadcast threshold and the hit-join flips
+    to a shuffle — a ``n_words``x63-bit portable bit table (256 KB at
+    the default, CONSTANT in benchmark size) is folded into ONE array
+    row, broadcast, and probed in-row with ``n_hashes`` xxhash64
+    probes, dropping definitely-clean grams BEFORE the join boundary.
+    One-sided: false positives are removed by the exact join that
+    follows, so the result is bit-identical with the flag on or off
+    (the probe hash therefore needs no cross-engine portability —
+    xxhash64 stays JVM-side). Costs one extra pass over the benchmark
+    grams and four hashes per training gram; at sf0.1 that is noise,
+    at 100 TB it is the difference between shuffling every training
+    gram and shuffling ~the contaminated ones (guide §3.2 "reduce the
+    big side before shuffling it").
 
     Returns one row per CONTAMINATED training doc:
     doc_id, n_hit_ngrams (distinct benchmark n-grams matched),
@@ -341,39 +364,86 @@ def decontaminate(
     """
     from pyspark.sql.functions import broadcast
 
-    def grams(df: DataFrame) -> DataFrame:
+    def gram_arr(df: DataFrame):  # noqa: ANN202
         toked = df.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
         # per-doc dedup happens IN-ROW (array_distinct over the doc's
         # own gram array) before the explode: a document's n-grams all
-        # live in one row, so the old post-explode `.distinct()` —
-        # a full Exchange of every (doc_id, gram-hash) position in the
-        # corpus — bought nothing the in-row dedup doesn't (guide
-        # §2.4 'a distinct on data that is already unique'). The
-        # exploded stream is distinct-per-doc by construction; the
-        # only remaining shuffle is the final per-doc aggregation.
+        # live in one row, so a post-explode `.distinct()` — a full
+        # Exchange of every (doc_id, gram-hash) position in the corpus
+        # — would buy nothing the in-row dedup doesn't (guide §2.4).
         g = F.expr(
             f"array_distinct(transform(sequence(0, size(t) - {n}), "
             f"i -> concat_ws(' ', slice(t, i + 1, {n}))))"
         )
-        return (
-            toked.where(F.size("t") >= n)
-            .select("doc_id", F.explode(g).alias("gram"))
-            .select("doc_id", dfn.hash64(F.col("gram")).alias("gh"))
-        )
-    bench_hashes = (
-        grams(benchmark).select("gh").distinct().withColumn("hit", F.lit(1))
+        return toked.where(F.size("t") >= n).select("doc_id", g.alias("ga"))
+
+    bench_grams = (
+        gram_arr(benchmark)
+        .select(F.explode("ga").alias("gram"))
+        .select(dfn.hash64(F.col("gram")).alias("gh"))
+        .distinct()
     )
-    # broadcast left-join + one groupBy: hit and total counts in a
-    # single pass over the training n-gram stream (no second scan)
+    tg = gram_arr(train).select(
+        "doc_id",
+        F.size("ga").cast("long").alias("n_doc"),
+        F.explode("ga").alias("gram"),
+    ).select("doc_id", "n_doc", dfn.hash64(F.col("gram")).alias("gh"))
+    if bloom_prefilter:
+        m = n_words * 63
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("gh"), F.lit(i)), F.lit(m))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+        bf = (
+            bench_grams.select(pos)
+            .select(
+                (F.col("pos") / 63).cast("long").alias("word"),
+                F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("word", "bits"))
+                ).alias("mw")
+            )
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {n_words - 1}), "
+                    "w -> coalesce(element_at(mw, cast(w as bigint)), 0L))"
+                ).alias("bf")
+            )
+        )
+        might_contain = F.lit(True)
+        for i in range(n_hashes):
+            p = F.pmod(F.xxhash64(F.col("gh"), F.lit(i)), F.lit(m))
+            word = (p / 63).cast("int") + F.lit(1)
+            mask = F.expr(
+                f"shiftleft(1L, cast(pmod(xxhash64(gh, {i}), {m}) % 63 "
+                "as int))"
+            )
+            might_contain = might_contain & (
+                F.element_at(F.col("bf"), word).bitwiseAND(mask) != 0
+            )
+        tg = (
+            tg.crossJoin(broadcast(bf))
+            .where(might_contain)
+            .drop("bf")
+        )
+    # inner hit-join + one groupBy over MATCHING grams only; n_doc
+    # rides each row (constant per doc), so no second corpus pass and
+    # no count over non-matching rows
     return (
-        grams(train)
-        .join(broadcast(bench_hashes), "gh", "left")
+        tg.join(broadcast(bench_grams), "gh")
         .groupBy("doc_id")
         .agg(
-            F.count("hit").alias("n_hit_ngrams"),
-            F.count(F.lit(1)).alias("n_doc_ngrams"),
+            F.count(F.lit(1)).alias("n_hit_ngrams"),
+            F.max("n_doc").alias("n_doc_ngrams"),
         )
-        .where(F.col("n_hit_ngrams") > 0)
         .select(
             "doc_id",
             "n_hit_ngrams",
@@ -521,8 +591,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # SAME row — computing both in one projection replaces the former
     # tokens⋈lower(text) self-join of the corpus (2 scans + a join at
     # 100 TB, purely to reunite two projections of one table). The
-    # isnotnull guard reproduces the old inner join's null-key drop
-    # bit-for-bit.
+    # isnotnull guard reproduces the old inner join's null-key drop.
+    # Equivalence ASSUMES doc_id is unique (ADVICE r13): k duplicate
+    # doc_id rows fanned out to k^2 feature rows under the old join
+    # but yield k here — identical on any well-formed corpus (every
+    # caller feeds the unique-keyed documents table), saner otherwise.
     toks = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id",
         dfn.tokens(F.col(text_col)).alias("t"),
@@ -627,11 +700,11 @@ def pack_token_counts(
     # the spans join below, and Spark has no cross-branch CSE — every
     # caller's upstream (q_training_mix's whole curation pipeline,
     # q_pack_sequences' tokenization, the streaming stores' join
-    # algebra) executed twice without this. 16 bytes/doc, eager.
+    # algebra) executed twice without this. 16 bytes/doc.
     n = (
         counts.select("doc_id", "n_tok")
         .withColumn("chunk_id", F.expr(f"doc_id div {chunk}"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     totals = n.groupBy("chunk_id").agg(F.sum("n_tok").alias("c_tot"))
     # the ONLY global window runs over chunk totals (corpus/chunk rows)
@@ -794,7 +867,7 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     f = (
         u.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     total = f.agg(F.sum("c").cast("double").alias("total"))
     scored = u.join(F.broadcast(f), "w").crossJoin(F.broadcast(total))
@@ -859,7 +932,7 @@ def dsir_weights(
     gb = (
         u.groupBy("doc_id", "_tgt", "bkt")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     counts = gb.groupBy("bkt").agg(
         F.sum(F.col("n") * F.col("_tgt")).alias("ct"),
@@ -952,7 +1025,7 @@ def ppl_buckets(
     d = (
         docs.select("doc_id", F.col(lang_col).alias("lang"))
         .join(scored, "doc_id")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     ranked = two_phase_rank(
         d,
@@ -1017,7 +1090,7 @@ def _bpe_fit(
         F.expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ).alias("s"),
-    ).localCheckpoint()
+    ).transform(checkpoint_hub)
 
     def merge_step(acc, x):
         # F.get (0-based, null on out-of-range) instead of

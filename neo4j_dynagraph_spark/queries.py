@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from neo4j_dynagraph_spark import functions as dfn
 from neo4j_dynagraph_spark.operators import graph, ingest
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub
 from neo4j_dynagraph_spark.operators import text as text_ops
 from neo4j_dynagraph_spark.sources.tables import load_table
 
@@ -136,8 +137,29 @@ def _presence(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:  # noq
     return ingest.events_to_presence(ev, DELTA)
 
 
-def _edges(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:  # noqa: ANN001
-    return ingest.presence_to_frame_interactions(_presence(spark, sf_dir, where))
+def _edges(
+    spark: SparkSession,
+    sf_dir: str,
+    where=None,  # noqa: ANN001
+    presence_checkpointed: bool = False,
+) -> DataFrame:
+    """Presence self-join -> co-activity edges.
+
+    ``presence_checkpointed`` (r14, VERDICT r13 next-round #4): the
+    self-join references the events->presence aggregate once per side,
+    so a NON-anchored consumer (no downstream actor/frame predicate to
+    push into the scan) pays the corpus scan + presence shuffle twice.
+    Opting in derives presence ONCE behind a checkpoint-hub barrier
+    (narrow (frame_id, actor, n_events) fact, V x frames-bounded).
+    The default stays lazy because anchored consumers (q7/q8/q9) rely
+    on their equality filters pushing down INTO the presence aggregate
+    and the events scan — a barrier here would forfeit exactly that
+    (the r13 q9 measurement).
+    """
+    p = _presence(spark, sf_dir, where)
+    if presence_checkpointed:
+        p = checkpoint_hub(p)
+    return ingest.presence_to_frame_interactions(p)
 
 
 def _utc_ns(year: int, month: int, day: int, hour: int = 0) -> int:
@@ -506,9 +528,13 @@ ORDER BY degree DESC, actor
 def q10_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUERY10 (cypher_query_timing.py:151-155): degree per actor over the
     distinct interaction graph, descending. Union-of-endpoints then
-    count (SURVEY.md §2.4 A7) — no join at all."""
+    count (SURVEY.md §2.4 A7) — no join at all.
+
+    r14: non-anchored consumer (no pushdown to lose) — presence is
+    derived once behind the hub barrier instead of once per self-join
+    side (VERDICT r13 #4)."""
     return (
-        graph.degree(_edges(spark, sf_dir))
+        graph.degree(_edges(spark, sf_dir, presence_checkpointed=True))
         .select("actor", dfn.actor_name(F.col("actor")).alias("name"), "degree")
         .orderBy(F.desc("degree"), "actor")
     )
@@ -597,12 +623,12 @@ def q_frame_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         _edges(spark, sf_dir, _day_filter())
         .select("frame_id", "actor1", "actor2")
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     c = (
         e.groupBy("frame_id")
         .agg(F.count(F.lit(1)).alias("n_edges"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     nxt = e.select(
         (F.col("frame_id") - 1).alias("frame_id"), "actor1", "actor2"
@@ -1202,7 +1228,7 @@ def q_degree_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events scan + presence shuffle twice — checkpoint the narrow
     # (frame, actor) fact once (the q_actor_churn precedent) and
     # derive both sides from it.
-    p = _presence(spark, sf_dir).localCheckpoint()
+    p = _presence(spark, sf_dir).transform(checkpoint_hub)
     v = p.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n_actors"))
     e = (
         ingest.presence_to_frame_interactions(p)
@@ -1302,7 +1328,7 @@ def q_actor_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _presence(spark, sf_dir)
         .select("frame_id", "actor")
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     prev = pa.select((F.col("frame_id") + 1).alias("frame_id"), "actor")
     joined = (
@@ -1501,7 +1527,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("user_id") == actor) & month_range)
             .select(F.dayofmonth("ts").cast("long").alias("day"))
             .distinct()
-            .localCheckpoint()
+            .transform(checkpoint_hub)
         )
 
     d1, d2 = active_days(ACTOR1), active_days(ACTOR2)
@@ -2071,7 +2097,7 @@ def q11_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         # neighbor-set semi-joins, and the closing-edge check — the
         # audited plan carried 24 scans / 68 Exchanges of the same
         # hour subtree; hour-bounded set, triangles() precedent
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     anchor = (
         _events(spark, sf_dir)
@@ -2327,6 +2353,49 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry, and retired rows stay pinned by the full-registry parity
 # gate (tools/check_parity.py, `pytest -m parity`).
 
+# ROTATION (round 14): executed per the r13 verdict's next-round item 1 —
+# the window rotates onto the never-driver-graded tail (59 rows in the
+# COVERAGE.md ledger after r13). 50 of the 59 enter; the 9 left as debt
+# are chosen on two principles: (a) q_approx_distinct is the registry's
+# ONLY oracle-less row (engine-native HLL, not replayable in DuckDB —
+# pinned by its <5% error test instead), so grading it would record a
+# no_oracle FAIL like q_embed_ann_lsh's stale r03 red; (b) the other
+# eight each share their core machinery and/or oracle fragment with an
+# already-driver-graded sibling, so their displacement loses the least:
+# q_temporal_walks_bounded (q_temporal_walks graded r13-green),
+# q_clustering_capped / q_ktruss_capped (the degree-cap contract graded
+# via q_triangles_capped, r12), q_stream_sliding / q_stream_degree
+# (streaming twins of graded batch oracles q_stream_tumbling/q10),
+# q_pivot_event_types / q_unpivot_event_types (the reshaping pair ==
+# conditional agg, both trivially parity-pinned), q_runs_both (q_runs
+# graded). No row is removed from the registry or the bench; every
+# displaced r13-green row stays pinned by the full-registry parity gate
+# (tools/check_parity.py, `pytest -m parity`). This is an OPTIMIZATION
+# round: no query's results change, so no changed-row re-entries.
+_GRADE_WINDOW = [
+    # graph / temporal-statistics family
+    "q_frame_turnover", "q_clustering_coeff", "q_intercontact",
+    "q_edge_lifetimes", "q_assortativity", "q_burstiness",
+    "q_communities_lpa", "q_contact_matrix", "q_degree_dist",
+    "q_topk_per_actor", "q_broker_actors", "q_widest_paths",
+    "q_triadic_closure", "q_link_negatives", "q_node_features",
+    "q_activity_rhythm", "q_triangle_spans", "q_frame_density",
+    "q_neighbor_sampling", "q_node_minhash", "q_link_auc",
+    # similarity / embedding-audit family
+    "q_cluster_purity", "q_embed_outliers", "q_knn_accuracy",
+    "q_hard_negatives", "q_copurchase", "q_pq_adc",
+    "q_minhash_calibration",
+    # text / curation-audit family
+    "q_ngram_novelty", "q_weighted_sample", "q_quality_calibration",
+    "q_bpe_pairs", "q_repetition", "q_token_entropy", "q_doc_chunks",
+    "q_corpus_report", "q_source_overlap", "q_lang_confusion",
+    "q_gini_length", "q_cms_freq", "q_hrw_shards", "q_json_props",
+    # event-analytics family
+    "q_rolling_active", "q_cohort_retention", "q_funnel",
+    "q_event_transitions", "q_conversion_latency", "q_event_outliers",
+    "q_rfm_segments", "q_scd2_history",
+]
+
 # ROTATION (round 13): executed per the r12 verdict's next-round list.
 # (a) The only red rows re-enter post-fix: q_domain_weights +
 # q_stream_domain_weights (integer-grid DoReMi terminal) with their
@@ -2347,7 +2416,7 @@ def q_runs_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming doc drains, the media/codec rows, and the span/dedup
 # tail. EVERY displaced row was r12-green (most with 2+ cumulative
 # greens) and stays pinned by the full-registry parity gate.
-_GRADE_WINDOW = [
+_GRADE_WINDOW_R13 = [
     # (a) the r12 red pair + arithmetic-sharing siblings
     "q_domain_weights", "q_stream_domain_weights",
     "q_bigram_ppl", "q_stream_bigram_ppl",

@@ -31,6 +31,7 @@ from neo4j_dynagraph_spark.queries import (  # noqa: F401
     _presence_sql,
     query,
 )
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub  # noqa: F401
 from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
 
 from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
@@ -347,7 +348,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = (
         dedup.exact_duplicates(docs)
         .select(F.col("keep_id").alias("doc_id"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     docs1 = docs.join(keep1, "doc_id", "semi")
     cand = dedup.lsh_candidate_pairs(
@@ -557,10 +558,12 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoints the audited plan re-ran the corpus tokenization /
     # signature pass per reference (22 parquet scans / 66 Exchanges).
     # sigs is V x 8 longs; cands is the capped candidate-pair set.
-    sigs = dedup.minhash_signatures(sh, num_hashes=8).localCheckpoint()
+    sigs = checkpoint_hub(
+        dedup.minhash_signatures(sh, num_hashes=8), max_width=9
+    )
     cands = dedup.lsh_candidate_pairs(
         sigs, rows_per_band=2, max_bucket=64
-    ).localCheckpoint()
+    ).transform(checkpoint_hub)
     sa = sigs.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)],
@@ -589,7 +592,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_c = (
         sh.join(ids, "doc_id", "left_semi")
         .select("doc_id", "shingle")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     inter = (
         sh_c.alias("a")

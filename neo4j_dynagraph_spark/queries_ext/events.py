@@ -31,6 +31,7 @@ from neo4j_dynagraph_spark.queries import (  # noqa: F401
     _presence_sql,
     query,
 )
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub  # noqa: F401
 from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
 
 from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
@@ -113,7 +114,7 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         ev.select(F.col("ts").cast("date").alias("day"), "user_id")
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     days = p.select("day").distinct()
     contrib = p.select(
@@ -416,7 +417,7 @@ def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         ev.groupBy("event_type")
         .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     j = ev.join(F.broadcast(m), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
@@ -424,7 +425,7 @@ def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = (
         j.groupBy("event_type")
         .agg(F.round(F.expr("percentile(dev, 0.5)"), 6).alias("mad"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     return (
         j.join(F.broadcast(m2), "event_type")
@@ -496,7 +497,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
-    ).localCheckpoint()
+    ).transform(checkpoint_hub)
     nrow = cust.agg(F.count(F.lit(1)).cast("double").alias("nc"))
 
     def quintile(measure, bucket, name: str) -> DataFrame:  # noqa: ANN001
@@ -742,7 +743,7 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("cnt") / 8),
         order_cols=[F.col("cnt"), F.col("k")],
         rank_col="rn",
-    ).localCheckpoint()
+    ).transform(checkpoint_hub)
     glob = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),

@@ -31,6 +31,7 @@ from neo4j_dynagraph_spark.queries import (  # noqa: F401
     _presence_sql,
     query,
 )
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub  # noqa: F401
 from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
 
 from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
@@ -330,7 +331,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity.brute_force_topk(emb, queries_df, k=10)
         .select("qid", "cid")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     approx = {
         "ivf": similarity.ivf_topk(
@@ -538,7 +539,7 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("dist"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     st = dist.agg(
         F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sd")
@@ -772,14 +773,14 @@ def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem scan + distinct runs once, not four times
     m = li.select(
         F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("item")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(checkpoint_hub)
     nb = m.agg(
         F.countDistinct("bk").cast("double").alias("n_baskets")
     )
     mg = (
         m.groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     a = m.alias("a")
     b = m.alias("b")
@@ -1057,7 +1058,7 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vec_id, j, cid) table is the COMPRESSED representation, m ints
     # per vector), and pass both to the two consumers
     books = similarity.pq_codebooks(emb, m=2, k=4, n_iter=2)
-    codes = similarity.pq_encode(emb, books, m=2).localCheckpoint()
+    codes = similarity.pq_encode(emb, books, m=2).transform(checkpoint_hub)
     pq5 = similarity.pq_adc_topk(
         emb, queries_df, topk=5, m=2, k=4, n_iter=2,
         codebooks=books, codes=codes,
@@ -1301,7 +1302,7 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity.brute_force_topk(emb, queries_df, k=10)
         .select("qid", "cid")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     cents = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
@@ -1318,7 +1319,7 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     cellsv = (
         similarity.ivf_assign(emb, cents, nprobe=1)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("v2"), "cell")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     cells = cellsv.select("cid", "cell")
     probes4 = (
@@ -1335,7 +1336,7 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             "cell_rank",
         )
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     parts = []
     for p in (1, 2, 4):

@@ -30,6 +30,7 @@ from neo4j_dynagraph_spark.queries import (  # noqa: F401
     _presence_sql,
     query,
 )
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub  # noqa: F401
 from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
 
 from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
@@ -222,7 +223,9 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_table_from_counts,
     )
 
-    freq = text.token_frequencies(_docs(spark, sf_dir)).localCheckpoint()
+    freq = text.token_frequencies(_docs(spark, sf_dir)).transform(
+        checkpoint_hub
+    )
     top = freq.orderBy(F.desc("cnt"), "token").limit(20)
     est = cms_probe(cms_table_from_counts(freq), top.select("token"))
     return (

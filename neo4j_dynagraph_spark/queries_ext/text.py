@@ -31,6 +31,7 @@ from neo4j_dynagraph_spark.queries import (  # noqa: F401
     _presence_sql,
     query,
 )
+from neo4j_dynagraph_spark.operators.hub import checkpoint_hub  # noqa: F401
 from neo4j_dynagraph_spark.sources.tables import load_table  # noqa: F401
 
 from neo4j_dynagraph_spark.queries_ext._shared import (  # noqa: F401
@@ -349,7 +350,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tu.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # corpus size as a broadcast 1-row aggregate: construction stays
@@ -545,7 +546,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = (
         d.groupBy("_h")
         .agg(F.min("doc_id").alias("_keep"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     flags = d.join(k, "_h").select(
         "doc_id",
@@ -675,12 +676,12 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.join(docs.select("doc_id", "source"), "doc_id")
         .select("chunk_hash", "source")
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     d = (
         docs.select(F.md5(F.col("text")).alias("h"), "source")
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     shared_chunks = (
         cd.select("chunk_hash", F.col("source").alias("src_a"))
@@ -763,7 +764,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab_prune trade); it now tokenizes 3x (cw + both pair-join
     # sides) instead of 6x.
     cw = (
-        u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+        u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).transform(checkpoint_hub)
     )
     nt = cw.agg(F.sum("c").cast("double").alias("nt"))
     rep = (
@@ -784,7 +785,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w_a", "w_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     np_ = pr.agg(F.sum("c_ab").cast("double").alias("np"))
     ca = cw.select(F.col("w").alias("w_a"), F.col("c").alias("ca"))
@@ -1052,7 +1053,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         text.bm25_scores(docs, list(_BM25_TERMS))
         .join(toked, "doc_id")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     ra = (
         base.orderBy(F.desc("bm25"), "doc_id")
@@ -1319,13 +1320,13 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "token")
         .limit(K)
         .select("token")
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     cnts = (
         tok.join(F.broadcast(vocab), "token")
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     tots = cnts.groupBy("source").agg(F.sum("c").alias("tot"))
     srcs = _docs(spark, sf_dir).select("source").distinct()
@@ -1341,7 +1342,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.coalesce("tot", F.lit(0)) + F.lit(float(K)))
             ).alias("p"),
         )
-        .localCheckpoint()
+        .transform(checkpoint_hub)
     )
     a, b = grid.alias("a"), grid.alias("b")
     term = 0.5 * (
