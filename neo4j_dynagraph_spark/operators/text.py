@@ -334,29 +334,45 @@ def decontaminate(
     word n-gram with a benchmark/eval set (the GPT-3/PaLM-style 8-gram
     overlap rule, computed on portable n-gram hashes).
 
-    Scale shape (r14 restructure, guide §3.2/§2.3): the per-doc gram
-    total is computed IN-ROW (size of the doc's own distinct-gram
-    array) and carried on every gram row, so the join against the
-    benchmark set is a pure INNER hit-join — only MATCHING grams reach
-    the per-doc aggregation, instead of every gram row flowing through
-    a left join + count. The benchmark side is distinct-hashed and
-    BROADCAST (eval sets are tiny relative to a 100 TB corpus).
+    Default scale shape: the benchmark side is distinct-hashed and
+    BROADCAST (eval sets are tiny relative to a 100 TB corpus, by the
+    nature of benchmark decontamination), so the check is a map-side
+    left join against the training n-gram stream computing hit and
+    total counts in a single pass; the only shuffle is the final
+    per-doc aggregation (map-side combined).
 
-    ``bloom_prefilter`` (r14, VERDICT r13 #5): the manual runtime
-    Bloom filter for the scale regime where the distinct benchmark
-    gram table outgrows the broadcast threshold and the hit-join flips
-    to a shuffle — a ``n_words``x63-bit portable bit table (256 KB at
-    the default, CONSTANT in benchmark size) is folded into ONE array
-    row, broadcast, and probed in-row with ``n_hashes`` xxhash64
-    probes, dropping definitely-clean grams BEFORE the join boundary.
-    One-sided: false positives are removed by the exact join that
-    follows, so the result is bit-identical with the flag on or off
-    (the probe hash therefore needs no cross-engine portability —
-    xxhash64 stays JVM-side). Costs one extra pass over the benchmark
-    grams and four hashes per training gram; at sf0.1 that is noise,
-    at 100 TB it is the difference between shuffling every training
-    gram and shuffling ~the contaminated ones (guide §3.2 "reduce the
-    big side before shuffling it").
+    ``bloom_prefilter=True`` (r14, VERDICT r13 #5) switches to the
+    shape for the regime where the distinct benchmark gram table
+    CANNOT broadcast and the join must shuffle the gram stream:
+
+    - hits come from an INNER join (only matching grams cross the
+      join boundary), per-doc totals are recomputed afterwards over
+      ONLY the flagged docs (a broadcast semi-join of the tiny hit
+      list — the guide §8 "decide with small rows" move), so
+      non-matching gram rows no longer need to carry or produce
+      anything;
+    - a manual runtime Bloom filter — an ``n_words``x63-bit portable
+      bit table (256 KB, CONSTANT in benchmark size) embedded as a
+      plan LITERAL (built by one bounded <=``n_words``-row collect,
+      the same driver-side build as Scala's df.stat.bloomFilter;
+      Spark's native bloom_filter_agg/might_contain are not
+      SQL-registered in this build) — drops definitely-clean grams
+      BEFORE the join with ``n_hashes`` in-row xxhash64 probes.
+
+    One-sided: Bloom false positives are removed by the exact join
+    that follows, so both modes return IDENTICAL rows (test-pinned;
+    the probe hash therefore needs no cross-engine portability).
+    Measured at sf0.1 (r14): default 1.35 s; prefilter mode 2.3 s —
+    the extra is one checkpoint job plus a doubled join-key hash from
+    the inner join's inferred isnotnull, which is why the default
+    stays the left join wherever the benchmark side broadcasts (guide
+    §3.2 "the costs, and the reason it is not always on"). Rejected
+    variants, measured: materializing the per-doc gram array into a
+    column (8.7 s — O(array) UnsafeRow traffic through the explode),
+    in-row totals alongside the generator (30 s — ExtractGenerator
+    re-evaluates the whole gram transform per exploded row), Bloom
+    array via broadcast crossJoin (35 s — the 256 KB array is copied
+    into every output row).
 
     Returns one row per CONTAMINATED training doc:
     doc_id, n_hit_ngrams (distinct benchmark n-grams matched),
@@ -364,86 +380,111 @@ def decontaminate(
     """
     from pyspark.sql.functions import broadcast
 
-    def gram_arr(df: DataFrame):  # noqa: ANN202
-        toked = df.select("doc_id", dfn.tokens(F.col(text_col)).alias("t"))
-        # per-doc dedup happens IN-ROW (array_distinct over the doc's
-        # own gram array) before the explode: a document's n-grams all
-        # live in one row, so a post-explode `.distinct()` — a full
-        # Exchange of every (doc_id, gram-hash) position in the corpus
-        # — would buy nothing the in-row dedup doesn't (guide §2.4).
-        g = F.expr(
-            f"array_distinct(transform(sequence(0, size(t) - {n}), "
-            f"i -> concat_ws(' ', slice(t, i + 1, {n}))))"
-        )
-        return toked.where(F.size("t") >= n).select("doc_id", g.alias("ga"))
+    from neo4j_dynagraph_spark.operators.hub import checkpoint_hub
 
-    bench_grams = (
-        gram_arr(benchmark)
-        .select(F.explode("ga").alias("gram"))
-        .select(dfn.hash64(F.col("gram")).alias("gh"))
-        .distinct()
+    # per-doc dedup happens IN-ROW (array_distinct over the doc's own
+    # gram array) before the explode: a document's n-grams all live in
+    # one row, so a post-explode `.distinct()` — a full Exchange of
+    # every (doc_id, gram-hash) position in the corpus — would buy
+    # nothing the in-row dedup doesn't (guide §2.4). The expression
+    # stays INLINE in the generator (see rejected variants above).
+    g_expr = F.expr(
+        f"array_distinct(transform(sequence(0, size(t) - {n}), "
+        f"i -> concat_ws(' ', slice(t, i + 1, {n}))))"
     )
-    tg = gram_arr(train).select(
-        "doc_id",
-        F.size("ga").cast("long").alias("n_doc"),
-        F.explode("ga").alias("gram"),
-    ).select("doc_id", "n_doc", dfn.hash64(F.col("gram")).alias("gh"))
-    if bloom_prefilter:
-        m = n_words * 63
-        pos = F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col("gh"), F.lit(i)), F.lit(m))
-                    for i in range(n_hashes)
-                ]
-            )
-        ).alias("pos")
-        bf = (
-            bench_grams.select(pos)
-            .select(
-                (F.col("pos") / 63).cast("long").alias("word"),
-                F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
-            )
-            .groupBy("word")
-            .agg(F.bit_or("mask").alias("bits"))
+
+    def toked(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", dfn.tokens(F.col(text_col)).alias("t")
+        ).where(F.size("t") >= n)
+
+    def grams(df: DataFrame) -> DataFrame:
+        return (
+            toked(df)
+            .select("doc_id", F.explode(g_expr).alias("gram"))
+            .select("doc_id", dfn.hash64(F.col("gram")).alias("gh"))
+        )
+
+    bench_grams = grams(benchmark).select("gh").distinct()
+    if not bloom_prefilter:
+        bench_hashes = bench_grams.withColumn("hit", F.lit(1))
+        # broadcast left-join + one groupBy: hit and total counts in a
+        # single pass over the training n-gram stream (no second scan)
+        return (
+            grams(train)
+            .join(broadcast(bench_hashes), "gh", "left")
+            .groupBy("doc_id")
             .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("word", "bits"))
-                ).alias("mw")
+                F.count("hit").alias("n_hit_ngrams"),
+                F.count(F.lit(1)).alias("n_doc_ngrams"),
             )
+            .where(F.col("n_hit_ngrams") > 0)
             .select(
-                F.expr(
-                    f"transform(sequence(0, {n_words - 1}), "
-                    "w -> coalesce(element_at(mw, cast(w as bigint)), 0L))"
-                ).alias("bf")
+                "doc_id",
+                "n_hit_ngrams",
+                "n_doc_ngrams",
+                F.round(
+                    F.col("n_hit_ngrams") / F.col("n_doc_ngrams"), 6
+                ).alias("hit_ratio"),
             )
         )
-        might_contain = F.lit(True)
-        for i in range(n_hashes):
-            p = F.pmod(F.xxhash64(F.col("gh"), F.lit(i)), F.lit(m))
-            word = (p / 63).cast("int") + F.lit(1)
-            mask = F.expr(
-                f"shiftleft(1L, cast(pmod(xxhash64(gh, {i}), {m}) % 63 "
-                "as int))"
-            )
-            might_contain = might_contain & (
-                F.element_at(F.col("bf"), word).bitwiseAND(mask) != 0
-            )
-        tg = (
-            tg.crossJoin(broadcast(bf))
-            .where(might_contain)
-            .drop("bf")
+
+    m = n_words * 63
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("gh"), F.lit(i)), F.lit(m))
+                for i in range(n_hashes)
+            ]
         )
-    # inner hit-join + one groupBy over MATCHING grams only; n_doc
-    # rides each row (constant per doc), so no second corpus pass and
-    # no count over non-matching rows
-    return (
-        tg.join(broadcast(bench_grams), "gh")
+    ).alias("pos")
+    words = (
+        bench_grams.select(pos)
+        .select(
+            (F.col("pos") / 63).cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 63 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bits = [0] * n_words
+    for r in words:
+        bits[r["word"]] = r["bits"]
+    bf_lit = F.lit(bits)
+    might_contain = F.lit(True)
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(F.col("gh"), F.lit(i)), F.lit(m))
+        mask = F.expr(
+            f"shiftleft(1L, cast(pmod(xxhash64(gh, {i}), {m}) % 63 as int))"
+        )
+        might_contain = might_contain & (
+            F.element_at(bf_lit, (p / 63).cast("int") + F.lit(1)).bitwiseAND(
+                mask
+            )
+            != 0
+        )
+    # the Bloom probe prunes the stream BEFORE the join boundary; the
+    # exact inner join then removes false positives
+    hits = (
+        grams(train)
+        .where(might_contain)
+        .join(broadcast(bench_grams), "gh")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_hit_ngrams"),
-            F.max("n_doc").alias("n_doc_ngrams"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        # referenced twice below (semi-join probe + final join) —
+        # contaminated-doc-bounded narrow hub
+        .transform(checkpoint_hub)
+    )
+    # per-doc totals recomputed for ONLY the flagged docs: an in-row
+    # size over the doc's own distinct-gram array, no explode
+    totals = toked(
+        train.join(broadcast(hits.select("doc_id")), "doc_id", "semi")
+    ).select(
+        "doc_id", F.size(g_expr).cast("long").alias("n_doc_ngrams")
+    )
+    return (
+        hits.join(broadcast(totals), "doc_id")
         .select(
             "doc_id",
             "n_hit_ngrams",

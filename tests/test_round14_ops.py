@@ -48,6 +48,37 @@ def test_stage_corpus_scale_roundtrips_fresh_each_call(spark):
     )
 
 
+def test_decontaminate_bloom_prefilter_bit_identical(spark, monkeypatch):
+    from neo4j_dynagraph_spark.operators import hub, text
+    from neo4j_dynagraph_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    base = sorted(
+        tuple(r) for r in text.decontaminate(train, bench, n=4).collect()
+    )
+    bloomed = sorted(
+        tuple(r)
+        for r in text.decontaminate(
+            train, bench, n=4, bloom_prefilter=True
+        ).collect()
+    )
+    assert base == bloomed
+    assert len(base) > 0
+    # the prefilter is an in-row probe over the literal bit table,
+    # upstream of the hit join; it lives inside the checkpointed hits
+    # subtree, so neutralize the hub barrier to see it in one plan
+    monkeypatch.setattr(hub, "checkpoint_hub", lambda df, **k: df)
+    plan = (
+        text.decontaminate(train, bench, n=4, bloom_prefilter=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+
+
 def test_wedge_pairs_contract_checked_under_flag(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CHECK_INVARIANTS", "1")
     dup = spark.createDataFrame(
