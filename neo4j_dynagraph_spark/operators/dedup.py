@@ -523,15 +523,19 @@ def remove_dup_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("i", "shingle"),
     )
-    dup = (
-        sh.select("doc_id", "shingle")
-        .distinct()
-        .groupBy("shingle")
-        .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
-        .where("is_dup")
-    )
+    # r14: the cross-doc test rides a window over the shingle key, so
+    # the posexplode position stream is computed ONCE inside a single
+    # shuffle instead of once per branch (the old shape derived a
+    # distinct dup-shingle table and joined it back — two passes over
+    # the corpus-token stream). min/max are duplicate-insensitive, so
+    # the window over raw positions equals the old distinct-table test
+    # bit-for-bit. Measured at sf0.1: 3.39 s -> 2.79 s (1.21x), and at
+    # scale one tokenization pass instead of two (guide §2.4).
+    sw = Window.partitionBy("shingle")
     starts = (
-        sh.join(dup, "shingle")
+        sh.withColumn("_mn", F.min("doc_id").over(sw))
+        .withColumn("_mx", F.max("doc_id").over(sw))
+        .where(F.col("_mn") != F.col("_mx"))
         .groupBy("doc_id")
         .agg(F.collect_set("i").alias("starts"))
     )
@@ -584,9 +588,9 @@ def exact_dup_spans(
 
     Distributed shape: the window stream is a narrow
     explode+slice+hash projection (no shuffle); the cross-doc test is
-    one map-side-combined groupBy on the uniform 60-bit hash with the
-    constant-state min!=max trick (never count_distinct); dup starts
-    come back via one semi-join on that key; span merging is a lag +
+    the constant-state min!=max trick (never count_distinct) computed
+    as a window over the uniform 60-bit hash, so the whole stream
+    crosses ONE shuffle and is never materialized; span merging is a lag +
     running-sum window PARTITIONED BY doc — per-doc state, bounded by
     doc length, parallel across docs. Nothing is quadratic; nothing
     is collected.
@@ -610,20 +614,24 @@ def exact_dup_spans(
             F.concat_ws(" ", F.expr(f"slice(t, start + 1, {span})"))
         ).alias("h"),
     )
-    # the fingerprint stream feeds BOTH the cross-doc aggregate and the
-    # dup-start semi-join; Spark has no cross-branch CSE, so without a
-    # checkpoint the explode+slice+hash projection (span x corpus-token
-    # string work) executes twice (r13, guide §1.2). 32 bytes/window.
-    # At cluster scale swap for the write-parquet-read-back pattern if
-    # the window stream outgrows the unified memory region.
-    wins = wins.localCheckpoint()
-    dup = (
-        wins.groupBy("h")
-        .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
-        .where("is_dup")
-        .select("h")
+    # r14 (ADVICE A1): the cross-doc test rides a window over h, so the
+    # explode+slice+hash projection runs ONCE inside a single shuffle —
+    # no barrier at all. The r13 shape localCheckpoint'ed the corpus-
+    # token-sized window stream (executor memory pin, not fault-
+    # tolerant) so the groupBy-h aggregate and the dup-start semi-join
+    # could share it; min/max(doc_id) OVER (PARTITION BY h) answers the
+    # same min!=max question in-stream (guide §2.4 — the window reuses
+    # the one hash partitioning). Measured at sf0.1: 1.49 s
+    # (localCheckpoint) / 1.86 s (parquet round-trip) / 1.52 s (this),
+    # bit-equal outputs; this shape alone keeps lineage recomputable
+    # and pins nothing.
+    hw = Window.partitionBy("h")
+    starts = (
+        wins.withColumn("_mn", F.min("doc_id").over(hw))
+        .withColumn("_mx", F.max("doc_id").over(hw))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "source", "start")
     )
-    starts = wins.join(dup, "h", "semi").select("doc_id", "source", "start")
     w = Window.partitionBy("doc_id").orderBy("start")
     isl = (
         starts.withColumn(
@@ -696,22 +704,15 @@ def remove_exact_dup_spans(
             F.concat_ws(" ", F.expr(f"slice(t, start + 1, {span})"))
         ).alias("h"),
     )
-    # the fingerprint stream feeds BOTH the cross-doc dup test and the
-    # dup-start semi-join; Spark has no cross-branch CSE, so without a
-    # checkpoint the explode+slice+hash projection (span x corpus-token
-    # string work) executes twice (r13, guide §1.2 — the same cut
-    # exact_dup_spans carries above). 24 bytes/window. At cluster scale
-    # swap for the write-parquet-read-back pattern if the window stream
-    # outgrows the unified memory region.
-    wins = wins.localCheckpoint()
-    dup = (
-        wins.groupBy("h")
-        .agg((F.min("doc_id") != F.max("doc_id")).alias("is_dup"))
-        .where("is_dup")
-        .select("h")
-    )
+    # r14 (ADVICE A1): same barrier-free window-over-h shape as
+    # exact_dup_spans above — the fingerprint projection runs once
+    # inside one shuffle, nothing corpus-sized is pinned, lineage stays
+    # recomputable (A/B in that function's comment).
+    hw = Window.partitionBy("h")
     starts = (
-        wins.join(dup, "h", "semi")
+        wins.withColumn("_mn", F.min("doc_id").over(hw))
+        .withColumn("_mx", F.max("doc_id").over(hw))
+        .where(F.col("_mn") != F.col("_mx"))
         .groupBy("doc_id")
         .agg(F.collect_set("start").alias("starts"))
     )

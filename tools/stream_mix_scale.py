@@ -110,6 +110,23 @@ def main() -> None:
         )
         report("stream_domain_weights", wall, streamed, batch)
 
+    if only is None or "stream_soft_dedup" in only:
+        from neo4j_dynagraph_spark.operators import dedup
+        from neo4j_dynagraph_spark.streaming.soft_dedup import (
+            stream_soft_dedup,
+        )
+
+        schema = spark.read.parquet(docs_path).schema
+        stage = _chunk_table(spark, docs_path, n_chunks)
+        t0 = time.perf_counter()
+        streamed = stream_soft_dedup(
+            spark, stage, schema, max_files_per_trigger=1
+        )
+        streamed = streamed.localCheckpoint()
+        wall = time.perf_counter() - t0
+        batch = dedup.soft_dedup(spark.read.parquet(docs_path))
+        report("stream_soft_dedup", wall, streamed, batch)
+
     if only is None or "stream_ivf_assign" in only:
         from neo4j_dynagraph_spark.streaming.ivf import stream_ivf_assign
 
