@@ -741,49 +741,52 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 skip-gram collocations by pointwise mutual information
     (window 3, min count 5) — the statistical-association layer above
     q_bpe_pairs' raw adjacency counts (collocation extraction /
-    tokenizer-merge priors). The window offset folds INTO the
-    equi-join key exactly like q_temporal_paths' frame gap: the left
-    token replicated once per offset d in [1,3] with key
-    (doc_id, pos+d) — a pure hash join, no positional band scan. The
-    unigram marginal table is vocab-bounded and broadcast (the
-    unigram_logprob precedent); totals are 1-row broadcasts; the
-    terminal is TakeOrderedAndProject on the total order
-    (pmi desc, w_a, w_b)."""
+    tokenizer-merge priors). Window-3 pairs are generated IN-ROW from
+    each doc's token array (r14 — no positional self-join, no shuffle
+    of the token stream; only the vocab^2-bounded pair counts cross an
+    exchange). The unigram marginal table is vocab-bounded and
+    broadcast (the unigram_logprob precedent); totals are 1-row
+    broadcasts; the terminal is TakeOrderedAndProject on the total
+    order (pmi desc, w_a, w_b)."""
     from neo4j_dynagraph_spark import functions as dfn
 
-    u = (
-        _docs(spark, sf_dir)
-        .select("doc_id", dfn.tokens(F.col("text")).alias("t"))
-        .select("doc_id", F.posexplode("t").alias("pos", "w"))
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", dfn.tokens(F.col("text")).alias("t")
     )
+    u = toks.select("doc_id", F.explode("t").alias("w"))
     # r13: cw is vocab-bounded and feeds both marginal dimensions —
     # checkpoint it once; nt (total tokens) is the SUM of the per-word
     # counts, so deriving it from the checkpointed cw is
-    # value-identical and spares a third full tokenization pass.
-    # u itself stays unmaterialized (corpus-sized strings — the
-    # vocab_prune trade); it now tokenizes 3x (cw + both pair-join
-    # sides) instead of 6x.
+    # value-identical and spares a separate total pass.
+    # The token stream itself stays unmaterialized (corpus-sized
+    # strings — the vocab_prune trade).
     cw = (
         u.groupBy("w").agg(F.count(F.lit(1)).alias("c")).transform(checkpoint_hub)
     )
     nt = cw.agg(F.sum("c").cast("double").alias("nt"))
-    rep = (
-        u.withColumn("_d", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
-        .select(
-            "doc_id",
-            F.col("w").alias("w_a"),
-            (F.col("pos") + F.col("_d")).alias("pos"),
-        )
-    )
-    # r13: pr (the expensive corpus x 3-offset pair join) feeds both
-    # the pair total and the scored terminal — checkpoint the
-    # vocab^2-bounded count table so the join runs once, not twice
+    # r14: skip-gram pairs generated IN-ROW from the token array
+    # (every (i, j) with j in [i+1, i+3]) instead of the r13 shape's
+    # 3-offset replicate + corpus-scale hash join on (doc_id, pos) —
+    # that join shuffled ~4x corpus-token rows and tokenized a third
+    # time; this is one tokenization pass and ZERO joins before the
+    # vocab^2-bounded count aggregate (guide §2.4/§2.3: the pair
+    # decision needs only in-row state, so nothing crosses a shuffle
+    # until the counts). Measured at sf0.1: 1.88 -> 1.49 s (1.26x),
+    # ordered-equal output incl. the tie-break.
+    pairs = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(t) - 2), i -> "
+                "transform(sequence(i + 1, least(i + 3, size(t) - 1)), "
+                "j -> struct(t[i] AS w_a, t[j] AS w_b))))"
+            )
+        ).alias("p")
+    ).select("p.w_a", "p.w_b")
+    # pr feeds both the pair total and the scored terminal —
+    # checkpoint the vocab^2-bounded count table so the pair pass
+    # runs once, not twice (r13 convention)
     pr = (
-        rep.join(
-            u.select("doc_id", "pos", F.col("w").alias("w_b")),
-            ["doc_id", "pos"],
-        )
-        .groupBy("w_a", "w_b")
+        pairs.groupBy("w_a", "w_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .transform(checkpoint_hub)
     )

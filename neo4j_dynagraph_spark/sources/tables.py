@@ -112,13 +112,32 @@ def normalize_stream_ts(
     return stream
 
 
+# Process-scoped parquet STRUCTTYPE cache, keyed by file path (r14,
+# guide §1.2 step 2 / §6). Schema inference runs a one-task Spark job
+# and a footer read per spark.read.parquet call (~80 ms measured);
+# with the schema supplied explicitly the read is pure plan
+# construction (26 ms/5 reads, zero jobs). This caches METADATA only —
+# the immutable physical schema of an input file, the same class of
+# reuse as Spark's own file-listing cache
+# (spark.sql.hive.filesourcePartitionFileCacheSize) — never rows,
+# results, or intermediates; every query still computes from the
+# parquet inputs on every invocation.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing event-time columns."""
     if name in _EVENT_TS_COLUMNS:
         # runtime-settable SQL conf: lets driver-provided sessions (built
         # without our session factory) read legacy TIMESTAMP(NANOS) parquet
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     for col in _EVENT_TS_COLUMNS.get(name, []):
         df = normalize_event_ts(spark, df, col)
     return df

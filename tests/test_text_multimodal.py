@@ -804,10 +804,11 @@ def test_lang_confusion_rows_normalize(spark):
 
 
 def test_bm25_quoted_term_is_safe(spark):
-    # caller-supplied terms go through the Column API, not an
-    # interpolated SQL lambda: a term containing a quote must neither
-    # error nor inject; it simply never matches (the tokenizer strips
-    # punctuation, so no token can contain ')
+    # caller-supplied terms are embedded as ESCAPED SQL string
+    # literals (r14, _sql_str): a term containing a quote or a
+    # backslash must neither error nor inject; it simply never
+    # matches (the tokenizer strips punctuation, so no token can
+    # contain ' or \)
     from neo4j_dynagraph_spark.operators import text as t
 
     docs = spark.createDataFrame(
@@ -816,6 +817,12 @@ def test_bm25_quoted_term_is_safe(spark):
     )
     assert t.bm25_scores(docs, ["o'brien"]).count() == 0
     out = t.bm25_scores(docs, ["o'brien", "key"]).collect()
+    assert [r.doc_id for r in out] == [1] and out[0].n_hit == 1
+    # backslash: Spark SQL literals use backslash escaping, so an
+    # unescaped \ would change the literal; the escaped form must
+    # behave exactly like the old Column-API equality (no match)
+    assert t.bm25_scores(docs, ["a\\b"]).count() == 0
+    out = t.bm25_scores(docs, ["a\\b", "'); DROP", "paper"]).collect()
     assert [r.doc_id for r in out] == [1] and out[0].n_hit == 1
 
 
